@@ -1,0 +1,80 @@
+"""GeoJSON → JSON value → canonical text.
+
+Member order is fixed, matching the reference exactly:
+- geometry:   type, coordinates, bbox?, foreign members
+  (geojson.ml:94-101 and per-type siblings);
+- GeometryCollection: type, geometries, bbox?, foreign members
+  (geojson.ml:300-307);
+- feature:    type, geometry?, properties?, id?, bbox?, foreign members
+  (geojson.ml:387-396);
+- collection: type, features, bbox?, foreign members (geojson.ml:455-462).
+
+Nested geometries never carry a bbox (only the top level parses/emits
+one, geojson.ml:485-516).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from .jsontext import dumps_json
+from .model import Feature, FeatureCollection, GeoJson, Geometry
+
+
+def _num(x) -> float:
+    return float(x)
+
+
+def geometry_to_json(g: Geometry, bbox: Optional[list] = None) -> dict:
+    out: dict[str, Any] = {"type": g.type}
+    if g.type == "GeometryCollection":
+        out["geometries"] = [geometry_to_json(c) for c in (g.geometries or [])]
+    else:
+        out["coordinates"] = g.coordinates
+    if bbox is not None:
+        out["bbox"] = [_num(b) for b in bbox]
+    for k, v in g.foreign_members.items():
+        out[k] = v
+    return out
+
+
+def feature_to_json(f: Feature, bbox: Optional[list] = None) -> dict:
+    out: dict[str, Any] = {"type": "Feature"}
+    if f.geometry is not None:
+        out["geometry"] = geometry_to_json(f.geometry)
+    if f.properties_present:
+        out["properties"] = f.properties
+    if f.id is not None:
+        out["id"] = f.id
+    if bbox is not None:
+        out["bbox"] = [_num(b) for b in bbox]
+    for k, v in f.foreign_members.items():
+        out[k] = v
+    return out
+
+
+def collection_to_json(fc: FeatureCollection, bbox: Optional[list] = None) -> dict:
+    out: dict[str, Any] = {
+        "type": "FeatureCollection",
+        "features": [feature_to_json(f) for f in fc.features],
+    }
+    if bbox is not None:
+        out["bbox"] = [_num(b) for b in bbox]
+    for k, v in fc.foreign_members.items():
+        out[k] = v
+    return out
+
+
+def to_json(t: GeoJson) -> dict:
+    """to_json (geojson.ml:512-516)."""
+    v = t.value
+    if isinstance(v, Feature):
+        return feature_to_json(v, t.bbox)
+    if isinstance(v, FeatureCollection):
+        return collection_to_json(v, t.bbox)
+    return geometry_to_json(v, t.bbox)
+
+
+def to_text(t: GeoJson, minify: bool = True) -> str:
+    """Full serialize: object → canonical JSON text (jsone byte rules)."""
+    return dumps_json(to_json(t), minify=minify)

@@ -1,0 +1,257 @@
+"""Core conformance: fixture corpus round-trips + invalid verdicts.
+
+Mirrors the reference suites (reference: test/geojson/test.ml:458-478)
+— parse each valid fixture, check coordinates via accessors, assert
+``to_json(of_json(x)) == x`` as JSON values — plus an invalid corpus
+pinned to the reference's error branches (SURVEY.md §1.3, FIXTURES.md §3).
+"""
+
+import json
+import pathlib
+
+import pytest
+
+from ocaml_geojson_ray.core import (
+    Feature,
+    FeatureCollection,
+    Geometry,
+    loads_json,
+    of_json,
+    of_json_result,
+    parse_text,
+    to_json,
+    to_text,
+)
+from ocaml_geojson_ray.core.jsontext import json_equal
+from ocaml_geojson_ray.core.parse import (
+    ERR_BAD_ID,
+    ERR_GET_FLOAT,
+    ERR_GET_LIST,
+    ERR_LINESTRING_ARITY,
+    ERR_NO_COORDS,
+    ERR_NO_FEATURES,
+    ERR_NO_GEOMETRIES,
+    ERR_NO_TYPE,
+)
+
+VALID = pathlib.Path(__file__).parent / "fixtures" / "valid"
+
+
+def load(name):
+    return loads_json((VALID / name).read_text())
+
+
+ROUNDTRIP_FILES = [
+    "point.json",
+    "multipoint.json",
+    "linestring.json",
+    "multilinestring.json",
+    "polygon.json",
+    "multi_polygon.json",
+    "feature.json",
+    "featurecollection.json",
+    "3d_featurecollection.json",
+    "geo_with_bbox.json",
+]
+
+
+@pytest.mark.parametrize("fname", ROUNDTRIP_FILES)
+def test_roundtrip(fname):
+    """to_json (of_json x) == x (test.ml:92,133,190,245,288,348,365,433)."""
+    src = load(fname)
+    obj, err, raised = of_json_result(src)
+    assert err is None, f"{fname}: {err}"
+    assert json_equal(to_json(obj), src), fname
+
+
+def test_point_accessors():
+    obj = of_json(load("point.json"))
+    g = obj.value
+    assert isinstance(g, Geometry) and g.type == "Point"
+    assert g.coordinates == [125.6, 10.1]
+
+
+def test_multipoint():
+    g = of_json(load("multipoint.json")).value
+    assert g.type == "MultiPoint"
+    assert g.coordinates == [[100.0, 0.0], [101.0, 1.0]]
+
+
+def test_linestring():
+    g = of_json(load("linestring.json")).value
+    assert g.type == "LineString"
+    assert g.coordinates == [[100.0, 0.0], [101.0, 1.0]]
+
+
+def test_multilinestring_antimeridian():
+    g = of_json(load("multilinestring.json")).value
+    assert g.type == "MultiLineString"
+    assert g.coordinates[0] == [[170.0, 45.0], [180.0, 45.0]]
+    assert g.coordinates[1] == [[-180.0, 45.0], [-170.0, 45.0]]
+
+
+def test_polygon_rings():
+    g = of_json(load("polygon.json")).value
+    assert g.type == "Polygon"
+    assert g.exterior_ring()[0] == [100.0, 0.0]
+    assert g.interior_rings() == []
+
+
+def test_multipolygon_hole():
+    g = of_json(load("multi_polygon.json")).value
+    assert g.type == "MultiPolygon"
+    assert len(g.coordinates) == 2
+    # second polygon has an interior ring (hole)
+    assert len(g.coordinates[1]) == 2
+    assert g.coordinates[1][1][0] == [100.2, 0.2]
+
+
+def test_feature_foreign_members_and_properties():
+    """Foreign members at test.ml:283-286; properties vs prop1.json."""
+    f = of_json(load("feature.json")).value
+    assert isinstance(f, Feature)
+    assert f.foreign_members == {"title": "Some Islands"}
+    assert json_equal(f.properties, load("prop1.json"))
+    assert f.geometry.type == "MultiPoint"
+    assert f.geometry.coordinates == [[125.1, 40.0], [155.9, 22.5]]
+
+
+def test_featurecollection_explodes_properties():
+    fc = of_json(load("featurecollection.json")).value
+    assert isinstance(fc, FeatureCollection)
+    assert len(fc.features) == 2
+    assert json_equal(fc.features[0].properties, load("prop1.json"))
+    assert json_equal(fc.features[1].properties, load("prop2.json"))
+
+
+def test_3d_altitude():
+    """3D positions are first-class (test.ml:420-430)."""
+    fc = of_json(load("3d_featurecollection.json")).value
+    mp = fc.features[0].geometry
+    assert mp.coordinates[0] == [130.1, 40.0, 33.3]
+    mls = fc.features[1].geometry
+    assert mls.coordinates[0][0] == [170.0, 45.0, 60.2]
+
+
+def test_bbox_on_bare_geometry():
+    """bbox parse (test.ml:361-364)."""
+    obj = of_json(load("geo_with_bbox.json"))
+    assert obj.bbox == [100.0, 0.0, 101.0, 1.0]
+    assert obj.value.type == "Polygon"
+
+
+# -------------------------------------------------------------------------
+# invalid corpus: one case per reference error branch (FIXTURES.md §3)
+
+INVALID_CASES = [
+    # (doc, expected error substring, raised?)
+    ({"coordinates": [0.0, 0.0]}, ERR_NO_TYPE, False),
+    ({"type": "Circle", "coordinates": []}, "Unknown type of geometry Circle", False),
+    ({"type": "Point"}, ERR_NO_COORDS, False),
+    ({"type": "LineString", "coordinates": [[0.0, 0.0]]}, ERR_LINESTRING_ARITY, False),
+    # Feature with "geometry": null → REJECTED (geojson.ml:354-368)
+    (
+        {"type": "Feature", "geometry": None, "properties": {}},
+        ERR_NO_TYPE,
+        False,
+    ),
+    # wrong-case feature type falls to the geometry parser (geojson.ml:496-505)
+    (
+        {"type": "feature", "geometry": {"type": "Point", "coordinates": [0.0, 0.0]}},
+        "Unknown type of geometry feature",
+        False,
+    ),
+    (
+        {
+            "type": "Feature",
+            "id": [1.0],
+            "geometry": {"type": "Point", "coordinates": [0.0, 0.0]},
+        },
+        ERR_BAD_ID,
+        False,
+    ),
+    ({"type": "FeatureCollection"}, ERR_NO_FEATURES, False),
+    ({"type": "GeometryCollection"}, ERR_NO_GEOMETRIES, False),
+    # Point with non-numeric coordinate: decode_or_err failwith escapes
+    # (geojson.ml:91 has no Failure handler) → raised channel
+    ({"type": "Point", "coordinates": ["a", 0.0]}, ERR_GET_FLOAT, True),
+    # MultiPoint catches the same failure → Error channel (geojson.ml:110-112)
+    ({"type": "MultiPoint", "coordinates": [["a", 0.0]]}, ERR_GET_FLOAT, False),
+    # coordinates not an array → Error "Ezjsone.get_list"
+    ({"type": "Point", "coordinates": "xs"}, ERR_GET_LIST, False),
+    # invalid feature inside a FC → raised (decode_or_err, geojson.ml:431)
+    (
+        {"type": "FeatureCollection", "features": [{"type": "Feature", "geometry": None}]},
+        ERR_NO_TYPE,
+        True,
+    ),
+    # invalid child inside a GeometryCollection → raised (geojson.ml:274)
+    (
+        {"type": "GeometryCollection", "geometries": [{"type": "Nope"}]},
+        "Unknown type of geometry Nope",
+        True,
+    ),
+    # feature with non-Feature type inside FC
+    (
+        {"type": "FeatureCollection", "features": [{"type": "x"}]},
+        "A Geojson feature requires the type `Feature`. Found type, but it was x",
+        True,
+    ),
+]
+
+
+@pytest.mark.parametrize("doc,msg,raised", INVALID_CASES)
+def test_invalid_verdicts(doc, msg, raised):
+    obj, err, was_raised = of_json_result(doc)
+    assert obj is None
+    assert err is not None and msg in err, (doc, err)
+    assert was_raised == raised, (doc, err, was_raised)
+
+
+def test_bbox_lenient_non_array():
+    """Non-array bbox degrades silently to None (geojson.ml:480-483)."""
+    obj, err, raised = of_json_result(
+        {"type": "Point", "coordinates": [0.0, 0.0], "bbox": "oops"}
+    )
+    assert err is None and obj.bbox is None
+
+
+def test_bbox_array_bad_element_raises():
+    """bbox array with a non-float element: failwith escapes catch_err
+    (geojson.ml:20-21 + ezjsone.ml:146-147 catches only Parse_error)."""
+    obj, err, raised = of_json_result(
+        {"type": "Point", "coordinates": [0.0, 0.0], "bbox": ["x"]}
+    )
+    assert obj is None and err == ERR_GET_FLOAT and raised
+
+
+def test_feature_without_geometry_key_accepted():
+    obj, err, _ = of_json_result({"type": "Feature", "properties": {"a": 1.0}})
+    assert err is None
+    assert obj.value.geometry is None
+
+
+def test_properties_null_roundtrip():
+    doc = {"type": "Feature", "properties": None}
+    obj = of_json(doc)
+    assert obj.value.properties_present and obj.value.properties is None
+    assert json_equal(to_json(obj), doc)
+
+
+def test_polygon_no_ring_closure_check():
+    """Ring closure is NOT validated (geojson_intf.ml:165-167)."""
+    doc = {"type": "Polygon", "coordinates": [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]]]}
+    obj, err, _ = of_json_result(doc)
+    assert err is None
+
+
+def test_parse_text_json_error():
+    obj, err, raised = parse_text("{nope")
+    assert obj is None and err.startswith("JSON.of_buffer")
+
+
+def test_numbers_all_floats():
+    """Ints parse as doubles (ezjsone.ml:201-215)."""
+    obj = of_json(loads_json('{"type":"Point","coordinates":[40, 10]}'))
+    assert obj.value.coordinates == [40.0, 10.0]
+    assert to_text(obj) == '{"type":"Point","coordinates":[40,10]}'
