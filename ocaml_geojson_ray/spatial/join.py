@@ -1,0 +1,267 @@
+"""Cell-bucketed spatial join (SURVEY.md §2.2 N5).
+
+Two physical plans, chosen by build-side size:
+
+1. **Broadcast map-side join** (default; the polygon layer is the small
+   side): the polygon index — cell → candidate polygon ids at JOIN_RES,
+   plus ring coordinate arrays — is built once on the driver and
+   ``ray.put`` ONCE; every join actor reads it in ``__init__`` (never
+   re-shipped per batch). Probe side streams through
+   ``map_batches(SpatialJoiner, concurrency=N)`` with vectorized PIP
+   refinement. No shuffle at all.
+2. **Partitioned hash join** (both sides large): add the cell key to
+   both sides, explode the polygon side over its covering cells, and
+   hash-join on ``cell`` (Dataset.join when available, else bucketed
+   groupby) — see ``cell_partitioned_join``. Skew: mega-cells are split
+   to child cells first (skew.py).
+
+The PIP tie-break rule is pinned in spatial/pip.py (half-open edges).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+
+from . import cells as C
+from . import pip as P
+
+DEFAULT_JOIN_RES = 9  # ~0.7° cells; polygon layer radii are 0.01°-2°
+
+
+class PolygonIndex:
+    """Driver-built, broadcast-once index of the polygon layer."""
+
+    __slots__ = ("res", "cell_to_polys", "rings", "poly_ids", "names",
+                 "bbox", "centers", "radius")
+
+    def __init__(self, rows, res: int = DEFAULT_JOIN_RES):
+        """rows: iterable of dicts with poly_id, name, rings, minx..maxy
+        (the polygons parquet schema, sources/polygons.py)."""
+        self.res = res
+        self.cell_to_polys = defaultdict(list)
+        self.rings = []
+        self.poly_ids = []
+        self.names = []
+        self.bbox = []
+        for i, r in enumerate(rows):
+            self.poly_ids.append(r["poly_id"])
+            self.names.append(r["name"])
+            self.rings.append(
+                [np.asarray(ring, dtype=np.float64) for ring in r["rings"]]
+            )
+            self.bbox.append((r["minx"], r["miny"], r["maxx"], r["maxy"]))
+            for cell in C.cover_bbox(r["minx"], r["miny"], r["maxx"], r["maxy"], res):
+                self.cell_to_polys[int(cell)].append(i)
+        self.cell_to_polys = {
+            k: np.asarray(v, dtype=np.int64) for k, v in self.cell_to_polys.items()
+        }
+        self.poly_ids = np.asarray(self.poly_ids, dtype=np.int64)
+        # per-polygon center + enclosing radius (kNN lower bounds)
+        cx, cy, rad = [], [], []
+        for rings in self.rings:
+            pts = np.concatenate(rings)
+            c = pts.mean(axis=0)
+            cx.append(c[0])
+            cy.append(c[1])
+            rad.append(float(np.sqrt(((pts - c) ** 2).sum(axis=1).max())))
+        self.centers = np.column_stack([cx, cy]) if cx else np.zeros((0, 2))
+        self.radius = np.asarray(rad, dtype=np.float64)
+
+    @classmethod
+    def from_parquet(cls, path: str, res: int = DEFAULT_JOIN_RES):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path)
+        return cls(t.to_pylist(), res)
+
+    def candidates_for_points(self, lng: np.ndarray, lat: np.ndarray):
+        """→ (point_idx, local_poly_idx) candidate pair arrays."""
+        cell = C.latlng_to_cell(lng, lat, self.res)
+        pts, polys = [], []
+        for i, c in enumerate(cell):
+            hit = self.cell_to_polys.get(int(c))
+            if hit is not None:
+                pts.append(np.full(len(hit), i, dtype=np.int64))
+                polys.append(hit)
+        if not pts:
+            return (np.empty(0, dtype=np.int64),) * 2
+        return np.concatenate(pts), np.concatenate(polys)
+
+
+class SpatialJoiner:
+    """Actor-pool probe stage: point features × broadcast polygon index.
+
+    __init__ runs once per actor (ray.get of the broadcast index);
+    __call__ per batch: cell lookup → group candidate pairs by polygon
+    → one vectorized PIP per polygon over its candidate points.
+    """
+
+    def __init__(self, index_ref, how: str = "inner"):
+        import ray
+
+        self.index: PolygonIndex = ray.get(index_ref)
+        self.how = how
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        valid = ~(np.isnan(lng) | np.isnan(lat))
+        pt_idx, poly_idx = self.index.candidates_for_points(
+            np.where(valid, lng, 1e9), np.where(valid, lat, 1e9)
+        )
+        match_pt, match_poly = [], []
+        if len(pt_idx):
+            order = np.argsort(poly_idx, kind="stable")
+            pt_idx, poly_idx = pt_idx[order], poly_idx[order]
+            bounds = np.flatnonzero(np.diff(poly_idx)) + 1
+            for grp_pts, grp_poly in zip(
+                np.split(pt_idx, bounds), np.split(poly_idx, bounds)
+            ):
+                pl = int(grp_poly[0])
+                inside = P.points_in_polygon(lng[grp_pts], lat[grp_pts],
+                                             self.index.rings[pl])
+                hit = grp_pts[inside]
+                if len(hit):
+                    match_pt.append(hit)
+                    match_poly.append(np.full(len(hit), pl, dtype=np.int64))
+        if match_pt:
+            mp = np.concatenate(match_pt)
+            mpoly = np.concatenate(match_poly)
+        else:
+            mp = np.empty(0, dtype=np.int64)
+            mpoly = np.empty(0, dtype=np.int64)
+        taken = batch.take(pa.array(mp))
+        out = taken.append_column(
+            "poly_id", pa.array(self.index.poly_ids[mpoly], pa.int64())
+        )
+        out = out.append_column(
+            "poly_name", pa.array([self.index.names[i] for i in mpoly], pa.string())
+        )
+        return out
+
+
+def broadcast_polygon_index(polygons_path: str, res: int = DEFAULT_JOIN_RES):
+    """Build + ray.put the index once; returns the object ref."""
+    import ray
+
+    return ray.put(PolygonIndex.from_parquet(polygons_path, res))
+
+
+def spatial_join_points(points_ds, polygons_path: str,
+                        res: int = DEFAULT_JOIN_RES, concurrency=None,
+                        batch_size: int = 8192):
+    """points Dataset (needs lng/lat cols) ⋈ polygon layer → matches.
+
+    ``concurrency`` defaults to an autoscaling (1, N) pool sized to
+    leave CPUs for upstream stages — a pool that reserves every CPU
+    starves the read/extract stages and the pipeline stalls (observed:
+    fixed concurrency=4 on a 4-CPU session deadlocks).
+    """
+    import ray
+
+    ref = broadcast_polygon_index(polygons_path, res)
+    if concurrency is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = (1, max(1, ncpu - 2))
+    return points_ds.map_batches(
+        SpatialJoiner,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+# -- large-large fallback ---------------------------------------------------
+
+def add_cell_column(batch: pa.Table, res: int = DEFAULT_JOIN_RES,
+                    lng_col: str = "lng", lat_col: str = "lat") -> pa.Table:
+    """Stateless map_batches step: attach the join cell key (N4 when run
+    in an actor pool via CellEncoder below)."""
+    lng = batch[lng_col].to_numpy(zero_copy_only=False)
+    lat = batch[lat_col].to_numpy(zero_copy_only=False)
+    ok = ~(np.isnan(lng) | np.isnan(lat))
+    cell = C.latlng_to_cell(np.where(ok, lng, 0.0), np.where(ok, lat, 0.0), res)
+    return batch.append_column(
+        "cell", pa.array(np.where(ok, cell, -1), pa.int64())
+    )
+
+
+class CellEncoder:
+    """Stateful cell-encoder actor pool (N4): precomputes per-resolution
+    scale tables once per actor, encodes quad + s2 cells per batch."""
+
+    def __init__(self, res: int = DEFAULT_JOIN_RES, s2_level: int = 11,
+                 lng_col: str = "lng", lat_col: str = "lat"):
+        self.res = res
+        self.s2_level = s2_level
+        self.lng_col = lng_col
+        self.lat_col = lat_col
+        # "model load" analog: fixed tables derived once
+        self.nq = 1 << res
+        self.ns = 1 << s2_level
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lng = batch[self.lng_col].to_numpy(zero_copy_only=False)
+        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        ok = ~(np.isnan(lng) | np.isnan(lat))
+        safe_lng = np.where(ok, lng, 0.0)
+        safe_lat = np.where(ok, lat, 0.0)
+        quad = C.latlng_to_cell(safe_lng, safe_lat, self.res)
+        s2 = C.s2_latlng_to_cell(safe_lng, safe_lat, self.s2_level)
+        batch = batch.append_column(
+            "cell", pa.array(np.where(ok, quad, -1), pa.int64())
+        )
+        return batch.append_column(
+            "s2_cell", pa.array(np.where(ok, s2, -1), pa.int64())
+        )
+
+
+def cell_partitioned_join(points_ds, polys_ds, res: int = DEFAULT_JOIN_RES):
+    """Both-sides-large plan: explode polygons over covering cells,
+    hash-join on `cell`, then PIP-refine. Uses Dataset.join (Ray ≥2.46
+    hash shuffle join) — the documented partitioning key is `cell`.
+    """
+    import ray.data  # noqa: F401
+
+    def explode_polys(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        out = {"cell": [], "poly_id": [], "rings_json": []}
+        import json as _json
+
+        for r in rows:
+            for cell in C.cover_bbox(r["minx"], r["miny"], r["maxx"], r["maxy"], res):
+                out["cell"].append(int(cell))
+                out["poly_id"].append(r["poly_id"])
+                out["rings_json"].append(_json.dumps(r["rings"]))
+        return pa.table(
+            {
+                "cell": pa.array(out["cell"], pa.int64()),
+                "poly_id": pa.array(out["poly_id"], pa.int64()),
+                "rings_json": pa.array(out["rings_json"], pa.string()),
+            }
+        )
+
+    pts = points_ds.map_batches(add_cell_column, batch_format="pyarrow",
+                                fn_kwargs={"res": res})
+    pl = polys_ds.map_batches(explode_polys, batch_format="pyarrow")
+    joined = pts.join(pl, join_type="inner", on=("cell",), num_partitions=64)
+
+    def refine(batch: pa.Table) -> pa.Table:
+        import json as _json
+
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(batch), dtype=bool)
+        rings_col = batch["rings_json"].to_pylist()
+        for i in range(len(batch)):
+            rings = _json.loads(rings_col[i])
+            keep[i] = bool(
+                P.points_in_polygon(lng[i : i + 1], lat[i : i + 1], rings)[0]
+            )
+        return batch.filter(pa.array(keep)).drop_columns(["rings_json"])
+
+    return joined.map_batches(refine, batch_format="pyarrow")

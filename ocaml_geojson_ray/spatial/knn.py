@@ -1,0 +1,175 @@
+"""kNN via cell-ring expansion with a certified bound fallback
+(SURVEY.md §2.2 N6).
+
+k nearest polygons per point, against the broadcast PolygonIndex:
+
+1. **Ring expansion** (dense regions — the common case): expand grid
+   rings from the point's cell, collecting candidate polygons, until
+   the kth-best exact distance is certified against the ring's
+   lower bound ((r-1) lat-cell-extents).
+2. **Centroid-bound fallback** (sparse regions): a point whose rings
+   stay empty past ``max_ring`` switches to a fully vectorized bound
+   search — lower bound = max(0, dist(point, poly_center) −
+   poly_radius); take the best-m by bound, compute exact distances
+   grouped per polygon, certify kth-exact ≤ smallest excluded bound,
+   doubling m until certified. Exact for every point, no grid walk.
+
+Distances are planar degrees to the polygon (0 inside) — the
+deterministic, SQL-mirrorable metric; ties break ascending poly_id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from . import cells as C
+from . import pip as P
+from .join import PolygonIndex
+
+
+class KnnJoiner:
+    """Actor-pool stage: per-point k nearest polygons."""
+
+    def __init__(self, index_ref, k: int = 3, max_ring: int = 8):
+        import ray
+
+        self.index: PolygonIndex = ray.get(index_ref)
+        self.k = k
+        self.max_ring = max_ring
+        # conservative ring bound uses the smaller (lat) cell extent
+        self.cell_size = 180.0 / (1 << self.index.res)
+
+    # -- phase 1: per-point ring expansion ---------------------------------
+    def _ring_knn(self, x: float, y: float):
+        """→ list[(dist2, local_idx)] of len k, or None if uncertified
+        within max_ring."""
+        idx = self.index
+        cell = int(C.latlng_to_cell(x, y, idx.res))
+        seen: set[int] = set()
+        px = np.asarray([x])
+        py = np.asarray([y])
+        best: list[tuple[float, int]] = []
+        for r in range(self.max_ring + 1):
+            for c in C.grid_ring(cell, r):
+                hit = idx.cell_to_polys.get(int(c))
+                if hit is None:
+                    continue
+                for pl in hit:
+                    pl = int(pl)
+                    if pl in seen:
+                        continue
+                    seen.add(pl)
+                    d2 = float(P.polygon_dist2(px, py, idx.rings[pl])[0])
+                    best.append((d2, pl))
+            if len(best) >= self.k and r >= 1:
+                best.sort()
+                if best[self.k - 1][0] <= ((r - 1) * self.cell_size) ** 2:
+                    return best[: self.k]
+        return None
+
+    # -- phase 2: vectorized certified bound search ------------------------
+    def _bound_knn(self, xs: np.ndarray, ys: np.ndarray):
+        """→ list per point of [(dist2, local_idx)] * k. Vectorized over
+        the whole unresolved set."""
+        idx = self.index
+        n_poly = len(idx.rings)
+        k = min(self.k, n_poly)
+        dcx = xs[:, None] - idx.centers[None, :, 0]
+        dcy = ys[:, None] - idx.centers[None, :, 1]
+        lb = np.maximum(np.sqrt(dcx * dcx + dcy * dcy) - idx.radius[None, :], 0.0)
+        m = min(n_poly, max(4 * k, 16))
+        results: list = [None] * len(xs)
+        todo = np.arange(len(xs))
+        while len(todo):
+            sub = lb[todo]
+            if m >= n_poly:
+                cand = np.tile(np.arange(n_poly), (len(todo), 1))
+                excl = np.full(len(todo), np.inf)
+            else:
+                part = np.argpartition(sub, m - 1, axis=1)
+                cand = part[:, :m]
+                rowsel = np.arange(len(todo))[:, None]
+                excl = sub[rowsel, part[:, m:]].min(axis=1)
+            # exact distances per (point, polygon), grouped by polygon
+            flat_pt = np.repeat(np.arange(len(todo)), cand.shape[1])
+            flat_pl = cand.ravel()
+            order = np.argsort(flat_pl, kind="stable")
+            flat_pt, flat_pl = flat_pt[order], flat_pl[order]
+            d2 = np.empty(len(flat_pt))
+            bounds = np.flatnonzero(np.diff(flat_pl)) + 1
+            for grp_pt, grp_pl, sl in zip(
+                np.split(flat_pt, bounds),
+                np.split(flat_pl, bounds),
+                np.split(np.arange(len(flat_pt)), bounds),
+            ):
+                pl = int(grp_pl[0])
+                d2[sl] = P.polygon_dist2(
+                    xs[todo[grp_pt]], ys[todo[grp_pt]], idx.rings[pl]
+                )
+            still = []
+            for li, ti in enumerate(todo):
+                mask = flat_pt == li
+                dd = d2[mask]
+                pp = flat_pl[mask]
+                srt = np.lexsort((pp, dd))[:k]
+                kth = np.sqrt(dd[srt[-1]])
+                if kth <= excl[li] or m >= n_poly:
+                    results[ti] = [(float(dd[s]), int(pp[s])) for s in srt]
+                else:
+                    still.append(ti)
+            todo = np.asarray(still, dtype=np.int64)
+            m = min(n_poly, m * 4)
+        return results
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lng = batch["lng"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        n = len(batch)
+        per_point: list = [None] * n
+        unresolved = []
+        for i in range(n):
+            if np.isnan(lng[i]) or np.isnan(lat[i]):
+                per_point[i] = []
+                continue
+            got = self._ring_knn(lng[i], lat[i])
+            if got is None:
+                unresolved.append(i)
+            else:
+                per_point[i] = got
+        if unresolved:
+            un = np.asarray(unresolved, dtype=np.int64)
+            for ti, res in zip(un, self._bound_knn(lng[un], lat[un])):
+                per_point[ti] = res
+        rows, ranks, polys, dists = [], [], [], []
+        for i in range(n):
+            for rank, (d2, pl) in enumerate(per_point[i] or []):
+                rows.append(i)
+                ranks.append(rank)
+                polys.append(int(self.index.poly_ids[pl]))
+                dists.append(float(np.sqrt(d2)))
+        out = batch.take(pa.array(rows, pa.int64()))
+        out = out.append_column("knn_rank", pa.array(ranks, pa.int32()))
+        out = out.append_column("poly_id", pa.array(polys, pa.int64()))
+        out = out.append_column("distance_deg", pa.array(dists, pa.float64()))
+        return out
+
+
+def knn_points(points_ds, polygons_path: str, k: int = 3,
+               res: int = 9, concurrency=None, batch_size: int = 4096):
+    import ray
+
+    from .join import broadcast_polygon_index
+
+    ref = broadcast_polygon_index(polygons_path, res)
+    if concurrency is None:
+        # autoscaling pool that cannot starve upstream stages
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = (1, max(1, ncpu - 2))
+    return points_ds.map_batches(
+        KnnJoiner,
+        fn_constructor_args=(ref, k),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

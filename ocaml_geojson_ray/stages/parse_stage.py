@@ -1,0 +1,189 @@
+"""Batch GeoJSON parse/validate with verdict columns (SURVEY.md §2.1 P1-P8).
+
+One input row per mined candidate → one output row per FEATURE
+(FeatureCollections are exploded immediately — SURVEY.md §7 hard part
+(f) — so giant documents never make giant rows). Failed documents keep
+one row with ok=False and the reference-exact error string + channel
+flag (errors-as-data, mirroring the ``result`` type at
+geojson_intf.ml:282-284).
+
+Flat columns carry the hot path: geometry envelope (minx..maxy) and
+Point lng/lat, so spatial stages never re-parse JSON.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import pyarrow as pa
+
+from ..core.jsontext import dumps_json
+from ..core.model import Feature, FeatureCollection, GeoJson, Geometry
+from ..core.parse import parse_text
+from ..core.serialize import feature_to_json, geometry_to_json
+
+PARSED_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("lang", pa.string()),
+        ("cand_idx", pa.int32()),
+        ("feat_idx", pa.int32()),
+        ("ok", pa.bool_()),
+        ("error", pa.string()),
+        ("raised", pa.bool_()),
+        ("doc_kind", pa.string()),
+        ("geom_type", pa.string()),
+        ("geometry_json", pa.string()),
+        ("properties_json", pa.string()),
+        ("foreign_members_json", pa.string()),
+        ("id_str", pa.string()),
+        ("id_num", pa.float64()),
+        ("bbox", pa.list_(pa.float64())),
+        ("lng", pa.float64()),
+        ("lat", pa.float64()),
+        ("minx", pa.float64()),
+        ("miny", pa.float64()),
+        ("maxx", pa.float64()),
+        ("maxy", pa.float64()),
+    ]
+)
+
+
+def _envelope(g: Geometry):
+    """(minx, miny, maxx, maxy) over all positions, or None if empty."""
+    minx = miny = math.inf
+    maxx = maxy = -math.inf
+
+    def visit(coords, depth_unknown=True):
+        nonlocal minx, miny, maxx, maxy
+        if not coords:
+            return
+        if isinstance(coords[0], (int, float)):
+            x, y = coords[0], coords[1]
+            minx = min(minx, x)
+            maxx = max(maxx, x)
+            miny = min(miny, y)
+            maxy = max(maxy, y)
+        else:
+            for c in coords:
+                visit(c)
+
+    if g.type == "GeometryCollection":
+        for c in g.geometries or []:
+            e = _envelope(c)
+            if e:
+                minx = min(minx, e[0])
+                miny = min(miny, e[1])
+                maxx = max(maxx, e[2])
+                maxy = max(maxy, e[3])
+    else:
+        visit(g.coordinates)
+    if minx is math.inf:
+        return None
+    return (minx, miny, maxx, maxy)
+
+
+class _Rows:
+    __slots__ = ("cols",)
+
+    def __init__(self):
+        self.cols = {name: [] for name in PARSED_SCHEMA.names}
+
+    def add(self, **kw):
+        for name in self.cols:
+            self.cols[name].append(kw.get(name))
+
+    def table(self) -> pa.Table:
+        return pa.table(
+            {n: pa.array(v, PARSED_SCHEMA.field(n).type) for n, v in self.cols.items()}
+        )
+
+
+def _feature_row(rows, base, feat_idx: int, f: Feature, doc_kind: str, bbox):
+    g = f.geometry
+    env = _envelope(g) if g is not None else None
+    lng = lat = None
+    if g is not None and g.type == "Point" and len(g.coordinates) >= 2:
+        lng, lat = g.coordinates[0], g.coordinates[1]
+    fid = f.id
+    rows.add(
+        **base,
+        feat_idx=feat_idx,
+        ok=True,
+        doc_kind=doc_kind,
+        raised=False,
+        geom_type=g.type if g is not None else None,
+        geometry_json=dumps_json(geometry_to_json(g)) if g is not None else None,
+        properties_json=(
+            dumps_json(f.properties) if f.properties_present else None
+        ),
+        foreign_members_json=dumps_json(f.foreign_members) if f.foreign_members else None,
+        id_str=fid if isinstance(fid, str) else None,
+        id_num=fid if isinstance(fid, float) else None,
+        bbox=list(bbox) if bbox is not None else None,
+        lng=lng,
+        lat=lat,
+        minx=env[0] if env else None,
+        miny=env[1] if env else None,
+        maxx=env[2] if env else None,
+        maxy=env[3] if env else None,
+    )
+
+
+def parse_candidates_batch(batch: pa.Table) -> pa.Table:
+    """map_batches fn: mined candidates → exploded parsed features."""
+    rows = _Rows()
+    urls = batch["url"].to_pylist()
+    tss = batch["warc_ts"].to_pylist()
+    langs = batch["lang"].to_pylist()
+    cidx = batch["cand_idx"].to_pylist()
+    docs = batch["cand_text"].to_pylist()
+    for i, doc in enumerate(docs):
+        base = dict(url=urls[i], warc_ts=tss[i], lang=langs[i], cand_idx=cidx[i])
+        obj, err, raised = parse_text(doc)
+        if obj is None:
+            rows.add(
+                **base,
+                feat_idx=0,
+                ok=False,
+                error=err,
+                raised=raised,
+            )
+            continue
+        v = obj.value
+        if isinstance(v, FeatureCollection):
+            for j, f in enumerate(v.features):
+                _feature_row(rows, base, j, f, "FeatureCollection", obj.bbox)
+            if not v.features:
+                rows.add(**base, feat_idx=-1, ok=True, raised=False,
+                         doc_kind="FeatureCollection",
+                         bbox=list(obj.bbox) if obj.bbox else None)
+        elif isinstance(v, Feature):
+            _feature_row(rows, base, 0, f=v, doc_kind="Feature", bbox=obj.bbox)
+        else:  # bare Geometry
+            env = _envelope(v)
+            lng = lat = None
+            if v.type == "Point" and len(v.coordinates) >= 2:
+                lng, lat = v.coordinates[0], v.coordinates[1]
+            rows.add(
+                **base,
+                feat_idx=0,
+                ok=True,
+                raised=False,
+                doc_kind="Geometry",
+                geom_type=v.type,
+                geometry_json=dumps_json(geometry_to_json(v)),
+                foreign_members_json=dumps_json(v.foreign_members)
+                if v.foreign_members
+                else None,
+                bbox=list(obj.bbox) if obj.bbox else None,
+                lng=lng,
+                lat=lat,
+                minx=env[0] if env else None,
+                miny=env[1] if env else None,
+                maxx=env[2] if env else None,
+                maxy=env[3] if env else None,
+            )
+    return rows.table()

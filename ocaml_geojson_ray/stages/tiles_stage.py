@@ -1,0 +1,91 @@
+"""Raster↔vector tile assignment + tile aggregation (N7, N12).
+
+Stateless map_batches: each parsed feature → (z, x, y) tile rows at the
+configured zooms (points exact; other geometries by envelope cover,
+documented in spatial/tiles.py). Tile stats are a grouped aggregation
+with map-side pre-aggregation: counts are combined per batch BEFORE the
+groupby shuffle, so the exchange carries one row per (tile, batch)
+instead of one per feature.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..spatial import tiles as T
+
+DEFAULT_ZOOMS = (4, 8, 12)
+
+
+def assign_tiles_batch(batch: pa.Table, zooms=DEFAULT_ZOOMS) -> pa.Table:
+    """features (needs lng/lat or minx..maxy) → exploded tile rows."""
+    lng = batch["lng"].to_numpy(zero_copy_only=False)
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    minx = batch["minx"].to_numpy(zero_copy_only=False)
+    miny = batch["miny"].to_numpy(zero_copy_only=False)
+    maxx = batch["maxx"].to_numpy(zero_copy_only=False)
+    maxy = batch["maxy"].to_numpy(zero_copy_only=False)
+    urls = batch["url"].to_pylist() if "url" in batch.column_names else [None] * len(batch)
+    geom_t = (
+        batch["geom_type"].to_pylist()
+        if "geom_type" in batch.column_names
+        else [None] * len(batch)
+    )
+
+    out_url, out_geom, out_z, out_x, out_y = [], [], [], [], []
+    is_point = ~np.isnan(lng)
+    has_env = ~np.isnan(minx)
+    for z in zooms:
+        # vectorized point path
+        px, py = T.point_to_tile(lng[is_point], lat[is_point], z)
+        for i, (xx, yy) in zip(np.flatnonzero(is_point), zip(px, py)):
+            out_url.append(urls[i])
+            out_geom.append(geom_t[i])
+            out_z.append(z)
+            out_x.append(int(xx))
+            out_y.append(int(yy))
+        # envelope path for non-points
+        for i in np.flatnonzero(has_env & ~is_point):
+            xs, ys = T.envelope_to_tiles(minx[i], miny[i], maxx[i], maxy[i], z)
+            for xx, yy in zip(xs, ys):
+                out_url.append(urls[i])
+                out_geom.append(geom_t[i])
+                out_z.append(z)
+                out_x.append(int(xx))
+                out_y.append(int(yy))
+    return pa.table(
+        {
+            "url": pa.array(out_url, pa.string()),
+            "geom_type": pa.array(out_geom, pa.string()),
+            "z": pa.array(out_z, pa.int32()),
+            "x": pa.array(out_x, pa.int64()),
+            "y": pa.array(out_y, pa.int64()),
+        }
+    )
+
+
+def partial_tile_counts(batch: pa.Table) -> pa.Table:
+    """Map-side combiner: collapse a batch to one row per tile before
+    the shuffle (pre-aggregation pattern, ray_guide 'Aggregation at
+    scale')."""
+    t = batch.group_by(["z", "x", "y"]).aggregate([("z", "count")])
+    return t.rename_columns(["z", "x", "y", "partial_count"])
+
+
+def tile_stats(features_ds, zooms=DEFAULT_ZOOMS):
+    """features → per-tile feature counts (small result)."""
+    from ray.data.aggregate import Sum
+
+    tiles_ds = features_ds.map_batches(
+        assign_tiles_batch, batch_format="pyarrow", fn_kwargs={"zooms": tuple(zooms)}
+    )
+    partial = tiles_ds.map_batches(partial_tile_counts, batch_format="pyarrow")
+    return partial.groupby(["z", "x", "y"]).aggregate(
+        Sum("partial_count", alias_name="n_features")
+    )
+
+
+def densest_tiles(features_ds, zooms=DEFAULT_ZOOMS, top: int = 20):
+    """Global top-k (N11): sort by count desc, limit k."""
+    return tile_stats(features_ds, zooms).sort("n_features", descending=True).limit(top)

@@ -1,0 +1,227 @@
+"""Spatial-core fixtures with hand-computed answers (FIXTURES.md §6):
+cell round-trips, ring symmetry, PIP on-edge tie-break rule, tile zoom
+boundaries."""
+
+import numpy as np
+import pytest
+
+from ocaml_geojson_ray.spatial import cells, pip, tiles
+
+
+# -- cells ------------------------------------------------------------------
+
+def test_cell_roundtrip_center():
+    """cell → center → cell is identity (SURVEY.md §7 step 4)."""
+    rng = np.random.default_rng(7)
+    lng = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(-90, 90, 500)
+    for res in (0, 1, 5, 10, 15, 20):
+        c = cells.latlng_to_cell(lng, lat, res)
+        clng, clat = cells.cell_center(c)
+        c2 = cells.latlng_to_cell(clng, clat, res)
+        assert np.array_equal(c, c2), res
+
+
+def test_cell_parent_contains():
+    rng = np.random.default_rng(8)
+    lng = rng.uniform(-180, 180, 200)
+    lat = rng.uniform(-90, 90, 200)
+    fine = cells.latlng_to_cell(lng, lat, 12)
+    coarse = cells.latlng_to_cell(lng, lat, 7)
+    assert np.array_equal(cells.cell_to_parent(fine, 7), coarse)
+
+
+def test_cell_children_partition():
+    c = cells.latlng_to_cell(2.3, 48.8, 5)
+    kids = cells.cell_children(int(c), 8)
+    assert len(kids) == 4 ** 3
+    assert np.array_equal(np.unique(cells.cell_to_parent(kids, 5)), [c])
+
+
+def test_cell_edges():
+    """lng=180 wraps into the last column; lat=±90 clamps."""
+    res = 4
+    n = 1 << res
+    c = cells.latlng_to_cell(180.0, 90.0, res)
+    assert int(cells.cell_ix(c)) == n - 1
+    assert int(cells.cell_iy(c)) == n - 1
+    c = cells.latlng_to_cell(-180.0, -90.0, res)
+    assert int(cells.cell_ix(c)) == 0 and int(cells.cell_iy(c)) == 0
+
+
+def test_grid_ring():
+    c = int(cells.latlng_to_cell(0.0, 0.0, 6))
+    assert list(cells.grid_ring(c, 0)) == [c]
+    r1 = cells.grid_ring(c, 1)
+    assert len(r1) == 8
+    # ring symmetry: every ring-1 neighbor has c in ITS ring 1
+    for nb in r1:
+        assert c in cells.grid_ring(int(nb), 1)
+    r2 = cells.grid_ring(c, 2)
+    assert len(r2) == 16
+    assert len(cells.grid_disk(c, 2)) == 25
+
+
+def test_grid_ring_antimeridian_wrap():
+    res = 4
+    c = int(cells.latlng_to_cell(-179.9, 0.0, res))  # column 0
+    ring = cells.grid_ring(c, 1)
+    assert len(ring) == 8  # wraps, nothing dropped
+    cols = set(int(x) for x in cells.cell_ix(ring))
+    assert (1 << res) - 1 in cols  # wrapped to the last column
+
+
+def test_grid_ring_pole_clamp():
+    res = 4
+    n = 1 << res
+    c = int(cells.pack_cell(res, 5, n - 1))  # top row
+    ring = cells.grid_ring(c, 1)
+    assert len(ring) == 5  # 3 cells above the pole dropped
+
+
+def test_cover_bbox():
+    got = cells.cover_bbox(-1.0, -1.0, 1.0, 1.0, 8)
+    # at res 8 each cell is 360/256 = 1.40625° wide: bbox spans 2 cols
+    # (floor((179)/360*256)=127, floor(181/360*256)=128) × 2 rows... rows:
+    # (89/180*256)=126.6→126, (91/180*256)=129.4→129 → rows 126..129? No:
+    # lat cell height is 180/256=0.703°, so -1..1 spans rows 126..129.
+    xs = np.unique(cells.cell_ix(got))
+    ys = np.unique(cells.cell_iy(got))
+    assert list(xs) == [127, 128]
+    assert list(ys) == [126, 127, 128, 129]
+
+
+def test_cover_bbox_antimeridian():
+    got = cells.cover_bbox(179.0, 0.0, -179.0, 1.0, 6)
+    xs = set(int(x) for x in cells.cell_ix(got))
+    assert 0 in xs and 63 in xs
+
+
+def test_s2_cells_faces():
+    lngs = np.array([0.0, 90.0, 179.9, -90.0, 0.0, 0.0])
+    lats = np.array([0.0, 0.0, 0.0, 0.0, 89.9, -89.9])
+    c = cells.s2_latlng_to_cell(lngs, lats, 10)
+    faces = c >> np.int64(60)
+    assert list(faces) == [0, 1, 3, 4, 2, 5]
+
+
+def test_s2_cell_locality():
+    """Nearby points share coarse cells; antipodal ones don't."""
+    a = cells.s2_latlng_to_cell(2.3000, 48.8000, 12)
+    b = cells.s2_latlng_to_cell(2.3001, 48.8001, 12)
+    far = cells.s2_latlng_to_cell(-177.7, -48.8, 12)
+    assert cells.s2_cell_to_parent(a, 6, 12) == cells.s2_cell_to_parent(b, 6, 12)
+    assert a != far
+
+
+# -- PIP --------------------------------------------------------------------
+
+UNIT_SQUARE = [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]]]
+
+
+def test_pip_basic():
+    px = np.array([0.5, 1.5, -0.5, 0.999999, 0.000001])
+    py = np.array([0.5, 0.5, 0.5, 0.5, 0.5])
+    got = pip.points_in_polygon(px, py, UNIT_SQUARE)
+    assert list(got) == [True, False, False, True, True]
+
+
+def test_pip_on_edge_tiebreak():
+    """The documented half-open rule: left/bottom boundary IN,
+    right/top boundary OUT, corners follow the same parity."""
+    cases = [
+        ((0.0, 0.5), True),   # left edge: in
+        ((1.0, 0.5), False),  # right edge: out
+        ((0.5, 0.0), True),   # bottom edge: in
+        ((0.5, 1.0), False),  # top edge: out
+        ((0.0, 0.0), True),   # bottom-left corner: in
+        ((1.0, 1.0), False),  # top-right corner: out
+        ((0.0, 1.0), False),  # top-left corner: out (top is open)
+        ((1.0, 0.0), False),  # bottom-right corner: out (right is open)
+    ]
+    px = np.array([c[0][0] for c in cases])
+    py = np.array([c[0][1] for c in cases])
+    got = pip.points_in_polygon(px, py, UNIT_SQUARE)
+    for (pt, want), g in zip(cases, got):
+        assert g == want, (pt, want, bool(g))
+
+
+def test_pip_hole():
+    rings = UNIT_SQUARE + [
+        [[0.25, 0.25], [0.75, 0.25], [0.75, 0.75], [0.25, 0.75], [0.25, 0.25]]
+    ]
+    px = np.array([0.5, 0.1, 0.26])
+    py = np.array([0.5, 0.1, 0.5])
+    got = pip.points_in_polygon(px, py, rings)
+    assert list(got) == [False, True, False]  # center is in the hole
+
+
+def test_pip_half_open_tiles_plane():
+    """Two squares sharing an edge: every point on the shared edge
+    belongs to exactly one (no double counting, no gaps)."""
+    left = [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]]]
+    right = [[[1.0, 0.0], [2.0, 0.0], [2.0, 1.0], [1.0, 1.0], [1.0, 0.0]]]
+    py = np.array([0.2, 0.5, 0.8])
+    px = np.ones_like(py)  # on the shared edge x=1
+    in_l = pip.points_in_polygon(px, py, left)
+    in_r = pip.points_in_polygon(px, py, right)
+    assert np.all(in_l ^ in_r)
+
+
+def test_pip_open_ring_same_as_closed():
+    open_ring = [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]]]
+    px = np.array([0.5, 1.5])
+    py = np.array([0.5, 0.5])
+    assert list(pip.points_in_polygon(px, py, open_ring)) == [True, False]
+
+
+def test_polygon_dist2():
+    px = np.array([0.5, 2.0, 0.5])
+    py = np.array([0.5, 0.5, -1.0])
+    d2 = pip.polygon_dist2(px, py, UNIT_SQUARE)
+    assert d2[0] == 0.0
+    assert d2[1] == pytest.approx(1.0)
+    assert d2[2] == pytest.approx(1.0)
+
+
+# -- tiles ------------------------------------------------------------------
+
+def test_point_to_tile_known_values():
+    # z=0: everything in tile (0,0)
+    x, y = tiles.point_to_tile(np.array([0.0]), np.array([0.0]), 0)
+    assert (int(x[0]), int(y[0])) == (0, 0)
+    # z=1: Paris (2.35, 48.85) → (1, 0); Buenos Aires (-58.4, -34.6) → (0, 1)
+    x, y = tiles.point_to_tile(np.array([2.35, -58.4]), np.array([48.85, -34.6]), 1)
+    assert list(x) == [1, 0] and list(y) == [0, 1]
+    # z=12 Paris: standard slippy result (2048+26, 1408-5) = (2074, 1409)
+    x, y = tiles.point_to_tile(np.array([2.35]), np.array([48.85]), 12)
+    assert (int(x[0]), int(y[0])) == (2074, 1409)
+
+
+def test_tile_zoom_boundaries():
+    """Points at tile boundaries: lng exactly on a tile edge goes to
+    the right tile (floor rule); lat clamp at the mercator limit."""
+    z = 3
+    x, _ = tiles.point_to_tile(np.array([0.0]), np.array([0.0]), z)
+    assert int(x[0]) == 4  # 0° is the left edge of tile 4 at z=3
+    _, y = tiles.point_to_tile(np.array([0.0]), np.array([89.9]), z)
+    assert int(y[0]) == 0
+    _, y = tiles.point_to_tile(np.array([0.0]), np.array([-89.9]), z)
+    assert int(y[0]) == (1 << z) - 1
+
+
+def test_tile_roundtrip_bounds():
+    z = 10
+    for lng, lat in [(2.35, 48.85), (-58.4, -34.6), (139.7, 35.7)]:
+        x, y = tiles.point_to_tile(np.array([lng]), np.array([lat]), z)
+        minlng, minlat, maxlng, maxlat = tiles.tile_bounds(z, int(x[0]), int(y[0]))
+        assert minlng <= lng < maxlng
+        assert minlat < lat <= maxlat
+
+
+def test_envelope_to_tiles():
+    xs, ys = tiles.envelope_to_tiles(-1.0, -1.0, 1.0, 1.0, 6)
+    assert len(xs) == 4  # 2×2 around (0,0) at z=6
+    assert set(zip(xs.tolist(), ys.tolist())) == {
+        (31, 31), (31, 32), (32, 31), (32, 32)
+    }
