@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module:
+nothing here (or in the library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` maps SURVEY.md §2 operators to callables(sf_dir);
+``oracle_sql()`` provides DuckDB equivalents with IDENTICAL column
+names where the op is SQL-expressible (see
+ocaml_geojson_ray/pipelines/queries.py for the float-parity design).
 """
 
 from __future__ import annotations
@@ -18,27 +14,72 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from ocaml_geojson_ray.pipelines import queries as Q
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on the sf0.001-derived synthetic CC pages:
+    read → extract (byte-identical text) → mine → parse/validate →
+    verdict summary. Deterministic, small, stable schema."""
+    return Q.q_pages_mine_verdicts("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # GeoJSON core (P1-P8, W1-W3 through Ray)
+        "geojson_parse_points": Q.q_geojson_parse_points,
+        "geojson_linestring_verdicts": Q.q_geojson_linestring_verdicts,
+        # Spatial (N4-N7, N9, N11, N12)
+        "cell_assign_counts": Q.q_cell_assign_counts,
+        "tile_assign_counts": Q.q_tile_assign_counts,
+        "spatial_join_rect": Q.q_spatial_join_rect,
+        "knn_rect": Q.q_knn_rect,
+        "hot_cells": Q.q_hot_cells,
+        # Relational breadth
+        "pricing_summary": Q.q_pricing_summary,
+        "top_orders": Q.q_top_orders,
+        "segment_order_stats": Q.q_segment_order_stats,
+        "nation_region": Q.q_nation_region,
+        "events_window": Q.q_events_window,
+        # Text / dedup / fingerprints (N8 + training-data ops)
+        "exact_dedup": Q.q_exact_dedup,
+        "token_stats": Q.q_token_stats,
+        "doc_fingerprints": Q.q_doc_fingerprints,
+        "map_props_rewrite": Q.q_map_props_rewrite,
+        # ANN
+        "ann_cosine_topk": Q.q_ann_cosine_topk,
+        # Rows-only (non-SQL-expressible)
+        "langid_distribution": Q.q_langid_distribution,
+        "quality_scores": Q.q_quality_scores,
+        "rolling_fingerprints": Q.q_rolling_fingerprints,
+        "minhash_neardups": Q.q_minhash_neardups,
+        "simhash_dedup": Q.q_simhash_dedup,
+        "embedding_neardups": Q.q_embedding_neardups,
+        "ivf_ann": Q.q_ivf_ann,
+        "multimodal_features": Q.q_multimodal_features,
+        "pages_mine_verdicts": Q.q_pages_mine_verdicts,
+        "pages_spatial_join": Q.q_pages_spatial_join,
+        "pages_tile_topk": Q.q_pages_tile_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "geojson_parse_points": Q.SQL_GEOJSON_PARSE_POINTS,
+        "geojson_linestring_verdicts": Q.SQL_LINESTRING_VERDICTS,
+        "cell_assign_counts": Q.SQL_CELL_ASSIGN,
+        "tile_assign_counts": Q.SQL_TILE_ASSIGN,
+        "spatial_join_rect": Q.SQL_SPATIAL_JOIN_RECT,
+        "knn_rect": Q.SQL_KNN_RECT,
+        "hot_cells": Q.SQL_HOT_CELLS,
+        "pricing_summary": Q.SQL_PRICING_SUMMARY,
+        "top_orders": Q.SQL_TOP_ORDERS,
+        "segment_order_stats": Q.SQL_SEGMENT_ORDER_STATS,
+        "nation_region": Q.SQL_NATION_REGION,
+        "events_window": Q.SQL_EVENTS_WINDOW,
+        "exact_dedup": Q.SQL_EXACT_DEDUP,
+        "token_stats": Q.SQL_TOKEN_STATS,
+        "doc_fingerprints": Q.SQL_DOC_FINGERPRINTS,
+        "map_props_rewrite": Q.SQL_MAP_PROPS_REWRITE,
+        "ann_cosine_topk": Q.SQL_ANN_COSINE_TOPK,
+    }

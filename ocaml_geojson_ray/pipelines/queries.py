@@ -1,0 +1,871 @@
+"""Driver-contract query suite: every operator as a callable(sf_dir)
+plus (where SQL-expressible) a DuckDB oracle with IDENTICAL column
+names and value derivations.
+
+Float-parity design notes (these queries are value-hash compared):
+- geo inputs are DERIVED deterministically from integer key columns
+  with arithmetic that DuckDB reproduces bitwise
+  (``(k*P1 + j*P2) % M / 100.0 - C``) — both engines do the same
+  int64 ops and one double divide, giving identical doubles;
+- the PIP half-open rule on axis-aligned rects is bitwise-equal to
+  ``lng >= minx AND lng < maxx AND lat >= miny AND lat < maxy``
+  (vertical-edge xint is exact; see spatial/pip.py);
+- float aggregates are rounded so that decimal-grid sums (prices,
+  quantities) are exact and non-grid sums have negligible boundary
+  risk (see each query's comment).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# -- derived inputs ---------------------------------------------------------
+
+def derive_lineitem_points_batch(batch: pa.Table) -> pa.Table:
+    """lineitem keys → deterministic lng/lat (SQL-mirrorable)."""
+    ok_ = batch["l_orderkey"].to_numpy()
+    ln = batch["l_linenumber"].to_numpy().astype(np.int64)
+    pk = batch["l_partkey"].to_numpy()
+    lng = ((ok_ * 7919 + ln * 104729) % 36000) / 100.0 - 180.0
+    lat = ((ok_ * 104729 + pk * 7919) % 18000) / 100.0 - 90.0
+    batch = batch.append_column("lng", pa.array(lng, pa.float64()))
+    return batch.append_column("lat", pa.array(lat, pa.float64()))
+
+
+POINTS_SQL = (
+    "SELECT l_orderkey, l_linenumber, "
+    "((l_orderkey * 7919 + l_linenumber * 104729) % 36000) / 100.0 - 180.0 AS lng, "
+    "((l_orderkey * 104729 + l_partkey * 7919) % 18000) / 100.0 - 90.0 AS lat "
+    "FROM lineitem"
+)
+
+
+def rect_polygons_rows(sf_dir: str):
+    """part keys → deterministic axis-aligned rectangle polygons
+    (generic polygons to the engine; BETWEEN-joinable for the oracle)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"])
+    pk = t["p_partkey"].to_numpy()
+    ps = t["p_size"].to_numpy().astype(np.int64)
+    minx = ((pk * 7919) % 34000) / 100.0 - 170.0
+    miny = ((pk * 104729) % 16000) / 100.0 - 80.0
+    w = (ps % 10 + 1) / 2.0
+    h = (pk % 7 + 1) / 2.0
+    maxx = minx + w
+    maxy = miny + h
+    rows = []
+    for i in range(len(pk)):
+        ring = [
+            [minx[i], miny[i]],
+            [maxx[i], miny[i]],
+            [maxx[i], maxy[i]],
+            [minx[i], maxy[i]],
+            [minx[i], miny[i]],
+        ]
+        rows.append(
+            {
+                "poly_id": int(pk[i]),
+                "name": f"part_{int(pk[i])}",
+                "rings": [ring],
+                "minx": minx[i],
+                "miny": miny[i],
+                "maxx": maxx[i],
+                "maxy": maxy[i],
+            }
+        )
+    return rows
+
+
+RECTS_SQL = (
+    "SELECT p_partkey AS poly_id, "
+    "((p_partkey * 7919) % 34000) / 100.0 - 170.0 AS minx, "
+    "((p_partkey * 104729) % 16000) / 100.0 - 80.0 AS miny, "
+    "((p_partkey * 7919) % 34000) / 100.0 - 170.0 + (p_size % 10 + 1) / 2.0 AS maxx, "
+    "((p_partkey * 104729) % 16000) / 100.0 - 80.0 + (p_partkey % 7 + 1) / 2.0 AS maxy "
+    "FROM part"
+)
+
+SUPPLIER_POINTS_SQL = (
+    "SELECT s_suppkey, "
+    "((s_suppkey * 7919) % 36000) / 100.0 - 180.0 AS lng, "
+    "((s_suppkey * 104729) % 18000) / 100.0 - 90.0 AS lat "
+    "FROM supplier"
+)
+
+
+def lineitem_points(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_partkey"],
+    )
+    return ds.map_batches(derive_lineitem_points_batch, batch_format="pyarrow")
+
+
+# ==========================================================================
+# GeoJSON parse/serialize over derived docs
+# ==========================================================================
+
+def q_geojson_parse_points(sf_dir: str):
+    """Build Point docs, parse with the verdict-exact parser, check
+    canonical-text round-trip. Floats come from the shared derivation
+    (not from the parse) for bitwise oracle parity."""
+    from ..core.jsontext import dumps_json
+    from ..core.parse import parse_text
+    from ..core.serialize import to_text
+
+    def run(batch: pa.Table) -> pa.Table:
+        batch = derive_lineitem_points_batch(batch)
+        lng = batch["lng"].to_numpy()
+        lat = batch["lat"].to_numpy()
+        ok = np.empty(len(batch), dtype=bool)
+        rt = np.empty(len(batch), dtype=bool)
+        for i in range(len(batch)):
+            doc = dumps_json(
+                {"type": "Point", "coordinates": [lng[i], lat[i]]}
+            )
+            obj, err, raised = parse_text(doc)
+            ok[i] = err is None
+            rt[i] = ok[i] and to_text(obj) == doc
+        batch = batch.append_column("ok", pa.array(ok, pa.bool_()))
+        return batch.append_column("roundtrip_ok", pa.array(rt, pa.bool_())) \
+            .select(["l_orderkey", "l_linenumber", "lng", "lat", "ok", "roundtrip_ok"])
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_partkey"],
+    )
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+SQL_GEOJSON_PARSE_POINTS = (
+    "SELECT l_orderkey, l_linenumber, "
+    "((l_orderkey * 7919 + l_linenumber * 104729) % 36000) / 100.0 - 180.0 AS lng, "
+    "((l_orderkey * 104729 + l_partkey * 7919) % 18000) / 100.0 - 90.0 AS lat, "
+    "true AS ok, true AS roundtrip_ok FROM lineitem"
+)
+
+
+def q_geojson_linestring_verdicts(sf_dir: str):
+    """LineString docs with l_linenumber positions → the reference
+    arity verdict (>= 2 points or the exact error string)."""
+    from ..core.jsontext import dumps_json
+    from ..core.parse import parse_text
+
+    def run(batch: pa.Table) -> pa.Table:
+        okey = batch["l_orderkey"].to_numpy()
+        ln = batch["l_linenumber"].to_numpy()
+        oks, errs = [], []
+        for i in range(len(batch)):
+            n = int(ln[i])
+            coords = [[float(j), float(j)] for j in range(n)]
+            doc = dumps_json({"type": "LineString", "coordinates": coords})
+            obj, err, raised = parse_text(doc)
+            oks.append(err is None)
+            errs.append(err if err is not None else "")
+        return pa.table(
+            {
+                "l_orderkey": pa.array(okey, pa.int64()),
+                "l_linenumber": batch["l_linenumber"],
+                "ok": pa.array(oks, pa.bool_()),
+                "error": pa.array(errs, pa.string()),
+            }
+        )
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    )
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+SQL_LINESTRING_VERDICTS = (
+    "SELECT l_orderkey, l_linenumber, l_linenumber >= 2 AS ok, "
+    "CASE WHEN l_linenumber >= 2 THEN '' "
+    "ELSE 'LineStrings should have two or more points' END AS error "
+    "FROM lineitem"
+)
+
+
+# ==========================================================================
+# Spatial: cells, tiles, join, kNN, hot cells
+# ==========================================================================
+
+CELL_RES = 9
+TILE_Z = 8
+
+
+def q_cell_assign_counts(sf_dir: str):
+    """Vectorized cell encode (N4) + pre-aggregated count per cell
+    (N12: combine inside map_batches, then a small groupby)."""
+    from ray.data.aggregate import Sum
+
+    from ..spatial import cells as C
+
+    def encode_and_partial(batch: pa.Table) -> pa.Table:
+        batch = derive_lineitem_points_batch(batch)
+        cell = C.latlng_to_cell(
+            batch["lng"].to_numpy(), batch["lat"].to_numpy(), CELL_RES
+        )
+        t = pa.table({"cell": pa.array(cell, pa.int64())})
+        t = t.group_by(["cell"]).aggregate([("cell", "count")])
+        return t.rename_columns(["cell", "partial"])
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_partkey"],
+    )
+    partial = ds.map_batches(encode_and_partial, batch_format="pyarrow")
+    return partial.groupby("cell").aggregate(Sum("partial", alias_name="n_points"))
+
+
+SQL_CELL_ASSIGN = f"""
+WITH pts AS ({POINTS_SQL})
+SELECT ({CELL_RES}::BIGINT << 58)
+     | (least({(1 << CELL_RES) - 1}, greatest(0, floor((lng + 180.0) / 360.0 * {1 << CELL_RES})))::BIGINT << 29)
+     |  least({(1 << CELL_RES) - 1}, greatest(0, floor((lat + 90.0) / 180.0 * {1 << CELL_RES})))::BIGINT AS cell,
+       count(*) AS n_points
+FROM pts GROUP BY cell
+"""
+
+
+def q_tile_assign_counts(sf_dir: str):
+    """Slippy-tile assignment (N7) + per-tile counts at z=8."""
+    from ray.data.aggregate import Sum
+
+    from ..spatial import tiles as T
+
+    def encode_and_partial(batch: pa.Table) -> pa.Table:
+        batch = derive_lineitem_points_batch(batch)
+        x, y = T.point_to_tile(
+            batch["lng"].to_numpy(), batch["lat"].to_numpy(), TILE_Z
+        )
+        t = pa.table(
+            {"x": pa.array(x, pa.int64()), "y": pa.array(y, pa.int64())}
+        )
+        t = t.group_by(["x", "y"]).aggregate([("x", "count")])
+        return t.rename_columns(["x", "y", "partial"])
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_partkey"],
+    )
+    partial = ds.map_batches(encode_and_partial, batch_format="pyarrow")
+    return partial.groupby(["x", "y"]).aggregate(Sum("partial", alias_name="n_points"))
+
+
+SQL_TILE_ASSIGN = f"""
+WITH pts AS ({POINTS_SQL}),
+t AS (
+  SELECT least({(1 << TILE_Z) - 1}, greatest(0,
+           floor((lng + 180.0) / 360.0 * {1 << TILE_Z})))::BIGINT AS x,
+         least({(1 << TILE_Z) - 1}, greatest(0,
+           floor((1.0 - ln(tan(radians(least(85.05112878, greatest(-85.05112878, lat))))
+                 + 1.0 / cos(radians(least(85.05112878, greatest(-85.05112878, lat)))))
+                 / pi()) / 2.0 * {1 << TILE_Z})))::BIGINT AS y
+  FROM pts)
+SELECT x, y, count(*) AS n_points FROM t GROUP BY x, y
+"""
+
+
+def q_spatial_join_rect(sf_dir: str):
+    """Cell-bucketed broadcast spatial join (N5) of derived lineitem
+    points against part-derived rectangle polygons, PIP-refined."""
+    from ..spatial.join import spatial_join_points
+
+    pts = lineitem_points(sf_dir)
+    joined = spatial_join_points(pts, rect_polygons_rows(sf_dir), res=7,
+                                 batch_size=16384)
+    return joined.select_columns(["l_orderkey", "l_linenumber", "poly_id"])
+
+
+SQL_SPATIAL_JOIN_RECT = f"""
+WITH pts AS ({POINTS_SQL}), rects AS ({RECTS_SQL})
+SELECT l_orderkey, l_linenumber, poly_id
+FROM pts JOIN rects
+  ON lng >= minx AND lng < maxx AND lat >= miny AND lat < maxy
+"""
+
+
+def q_knn_rect(sf_dir: str):
+    """kNN (N6): 3 nearest rectangle polygons per supplier point."""
+    import ray.data as rd
+
+    from ..spatial.knn import knn_points
+
+    def derive(batch: pa.Table) -> pa.Table:
+        sk = batch["s_suppkey"].to_numpy()
+        lng = ((sk * 7919) % 36000) / 100.0 - 180.0
+        lat = ((sk * 104729) % 18000) / 100.0 - 90.0
+        batch = batch.append_column("lng", pa.array(lng, pa.float64()))
+        return batch.append_column("lat", pa.array(lat, pa.float64()))
+
+    pts = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]
+    ).map_batches(derive, batch_format="pyarrow")
+    kn = knn_points(pts, rect_polygons_rows(sf_dir), k=3, res=7)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = np.round(batch["distance_deg"].to_numpy(), 6)
+        t = batch.select(["s_suppkey", "knn_rank", "poly_id"])
+        return t.append_column("distance_deg", pa.array(d, pa.float64()))
+
+    return kn.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_KNN_RECT = f"""
+WITH pts AS ({SUPPLIER_POINTS_SQL}), rects AS ({RECTS_SQL}),
+d AS (
+  SELECT s_suppkey, poly_id,
+         sqrt(pow(greatest(minx - lng, 0, lng - maxx), 2)
+            + pow(greatest(miny - lat, 0, lat - maxy), 2)) AS dist
+  FROM pts CROSS JOIN rects),
+r AS (
+  SELECT s_suppkey, poly_id, dist,
+         row_number() OVER (PARTITION BY s_suppkey ORDER BY dist, poly_id) - 1 AS knn_rank
+  FROM d)
+SELECT s_suppkey, knn_rank::INTEGER AS knn_rank, poly_id,
+       round(dist, 6) AS distance_deg
+FROM r WHERE knn_rank < 3
+"""
+
+
+def q_hot_cells(sf_dir: str):
+    """Skew handling (N9): hot-cell detection via salted two-phase
+    aggregation (sum on (cell, salt), then on cell), HAVING >= 100."""
+    from ..spatial import cells as C
+    from ..spatial.skew import salted_grouped_sum
+
+    def encode(batch: pa.Table) -> pa.Table:
+        batch = derive_lineitem_points_batch(batch)
+        cell = C.latlng_to_cell(
+            batch["lng"].to_numpy(), batch["lat"].to_numpy(), 3
+        )
+        t = pa.table({"cell": pa.array(cell, pa.int64())})
+        return t.append_column("one", pa.array(np.ones(len(t), dtype=np.int64)))
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_partkey"],
+    ).map_batches(encode, batch_format="pyarrow")
+    summed = salted_grouped_sum(ds, ["cell"], "one", k=8, alias="n_points")
+    return summed.filter(expr="n_points >= 100")
+
+
+SQL_HOT_CELLS = f"""
+WITH pts AS ({POINTS_SQL})
+SELECT (3::BIGINT << 58)
+     | (least(7, greatest(0, floor((lng + 180.0) / 360.0 * 8)))::BIGINT << 29)
+     |  least(7, greatest(0, floor((lat + 90.0) / 180.0 * 8)))::BIGINT AS cell,
+       count(*) AS n_points
+FROM pts GROUP BY cell HAVING count(*) >= 100
+"""
+
+
+# ==========================================================================
+# Relational breadth: aggregate / sort / join / window
+# ==========================================================================
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregation with map-side pre-agg.
+    Sums of 2-decimal values are decimal-grid exact → round(_, 4) is
+    bitwise-stable vs the oracle."""
+    from ray.data.aggregate import Sum
+
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        batch = batch.append_column("disc_price", disc_price)
+        t = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("l_quantity", "count")]
+        )
+        return t.rename_columns(
+            ["l_returnflag", "l_linestatus", "sq", "sp", "sd", "cnt"]
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]
+    ).aggregate(
+        Sum("sq", alias_name="sum_qty"),
+        Sum("sp", alias_name="sum_base_price"),
+        Sum("sd", alias_name="sum_disc_price"),
+        Sum("cnt", alias_name="count_order"),
+    )
+
+    def rounder(batch: pa.Table) -> pa.Table:
+        for col in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            i = batch.schema.get_field_index(col)
+            batch = batch.set_column(
+                i, col, pa.array(np.round(batch[col].to_numpy(), 4), pa.float64())
+            )
+        return batch
+
+    return agg.map_batches(rounder, batch_format="pyarrow")
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders(sf_dir: str):
+    """Global sort + top-k (N11)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+SQL_TOP_ORDERS = (
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+)
+
+
+def q_segment_order_stats(sf_dir: str):
+    """Broadcast (map-side) join: orders ⋈ customer.mktsegment via a
+    ray.put dict — no shuffle on the big side — then grouped agg."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    lookup_ref = ray.put(
+        dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+    )
+
+    class AttachSegment:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            seg = [self.lookup.get(k) for k in batch["o_custkey"].to_pylist()]
+            return batch.append_column("c_mktsegment", pa.array(seg, pa.string()))
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    ds = ds.map_batches(
+        AttachSegment, fn_constructor_args=(lookup_ref,),
+        batch_format="pyarrow", concurrency=(1, 2),
+    )
+    agg = ds.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total")
+    )
+
+    def rounder(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("total")
+        return batch.set_column(
+            i, "total", pa.array(np.round(batch["total"].to_numpy(), 2), pa.float64())
+        )
+
+    return agg.map_batches(rounder, batch_format="pyarrow")
+
+
+SQL_SEGMENT_ORDER_STATS = """
+SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_nation_region(sf_dir: str):
+    """Small-small hash join: nation ⋈ region, counts per region."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    n = rd.read_parquet(f"{sf_dir}/nation.parquet")
+    r = rd.read_parquet(f"{sf_dir}/region.parquet")
+    j = n.join(r, join_type="inner", on=("n_regionkey",),
+               right_on=("r_regionkey",), num_partitions=2)
+    return j.groupby("r_name").aggregate(Count(alias_name="n_nations"))
+
+
+SQL_NATION_REGION = """
+SELECT r_name, count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour event-time window per event_type (the engine's
+    window story: key+bucket groupby; ray_guide 'Streaming-shaped').
+    round(sum, 2): non-grid float sum, boundary risk ~1e-4/group."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy()  # µs since epoch
+        hr = ts // 3_600_000_000
+        return batch.append_column("hr", pa.array(hr, pa.int64()))
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    ).map_batches(bucket, batch_format="pyarrow")
+    agg = ds.groupby(["event_type", "hr"]).aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="sum_value")
+    )
+
+    def rounder(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("sum_value")
+        return batch.set_column(
+            i, "sum_value",
+            pa.array(np.round(batch["sum_value"].to_numpy(), 2), pa.float64()),
+        )
+
+    return agg.map_batches(rounder, batch_format="pyarrow")
+
+
+SQL_EVENTS_WINDOW = """
+SELECT event_type, floor(epoch(ts) / 3600)::BIGINT AS hr,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type, hr
+"""
+
+
+# ==========================================================================
+# Text / dedup / fingerprints over documents
+# ==========================================================================
+
+def q_exact_dedup(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.dedup import exact_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup(ds)
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_token_stats(sf_dir: str):
+    """Token/word counting per language (TextStats actor pool)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.textstats import TextStats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    stats = ds.map_batches(TextStats, batch_format="pyarrow", concurrency=(1, 2))
+    return stats.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_tokens", alias_name="sum_tokens"),
+        Sum("n_words", alias_name="sum_words"),
+        Sum("n_chars_obs", alias_name="sum_chars"),
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT lang, count(*) AS n_docs,
+       sum(len(string_split_regex(trim(text), '\\s+'))) AS sum_tokens,
+       sum(len(regexp_extract_all(text, '\\w+'))) AS sum_words,
+       sum(length(text)) AS sum_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_doc_fingerprints(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.dedup import md5_column
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(md5_column, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "content_md5"])
+
+
+SQL_DOC_FINGERPRINTS = "SELECT doc_id, md5(text) AS content_md5 FROM documents"
+
+
+def q_map_props_rewrite(sf_dir: str):
+    """map_props (T2) through Ray: docs built from documents rows, the
+    golden-style UDF uppercases properties.name; verified against a
+    pure-SQL upper()."""
+    import ray.data as rd
+
+    from ..core.jsontext import dumps_json, loads_json
+    from ..functions.streaming import map_props_text
+
+    def run(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        outs = []
+        for did, src in zip(ids, srcs):
+            doc = dumps_json(
+                {
+                    "type": "Feature",
+                    "geometry": {"type": "Point", "coordinates": [0.0, 0.0]},
+                    "properties": {"name": src},
+                }
+            )
+            rewritten = map_props_text(
+                doc,
+                lambda p: {**p, "name": p["name"].upper()}
+                if isinstance(p, dict) and isinstance(p.get("name"), str)
+                else p,
+            )
+            outs.append(loads_json(rewritten)["properties"]["name"])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "name_upper": pa.array(outs, pa.string()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+SQL_MAP_PROPS_REWRITE = "SELECT doc_id, upper(source) AS name_upper FROM documents"
+
+
+# ==========================================================================
+# ANN / embeddings
+# ==========================================================================
+
+N_ANN_QUERIES = 5
+ANN_K = 10
+
+
+def _ann_queries(sf_dir: str) -> dict:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = {}
+    for vid, vec in zip(
+        t["vec_id"].to_pylist()[:N_ANN_QUERIES],
+        t["embedding"].to_pylist()[:N_ANN_QUERIES],
+    ):
+        out[int(vid)] = np.asarray(vec, dtype=np.float64)
+    return out
+
+
+def q_ann_cosine_topk(sf_dir: str):
+    """Exact brute-force cosine top-k (baseline similarity search):
+    broadcast query matrix, per-batch matmul, tiny global merge."""
+    import ray.data as rd
+
+    from ..stages.ann import brute_force_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, _ann_queries(sf_dir), k=ANN_K)
+    return out.select_columns(["query_id", "rank", "vec_id", "cosine"])
+
+
+SQL_ANN_COSINE_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  ORDER BY vec_id LIMIT {N_ANN_QUERIES}),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(q.qvec::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
+  FROM q CROSS JOIN embeddings e),
+r AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) - 1 AS rank
+  FROM sims)
+SELECT query_id, rank, vec_id, cosine FROM r WHERE rank < {ANN_K}
+"""
+
+
+# ==========================================================================
+# Rows-only checks (non-SQL-expressible; driver records row counts)
+# ==========================================================================
+
+def q_langid_distribution(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..stages.textstats import LangId
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pred = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2))
+    return pred.groupby("lang_pred").aggregate(Count(alias_name="n_docs"))
+
+
+def q_quality_scores(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.textstats import QualityScore
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(QualityScore, batch_format="pyarrow", concurrency=(1, 2))
+    return out.select_columns(["doc_id", "quality"])
+
+
+def q_rolling_fingerprints(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.textstats import fingerprint_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "content_md5", "rolling_hash"])
+
+
+def q_minhash_neardups(sf_dir: str):
+    """MinHash+LSH candidate pairs verified by n-gram Jaccard ≥ 0.5."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    from ..stages.dedup import PairVerifier, minhash_lsh_candidates
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cands = minhash_lsh_candidates(ds, bands=32, rows=4)
+    texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts_ref = ray.put(
+        dict(zip(texts["doc_id"].to_pylist(), texts["text"].to_pylist()))
+    )
+    return cands.map_batches(
+        PairVerifier,
+        fn_constructor_args=(texts_ref,),
+        fn_constructor_kwargs={"threshold": 0.5},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+
+
+def q_simhash_dedup(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.dedup import simhash_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_dedup(ds)
+
+
+def q_embedding_neardups(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.dedup import embedding_neardup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_neardup_pairs(ds, threshold=0.9)
+
+
+def q_ivf_ann(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.ann import ivf_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, _ann_queries(sf_dir), k=ANN_K)
+
+
+def q_multimodal_features(sf_dir: str):
+    """Multimodal plumbing: synthetic media table → actor-pool decode
+    (deterministic fake) → per-channel features."""
+    import ray.data as rd
+
+    from ..stages.multimodal import DecodeImage, synth_media_batch
+
+    media = rd.range(256).map_batches(synth_media_batch, batch_format="pyarrow")
+    return media.map_batches(
+        DecodeImage,
+        fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 2),
+    )
+
+
+def _pages_for(sf_dir: str):
+    """Deterministic pages table derived from the sf (cached in /tmp)."""
+    from ..sources.pages import materialize_pages_parquet
+
+    sf = 0.001 if "0.001" in sf_dir else (0.1 if "0.1" in sf_dir else 0.01)
+    return materialize_pages_parquet(sf, root="/tmp/ogr_data")
+
+
+def q_pages_mine_verdicts(sf_dir: str):
+    """Flagship mine+parse over the synthetic CC pages: verdict counts
+    per (doc_kind, geom_type, ok, error)."""
+    from ray.data.aggregate import Count
+
+    from .flagship import parsed_features
+
+    feats = parsed_features(_pages_for(sf_dir))
+
+    def fill(b: pa.Table) -> pa.Table:
+        # group keys must be non-null across blocks (a block whose
+        # error column is all-null otherwise infers type null)
+        for col in ("doc_kind", "geom_type", "error"):
+            i = b.schema.get_field_index(col)
+            b = b.set_column(
+                i, col, pc.fill_null(b[col].combine_chunks().cast(pa.string()), "")
+            )
+        return b
+
+    return feats.map_batches(fill, batch_format="pyarrow").groupby(
+        ["doc_kind", "geom_type", "ok", "error"]
+    ).aggregate(Count(alias_name="n"))
+
+
+def q_pages_spatial_join(sf_dir: str):
+    """Flagship points × synthetic polygon layer (N5 end-to-end)."""
+    from ..sources.polygons import generate_polygon_layer
+    from ..spatial.join import spatial_join_points
+    from .flagship import parsed_features
+
+    sf = 0.001 if "0.001" in sf_dir else (0.1 if "0.1" in sf_dir else 0.01)
+    polys = generate_polygon_layer(sf, root="/tmp/ogr_data")
+    feats = parsed_features(_pages_for(sf_dir))
+
+    def only_pts(b: pa.Table) -> pa.Table:
+        return b.filter(pc.and_(pc.equal(b["geom_type"], "Point"), b["ok"]))
+
+    pts = feats.map_batches(only_pts, batch_format="pyarrow")
+    joined = spatial_join_points(pts, polys)
+    return joined.select_columns(["url", "cand_idx", "feat_idx", "poly_id"])
+
+
+def q_pages_tile_topk(sf_dir: str):
+    """Flagship densest-tiles (N7+N11+N12 end-to-end)."""
+    from ..stages.tiles_stage import densest_tiles
+    from .flagship import parsed_features
+
+    feats = parsed_features(_pages_for(sf_dir))
+    ok_feats = feats.map_batches(
+        lambda b: b.filter(b["ok"]), batch_format="pyarrow"
+    )
+    return densest_tiles(ok_feats, zooms=(6,), top=20)

@@ -143,14 +143,23 @@ class SpatialJoiner:
         return out
 
 
-def broadcast_polygon_index(polygons_path: str, res: int = DEFAULT_JOIN_RES):
-    """Build + ray.put the index once; returns the object ref."""
+def broadcast_polygon_index(polygons, res: int = DEFAULT_JOIN_RES):
+    """Build + ray.put the index once; returns the object ref.
+
+    ``polygons``: parquet path, list of row dicts, or PolygonIndex.
+    """
     import ray
 
-    return ray.put(PolygonIndex.from_parquet(polygons_path, res))
+    if isinstance(polygons, PolygonIndex):
+        idx = polygons
+    elif isinstance(polygons, str):
+        idx = PolygonIndex.from_parquet(polygons, res)
+    else:
+        idx = PolygonIndex(polygons, res)
+    return ray.put(idx)
 
 
-def spatial_join_points(points_ds, polygons_path: str,
+def spatial_join_points(points_ds, polygons_path,
                         res: int = DEFAULT_JOIN_RES, concurrency=None,
                         batch_size: int = 8192):
     """points Dataset (needs lng/lat cols) ⋈ polygon layer → matches.

@@ -1,0 +1,168 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``BruteForceTopK``: exact cosine top-k per query — the broadcast
+  query matrix is ``ray.put`` ONCE; each actor does one numpy matmul
+  per batch and keeps a per-actor running top-k heap, emitting ONE
+  partial top-k table per batch; a final tiny groupby folds partials.
+- ``ivf_topk``: the scale path — k-means-ish coarse quantizer (trained
+  on a driver-side sample), vectors bucketed by nearest centroid (one
+  shuffle), queries probe only the nearest ``nprobe`` buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BruteForceTopK:
+    """Actor-pool stage: per-batch exact cosine scores → local top-k
+    rows per query (merged globally afterwards)."""
+
+    def __init__(self, queries_ref, k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        import ray
+
+        q = ray.get(queries_ref)  # dict: query_id -> vector
+        self.qids = np.asarray(list(q.keys()))
+        self.qmat = _normalize(np.asarray(list(q.values()), dtype=np.float64))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col].to_pylist())
+        vecs = _normalize(np.asarray(batch[self.vec_col].to_pylist(),
+                                     dtype=np.float64))
+        sim = self.qmat @ vecs.T  # (Q, n)
+        k = min(self.k, sim.shape[1])
+        # local top-k per query
+        part = np.argpartition(-sim, k - 1, axis=1)[:, :k]
+        out_q, out_id, out_s = [], [], []
+        for qi in range(sim.shape[0]):
+            for c in part[qi]:
+                out_q.append(self.qids[qi])
+                out_id.append(ids[c])
+                out_s.append(sim[qi, c])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                self.id_col: pa.array(out_id, pa.int64()),
+                "cosine": pa.array(np.round(out_s, 6), pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(ds, queries: dict, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     concurrency=(1, 4)):
+    """→ exact global top-k rows per query: partial top-k per batch,
+    then one tiny per-query merge (groupby over ~Q×k×nblocks rows)."""
+    import pandas as pd
+    import ray
+
+    ref = ray.put(queries)
+    partials = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_args=(ref, k),
+        fn_constructor_kwargs={"id_col": id_col, "vec_col": vec_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10,
+                    seed: int = 5) -> np.ndarray:
+    """Tiny k-means on a driver-side sample (Lloyd, fixed iters)."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(sample)
+    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)),
+                     replace=False)
+    cent = sample[idx].copy()
+    for _ in range(iters):
+        sim = sample @ cent.T
+        assign = sim.argmax(axis=1)
+        for c in range(len(cent)):
+            m = sample[assign == c]
+            if len(m):
+                cent[c] = m.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_topk(ds, queries: dict, k: int = 10, n_centroids: int = 16,
+             nprobe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding", sample_rows: int = 2048):
+    """IVF ANN: bucket by nearest centroid (ONE shuffle on the bucket
+    key), probe only ``nprobe`` buckets per query. Approximate — recall
+    measured against brute force in tests."""
+    import pandas as pd
+    import ray
+
+    sample = np.asarray(
+        [r[vec_col] for r in ds.limit(sample_rows).take_all()], dtype=np.float64
+    )
+    cent = train_centroids(sample, n_centroids)
+    cent_ref = ray.put(cent)
+
+    qids = np.asarray(list(queries.keys()))
+    qmat = _normalize(np.asarray(list(queries.values()), dtype=np.float64))
+    qsim = qmat @ cent.T
+    probe = np.argsort(-qsim, axis=1)[:, :nprobe]  # (Q, nprobe)
+    # bucket -> queries probing it
+    bucket_queries = {}
+    for qi, buckets in enumerate(probe):
+        for b in buckets:
+            bucket_queries.setdefault(int(b), []).append(qi)
+    bq_ref = ray.put((qids, qmat, bucket_queries))
+
+    def assign_bucket(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        vecs = _normalize(np.asarray(batch[vec_col].to_pylist(), dtype=np.float64))
+        b = (vecs @ c.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+    def probe_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        qids_, qmat_, bq = ray.get(bq_ref)
+        b = int(g["bucket"].iloc[0])
+        probing = bq.get(b, [])
+        if not probing:
+            return pd.DataFrame({"query_id": [], id_col: [], "cosine": []})
+        ids = g[id_col].to_numpy()
+        vecs = _normalize(np.asarray(g[vec_col].tolist(), dtype=np.float64))
+        sim = qmat_[probing] @ vecs.T
+        out = []
+        for row, qi in enumerate(probing):
+            kk = min(k, sim.shape[1])
+            top = np.argpartition(-sim[row], kk - 1)[:kk]
+            for c in top:
+                out.append((int(qids_[qi]), int(ids[c]), round(float(sim[row, c]), 6)))
+        return pd.DataFrame(out, columns=["query_id", id_col, "cosine"])
+
+    partials = (
+        ds.map_batches(assign_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(probe_bucket, batch_format="pandas")
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")

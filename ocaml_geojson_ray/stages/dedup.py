@@ -1,0 +1,291 @@
+"""Deduplication operators (exact + near-dup family).
+
+All shapes follow the scale pattern: vectorized per-batch signature
+computation (map_batches), then ONE small shuffle on the signature key
+(hash-partition groupby), never an all-pairs comparison:
+
+- exact          — md5(text) → groupby(hash) first-wins (min doc_id)
+- MinHash + LSH  — word shingles → 128 minhashes → b bands × r rows →
+                   groupby(band, band_hash) emits candidate pairs →
+                   verified Jaccard
+- SimHash        — 64-bit simhash over word hashes; duplicates =
+                   identical simhash buckets (groupby)
+- n-gram Jaccard — exact verification kernel used by the LSH pipeline
+- embedding cosine near-dup — normalized vectors → LSH-ish sign
+                   buckets → within-bucket cosine ≥ τ
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+
+def md5_column(batch: pa.Table, text_col: str = "text",
+               out_col: str = "content_md5") -> pa.Table:
+    texts = batch[text_col].to_pylist()
+    md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+    return batch.append_column(out_col, pa.array(md5s, pa.string()))
+
+
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Hash-partition + per-group first (N8): one row per distinct
+    content hash with keeper = min(id) and the duplicate count."""
+    from ray.data.aggregate import Count, Min
+
+    with_hash = ds.map_batches(
+        md5_column, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
+    )
+    return with_hash.groupby("content_md5").aggregate(
+        Min(id_col, alias_name="keeper_id"), Count(alias_name="n_dups")
+    )
+
+
+# -- MinHash --------------------------------------------------------------
+
+_MERSENNE = (1 << 31) - 1  # products of two 31-bit values fit int64
+
+
+class MinHasher:
+    """Actor-pool stage: per-doc minhash signature over word shingles.
+
+    __init__ draws the permutation coefficients once per actor from a
+    fixed seed (identical across actors — required for comparability).
+    """
+
+    def __init__(self, num_hashes: int = 128, shingle: int = 3,
+                 text_col: str = "text", seed: int = 4242):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+        self.b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+        self.num_hashes = num_hashes
+        self.shingle = shingle
+        self.text_col = text_col
+
+    def shingle_hashes(self, text: str) -> np.ndarray:
+        words = text.split()
+        k = self.shingle
+        if len(words) < k:
+            grams = [" ".join(words)] if words else []
+        else:
+            grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+        out = np.empty(len(grams), dtype=np.uint64)
+        for i, g in enumerate(grams):
+            out[i] = struct.unpack(
+                "<Q", hashlib.md5(g.encode("utf-8")).digest()[:8]
+            )[0]
+        return out
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = self.shingle_hashes(text)
+        if len(sh) == 0:
+            return np.zeros(self.num_hashes, dtype=np.int64)
+        x = (sh % np.uint64(_MERSENNE)).astype(np.int64)
+        # (H, S) permutations; 31-bit operands keep products in int64
+        vals = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        sigs = [self.signature(t) for t in texts]
+        return batch.append_column(
+            "minhash", pa.array([s.tolist() for s in sigs],
+                                pa.list_(pa.int64())),
+        )
+
+
+def minhash_bands_batch(batch: pa.Table, bands: int = 16, rows: int = 8,
+                        id_col: str = "doc_id") -> pa.Table:
+    """Explode signatures to (band_id, band_hash, id) rows — the LSH
+    bucketing key for the ONE shuffle."""
+    ids = batch[id_col].to_pylist()
+    sigs = batch["minhash"].to_pylist()
+    out_band, out_hash, out_id = [], [], []
+    for did, sig in zip(ids, sigs):
+        for b in range(bands):
+            chunk = sig[b * rows : (b + 1) * rows]
+            payload = struct.pack(f"<i{len(chunk)}q", b, *chunk)
+            h = struct.unpack("<q", hashlib.md5(payload).digest()[:8])[0] & ((1 << 62) - 1)
+            out_band.append(b)
+            out_hash.append(h)
+            out_id.append(did)
+    return pa.table(
+        {
+            "band_id": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.int64()),
+            id_col: pa.array(out_id, pa.int64()),
+        }
+    )
+
+
+def minhash_lsh_candidates(ds, bands: int = 16, rows: int = 8,
+                           num_hashes: int = 128, id_col: str = "doc_id",
+                           text_col: str = "text", concurrency=(1, 4)):
+    """documents → candidate near-dup pairs (a_id < b_id, deduped).
+
+    shingle→minhash (actor pool) → band explode → groupby(band,hash)
+    → pairs within buckets.
+    """
+    import pandas as pd
+
+    sigs = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_hashes": num_hashes, "text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    bands_ds = sigs.select_columns([id_col, "minhash"]).map_batches(
+        minhash_bands_batch,
+        batch_format="pyarrow",
+        fn_kwargs={"bands": bands, "rows": rows, "id_col": id_col},
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[id_col].tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"a_id": [], "b_id": []})
+        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        return pd.DataFrame(pairs, columns=["a_id", "b_id"])
+
+    pairs = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    # candidate pairs can repeat across bands → distinct
+    from ray.data.aggregate import Count
+
+    return pairs.groupby(["a_id", "b_id"]).aggregate(
+        Count(alias_name="n_shared_bands")
+    )
+
+
+def jaccard_ngrams(a: str, b: str, n: int = 3) -> float:
+    """Word n-gram Jaccard (the verification kernel)."""
+    def grams(t):
+        w = t.split()
+        if len(w) < n:
+            return {" ".join(w)} if w else set()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    ga, gb = grams(a), grams(b)
+    if not ga and not gb:
+        return 1.0
+    inter = len(ga & gb)
+    return inter / (len(ga) + len(gb) - inter)
+
+
+class PairVerifier:
+    """Actor-pool stage: exact n-gram Jaccard on candidate pairs.
+
+    Texts for pair members are fetched from a BROADCAST id→text lookup
+    (ray.put once — the documents table's text column at the verified
+    candidate scale, or a sampled subset)."""
+
+    def __init__(self, texts_ref, n: int = 3, threshold: float = 0.8):
+        import ray
+
+        self.texts: dict = ray.get(texts_ref)
+        self.n = n
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a_ids = batch["a_id"].to_pylist()
+        b_ids = batch["b_id"].to_pylist()
+        jac = [
+            jaccard_ngrams(self.texts.get(a, ""), self.texts.get(b, ""), self.n)
+            for a, b in zip(a_ids, b_ids)
+        ]
+        out = batch.append_column("jaccard", pa.array(jac, pa.float64()))
+        return out.filter(pa.array([j >= self.threshold for j in jac]))
+
+
+# -- SimHash ---------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word hashes."""
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for w in text.split():
+        h = np.uint64(
+            struct.unpack("<Q", hashlib.md5(w.encode("utf-8")).digest()[:8])[0]
+        )
+        bits = (h >> shifts) & np.uint64(1)
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch[text_col].to_pylist()
+    hs = np.asarray([simhash64(t) for t in texts], dtype=np.uint64).view(np.int64)
+    return batch.append_column("simhash", pa.array(hs, pa.int64()))
+
+
+def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Exact-simhash buckets (Hamming-0 duplicates): groupby simhash."""
+    from ray.data.aggregate import Count, Min
+
+    with_h = ds.map_batches(
+        simhash_batch, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
+    )
+    return with_h.groupby("simhash").aggregate(
+        Min(id_col, alias_name="keeper_id"), Count(alias_name="n_dups")
+    )
+
+
+# -- embedding cosine near-dup --------------------------------------------
+
+def embedding_neardup_pairs(ds, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.95, planes: int = 12,
+                            seed: int = 99):
+    """Near-dup pairs by cosine ≥ threshold: random-hyperplane sign
+    bucket (LSH) → within-bucket exact cosine. One shuffle on the
+    bucket key."""
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    planes_mat = None  # built lazily once dims are known
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        nonlocal planes_mat
+        vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        if planes_mat is None:
+            r = np.random.default_rng(seed)
+            planes_mat = r.standard_normal((vecs.shape[1], planes))
+        signs = (vecs @ planes_mat) > 0
+        bucket = signs @ (1 << np.arange(planes))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                vec_col: batch[vec_col],
+                "bucket": pa.array(bucket.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def within_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        vecs = np.asarray(g[vec_col].tolist(), dtype=np.float64)
+        norm = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        vn = vecs / norm
+        sim = vn @ vn.T
+        ai, bi = np.where(np.triu(sim >= threshold, k=1))
+        return pd.DataFrame(
+            {
+                "a_id": ids[ai],
+                "b_id": ids[bi],
+                "cosine": np.round(sim[ai, bi], 6),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(within_bucket, batch_format="pandas")
+    )
