@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "pages_per_sec": ..., "geoms_per_sec": ...}
+
+Headline = the flagship pipeline (read pages parquet → extract text →
+mine GeoJSON → parse/validate → broadcast spatial join → tile top-k →
+write parquet), streaming end to end. Page-table generation is cached
+setup (untimed): the table is the INPUT, not the work.
+
+--scaling: runs the headline twice in fresh processes at
+RAY_GRAFT_CPUS_LO/HI (default 8/32) on the same input and reports both
+throughputs + scaling efficiency (the sandbox substitute for N vs 4N
+nodes, BASELINE.json north_rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def sf_of(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    return float(name.replace("sf", "")) if name.startswith("sf") else 0.1
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow.compute as pc
+
+    from ocaml_geojson_ray.pipelines import queries as Q
+    from ocaml_geojson_ray.pipelines.flagship import parsed_features
+    from ocaml_geojson_ray.sources.pages import (
+        materialize_pages_parquet,
+        page_count_for_sf,
+    )
+    from ocaml_geojson_ray.sources.polygons import generate_polygon_layer
+    from ocaml_geojson_ray.spatial.join import spatial_join_points
+    from ocaml_geojson_ray.stages.tiles_stage import densest_tiles
+
+    sf = sf_of(sf_dir)
+    # setup (untimed, cached across runs): the synthetic input tables
+    pages = materialize_pages_parquet(sf, root="/tmp/ogr_data")
+    polys = generate_polygon_layer(sf, root="/tmp/ogr_data")
+    n_pages = page_count_for_sf(sf)
+
+    # warm the page cache so we measure compute, not first-touch disk
+    import pyarrow.parquet as pq
+    import glob
+
+    for f in glob.glob(os.path.join(pages, "*.parquet")):
+        pq.read_metadata(f)
+
+    # -- headline: flagship end-to-end ------------------------------------
+    out_dir = f"/tmp/ogr_bench_out/sf{sf}_cpus{num_cpus}"
+    t0 = time.time()
+    feats = parsed_features(pages)
+
+    def only_ok_pts(b):
+        return b.filter(pc.and_(pc.equal(b["geom_type"], "Point"), b["ok"]))
+
+    pts = feats.map_batches(only_ok_pts, batch_format="pyarrow")
+    joined = spatial_join_points(pts, polys)
+    joined.write_parquet(out_dir)
+    headline = time.time() - t0
+    # untimed: geometry-row count for the throughput figure (re-runs the
+    # parse pipeline; deliberately outside the timed window)
+    n_geoms = parsed_features(pages).count()
+
+    # per-query timings (each a separate lazy pipeline)
+    queries = {}
+
+    def timed(name, fn):
+        t = time.time()
+        res = fn(sf_dir)
+        try:
+            import ray.data as rd
+
+            if isinstance(res, rd.Dataset):
+                res.materialize()
+        except Exception:
+            pass
+        queries[name] = round(time.time() - t, 3)
+
+    timed("cell_assign_counts", Q.q_cell_assign_counts)
+    timed("tile_assign_counts", Q.q_tile_assign_counts)
+    timed("spatial_join_rect", Q.q_spatial_join_rect)
+    timed("knn_rect", Q.q_knn_rect)
+    timed("pricing_summary", Q.q_pricing_summary)
+    timed("events_window", Q.q_events_window)
+    timed("exact_dedup", Q.q_exact_dedup)
+    timed("minhash_neardups", Q.q_minhash_neardups)
+    timed("ann_cosine_topk", Q.q_ann_cosine_topk)
+    timed("pages_tile_topk", lambda d: densest_tiles(
+        parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
+                                           batch_format="pyarrow"),
+        zooms=(6,), top=20))
+
+    result = {
+        "metric": "flagship pages->extract->mine->parse->join->write sec "
+                  "(+ per-query sec)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "n_pages": n_pages,
+        "n_geom_rows": int(n_geoms),
+        "pages_per_sec": round(n_pages / headline, 1),
+        "geoms_per_sec": round(int(n_geoms) / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_child(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        lo = int(os.environ.get("RAY_GRAFT_CPUS_LO", "8"))
+        hi = int(os.environ.get("RAY_GRAFT_CPUS_HI", "32"))
+        r_lo = run_child(lo)
+        r_hi = run_child(hi)
+        tp_lo = r_lo["pages_per_sec"]
+        tp_hi = r_hi["pages_per_sec"]
+        eff = (tp_hi / tp_lo) / (hi / lo)
+        print(json.dumps({
+            "metric": "scaling efficiency (pages/s ratio vs cpu ratio)",
+            "value": round(eff, 3),
+            "unit": "efficiency",
+            "sf": sf_of(sf_dir),
+            "cpus_lo": lo, "cpus_hi": hi,
+            "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+            "pages_per_sec_lo": tp_lo, "pages_per_sec_hi": tp_hi,
+            "geoms_per_sec_lo": r_lo["geoms_per_sec"],
+            "geoms_per_sec_hi": r_hi["geoms_per_sec"],
+        }))
+        return
+    print(json.dumps(run_bench(sf_dir, ncpu)))
+
+
+if __name__ == "__main__":
+    main()

@@ -204,7 +204,11 @@ def materialize_pages_parquet(
     n = page_count_for_sf(sf)
     os.makedirs(out, exist_ok=True)
     nblocks = max(8, min(64, n // 2048))
-    generate_pages_dataset(n, seed, parallelism=nblocks).write_parquet(out)
+    # ~1k rows per file so the READ parallelizes (a 2-file table caps
+    # the whole pipeline at 2 read tasks regardless of cluster size)
+    generate_pages_dataset(n, seed, parallelism=nblocks).write_parquet(
+        out, max_rows_per_file=1024, min_rows_per_file=256
+    )
     with open(marker, "w") as fh:
         fh.write(f"{n}\n")
     return out

@@ -1,0 +1,265 @@
+"""Stage-level tests: textstats, dedup family, ANN, multimodal
+plumbing, skew utilities, checkpoint/counters."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(ray_session, texts, ids=None):
+    import ray.data as rd
+
+    ids = ids if ids is not None else list(range(len(texts)))
+    return rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+
+
+def test_textstats_counts(ray_session):
+    from ocaml_geojson_ray.stages.textstats import TextStats
+
+    t = pa.table({"text": ["Hello big World 42", "", "a  b"]})
+    out = TextStats()(t)
+    assert out["n_tokens"].to_pylist() == [4, 0, 2]
+    assert out["n_words"].to_pylist() == [4, 0, 2]
+    assert out["n_chars_obs"].to_pylist() == [18, 0, 4]
+    assert out["avg_word_len"].to_pylist()[0] == pytest.approx((5 + 3 + 5 + 2) / 4)
+
+
+def test_langid(ray_session):
+    from ocaml_geojson_ray.stages.textstats import LangId
+
+    t = pa.table({"text": [
+        "the cat and the dog sat in a corner of the room",
+        "le chat et la souris sont dans la maison des amis",
+        "zzz qqq www",
+    ]})
+    out = LangId()(t)
+    assert out["lang_pred"].to_pylist() == ["en", "fr", "und"]
+
+
+def test_exact_dedup(ray_session):
+    from ocaml_geojson_ray.stages.dedup import exact_dedup
+
+    ds = _docs_ds(ray_session, ["aaa", "bbb", "aaa", "ccc", "aaa"])
+    rows = {r["content_md5"]: r for r in exact_dedup(ds).take_all()}
+    assert len(rows) == 3
+    import hashlib
+
+    h = hashlib.md5(b"aaa").hexdigest()
+    assert rows[h]["keeper_id"] == 0 and rows[h]["n_dups"] == 3
+
+
+def test_minhash_lsh_finds_neardups(ray_session):
+    import ray
+
+    from ocaml_geojson_ray.stages.dedup import (
+        PairVerifier,
+        minhash_lsh_candidates,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest past the old stone bridge")
+    near = base.replace("stone", "wooden")
+    texts = [base, near, "completely different words entirely unrelated "
+             "gibberish tokens forming another document altogether okay"]
+    ds = _docs_ds(ray_session, texts)
+    cands = minhash_lsh_candidates(ds, bands=32, rows=4)
+    texts_ref = ray.put({i: t for i, t in enumerate(texts)})
+    verified = cands.map_batches(
+        PairVerifier, fn_constructor_args=(texts_ref,),
+        fn_constructor_kwargs={"threshold": 0.5},
+        batch_format="pyarrow", concurrency=1,
+    ).take_all()
+    pairs = {(r["a_id"], r["b_id"]) for r in verified}
+    assert (0, 1) in pairs
+    assert all(p in {(0, 1)} for p in pairs)
+
+
+def test_simhash_dedup(ray_session):
+    from ocaml_geojson_ray.stages.dedup import simhash_dedup
+
+    ds = _docs_ds(ray_session, ["same text here", "same text here", "other"])
+    rows = simhash_dedup(ds).take_all()
+    dup = [r for r in rows if r["n_dups"] == 2]
+    assert len(dup) == 1 and dup[0]["keeper_id"] == 0
+
+
+def test_embedding_neardups(ray_session):
+    import ray.data as rd
+
+    from ocaml_geojson_ray.stages.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(16)
+    vecs = [v, v + rng.standard_normal(16) * 0.01, rng.standard_normal(16)]
+    ds = rd.from_arrow(
+        pa.table({
+            "vec_id": pa.array([10, 11, 12], pa.int64()),
+            "embedding": pa.array([x.tolist() for x in vecs],
+                                  pa.list_(pa.float64())),
+        })
+    )
+    got = embedding_neardup_pairs(ds, threshold=0.95).take_all()
+    pairs = {(r["a_id"], r["b_id"]) for r in got}
+    assert (10, 11) in pairs and len(pairs) == 1
+
+
+def test_brute_force_topk_exact(ray_session):
+    import ray.data as rd
+
+    from ocaml_geojson_ray.stages.ann import brute_force_topk
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((100, 8))
+    ds = rd.from_arrow(
+        pa.table({
+            "vec_id": pa.array(range(100), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float64())),
+        })
+    )
+    queries = {0: vecs[0], 7: vecs[7]}
+    got = brute_force_topk(ds, queries, k=5).take_all()
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for qid in queries:
+        want = np.argsort(-(norm @ norm[qid]))[:5]
+        rows = sorted((r for r in got if r["query_id"] == qid),
+                      key=lambda r: r["rank"])
+        assert [r["vec_id"] for r in rows] == list(want), qid
+        assert rows[0]["vec_id"] == qid and rows[0]["cosine"] == 1.0
+
+
+def test_ivf_recall(ray_session):
+    import ray.data as rd
+
+    from ocaml_geojson_ray.stages.ann import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(6)
+    vecs = rng.standard_normal((300, 12))
+    ds = rd.from_arrow(
+        pa.table({
+            "vec_id": pa.array(range(300), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float64())),
+        })
+    )
+    queries = {i: vecs[i] for i in range(5)}
+    exact = brute_force_topk(ds, queries, k=10).take_all()
+    approx = ivf_topk(ds, queries, k=10, n_centroids=8, nprobe=3).take_all()
+    for qid in queries:
+        e = {r["vec_id"] for r in exact if r["query_id"] == qid}
+        a = {r["vec_id"] for r in approx if r["query_id"] == qid}
+        assert len(e & a) / len(e) >= 0.5, qid  # recall floor
+
+
+def test_multimodal_stub_and_fake(ray_session):
+    from ocaml_geojson_ray.stages.multimodal import DecodeImage, synth_media_batch
+
+    with pytest.raises(NotImplementedError):
+        DecodeImage()
+    t = synth_media_batch(pa.table({"id": pa.array([1, 2], pa.int64())}))
+    out = DecodeImage(fake=True)(t)
+    assert "payload" not in out.column_names  # bytes dropped ASAP
+    f1 = out["image_features"].to_pylist()
+    out2 = DecodeImage(fake=True)(t)
+    assert f1 == out2["image_features"].to_pylist()  # deterministic
+
+
+def test_salted_sum_equals_plain(ray_session):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ocaml_geojson_ray.spatial.skew import salted_grouped_sum
+
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 5, size=2000)
+    vals = rng.integers(0, 100, size=2000)
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array(keys, pa.int64()),
+                  "v": pa.array(vals, pa.int64())})
+    )
+    want = {r["k"]: r["s"] for r in
+            ds.groupby("k").aggregate(Sum("v", alias_name="s")).take_all()}
+    got = {r["k"]: r["sum_v"] for r in
+           salted_grouped_sum(ds, ["k"], "v", k=8, alias="sum_v").take_all()}
+    assert got == want
+
+
+def test_detect_and_split_hot_cells(ray_session):
+    import ray.data as rd
+
+    from ocaml_geojson_ray.spatial import cells as C
+    from ocaml_geojson_ray.spatial.skew import (
+        detect_hot_cells,
+        split_hot_cells_batch,
+    )
+
+    # 500 points in one cell, 20 spread out
+    lng = np.concatenate([np.full(500, 10.1), np.linspace(-170, 170, 20)])
+    lat = np.concatenate([np.full(500, 20.2), np.linspace(-60, 60, 20)])
+    cell = C.latlng_to_cell(lng, lat, 5)
+    t = pa.table({
+        "cell": pa.array(cell, pa.int64()),
+        "lng": pa.array(lng, pa.float64()),
+        "lat": pa.array(lat, pa.float64()),
+    })
+    ds = rd.from_arrow(t)
+    hot = detect_hot_cells(ds, threshold=100)
+    assert len(hot) == 1
+    hot_cell = next(iter(hot))
+    out = split_hot_cells_batch(t, frozenset(hot), split_levels=3)
+    new_cells = out["cell"].to_numpy()
+    changed = new_cells != cell
+    assert changed.sum() == 500
+    assert (C.cell_res(new_cells[changed]) == 8).all()
+    # children still roll up to the hot parent
+    assert (C.cell_to_parent(new_cells[changed], 5) == hot_cell).all()
+
+
+def test_checkpoint_resume(tmp_path):
+    from ocaml_geojson_ray.state.checkpoint import run_resumable
+
+    calls = []
+
+    def run_shard(shard, dest):
+        calls.append(shard)
+        (tmp_path / "side").mkdir(exist_ok=True)
+        import pathlib
+
+        pathlib.Path(dest, "data.txt").write_text(shard)
+        return {"rows": 1}
+
+    out = str(tmp_path / "out")
+    first = run_resumable(["a", "b", "c"], out, run_shard)
+    assert sorted(first) == ["a", "b", "c"] and calls == ["a", "b", "c"]
+    second = run_resumable(["a", "b", "c", "d"], out, run_shard)
+    assert sorted(second) == ["d"]  # only the new shard ran
+    assert calls == ["a", "b", "c", "d"]
+    import pathlib
+
+    assert pathlib.Path(out, "part=b", "data.txt").read_text() == "b"
+
+
+def test_partition_metrics(ray_session):
+    from ocaml_geojson_ray.state.counters import partition_metrics_batch
+
+    t = pa.table({
+        "url": pa.array(["u1", "u1", "u2"], pa.string()),
+        "ok": pa.array([True, False, True], pa.bool_()),
+    })
+    m = partition_metrics_batch(t).to_pylist()[0]
+    assert m == {"n_rows": 3, "n_valid": 2, "n_invalid": 1, "n_pages": 2}
+
+
+def test_counter_actor(ray_session):
+    import ray
+
+    from ocaml_geojson_ray.state.counters import get_counter
+
+    c = get_counter("test_ctr")
+    ray.get(c.incr.remote("x", 2))
+    ray.get(c.incr_many.remote({"x": 1, "y": 5}))
+    snap = ray.get(c.snapshot.remote())
+    assert snap == {"x": 3, "y": 5}
