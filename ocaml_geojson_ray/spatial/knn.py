@@ -156,16 +156,16 @@ class KnnJoiner:
 
 
 def knn_points(points_ds, polygons_path: str, k: int = 3,
-               res: int = 9, concurrency=None, batch_size: int = 4096):
+               res: int = 9, concurrency=None, batch_size: int | None = None):
     import ray
 
     from .join import broadcast_polygon_index
 
     ref = broadcast_polygon_index(polygons_path, res)
     if concurrency is None:
-        # autoscaling pool that cannot starve upstream stages
+        # fixed pool: upstream stages fuse into it (see join.py note)
         ncpu = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = (1, max(1, ncpu - 2))
+        concurrency = max(2, ncpu - 2)
     return points_ds.map_batches(
         KnnJoiner,
         fn_constructor_args=(ref, k),
