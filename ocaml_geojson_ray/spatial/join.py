@@ -191,13 +191,13 @@ def spatial_join_points(points_ds, polygons_path,
                         batch_size: int | None = None):
     """points Dataset (needs lng/lat cols) ⋈ polygon layer → matches.
 
-    ``concurrency`` defaults to a FIXED pool of ncpu-2 actors: Ray Data
-    fuses the upstream stateless stages into the actor pool, so an
-    autoscaling pool that lags at few actors strangles the whole fused
-    pipeline (observed: 0.27 scaling efficiency); and a pool spanning
-    every CPU starves the unfused read/write stages (observed: fixed
-    concurrency=4 on a 4-CPU session deadlocks). ncpu-2 pre-started
-    actors is the working middle.
+    Default physical plan: STATELESS tasks + per-worker-process index
+    cache (elastic, fusion-friendly). Pass an explicit ``concurrency``
+    to use the actor-pool form instead — but know the failure modes we
+    measured: an autoscaling pool lagging at few actors strangles the
+    fused upstream chain (0.27 scaling efficiency), and a fixed pool
+    spanning every CPU starves the unfused read/write stages (fixed
+    concurrency=4 on a 4-CPU session deadlocks).
     """
     ref = broadcast_polygon_index(polygons_path, res)
     # Stateless tasks + per-process index cache by default: an actor
@@ -292,10 +292,18 @@ def cell_partitioned_join(points_ds, polys_ds, res: int = DEFAULT_JOIN_RES):
             }
         )
 
+    import ray
+
     pts = points_ds.map_batches(add_cell_column, batch_format="pyarrow",
                                 fn_kwargs={"res": res})
     pl = polys_ds.map_batches(explode_polys, batch_format="pyarrow")
-    joined = pts.join(pl, join_type="inner", on=("cell",), num_partitions=64)
+    # partitions sized to the cluster: the hash-join aggregators reserve
+    # CPU per partition, and a count larger than the session's CPUs
+    # stalls the operator forever (observed: num_partitions=64 on a
+    # 4-CPU session → Join backpressured at 8 reserved CPUs, 0 tasks)
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    joined = pts.join(pl, join_type="inner", on=("cell",),
+                      num_partitions=max(2, ncpu // 2))
 
     def refine(batch: pa.Table) -> pa.Table:
         import json as _json
