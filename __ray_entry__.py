@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": Q.q_token_stats,
         "doc_fingerprints": Q.q_doc_fingerprints,
         "map_props_rewrite": Q.q_map_props_rewrite,
+        "map_geometry_rewrite": Q.q_map_geometry_rewrite,
         # ANN
         "ann_cosine_topk": Q.q_ann_cosine_topk,
         # Rows-only (non-SQL-expressible)
@@ -81,5 +82,6 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": Q.SQL_TOKEN_STATS,
         "doc_fingerprints": Q.SQL_DOC_FINGERPRINTS,
         "map_props_rewrite": Q.SQL_MAP_PROPS_REWRITE,
+        "map_geometry_rewrite": Q.SQL_MAP_GEOMETRY_REWRITE,
         "ann_cosine_topk": Q.SQL_ANN_COSINE_TOPK,
     }

@@ -32,20 +32,23 @@ def _reject_constant(name: str) -> float:
 
 
 def loads_json(text: str | bytes) -> Any:
-    """Parse JSON text into a value where every number is a float.
+    """Parse JSON text into a value under the reference's "all numbers
+    are doubles" model (ezjsone.ml:201-215, jsone.ml:424-433).
 
-    Mirrors the reference's "all numbers are `Float" model
-    (ezjsone.ml:201-215, jsone.ml:424-433). Raises ``ValueError`` on
-    malformed input (the reference's DOM path raises Parse_error,
-    ezjsone.ml:174).
+    Performance note: ints are kept as Python ints here (passing
+    ``parse_int=float`` would disable CPython's C scanner, ~3× slower
+    on number-heavy GeoJSON); every consumer treats int and float
+    uniformly as "a JSON number" — the parser accepts both where the
+    reference expects `Float, ``json_equal`` compares them numerically,
+    and the serializer formats both through ``%.16g`` — so verdicts and
+    bytes are identical to the doubles-only model. Raises ``ValueError``
+    on malformed input (the DOM path's Parse_error, ezjsone.ml:174).
     """
     if isinstance(text, (bytes, bytearray)):
         # Transport decode: BOM-tolerant UTF-8 with U+FFFD replacement
         # (uutfe.ml:940-980 replaces malformed sequences rather than failing).
         text = decode_transport(bytes(text))
-    return json.loads(
-        text, parse_int=float, parse_float=float, parse_constant=_reject_constant
-    )
+    return json.loads(text, parse_constant=_reject_constant)
 
 
 def decode_transport(data: bytes) -> str:
@@ -72,13 +75,17 @@ _ESCAPE_MAP[0x5C] = "\\\\"
 _ESCAPE_MAP[0x0A] = "\\n"
 _ESCAPE_TABLE = {chr(k): v for k, v in _ESCAPE_MAP.items()}
 
+import re as _re
+
+_NEEDS_ESCAPE = _re.compile(r'["\\\x00-\x1f]')
+
 
 def escape_string(s: str) -> str:
     """jsone's escape set (jsone.ml:769-796): ``"``, ``\\``, ``\\n`` short;
     other C0 controls as uppercase ``\\u00XX``; all else raw."""
-    if s.isalnum() or not any(ch in _ESCAPE_TABLE for ch in s):
+    if _NEEDS_ESCAPE.search(s) is None:
         return s
-    return "".join(_ESCAPE_TABLE.get(ch, ch) for ch in s)
+    return s.translate(_ESCAPE_MAP)
 
 
 def format_float(f: float) -> str:
@@ -117,6 +124,14 @@ def _emit_min(v: Any, out: list[str]) -> None:
         out.append(escape_string(v))
         out.append('"')
     elif isinstance(v, (list, tuple)):
+        # fast path for numeric leaf arrays (coordinate rows dominate
+        # GeoJSON payloads); bool is an int subtype, so types must be
+        # exactly float before the %.16g join
+        if v and type(v[0]) is float and all(type(x) is float for x in v):
+            out.append("[")
+            out.append(",".join(["%.16g" % x for x in v]))
+            out.append("]")
+            return
         out.append("[")
         for i, item in enumerate(v):
             if i:

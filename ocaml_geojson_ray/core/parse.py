@@ -91,9 +91,13 @@ def _to_string(v: Any) -> str:
 
 def _to_float_or_fail(v: Any) -> float:
     """``decode_or_err J.to_float`` — raises the Failure channel
-    (geojson.ml:20-21 over ezjsone.ml:220-222)."""
-    if isinstance(v, float) and not isinstance(v, bool):
+    (geojson.ml:20-21 over ezjsone.ml:220-222). Accepts int and float
+    (both are `Float in the reference's model; see loads_json)."""
+    t = type(v)
+    if t is float:
         return v
+    if t is int:
+        return float(v)
     raise ParseFailure(ERR_GET_FLOAT)
 
 
@@ -260,8 +264,9 @@ def _parse_id(json: Any, present: bool):
         return None
     if isinstance(json, str):
         return json
-    if isinstance(json, float) and not isinstance(json, bool):
-        return json
+    t = type(json)
+    if t is float or t is int:
+        return float(json)
     raise ParseError(ERR_BAD_ID)
 
 

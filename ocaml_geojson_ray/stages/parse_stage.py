@@ -21,7 +21,7 @@ import pyarrow as pa
 from ..core.jsontext import dumps_json
 from ..core.model import Feature, FeatureCollection, GeoJson, Geometry
 from ..core.parse import parse_text
-from ..core.serialize import feature_to_json, geometry_to_json
+from ..core.serialize import feature_to_json, geometry_to_json, geometry_to_text
 
 PARSED_SCHEMA = pa.schema(
     [
@@ -115,7 +115,7 @@ def _feature_row(rows, base, feat_idx: int, f: Feature, doc_kind: str, bbox):
         doc_kind=doc_kind,
         raised=False,
         geom_type=g.type if g is not None else None,
-        geometry_json=dumps_json(geometry_to_json(g)) if g is not None else None,
+        geometry_json=geometry_to_text(g) if g is not None else None,
         properties_json=(
             dumps_json(f.properties) if f.properties_present else None
         ),
@@ -174,7 +174,7 @@ def parse_candidates_batch(batch: pa.Table) -> pa.Table:
                 raised=False,
                 doc_kind="Geometry",
                 geom_type=v.type,
-                geometry_json=dumps_json(geometry_to_json(v)),
+                geometry_json=geometry_to_text(v),
                 foreign_members_json=dumps_json(v.foreign_members)
                 if v.foreign_members
                 else None,
