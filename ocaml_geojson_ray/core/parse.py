@@ -120,12 +120,38 @@ def _parse_point_coords(coords: Any) -> list:
     return [_to_float_or_fail(c) for c in coords]
 
 
+def _positions_fast(coords):
+    """Vectorized parse of a rectangular list-of-positions; None when
+    the input needs the exact per-element verdict path (ragged, mixed
+    arity, non-numeric, or bool — numpy would silently coerce bools,
+    which the reference rejects with Ezjsone.get_float)."""
+    import numpy as _np
+
+    try:
+        arr = _np.asarray(coords, dtype=_np.float64)
+    except (ValueError, TypeError):
+        return None
+    if arr.ndim != 2:
+        return None
+    for row in coords:
+        for x in row:
+            # numpy silently coerces bools AND numeric strings ("1")
+            # to floats; the reference rejects both (Ezjsone.get_float)
+            if x is True or x is False or type(x) is str:
+                return None
+    return arr.tolist()
+
+
 def _parse_multipoint_coords(coords: Any) -> list:
     """MultiPoint.parse_coords (geojson.ml:110-112): wraps everything in
     a Failure handler, so inner failures come back on the Error channel."""
     try:
         if not isinstance(coords, list):
             raise ParseFailure(ERR_GET_LIST)
+        if coords:
+            fast = _positions_fast(coords)
+            if fast is not None:
+                return fast
         out = []
         for c in coords:
             if not isinstance(c, list):
@@ -150,6 +176,10 @@ def _parse_ring_coords(coords: Any) -> list:
     # LineString, geojson.ml:192-199)
     if not isinstance(coords, list):
         raise ParseFailure(ERR_GET_LIST)
+    if coords:
+        fast = _positions_fast(coords)
+        if fast is not None:
+            return fast
     out = []
     for c in coords:
         if not isinstance(c, list):

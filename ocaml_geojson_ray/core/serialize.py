@@ -76,8 +76,19 @@ def to_json(t: GeoJson) -> dict:
 
 
 def to_text(t: GeoJson, minify: bool = True) -> str:
-    """Full serialize: object → canonical JSON text (jsone byte rules)."""
-    return dumps_json(to_json(t), minify=minify)
+    """Full serialize: object → canonical JSON text (jsone byte rules).
+
+    Minified output takes the handcrafted fast path (byte-identical to
+    ``dumps_json(to_json(t))`` — pinned by tests); pretty goes generic.
+    """
+    if not minify:
+        return dumps_json(to_json(t), minify=False)
+    v = t.value
+    if isinstance(v, Feature):
+        return feature_to_text(v, t.bbox)
+    if isinstance(v, FeatureCollection):
+        return collection_to_text(v, t.bbox)
+    return geometry_to_text(v, t.bbox)
 
 
 # -- hot-path geometry text serializer -------------------------------------
@@ -92,9 +103,9 @@ def _coords_to_text(c) -> str:
     return "[" + ",".join([_coords_to_text(x) for x in c]) + "]"
 
 
-def geometry_to_text(g: Geometry) -> str:
-    """Byte-identical to ``dumps_json(geometry_to_json(g))`` but ~3×
-    faster on coordinate-heavy geometries (the parse stage's hot path)."""
+def geometry_to_text(g: Geometry, bbox: Optional[list] = None) -> str:
+    """Byte-identical to ``dumps_json(geometry_to_json(g, bbox))`` but
+    ~3× faster on coordinate-heavy geometries (the hot path)."""
     if g.type == "GeometryCollection":
         body = (
             '{"type":"GeometryCollection","geometries":['
@@ -106,8 +117,46 @@ def geometry_to_text(g: Geometry) -> str:
             '{"type":"' + g.type + '","coordinates":'
             + _coords_to_text(g.coordinates)
         )
+    if bbox is not None:
+        body += ',"bbox":' + _coords_to_text([float(b) for b in bbox])
     if g.foreign_members:
         for k, v in g.foreign_members.items():
+            body += ',"' + _esc(k) + '":' + dumps_json(v)
+    return body + "}"
+
+
+def feature_to_text(f: Feature, bbox: Optional[list] = None) -> str:
+    """Byte-identical fast path for Feature (member order
+    geojson.ml:387-396)."""
+    body = '{"type":"Feature"'
+    if f.geometry is not None:
+        body += ',"geometry":' + geometry_to_text(f.geometry)
+    if f.properties_present:
+        body += ',"properties":' + dumps_json(f.properties)
+    if f.id is not None:
+        body += ',"id":' + (
+            '"' + _esc(f.id) + '"' if isinstance(f.id, str) else "%.16g" % f.id
+        )
+    if bbox is not None:
+        body += ',"bbox":' + _coords_to_text([float(b) for b in bbox])
+    if f.foreign_members:
+        for k, v in f.foreign_members.items():
+            body += ',"' + _esc(k) + '":' + dumps_json(v)
+    return body + "}"
+
+
+def collection_to_text(fc: FeatureCollection, bbox: Optional[list] = None) -> str:
+    """Byte-identical fast path for FeatureCollection
+    (geojson.ml:455-462)."""
+    body = (
+        '{"type":"FeatureCollection","features":['
+        + ",".join(feature_to_text(f) for f in fc.features)
+        + "]"
+    )
+    if bbox is not None:
+        body += ',"bbox":' + _coords_to_text([float(b) for b in bbox])
+    if fc.foreign_members:
+        for k, v in fc.foreign_members.items():
             body += ',"' + _esc(k) + '":' + dumps_json(v)
     return body + "}"
 
