@@ -35,7 +35,7 @@ class PolygonIndex:
     """Driver-built, broadcast-once index of the polygon layer."""
 
     __slots__ = ("res", "cell_to_polys", "rings", "poly_ids", "names",
-                 "bbox", "centers", "radius")
+                 "bbox", "centers", "radius", "is_rect", "rect_bounds")
 
     def __init__(self, rows, res: int = DEFAULT_JOIN_RES):
         """rows: iterable of dicts with poly_id, name, rings, minx..maxy
@@ -69,6 +69,29 @@ class PolygonIndex:
             rad.append(float(np.sqrt(((pts - c) ** 2).sum(axis=1).max())))
         self.centers = np.column_stack([cx, cy]) if cx else np.zeros((0, 2))
         self.radius = np.asarray(rad, dtype=np.float64)
+        # axis-aligned rectangle detection: for such polygons the
+        # half-open ray-cast verdict is EXACTLY the bbox comparison
+        # (see spatial/pip.py), so the join evaluates all their
+        # candidates in one vectorized expression instead of a
+        # per-polygon PIP loop
+        n = len(self.rings)
+        self.is_rect = np.zeros(n, dtype=bool)
+        self.rect_bounds = np.zeros((n, 4), dtype=np.float64)
+        for i, rings in enumerate(self.rings):
+            if len(rings) != 1 or len(rings[0]) != 5:
+                continue
+            r = rings[0]
+            if not (r[0] == r[4]).all():
+                continue
+            xs = np.unique(r[:, 0])
+            ys = np.unique(r[:, 1])
+            if len(xs) == 2 and len(ys) == 2:
+                corners = {(float(x), float(y)) for x, y in r[:4]}
+                want = {(float(xs[0]), float(ys[0])), (float(xs[1]), float(ys[0])),
+                        (float(xs[1]), float(ys[1])), (float(xs[0]), float(ys[1]))}
+                if corners == want:
+                    self.is_rect[i] = True
+                    self.rect_bounds[i] = (xs[0], ys[0], xs[1], ys[1])
 
     @classmethod
     def from_parquet(cls, path: str, res: int = DEFAULT_JOIN_RES):
@@ -78,14 +101,23 @@ class PolygonIndex:
         return cls(t.to_pylist(), res)
 
     def candidates_for_points(self, lng: np.ndarray, lat: np.ndarray):
-        """→ (point_idx, local_poly_idx) candidate pair arrays."""
+        """→ (point_idx, local_poly_idx) candidate pair arrays.
+
+        Vectorized by UNIQUE cell (one dict lookup per distinct cell in
+        the batch, not per point — a 600k-point batch touches only a
+        few thousand distinct cells)."""
         cell = C.latlng_to_cell(lng, lat, self.res)
+        order = np.argsort(cell, kind="stable")
+        sorted_cells = cell[order]
+        uniq, starts = np.unique(sorted_cells, return_index=True)
+        ends = np.append(starts[1:], len(sorted_cells))
         pts, polys = [], []
-        for i, c in enumerate(cell):
-            hit = self.cell_to_polys.get(int(c))
+        for u, s, e in zip(uniq, starts, ends):
+            hit = self.cell_to_polys.get(int(u))
             if hit is not None:
-                pts.append(np.full(len(hit), i, dtype=np.int64))
-                polys.append(hit)
+                grp = order[s:e]
+                pts.append(np.repeat(grp, len(hit)))
+                polys.append(np.tile(hit, e - s))
         if not pts:
             return (np.empty(0, dtype=np.int64),) * 2
         return np.concatenate(pts), np.concatenate(polys)
@@ -114,12 +146,30 @@ class SpatialJoiner:
         )
         match_pt, match_poly = [], []
         if len(pt_idx):
-            order = np.argsort(poly_idx, kind="stable")
-            pt_idx, poly_idx = pt_idx[order], poly_idx[order]
-            bounds = np.flatnonzero(np.diff(poly_idx)) + 1
+            # rectangle candidates: one vectorized bbox test for ALL
+            rect_mask = self.index.is_rect[poly_idx]
+            if rect_mask.any():
+                rp = pt_idx[rect_mask]
+                rl = poly_idx[rect_mask]
+                b = self.index.rect_bounds[rl]
+                inside = (
+                    (lng[rp] >= b[:, 0]) & (lng[rp] < b[:, 2])
+                    & (lat[rp] >= b[:, 1]) & (lat[rp] < b[:, 3])
+                )
+                if inside.any():
+                    match_pt.append(rp[inside])
+                    match_poly.append(rl[inside])
+            # general polygons: grouped per-polygon vectorized PIP
+            gen_pt = pt_idx[~rect_mask]
+            gen_poly = poly_idx[~rect_mask]
+            order = np.argsort(gen_poly, kind="stable")
+            gen_pt, gen_poly = gen_pt[order], gen_poly[order]
+            bounds = np.flatnonzero(np.diff(gen_poly)) + 1
             for grp_pts, grp_poly in zip(
-                np.split(pt_idx, bounds), np.split(poly_idx, bounds)
+                np.split(gen_pt, bounds), np.split(gen_poly, bounds)
             ):
+                if not len(grp_pts):
+                    continue
                 pl = int(grp_poly[0])
                 inside = P.points_in_polygon(lng[grp_pts], lat[grp_pts],
                                              self.index.rings[pl])
