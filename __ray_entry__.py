@@ -41,6 +41,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_order_stats": Q.q_segment_order_stats,
         "nation_region": Q.q_nation_region,
         "events_window": Q.q_events_window,
+        "session_windows": Q.q_session_windows,
+        "sliding_windows": Q.q_sliding_windows,
+        "distinct_langs": Q.q_distinct_langs,
+        "top_user_per_type": Q.q_top_user_per_type,
         # Text / dedup / fingerprints (N8 + training-data ops)
         "exact_dedup": Q.q_exact_dedup,
         "token_stats": Q.q_token_stats,
@@ -49,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "map_geometry_rewrite": Q.q_map_geometry_rewrite,
         # ANN
         "ann_cosine_topk": Q.q_ann_cosine_topk,
+        "embedding_neardups_exact": Q.q_embedding_neardups_exact,
         # Rows-only (non-SQL-expressible)
         "langid_distribution": Q.q_langid_distribution,
         "quality_scores": Q.q_quality_scores,
@@ -78,10 +83,15 @@ def oracle_sql() -> dict[str, str]:
         "segment_order_stats": Q.SQL_SEGMENT_ORDER_STATS,
         "nation_region": Q.SQL_NATION_REGION,
         "events_window": Q.SQL_EVENTS_WINDOW,
+        "session_windows": Q.SQL_SESSION_WINDOWS,
+        "sliding_windows": Q.SQL_SLIDING_WINDOWS,
+        "distinct_langs": Q.SQL_DISTINCT_LANGS,
+        "top_user_per_type": Q.SQL_TOP_USER_PER_TYPE,
         "exact_dedup": Q.SQL_EXACT_DEDUP,
         "token_stats": Q.SQL_TOKEN_STATS,
         "doc_fingerprints": Q.SQL_DOC_FINGERPRINTS,
         "map_props_rewrite": Q.SQL_MAP_PROPS_REWRITE,
         "map_geometry_rewrite": Q.SQL_MAP_GEOMETRY_REWRITE,
         "ann_cosine_topk": Q.SQL_ANN_COSINE_TOPK,
+        "embedding_neardups_exact": Q.SQL_EMBEDDING_NEARDUPS_EXACT,
     }

@@ -557,6 +557,119 @@ FROM events GROUP BY event_type, hr
 """
 
 
+def q_session_windows(sf_dir: str):
+    """Session windows per user (30-min gap) via groupby.map_groups
+    over the ordered group (stages/windows.py)."""
+    import ray.data as rd
+
+    from ..stages.windows import session_windows
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return session_windows(ds, "user_id", "ts", gap_s=1800)
+
+
+SQL_SESSION_WINDOWS = """
+WITH marked AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+sess AS (
+  SELECT user_id, ts_us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts_us) AS start_us, max(ts_us) AS end_us
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q_sliding_windows(sf_dir: str):
+    """Sliding 2h windows sliding by 1h per event_type."""
+    import ray.data as rd
+
+    from ..stages.windows import sliding
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    out = sliding(ds, "event_type", "ts", width_s=7200, slide_s=3600,
+                  agg_col="value")
+
+    def rounder(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("sum_value")
+        return batch.set_column(
+            i, "sum_value",
+            pa.array(np.round(batch["sum_value"].to_numpy(), 2), pa.float64()),
+        )
+
+    return out.map_batches(rounder, batch_format="pyarrow")
+
+
+SQL_SLIDING_WINDOWS = """
+WITH ev AS (SELECT event_type, epoch_us(ts) AS ts_us, value FROM events),
+exploded AS (
+  SELECT event_type,
+         (floor(ts_us / 3600000000) - j) * 3600000000 AS window_start,
+         value
+  FROM ev CROSS JOIN (SELECT unnest([0, 1]) AS j))
+SELECT event_type, window_start::BIGINT AS window_start,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM exploded GROUP BY event_type, window_start
+"""
+
+
+def q_distinct_langs(sf_dir: str):
+    """Set op: distinct values (Dataset.unique is the shuffle; counts
+    via groupby keep the result deterministic)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+    return ds.groupby(["lang", "source"]).aggregate(Count(alias_name="n_docs"))
+
+
+SQL_DISTINCT_LANGS = (
+    "SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY lang, source"
+)
+
+
+def q_top_user_per_type(sf_dir: str):
+    """Per-group top-k (grouped sort + head) via map_groups."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"]
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("user_id", as_index=False)["value"].sum()
+        s["value"] = s["value"].round(2)
+        s = s.sort_values(["value", "user_id"], ascending=[False, True]).head(3)
+        s["event_type"] = g["event_type"].iloc[0]
+        s = s.reset_index(drop=True)
+        s["rnk"] = np.arange(1, len(s) + 1, dtype=np.int64)
+        return s[["event_type", "rnk", "user_id", "value"]]
+
+    return ds.groupby("event_type").map_groups(topk, batch_format="pandas")
+
+
+SQL_TOP_USER_PER_TYPE = """
+WITH sums AS (
+  SELECT event_type, user_id, round(sum(value), 2) AS value
+  FROM events GROUP BY event_type, user_id),
+r AS (
+  SELECT event_type, user_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, user_id) AS rnk
+  FROM sums)
+SELECT event_type, rnk, user_id, value FROM r WHERE rnk <= 3
+"""
+
+
 # ==========================================================================
 # Text / dedup / fingerprints over documents
 # ==========================================================================
@@ -847,12 +960,63 @@ def q_simhash_dedup(sf_dir: str):
 
 
 def q_embedding_neardups(sf_dir: str):
+    """LSH-bucketed near-dup pairs — the 100TB scale path (approximate;
+    rows-only check). Random test embeddings have no true near-dups at
+    0.9, so this demonstrates plumbing; the exact variant below is the
+    value-checked one."""
     import ray.data as rd
 
     from ..stages.dedup import embedding_neardup_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return embedding_neardup_pairs(ds, threshold=0.9)
+
+
+def q_embedding_neardups_exact(sf_dir: str):
+    """Exact blocked all-pairs cosine ≥ 0.4: the comparison matrix is
+    broadcast once; each batch computes its row-block against all
+    columns (a blocked matmul — the within-bucket kernel of the LSH
+    variant, run over one global bucket at test scale)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    all_ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    vecs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat_ref = ray.put((all_ids, vecs / norms))
+
+    def block(batch: pa.Table) -> pa.Table:
+        ids_b = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        vb = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        nb = np.linalg.norm(vb, axis=1, keepdims=True)
+        nb[nb == 0] = 1.0
+        vb = vb / nb
+        ids_all, mat = ray.get(mat_ref)
+        sim = vb @ mat.T
+        ri, ci = np.where(sim >= 0.4)
+        keep = ids_b[ri] < ids_all[ci]  # a < b, no self/dup pairs
+        return pa.table(
+            {
+                "a_id": pa.array(ids_b[ri][keep], pa.int64()),
+                "b_id": pa.array(ids_all[ci][keep], pa.int64()),
+                "cosine": pa.array(np.round(sim[ri, ci][keep], 6), pa.float64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ds.map_batches(block, batch_format="pyarrow")
+
+
+SQL_EMBEDDING_NEARDUPS_EXACT = """
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+"""
 
 
 def q_ivf_ann(sf_dir: str):
