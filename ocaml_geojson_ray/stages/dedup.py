@@ -131,31 +131,68 @@ def minhash_lsh_candidates(ds, bands: int = 16, rows: int = 8,
     """
     import pandas as pd
 
+    # instance-based hasher → stateless elastic tasks (the coefficient
+    # draw is cheap; an actor pool here pinned the fused chain width)
     sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_hashes": num_hashes, "text_col": text_col},
+        MinHasher(num_hashes=num_hashes, text_col=text_col),
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
+    # bands table is consumed twice (count pass + pairing pass) and is
+    # small (3 int columns) → materialize once instead of recomputing
+    # the signatures per consumer
     bands_ds = sigs.select_columns([id_col, "minhash"]).map_batches(
         minhash_bands_batch,
         batch_format="pyarrow",
         fn_kwargs={"bands": bands, "rows": rows, "id_col": id_col},
+    ).materialize()
+
+    # Nearly every bucket is a singleton (unique band hash); running
+    # map_groups over all of them pays per-group pandas overhead for
+    # nothing. Two-phase: (1) vectorized counts → the tiny set of
+    # buckets with >= 2 members, broadcast it; (2) filter the band
+    # stream to those buckets and pair only there.
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Count
+
+    counts = bands_ds.groupby(["band_id", "band_hash"]).aggregate(
+        Count(alias_name="n")
     )
+    hot = counts.filter(expr="n >= 2").select_columns(["band_id", "band_hash"])
+    hot_keys = {(r["band_id"], r["band_hash"]) for r in hot.iter_rows()}
+    if not hot_keys:
+        import pyarrow as _pa
+
+        empty = pa.table(
+            {
+                "a_id": pa.array([], pa.int64()),
+                "b_id": pa.array([], pa.int64()),
+                "n_shared_bands": pa.array([], pa.int64()),
+            }
+        )
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+    keys_ref = ray.put(hot_keys)
+
+    def only_hot(batch: pa.Table) -> pa.Table:
+        hk = ray.get(keys_ref)
+        b = batch["band_id"].to_pylist()
+        h = batch["band_hash"].to_pylist()
+        keep = [(x, y) in hk for x, y in zip(b, h)]
+        return batch.filter(pa.array(keep))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(g[id_col].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"a_id": [], "b_id": []})
         pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
         return pd.DataFrame(pairs, columns=["a_id", "b_id"])
 
-    pairs = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    pairs = (
+        bands_ds.map_batches(only_hot, batch_format="pyarrow")
+        .groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
     )
     # candidate pairs can repeat across bands → distinct
-    from ray.data.aggregate import Count
-
     return pairs.groupby(["a_id", "b_id"]).aggregate(
         Count(alias_name="n_shared_bands")
     )
