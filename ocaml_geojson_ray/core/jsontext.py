@@ -174,9 +174,11 @@ def _emit_pretty(v: Any, out: list[str], nest: int) -> None:
         for i, (k, item) in enumerate(v.items()):
             out.append(",\n" if i else "\n")
             out.append(pad)
+            # jsone pretty member: `"name": value` (w_name then u_sp,
+            # jsone.ml:855-861)
             out.append('"')
             out.append(escape_string(k))
-            out.append('" : ')
+            out.append('": ')
             _emit_pretty(item, out, nest + 1)
         out.append("\n")
         out.append("  " * nest)
