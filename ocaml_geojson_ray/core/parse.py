@@ -135,9 +135,11 @@ def _positions_fast(coords):
         return None
     for row in coords:
         for x in row:
-            # numpy silently coerces bools AND numeric strings ("1")
-            # to floats; the reference rejects both (Ezjsone.get_float)
-            if x is True or x is False or type(x) is str:
+            # numpy silently coerces bools, numeric strings ("1") and
+            # None (→ NaN) to floats; the reference rejects all of them
+            # (Ezjsone.get_float) — only real JSON numbers may pass
+            t = type(x)
+            if t is not float and t is not int:
                 return None
     return arr.tolist()
 

@@ -1028,6 +1028,28 @@ def q_ivf_ann(sf_dir: str):
     return ivf_topk(ds, _ann_queries(sf_dir), k=ANN_K)
 
 
+def q_s2_cell_counts(sf_dir: str):
+    """S2-style cube-face cell assignment (the fallback encoder, N4)
+    via the CellEncoder actor pool — rows-only (the face/uv trig isn't
+    worth mirroring in SQL; correctness is pinned by unit tests)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..spatial.join import CellEncoder
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_partkey"],
+    ).map_batches(derive_lineitem_points_batch, batch_format="pyarrow")
+    enc = ds.map_batches(
+        CellEncoder,
+        fn_constructor_kwargs={"res": 6, "s2_level": 6},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    return enc.groupby("s2_cell").aggregate(Count(alias_name="n_points"))
+
+
 def q_multimodal_features(sf_dir: str):
     """Multimodal plumbing: synthetic media table → actor-pool decode
     (deterministic fake) → per-channel features."""
