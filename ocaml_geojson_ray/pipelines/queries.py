@@ -1028,6 +1028,34 @@ def q_ivf_ann(sf_dir: str):
     return ivf_topk(ds, _ann_queries(sf_dir), k=ANN_K)
 
 
+def q_pages_geom_dedup(sf_dir: str):
+    """Exact dedup by geometry hash over the mined corpus (N8's second
+    key): md5(canonical geometry text) → first-wins keeper + count.
+    Duplicate geometries exist by construction (fixture docs repeat
+    across pages). Rows-only (pages aren't a driver table)."""
+    from ray.data.aggregate import Count, Min
+
+    from ..stages.dedup import md5_column
+    from .flagship import parsed_features
+
+    feats = parsed_features(_pages_for(sf_dir))
+
+    def ok_geoms(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(b["ok"], pc.is_valid(b["geometry_json"])))
+        return b.select(["url", "geometry_json"]).append_column(
+            "row_id",
+            pa.array(np.arange(len(b)), pa.int64()),
+        )
+
+    hashed = feats.map_batches(ok_geoms, batch_format="pyarrow").map_batches(
+        md5_column, batch_format="pyarrow",
+        fn_kwargs={"text_col": "geometry_json", "out_col": "geom_md5"},
+    )
+    return hashed.groupby("geom_md5").aggregate(
+        Min("url", alias_name="keeper_url"), Count(alias_name="n_dups")
+    )
+
+
 def q_s2_cell_counts(sf_dir: str):
     """S2-style cube-face cell assignment (the fallback encoder, N4)
     via the CellEncoder actor pool — rows-only (the face/uv trig isn't

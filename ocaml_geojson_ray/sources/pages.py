@@ -44,6 +44,16 @@ _LANGS = ("en", "fr", "de", "es", "pt", "it", "nl", "pl")
 # docs with no "type", or an unknown type string (e.g. "Circle"), are
 # invisible to any type-token text miner; those verdicts are covered by
 # the direct parser tests instead.
+# fixed valid docs (fixture-shaped, reference corpus): embedding these
+# verbatim across many pages creates REAL cross-page duplicates for the
+# dedup operators (N8) to find
+_FIXTURE_DOCS = (
+    '{"type":"Point","coordinates":[125.6,10.1]}',
+    '{"type":"LineString","coordinates":[[100,0],[101,1]]}',
+    '{"type":"Polygon","coordinates":[[[100,0],[101,0],[101,1],[100,1],[100,0]]]}',
+    '{"type":"Feature","geometry":{"type":"MultiPoint","coordinates":[[125.1,40],[155.9,22.5]]},"properties":{"name":"Dinagat Islands"},"title":"Some Islands"}',
+)
+
 _INVALID_DOCS = (
     '{"type":"Point"}',
     '{"type":"LineString","coordinates":[[0,0]]}',
@@ -55,7 +65,7 @@ _INVALID_DOCS = (
 )
 
 
-GENERATOR_VERSION = 3  # bump when page content changes → new cache dir
+GENERATOR_VERSION = 4  # bump when page content changes → new cache dir
 
 
 def page_count_for_sf(sf: float) -> int:
@@ -121,7 +131,15 @@ def build_page(page_id: int, seed: int = 42):
     # ~60% of pages embed 1-3 GeoJSON docs in the text
     if rng.random() < 0.6:
         for _ in range(int(rng.integers(1, 4))):
-            if rng.random() < 0.85:
+            roll = rng.random()
+            if roll < 0.15:
+                # a fixed fixture doc → deliberate cross-page duplicate
+                doc = _FIXTURE_DOCS[int(rng.integers(0, len(_FIXTURE_DOCS)))]
+                n_valid += 1
+                pos = int(rng.integers(0, len(paras) + 1))
+                paras.insert(pos, doc)
+                continue
+            if roll < 0.875:
                 skel = _geojson_skeleton(rng)
                 # local geometries: all positions of one document jitter
                 # around a per-document center (admin-boundary-like).
