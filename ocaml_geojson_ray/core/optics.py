@@ -14,9 +14,9 @@ from __future__ import annotations
 
 import copy
 from dataclasses import replace
-from typing import Any, Callable, Generic, Optional as Opt, TypeVar
+from typing import Callable, Generic, Optional as Opt, TypeVar
 
-from .model import Feature, FeatureCollection, GeoJson, Geometry
+from .model import Feature, FeatureCollection, Geometry
 
 S = TypeVar("S")
 A = TypeVar("A")

@@ -20,11 +20,11 @@ downstream for very large docs.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable
 
 from ..core.jsontext import dumps_json, loads_json
 from ..core.model import GeoJson, Geometry
-from ..core.parse import ParseError, ParseFailure, of_json, parse_geometry
+from ..core.parse import ParseError, ParseFailure, of_json
 from ..core.serialize import geometry_to_json
 
 

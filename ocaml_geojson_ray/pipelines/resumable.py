@@ -17,10 +17,8 @@ import os
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..sources.polygons import generate_polygon_layer
 from ..spatial.join import broadcast_polygon_index, join_batch_fn
 from ..state.checkpoint import run_resumable
-from ..state.counters import partition_metrics_batch
 from ..stages.extract import extract_text_batch
 from ..stages.mine import GeoJsonMiner
 from ..stages.parse_stage import parse_candidates_batch

@@ -14,14 +14,12 @@ Point lng/lat, so spatial stages never re-parse JSON.
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import pyarrow as pa
 
 from ..core.jsontext import dumps_json
-from ..core.model import Feature, FeatureCollection, GeoJson, Geometry
+from ..core.model import Feature, FeatureCollection, Geometry
 from ..core.parse import parse_text
-from ..core.serialize import feature_to_json, geometry_to_json, geometry_to_text
+from ..core.serialize import geometry_to_text
 
 PARSED_SCHEMA = pa.schema(
     [

@@ -18,7 +18,7 @@ functions/streaming.py per batch:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Iterator
+from typing import Any, Callable
 
 import pyarrow as pa
 

@@ -11,7 +11,6 @@ import re
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
 # a BPE-ish subword splitter: runs of letters, digits, or single punct
