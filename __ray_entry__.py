@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": Q.q_multimodal_features,
         "s2_cell_counts": Q.q_s2_cell_counts,
         "pages_geom_dedup": Q.q_pages_geom_dedup,
+        "extract_invariant": Q.q_extract_invariant,
         "pages_mine_verdicts": Q.q_pages_mine_verdicts,
         "pages_spatial_join": Q.q_pages_spatial_join,
         "pages_tile_topk": Q.q_pages_tile_topk,

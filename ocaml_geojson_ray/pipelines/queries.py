@@ -1028,6 +1028,42 @@ def q_ivf_ann(sf_dir: str):
     return ivf_topk(ds, _ann_queries(sf_dir), k=ANN_K)
 
 
+def q_extract_invariant(sf_dir: str):
+    """The north-rule invariant as a result: per-batch vectorized check
+    that extracted text is byte-identical to the text column for EVERY
+    url; one summary row (n_pages, n_identical) — equal by contract."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.extract import extract_text_batch, verify_extraction_batch
+
+    ds = rd.read_parquet(_pages_for(sf_dir))
+    checked = ds.map_batches(extract_text_batch, batch_format="pyarrow") \
+                .map_batches(verify_extraction_batch, batch_format="pyarrow")
+
+    def summarize(b: pa.Table) -> pa.Table:
+        ok = pc.sum(pc.cast(b["text_identical"], pa.int64())).as_py() or 0
+        return pa.table(
+            {
+                "n_pages": pa.array([len(b)], pa.int64()),
+                "n_identical": pa.array([ok], pa.int64()),
+            }
+        )
+
+    partial = checked.map_batches(summarize, batch_format="pyarrow")
+    row = partial.aggregate(
+        Sum("n_pages", alias_name="n_pages"),
+        Sum("n_identical", alias_name="n_identical"),
+    )
+    # global aggregate returns a dict — hand the driver a Table
+    return pa.table(
+        {
+            "n_pages": pa.array([row["n_pages"]], pa.int64()),
+            "n_identical": pa.array([row["n_identical"]], pa.int64()),
+        }
+    )
+
+
 def q_pages_geom_dedup(sf_dir: str):
     """Exact dedup by geometry hash over the mined corpus (N8's second
     key): md5(canonical geometry text) → first-wins keeper + count.
