@@ -14,7 +14,8 @@ setup (untimed): the table is the INPUT, not the work.
 --scaling: runs the headline twice in fresh processes at
 RAY_GRAFT_CPUS_LO/HI on the same (4x-sized, cached) input and reports
 both throughputs + scaling efficiency (the sandbox substitute for N vs
-4N nodes, BASELINE.json north_rule). Defaults are LO=2/HI=8: a
+4N nodes, BASELINE.json north_rule); the input is 8x the sf's page
+count so fixed overhead stays <3% of the low-CPU runtime. Defaults are LO=2/HI=8: a
 fixed-work burn test shows this sandbox delivers ~12.5 effective cores
 at 32-wide (2.1 at 2-wide, 6.8 at 8-wide) — the hardware itself scales
 only 1.84x from 8 to 32 slots, so 2->8 is the band where engine
@@ -57,7 +58,7 @@ def run_headline(pages: str, polys: str, n_pages: int, out_dir: str):
 
 
 def run_scaling_child(sf_dir: str, num_cpus: int) -> dict:
-    """Scaling mode: 4x-sized pages, warm-up run, then timed run."""
+    """Scaling mode: 8x-sized pages, warm-up run, then timed run."""
     import ray
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
@@ -73,10 +74,12 @@ def run_scaling_child(sf_dir: str, num_cpus: int) -> dict:
     from ocaml_geojson_ray.sources.polygons import generate_polygon_layer
 
     sf = sf_of(sf_dir)
-    sf4 = sf * 4
-    pages = materialize_pages_parquet(sf4, root="/tmp/ogr_data")
+    sf_big = sf * 8  # 8x the sf's pages: fixed per-pipeline overhead
+    # (~1.5 s) must be <3%% of the low-CPU runtime for the efficiency
+    # ratio to reflect the engine rather than the constant
+    pages = materialize_pages_parquet(sf_big, root="/tmp/ogr_data")
     polys = generate_polygon_layer(sf, root="/tmp/ogr_data")
-    n_pages = page_count_for_sf(sf4)
+    n_pages = page_count_for_sf(sf_big)
     # untimed warm-up: spawn workers, import the package everywhere
     run_headline(pages, polys, n_pages, f"/tmp/ogr_scale_warm_{num_cpus}")
     sec = run_headline(pages, polys, n_pages, f"/tmp/ogr_scale_{num_cpus}")
@@ -206,7 +209,7 @@ def main():
         from ocaml_geojson_ray.sources.pages import materialize_pages_parquet
         from ocaml_geojson_ray.sources.polygons import generate_polygon_layer
 
-        materialize_pages_parquet(sf_of(sf_dir) * 4, root="/tmp/ogr_data")
+        materialize_pages_parquet(sf_of(sf_dir) * 8, root="/tmp/ogr_data")
         generate_polygon_layer(sf_of(sf_dir), root="/tmp/ogr_data")
         ray.shutdown()
         r_lo = run_child(lo, ("--scaling-child",))
