@@ -395,6 +395,11 @@ def of_json_result(json: Any) -> Tuple[Optional[GeoJson], Optional[str], bool]:
 
     ``raised`` is True when the reference would have thrown Failure out
     of ``of_json`` rather than returning ``Error (`Msg m)``.
+    Pathologically deep documents (thousands of nested
+    GeometryCollections) exhaust Python's recursion limit; that becomes
+    an error verdict, never a worker crash (the reference's OCaml
+    recursion would blow the stack on such inputs too —
+    geojsone.ml:176's own TODO flags nested collections).
     """
     try:
         return of_json(json), None, False
@@ -402,6 +407,8 @@ def of_json_result(json: Any) -> Tuple[Optional[GeoJson], Optional[str], bool]:
         return None, str(e), False
     except ParseFailure as e:
         return None, str(e), True
+    except RecursionError:
+        return None, "document nesting exceeds the recursion limit", False
 
 
 def parse_text(text: str | bytes) -> Tuple[Optional[GeoJson], Optional[str], bool]:
@@ -410,4 +417,6 @@ def parse_text(text: str | bytes) -> Tuple[Optional[GeoJson], Optional[str], boo
         v = loads_json(text)
     except ValueError as e:
         return None, f"JSON.of_buffer {e}", False
+    except RecursionError:
+        return None, "JSON.of_buffer document nesting exceeds the recursion limit", False
     return of_json_result(v)

@@ -50,6 +50,11 @@ def find_candidates(text: str) -> list[tuple[int, int, str]]:
                 # brace was inside a string or unbalanced: try the next
                 # enclosing brace further left
                 start = _enclosing_brace(text, start - 1)
+            except RecursionError:
+                # pathologically deep candidate: skip this token rather
+                # than crash the worker (the parse stage records the
+                # same verdict for any candidate that does decode)
+                break
     return out
 
 

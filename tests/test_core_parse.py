@@ -255,3 +255,29 @@ def test_numbers_all_floats():
     obj = of_json(loads_json('{"type":"Point","coordinates":[40, 10]}'))
     assert obj.value.coordinates == [40.0, 10.0]
     assert to_text(obj) == '{"type":"Point","coordinates":[40,10]}'
+
+
+def test_pathological_nesting_is_verdict_not_crash():
+    """Thousands of nested GeometryCollections → error verdict, not a
+    RecursionError escaping into (and killing) a Ray worker."""
+    deep = (
+        '{"type":"GeometryCollection","geometries":[' * 3000
+        + '{"type":"Point","coordinates":[1,2]}'
+        + "]}" * 3000
+    )
+    obj, err, raised = parse_text(deep)
+    assert obj is None and "recursion" in err
+
+
+def test_pathological_nesting_mining_survives():
+    from ocaml_geojson_ray.stages.mine import find_candidates
+
+    deep = (
+        '{"type":"GeometryCollection","geometries":[' * 3000
+        + '{"type":"Point","coordinates":[1,2]}'
+        + "]}" * 3000
+    )
+    text = 'before {"type":"Point","coordinates":[5,6]} ' + deep
+    cands = find_candidates(text)
+    # the sane doc is still mined; the deep one is skipped, not a crash
+    assert any(d == '{"type":"Point","coordinates":[5,6]}' for _, _, d in cands)
