@@ -91,22 +91,36 @@ class KnnJoiner:
                 cand = part[:, :m]
                 rowsel = np.arange(len(todo))[:, None]
                 excl = sub[rowsel, part[:, m:]].min(axis=1)
-            # exact distances per (point, polygon), grouped by polygon
+            # exact distances per (point, polygon): rectangles in one
+            # vectorized expression, general polygons grouped per poly
             flat_pt = np.repeat(np.arange(len(todo)), cand.shape[1])
             flat_pl = cand.ravel()
-            order = np.argsort(flat_pl, kind="stable")
-            flat_pt, flat_pl = flat_pt[order], flat_pl[order]
             d2 = np.empty(len(flat_pt))
-            bounds = np.flatnonzero(np.diff(flat_pl)) + 1
-            for grp_pt, grp_pl, sl in zip(
-                np.split(flat_pt, bounds),
-                np.split(flat_pl, bounds),
-                np.split(np.arange(len(flat_pt)), bounds),
-            ):
-                pl = int(grp_pl[0])
-                d2[sl] = P.polygon_dist2(
-                    xs[todo[grp_pt]], ys[todo[grp_pt]], idx.rings[pl]
-                )
+            rect = idx.is_rect[flat_pl]
+            if rect.any():
+                rb = idx.rect_bounds[flat_pl[rect]]
+                px = xs[todo[flat_pt[rect]]]
+                py = ys[todo[flat_pt[rect]]]
+                dx = np.maximum(np.maximum(rb[:, 0] - px, 0.0), px - rb[:, 2])
+                dy = np.maximum(np.maximum(rb[:, 1] - py, 0.0), py - rb[:, 3])
+                d2[rect] = dx * dx + dy * dy
+            gen = ~rect
+            if gen.any():
+                g_pt = flat_pt[gen]
+                g_pl = flat_pl[gen]
+                g_ix = np.flatnonzero(gen)
+                order = np.argsort(g_pl, kind="stable")
+                g_pt, g_pl, g_ix = g_pt[order], g_pl[order], g_ix[order]
+                bounds = np.flatnonzero(np.diff(g_pl)) + 1
+                for grp_pt, grp_pl, grp_ix in zip(
+                    np.split(g_pt, bounds),
+                    np.split(g_pl, bounds),
+                    np.split(g_ix, bounds),
+                ):
+                    pl = int(grp_pl[0])
+                    d2[grp_ix] = P.polygon_dist2(
+                        xs[todo[grp_pt]], ys[todo[grp_pt]], idx.rings[pl]
+                    )
             still = []
             for li, ti in enumerate(todo):
                 mask = flat_pt == li
@@ -122,21 +136,36 @@ class KnnJoiner:
             m = min(n_poly, m * 4)
         return results
 
+    # below this polygon count the fully vectorized bound search beats
+    # per-point ring expansion; above it the lower-bound matrix gets
+    # large, so chunk the points to bound memory (64M doubles ≈ 512 MB)
+    BOUND_DIRECT_MAX_POLYS = 200_000
+    BOUND_CHUNK_DOUBLES = 64_000_000
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         lng = batch["lng"].to_numpy(zero_copy_only=False)
         lat = batch["lat"].to_numpy(zero_copy_only=False)
         n = len(batch)
         per_point: list = [None] * n
-        unresolved = []
-        for i in range(n):
-            if np.isnan(lng[i]) or np.isnan(lat[i]):
-                per_point[i] = []
-                continue
-            got = self._ring_knn(lng[i], lat[i])
-            if got is None:
-                unresolved.append(i)
-            else:
-                per_point[i] = got
+        valid = np.flatnonzero(~(np.isnan(lng) | np.isnan(lat)))
+        for i in np.flatnonzero(np.isnan(lng) | np.isnan(lat)):
+            per_point[i] = []
+        n_poly = len(self.index.rings)
+        if n_poly and n_poly <= self.BOUND_DIRECT_MAX_POLYS:
+            chunk = max(1, self.BOUND_CHUNK_DOUBLES // max(1, n_poly))
+            for s in range(0, len(valid), chunk):
+                sel = valid[s : s + chunk]
+                for ti, res in zip(sel, self._bound_knn(lng[sel], lat[sel])):
+                    per_point[ti] = res
+            unresolved = []
+        else:
+            unresolved = []
+            for i in valid:
+                got = self._ring_knn(lng[i], lat[i])
+                if got is None:
+                    unresolved.append(i)
+                else:
+                    per_point[i] = got
         if unresolved:
             un = np.asarray(unresolved, dtype=np.int64)
             for ti, res in zip(un, self._bound_knn(lng[un], lat[un])):
