@@ -44,6 +44,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": Q.q_session_windows,
         "sliding_windows": Q.q_sliding_windows,
         "distinct_langs": Q.q_distinct_langs,
+        "union_sources": Q.q_union_sources,
+        "sample_langs": Q.q_sample_langs,
         "top_user_per_type": Q.q_top_user_per_type,
         # Text / dedup / fingerprints (N8 + training-data ops)
         "exact_dedup": Q.q_exact_dedup,
@@ -89,6 +91,7 @@ def oracle_sql() -> dict[str, str]:
         "session_windows": Q.SQL_SESSION_WINDOWS,
         "sliding_windows": Q.SQL_SLIDING_WINDOWS,
         "distinct_langs": Q.SQL_DISTINCT_LANGS,
+        "union_sources": Q.SQL_UNION_SOURCES,
         "top_user_per_type": Q.SQL_TOP_USER_PER_TYPE,
         "exact_dedup": Q.SQL_EXACT_DEDUP,
         "token_stats": Q.SQL_TOKEN_STATS,

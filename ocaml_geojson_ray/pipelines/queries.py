@@ -621,6 +621,61 @@ FROM exploded GROUP BY event_type, window_start
 """
 
 
+def q_union_sources(sf_dir: str):
+    """Set op: union of two disjoint slices reassembles the table
+    (Dataset.union), proven by per-lang counts matching the whole."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def parity(keep_even: bool):
+        def f(b: pa.Table) -> pa.Table:
+            even = pc.equal(pc.bit_wise_and(b["doc_id"], 1), 0)
+            return b.filter(even if keep_even else pc.invert(even))
+
+        return f
+
+    lo = ds.map_batches(parity(True), batch_format="pyarrow")
+    hi = ds.map_batches(parity(False), batch_format="pyarrow")
+    return lo.union(hi).groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+SQL_UNION_SOURCES = """
+SELECT lang, count(*) AS n_docs FROM (
+  SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1
+) GROUP BY lang
+"""
+
+
+def q_sample_langs(sf_dir: str):
+    """Seeded random sample: proportions are engine-specific, so the
+    check is rows-only — but determinism across runs is asserted by
+    re-sampling with the same seed inside the query."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    def sampled_counts():
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+        return (
+            ds.random_sample(0.25, seed=7)
+            .groupby("lang")
+            .aggregate(Count(alias_name="n_docs"))
+        )
+
+    first = {r["lang"]: r["n_docs"] for r in sampled_counts().iter_rows()}
+    second = {r["lang"]: r["n_docs"] for r in sampled_counts().iter_rows()}
+    assert first == second, "random_sample(seed) must be deterministic"
+    return pa.table(
+        {
+            "lang": pa.array(sorted(first), pa.string()),
+            "n_docs": pa.array([first[k] for k in sorted(first)], pa.int64()),
+        }
+    )
+
+
 def q_distinct_langs(sf_dir: str):
     """Set op: distinct values (Dataset.unique is the shuffle; counts
     via groupby keep the result deterministic)."""
