@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_windows": Q.q_sliding_windows,
         "distinct_langs": Q.q_distinct_langs,
         "union_sources": Q.q_union_sources,
+        "asof_user_order": Q.q_asof_user_order,
         "sample_langs": Q.q_sample_langs,
         "top_user_per_type": Q.q_top_user_per_type,
         # Text / dedup / fingerprints (N8 + training-data ops)
@@ -92,6 +93,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_windows": Q.SQL_SLIDING_WINDOWS,
         "distinct_langs": Q.SQL_DISTINCT_LANGS,
         "union_sources": Q.SQL_UNION_SOURCES,
+        "asof_user_order": Q.SQL_ASOF_USER_ORDER,
         "top_user_per_type": Q.SQL_TOP_USER_PER_TYPE,
         "exact_dedup": Q.SQL_EXACT_DEDUP,
         "token_stats": Q.SQL_TOKEN_STATS,

@@ -621,6 +621,70 @@ FROM exploded GROUP BY event_type, window_start
 """
 
 
+def q_asof_user_order(sf_dir: str):
+    """As-of join (ray_guide 'As-of / range join'): for every event,
+    the latest order of customer ``user_id`` with o_orderdate <= ts.
+    Broadcast per-customer sorted date arrays (ray.put once) +
+    vectorized searchsorted per batch — no shuffle; oracle is DuckDB's
+    native ASOF LEFT JOIN."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+    ck = orders["o_custkey"].to_numpy()
+    od = orders["o_orderdate"].cast(pa.int64()).to_numpy()  # µs epoch
+    order_lookup = {}
+    srt = np.lexsort((od, ck))
+    ck_s, od_s = ck[srt], od[srt]
+    bounds = np.flatnonzero(np.diff(ck_s)) + 1
+    for keys, dates in zip(np.split(ck_s, bounds), np.split(od_s, bounds)):
+        order_lookup[int(keys[0])] = dates
+    ref = ray.put(order_lookup)
+
+    def asof(batch: pa.Table) -> pa.Table:
+        lut = ray.get(ref)
+        uid = batch["user_id"].to_numpy()
+        ts = batch["ts"].cast(pa.int64()).to_numpy()
+        out = np.full(len(batch), -1, dtype=np.int64)
+        order = np.argsort(uid, kind="stable")
+        ub = np.flatnonzero(np.diff(uid[order])) + 1
+        for grp in np.split(order, ub):
+            dates = lut.get(int(uid[grp[0]]))
+            if dates is None:
+                continue
+            pos = np.searchsorted(dates, ts[grp], side="right") - 1
+            hit = pos >= 0
+            out[grp[hit]] = dates[pos[hit]]
+        t = pa.table(
+            {
+                "event_id": batch["event_id"],
+                "last_order_us": pa.array(
+                    np.where(out >= 0, out, 0), pa.int64()
+                ),
+                "has_order": pa.array(out >= 0, pa.bool_()),
+            }
+        )
+        return t
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return ds.map_batches(asof, batch_format="pyarrow")
+
+
+SQL_ASOF_USER_ORDER = """
+SELECT e.event_id,
+       coalesce(epoch_us(o.o_orderdate), 0) AS last_order_us,
+       o.o_orderdate IS NOT NULL AS has_order
+FROM events e
+ASOF LEFT JOIN orders o
+  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+"""
+
+
 def q_union_sources(sf_dir: str):
     """Set op: union of two disjoint slices reassembles the table
     (Dataset.union), proven by per-lang counts matching the whole."""
