@@ -46,11 +46,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_langs": Q.q_distinct_langs,
         "union_sources": Q.q_union_sources,
         "asof_user_order": Q.q_asof_user_order,
+        "envelope_join": Q.q_envelope_join,
         "sample_langs": Q.q_sample_langs,
         "top_user_per_type": Q.q_top_user_per_type,
         # Text / dedup / fingerprints (N8 + training-data ops)
         "exact_dedup": Q.q_exact_dedup,
         "token_stats": Q.q_token_stats,
+        "word_shape_stats": Q.q_word_shape_stats,
         "doc_fingerprints": Q.q_doc_fingerprints,
         "map_props_rewrite": Q.q_map_props_rewrite,
         "map_geometry_rewrite": Q.q_map_geometry_rewrite,
@@ -94,9 +96,11 @@ def oracle_sql() -> dict[str, str]:
         "distinct_langs": Q.SQL_DISTINCT_LANGS,
         "union_sources": Q.SQL_UNION_SOURCES,
         "asof_user_order": Q.SQL_ASOF_USER_ORDER,
+        "envelope_join": Q.SQL_ENVELOPE_JOIN,
         "top_user_per_type": Q.SQL_TOP_USER_PER_TYPE,
         "exact_dedup": Q.SQL_EXACT_DEDUP,
         "token_stats": Q.SQL_TOKEN_STATS,
+        "word_shape_stats": Q.SQL_WORD_SHAPE_STATS,
         "doc_fingerprints": Q.SQL_DOC_FINGERPRINTS,
         "map_props_rewrite": Q.SQL_MAP_PROPS_REWRITE,
         "map_geometry_rewrite": Q.SQL_MAP_GEOMETRY_REWRITE,

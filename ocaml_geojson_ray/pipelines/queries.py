@@ -621,6 +621,45 @@ FROM exploded GROUP BY event_type, window_start
 """
 
 
+def q_envelope_join(sf_dir: str):
+    """Envelope (range) join: supplier-derived query rects × part-
+    derived rect layer, strict-overlap rule, via the broadcast cell
+    index (spatial/join.EnvelopeJoiner)."""
+    import ray.data as rd
+
+    from ..spatial.join import envelope_join
+
+    def derive(batch: pa.Table) -> pa.Table:
+        sk = batch["s_suppkey"].to_numpy()
+        minx = ((sk * 7919) % 34000) / 100.0 - 170.0
+        miny = ((sk * 104729) % 16000) / 100.0 - 80.0
+        batch = batch.append_column("minx", pa.array(minx, pa.float64()))
+        batch = batch.append_column("miny", pa.array(miny, pa.float64()))
+        batch = batch.append_column("maxx", pa.array(minx + 3.0, pa.float64()))
+        return batch.append_column("maxy", pa.array(miny + 3.0, pa.float64()))
+
+    probe = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]
+    ).map_batches(derive, batch_format="pyarrow")
+    joined = envelope_join(probe, rect_polygons_rows(sf_dir), res=7)
+    return joined.select_columns(["s_suppkey", "poly_id"])
+
+
+SQL_ENVELOPE_JOIN = f"""
+WITH probe AS (
+  SELECT s_suppkey,
+         ((s_suppkey * 7919) % 34000) / 100.0 - 170.0 AS aminx,
+         ((s_suppkey * 104729) % 16000) / 100.0 - 80.0 AS aminy,
+         ((s_suppkey * 7919) % 34000) / 100.0 - 170.0 + 3.0 AS amaxx,
+         ((s_suppkey * 104729) % 16000) / 100.0 - 80.0 + 3.0 AS amaxy
+  FROM supplier),
+rects AS ({RECTS_SQL})
+SELECT s_suppkey, poly_id
+FROM probe JOIN rects
+  ON aminx < maxx AND amaxx > minx AND aminy < maxy AND amaxy > miny
+"""
+
+
 def q_asof_user_order(sf_dir: str):
     """As-of join (ray_guide 'As-of / range join'): for every event,
     the latest order of customer ``user_id`` with o_orderdate <= ts.
@@ -830,6 +869,46 @@ SELECT lang, count(*) AS n_docs,
        sum(len(string_split_regex(trim(text), '\\s+'))) AS sum_tokens,
        sum(len(regexp_extract_all(text, '\\w+'))) AS sum_words,
        sum(length(text)) AS sum_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_word_shape_stats(sf_dir: str):
+    """Per-language word-shape stats with integer sums (exact oracle):
+    total word characters + uppercase/digit char counts."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def shape(batch: pa.Table) -> pa.Table:
+        import re
+
+        word = re.compile(r"\w+", re.UNICODE)
+        texts = batch["text"].to_pylist()
+        wc = np.empty(len(texts), dtype=np.int64)
+        up = np.empty(len(texts), dtype=np.int64)
+        dg = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            wc[i] = sum(len(w) for w in word.findall(t))
+            up[i] = sum(c.isupper() for c in t)
+            dg[i] = sum(c.isdigit() for c in t)
+        batch = batch.append_column("word_chars", pa.array(wc, pa.int64()))
+        batch = batch.append_column("upper_chars", pa.array(up, pa.int64()))
+        return batch.append_column("digit_chars", pa.array(dg, pa.int64()))
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text", "lang"])
+    return ds.map_batches(shape, batch_format="pyarrow").groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("word_chars", alias_name="sum_word_chars"),
+        Sum("upper_chars", alias_name="sum_upper_chars"),
+        Sum("digit_chars", alias_name="sum_digit_chars"),
+    )
+
+
+SQL_WORD_SHAPE_STATS = """
+SELECT lang, count(*) AS n_docs,
+       sum(length(regexp_replace(text, '\\W', '', 'g'))) AS sum_word_chars,
+       sum(length(regexp_replace(text, '[^A-Z]', '', 'g'))) AS sum_upper_chars,
+       sum(length(regexp_replace(text, '[^0-9]', '', 'g'))) AS sum_digit_chars
 FROM documents GROUP BY lang
 """
 

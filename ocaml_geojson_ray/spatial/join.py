@@ -272,6 +272,85 @@ def spatial_join_points(points_ds, polygons_path,
     )
 
 
+# -- envelope (range) join --------------------------------------------------
+
+class EnvelopeJoiner:
+    """Broadcast envelope-overlap join: probe envelopes × indexed
+    polygon-layer envelopes.
+
+    Candidates come from the probe envelope's covering cells, deduped
+    per probe before the overlap test. (In the partitioned/shuffled
+    variant of this join, the equivalent dedup is the REFERENCE-POINT
+    rule: emit a pair only from the cell containing the intersection's
+    lower-left corner — exactly one cell per pair, no post-shuffle
+    distinct.)
+
+    Overlap rule (strict, mirroring the SQL oracle): a.minx < b.maxx
+    AND a.maxx > b.minx AND a.miny < b.maxy AND a.maxy > b.miny —
+    touching edges do NOT join.
+    """
+
+    def __init__(self, index_ref):
+        import ray
+
+        self.index: PolygonIndex = ray.get(index_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idx = self.index
+        res = idx.res
+        minx = batch["minx"].to_numpy(zero_copy_only=False)
+        miny = batch["miny"].to_numpy(zero_copy_only=False)
+        maxx = batch["maxx"].to_numpy(zero_copy_only=False)
+        maxy = batch["maxy"].to_numpy(zero_copy_only=False)
+        # every build polygon's exact envelope (rect or not)
+        use = np.asarray(idx.bbox, dtype=np.float64)
+        out_pt, out_poly = [], []
+        for i in range(len(batch)):
+            if np.isnan(minx[i]):
+                continue
+            cand_set = {}
+            for cell in C.cover_bbox(minx[i], miny[i], maxx[i], maxy[i], res):
+                hit = idx.cell_to_polys.get(int(cell))
+                if hit is None:
+                    continue
+                for pl in hit:
+                    cand_set[int(pl)] = None
+            if not cand_set:
+                continue
+            cand = np.fromiter(cand_set.keys(), dtype=np.int64, count=len(cand_set))
+            b = use[cand]
+            overlap = (
+                (minx[i] < b[:, 2]) & (maxx[i] > b[:, 0])
+                & (miny[i] < b[:, 3]) & (maxy[i] > b[:, 1])
+            )
+            hits = cand[overlap]
+            if len(hits):
+                out_pt.append(np.full(len(hits), i, dtype=np.int64))
+                out_poly.append(hits)
+        if out_pt:
+            rows = np.concatenate(out_pt)
+            polys = np.concatenate(out_poly)
+        else:
+            rows = np.empty(0, dtype=np.int64)
+            polys = np.empty(0, dtype=np.int64)
+        out = batch.take(pa.array(rows))
+        return out.append_column(
+            "poly_id", pa.array(self.index.poly_ids[polys], pa.int64())
+        )
+
+
+def envelope_join(probe_ds, polygons, res: int = DEFAULT_JOIN_RES):
+    """Envelope-overlap join: probe Dataset (minx..maxy columns) ×
+    broadcast polygon layer."""
+    ref = broadcast_polygon_index(polygons, res)
+    return probe_ds.map_batches(
+        EnvelopeJoiner,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
 # -- large-large fallback ---------------------------------------------------
 
 def add_cell_column(batch: pa.Table, res: int = DEFAULT_JOIN_RES,
