@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_assign_counts": Q.q_tile_assign_counts,
         "spatial_join_rect": Q.q_spatial_join_rect,
         "knn_rect": Q.q_knn_rect,
+        "knn_points": Q.q_knn_points,
         "hot_cells": Q.q_hot_cells,
         # Relational breadth
         "pricing_summary": Q.q_pricing_summary,
@@ -85,6 +86,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_assign_counts": Q.SQL_TILE_ASSIGN,
         "spatial_join_rect": Q.SQL_SPATIAL_JOIN_RECT,
         "knn_rect": Q.SQL_KNN_RECT,
+        "knn_points": Q.SQL_KNN_POINTS,
         "hot_cells": Q.SQL_HOT_CELLS,
         "pricing_summary": Q.SQL_PRICING_SUMMARY,
         "top_orders": Q.SQL_TOP_ORDERS,

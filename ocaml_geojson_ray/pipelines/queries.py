@@ -342,6 +342,70 @@ FROM r WHERE knn_rank < 3
 """
 
 
+def q_knn_points(sf_dir: str):
+    """Point-to-point kNN (N6's second half): 3 nearest lineitem-derived
+    points per supplier point. Exact; tie-break (distance, neighbor id).
+
+    The neighbor id packs (l_orderkey, l_linenumber) as
+    ``l_orderkey * 10 + l_linenumber`` (linenumber < 10) so the oracle
+    can reproduce it."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..spatial.knn import knn_point_to_point
+
+    t = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_partkey"],
+    )
+    ok_ = t["l_orderkey"].to_numpy()
+    ln = t["l_linenumber"].to_numpy().astype(np.int64)
+    pk = t["l_partkey"].to_numpy()
+    tlng = ((ok_ * 7919 + ln * 104729) % 36000) / 100.0 - 180.0
+    tlat = ((ok_ * 104729 + pk * 7919) % 18000) / 100.0 - 90.0
+    tids = ok_ * 10 + ln
+
+    def derive(batch: pa.Table) -> pa.Table:
+        sk = batch["s_suppkey"].to_numpy()
+        lng = ((sk * 7919) % 36000) / 100.0 - 180.0
+        lat = ((sk * 104729) % 18000) / 100.0 - 90.0
+        batch = batch.append_column("lng", pa.array(lng, pa.float64()))
+        return batch.append_column("lat", pa.array(lat, pa.float64()))
+
+    q = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]
+    ).map_batches(derive, batch_format="pyarrow")
+    kn = knn_point_to_point(q, tids, tlng, tlat, k=3)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = np.round(batch["distance_deg"].to_numpy(), 6)
+        out = batch.select(["s_suppkey", "knn_rank", "neighbor_id"])
+        return out.append_column("distance_deg", pa.array(d, pa.float64()))
+
+    return kn.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_KNN_POINTS = f"""
+WITH q AS ({SUPPLIER_POINTS_SQL}),
+t AS (
+  SELECT l_orderkey * 10 + l_linenumber AS neighbor_id,
+         ((l_orderkey * 7919 + l_linenumber * 104729) % 36000) / 100.0 - 180.0 AS px,
+         ((l_orderkey * 104729 + l_partkey * 7919) % 18000) / 100.0 - 90.0 AS py
+  FROM lineitem),
+d AS (
+  SELECT q.s_suppkey, t.neighbor_id,
+         (q.lng - t.px) * (q.lng - t.px) + (q.lat - t.py) * (q.lat - t.py) AS d2
+  FROM q CROSS JOIN t),
+r AS (
+  SELECT s_suppkey, neighbor_id, d2,
+         row_number() OVER (PARTITION BY s_suppkey ORDER BY d2, neighbor_id) - 1 AS knn_rank
+  FROM d)
+SELECT s_suppkey, knn_rank::INTEGER AS knn_rank, neighbor_id,
+       round(sqrt(d2), 6) AS distance_deg
+FROM r WHERE knn_rank < 3
+"""
+
+
 def q_hot_cells(sf_dir: str):
     """Skew handling (N9): hot-cell detection via salted two-phase
     aggregation (sum on (cell, salt), then on cell), HAVING >= 100."""

@@ -184,6 +184,72 @@ class KnnJoiner:
         return out
 
 
+class PointKnn:
+    """k nearest POINTS per query point (the other half of N6).
+
+    The target point set (ids, lng, lat arrays) is broadcast once;
+    each batch of query points does a chunked vectorized distance
+    matrix + argpartition — exact. For target sets beyond broadcast
+    size, bucket targets by cell and reuse the ring/bound machinery
+    (the polygon path above); this class is the dense exact kernel.
+
+    Distance parity with SQL: d2 = (qx-px)^2 + (qy-py)^2 — the same
+    two IEEE multiplies and one add in both engines, bitwise equal.
+    """
+
+    CHUNK_DOUBLES = 48_000_000
+
+    def __init__(self, targets_ref, k: int = 3):
+        import ray
+
+        self.ids, self.px, self.py = ray.get(targets_ref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qx = batch["lng"].to_numpy(zero_copy_only=False)
+        qy = batch["lat"].to_numpy(zero_copy_only=False)
+        n_t = len(self.px)
+        k = min(self.k, n_t)
+        chunk = max(1, self.CHUNK_DOUBLES // max(1, n_t))
+        rows, ranks, nbr, dist = [], [], [], []
+        for s in range(0, len(batch), chunk):
+            e = min(len(batch), s + chunk)
+            dx = qx[s:e, None] - self.px[None, :]
+            dy = qy[s:e, None] - self.py[None, :]
+            d2 = dx * dx + dy * dy
+            part = np.argpartition(d2, k - 1, axis=1)[:, :k]
+            for li in range(e - s):
+                cand = part[li]
+                dd = d2[li, cand]
+                order = np.lexsort((self.ids[cand], dd))
+                for rank, ci in enumerate(order):
+                    rows.append(s + li)
+                    ranks.append(rank)
+                    nbr.append(int(self.ids[cand[ci]]))
+                    dist.append(float(np.sqrt(dd[ci])))
+        out = batch.take(pa.array(rows, pa.int64()))
+        out = out.append_column("knn_rank", pa.array(ranks, pa.int32()))
+        out = out.append_column("neighbor_id", pa.array(nbr, pa.int64()))
+        return out.append_column("distance_deg", pa.array(dist, pa.float64()))
+
+
+def knn_point_to_point(query_ds, target_ids, target_lng, target_lat,
+                       k: int = 3, concurrency=(1, 4)):
+    import ray
+
+    ref = ray.put((
+        np.asarray(target_ids, dtype=np.int64),
+        np.asarray(target_lng, dtype=np.float64),
+        np.asarray(target_lat, dtype=np.float64),
+    ))
+    return query_ds.map_batches(
+        PointKnn,
+        fn_constructor_args=(ref, k),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
 def knn_points(points_ds, polygons_path: str, k: int = 3,
                res: int = 9, concurrency=None, batch_size: int | None = None):
     import ray
