@@ -31,6 +31,11 @@ PARSED_SCHEMA = pa.schema(
         ("ok", pa.bool_()),
         ("error", pa.string()),
         ("raised", pa.bool_()),
+        # error location for malformed-JSON verdicts (the reference's
+        # Err.t carries ((l1,c1),(l2,c2)) ranges, geojsone.ml:27-37; our
+        # decoder reports a single position)
+        ("error_line", pa.int32()),
+        ("error_col", pa.int32()),
         ("doc_kind", pa.string()),
         ("geom_type", pa.string()),
         ("geometry_json", pa.string()),
@@ -138,16 +143,22 @@ def parse_candidates_batch(batch: pa.Table) -> pa.Table:
     langs = batch["lang"].to_pylist()
     cidx = batch["cand_idx"].to_pylist()
     docs = batch["cand_text"].to_pylist()
+    import re as _re
+
+    loc_re = _re.compile(r"line (\d+) column (\d+)")
     for i, doc in enumerate(docs):
         base = dict(url=urls[i], warc_ts=tss[i], lang=langs[i], cand_idx=cidx[i])
         obj, err, raised = parse_text(doc)
         if obj is None:
+            m = loc_re.search(err) if err else None
             rows.add(
                 **base,
                 feat_idx=0,
                 ok=False,
                 error=err,
                 raised=raised,
+                error_line=int(m.group(1)) if m else None,
+                error_col=int(m.group(2)) if m else None,
             )
             continue
         v = obj.value
