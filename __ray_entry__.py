@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_mine_verdicts": Q.q_pages_mine_verdicts,
         "pages_spatial_join": Q.q_pages_spatial_join,
         "pages_tile_topk": Q.q_pages_tile_topk,
+        "pages_tile_vectorize": Q.q_pages_tile_vectorize,
     }
 
 

@@ -1443,6 +1443,31 @@ def q_pages_spatial_join(sf_dir: str):
     return joined.select_columns(["url", "cand_idx", "feat_idx", "poly_id"])
 
 
+def q_pages_tile_vectorize(sf_dir: str):
+    """Raster→vector: densest tiles re-emitted as canonical GeoJSON
+    Features; every emitted document must re-parse Ok (asserted here —
+    the round-trip through our own validator is the check)."""
+    from ..core.parse import parse_text
+    from ..stages.tiles_stage import densest_tiles, tiles_to_features
+    from .flagship import parsed_features
+
+    feats = parsed_features(_pages_for(sf_dir))
+    ok_feats = feats.map_batches(
+        lambda b: b.filter(b["ok"]), batch_format="pyarrow"
+    )
+    top = densest_tiles(ok_feats, zooms=(6,), top=20)
+    vec = tiles_to_features(top)
+
+    def check(batch: pa.Table) -> pa.Table:
+        oks = []
+        for d in batch["feature_json"].to_pylist():
+            obj, err, raised = parse_text(d)
+            oks.append(err is None and obj.value.geometry.type == "Polygon")
+        return batch.append_column("reparses_ok", pa.array(oks, pa.bool_()))
+
+    return vec.map_batches(check, batch_format="pyarrow")
+
+
 def q_pages_tile_topk(sf_dir: str):
     """Flagship densest-tiles (N7+N11+N12 end-to-end)."""
     from ..stages.tiles_stage import densest_tiles

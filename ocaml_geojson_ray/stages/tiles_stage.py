@@ -86,6 +86,41 @@ def tile_stats(features_ds, zooms=DEFAULT_ZOOMS):
     )
 
 
+def tiles_to_features(stats_ds):
+    """Raster → vector: each aggregated tile becomes a canonical
+    GeoJSON Feature (Polygon of the tile bounds, stats as properties),
+    serialized by the byte-exact engine serializer — the inverse
+    direction of assign_tiles_batch, closing the raster↔vector loop."""
+    from ..core.model import Feature, Geometry
+    from ..core.serialize import feature_to_text
+
+    def vectorize(batch: pa.Table) -> pa.Table:
+        zs = batch["z"].to_pylist()
+        xs = batch["x"].to_pylist()
+        ys = batch["y"].to_pylist()
+        ns = batch["n_features"].to_pylist()
+        docs = []
+        for z, x, y, n in zip(zs, xs, ys, ns):
+            minlng, minlat, maxlng, maxlat = T.tile_bounds(z, x, y)
+            ring = [
+                [float(minlng), float(minlat)],
+                [float(maxlng), float(minlat)],
+                [float(maxlng), float(maxlat)],
+                [float(minlng), float(maxlat)],
+                [float(minlng), float(minlat)],
+            ]
+            f = Feature(
+                geometry=Geometry("Polygon", [ring]),
+                properties={"z": float(z), "x": float(x), "y": float(y),
+                            "n_features": float(n)},
+                properties_present=True,
+            )
+            docs.append(feature_to_text(f))
+        return batch.append_column("feature_json", pa.array(docs, pa.string()))
+
+    return stats_ds.map_batches(vectorize, batch_format="pyarrow")
+
+
 def densest_tiles(features_ds, zooms=DEFAULT_ZOOMS, top: int = 20):
     """Global top-k (N11): sort by count desc, limit k."""
     return tile_stats(features_ds, zooms).sort("n_features", descending=True).limit(top)
