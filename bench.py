@@ -150,9 +150,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("cell_assign_counts", Q.q_cell_assign_counts)
     timed("tile_assign_counts", Q.q_tile_assign_counts)
     timed("spatial_join_rect", Q.q_spatial_join_rect)
+    timed("envelope_join", Q.q_envelope_join)
     timed("knn_rect", Q.q_knn_rect)
+    timed("knn_points", Q.q_knn_points)
     timed("pricing_summary", Q.q_pricing_summary)
     timed("events_window", Q.q_events_window)
+    timed("session_windows", Q.q_session_windows)
+    timed("asof_user_order", Q.q_asof_user_order)
     timed("exact_dedup", Q.q_exact_dedup)
     timed("minhash_neardups", Q.q_minhash_neardups)
     timed("ann_cosine_topk", Q.q_ann_cosine_topk)

@@ -441,11 +441,16 @@ def cell_partitioned_join(points_ds, polys_ds, res: int = DEFAULT_JOIN_RES):
         lat = batch["lat"].to_numpy(zero_copy_only=False)
         keep = np.zeros(len(batch), dtype=bool)
         rings_col = batch["rings_json"].to_pylist()
-        for i in range(len(batch)):
-            rings = _json.loads(rings_col[i])
-            keep[i] = bool(
-                P.points_in_polygon(lng[i : i + 1], lat[i : i + 1], rings)[0]
-            )
+        # group candidate rows by polygon so each PIP is one vectorized
+        # call over that polygon's points (parse each ring set once)
+        by_poly: dict = {}
+        pids = batch["poly_id"].to_pylist()
+        for i, pid in enumerate(pids):
+            by_poly.setdefault(pid, []).append(i)
+        for pid, idxs in by_poly.items():
+            rings = _json.loads(rings_col[idxs[0]])
+            ii = np.asarray(idxs, dtype=np.int64)
+            keep[ii] = P.points_in_polygon(lng[ii], lat[ii], rings)
         return batch.filter(pa.array(keep)).drop_columns(["rings_json"])
 
     return joined.map_batches(refine, batch_format="pyarrow")
