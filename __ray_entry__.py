@@ -51,6 +51,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_langs": Q.q_sample_langs,
         "top_user_per_type": Q.q_top_user_per_type,
         # Text / dedup / fingerprints (N8 + training-data ops)
+        "semi_join_segment": Q.q_semi_join_segment,
+        "anti_join_segment": Q.q_anti_join_segment,
+        "hll_distinct_users": Q.q_hll_distinct_users,
         "exact_dedup": Q.q_exact_dedup,
         "token_stats": Q.q_token_stats,
         "word_shape_stats": Q.q_word_shape_stats,
@@ -101,6 +104,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_user_order": Q.SQL_ASOF_USER_ORDER,
         "envelope_join": Q.SQL_ENVELOPE_JOIN,
         "top_user_per_type": Q.SQL_TOP_USER_PER_TYPE,
+        "semi_join_segment": Q.SQL_SEMI_JOIN_SEGMENT,
+        "anti_join_segment": Q.SQL_ANTI_JOIN_SEGMENT,
         "exact_dedup": Q.SQL_EXACT_DEDUP,
         "token_stats": Q.SQL_TOKEN_STATS,
         "word_shape_stats": Q.SQL_WORD_SHAPE_STATS,

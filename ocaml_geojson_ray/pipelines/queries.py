@@ -896,6 +896,113 @@ SELECT event_type, rnk, user_id, value FROM r WHERE rnk <= 3
 # Text / dedup / fingerprints over documents
 # ==========================================================================
 
+def q_semi_join_segment(sf_dir: str):
+    """Broadcast semi-join (guide: 'Semi / anti join'): orders whose
+    customer is in the BUILDING segment. A Bloom filter prefilters each
+    batch (the 100TB pattern — the filter ships instead of the key
+    set), then the exact broadcast set removes false positives, so the
+    result is exact and oracle-checkable."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ..stages.sketches import BloomFilter
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = [
+        k for k, seg in zip(cust["c_custkey"].to_pylist(),
+                            cust["c_mktsegment"].to_pylist())
+        if seg == "BUILDING"
+    ]
+    bloom = BloomFilter(max(8, len(keys)), fpr=0.01).add_many(keys)
+    refs = ray.put((bloom, frozenset(keys)))
+
+    def semi(batch: pa.Table) -> pa.Table:
+        bf, exact = ray.get(refs)
+        ck = batch["o_custkey"].to_pylist()
+        maybe = bf.contains_many(ck)
+        keep = [bool(m) and k in exact for m, k in zip(maybe, ck)]
+        return batch.filter(pa.array(keep))
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    return ds.map_batches(semi, batch_format="pyarrow")
+
+
+SQL_SEMI_JOIN_SEGMENT = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+
+def q_anti_join_segment(sf_dir: str):
+    """Broadcast anti-join: orders whose customer is NOT in BUILDING.
+    Bloom says 'definitely not in' with no false negatives, so the
+    anti-side fast path is exact for bloom-misses; bloom-hits fall back
+    to the exact set."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ..stages.sketches import BloomFilter
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = [
+        k for k, seg in zip(cust["c_custkey"].to_pylist(),
+                            cust["c_mktsegment"].to_pylist())
+        if seg == "BUILDING"
+    ]
+    bloom = BloomFilter(max(8, len(keys)), fpr=0.01).add_many(keys)
+    refs = ray.put((bloom, frozenset(keys)))
+
+    def anti(batch: pa.Table) -> pa.Table:
+        bf, exact = ray.get(refs)
+        ck = batch["o_custkey"].to_pylist()
+        maybe = bf.contains_many(ck)
+        keep = [(not m) or (k not in exact) for m, k in zip(maybe, ck)]
+        return batch.filter(pa.array(keep))
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    return ds.map_batches(anti, batch_format="pyarrow")
+
+
+SQL_ANTI_JOIN_SEGMENT = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+
+def q_hll_distinct_users(sf_dir: str):
+    """Mergeable-sketch aggregation (HLL): approx distinct users per
+    event_type; the shuffle moves one 4KB sketch per (key, batch), not
+    user ids. Rows-only — but self-checking: asserts < 5% error vs the
+    exact distinct count computed alongside."""
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    from ..stages.sketches import hll_distinct
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    approx = hll_distinct(ds, ["event_type"], "user_id").to_pandas()
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    exact = t.to_pandas().groupby("event_type")["user_id"].nunique()
+    approx["exact_distinct"] = approx["event_type"].map(exact).astype("int64")
+    err = (approx["approx_distinct"] - approx["exact_distinct"]).abs() / approx[
+        "exact_distinct"
+    ]
+    assert (err < 0.05).all(), err
+    return pa.Table.from_pandas(approx, preserve_index=False)
+
+
 def q_exact_dedup(sf_dir: str):
     import ray.data as rd
 

@@ -1,0 +1,144 @@
+"""Mergeable sketches (the guide's 'Aggregation at scale' pattern:
+emit one serialized sketch per batch, merge in a tiny second stage).
+
+- ``HyperLogLog``   — approximate distinct counting, 2^p registers,
+  numpy-vectorized add; standard bias-corrected estimator.
+- ``BloomFilter``   — membership with configured false-positive rate,
+  vectorized k-hash add/contains; used for broadcast semi/anti joins
+  where the key set is large (the exact-set variant in queries.py is
+  the small-side case).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+
+def _hash64(values) -> np.ndarray:
+    """Stable 64-bit hashes for arbitrary values (md5-based; not
+    PYTHONHASHSEED-dependent)."""
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        b = repr(v).encode("utf-8") if not isinstance(v, bytes) else v
+        out[i] = struct.unpack("<Q", hashlib.md5(b).digest()[:8])[0]
+    return out
+
+
+class HyperLogLog:
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_many(self, values) -> "HyperLogLog":
+        h = _hash64(values)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        width = 64 - self.p
+        w = (h << np.uint64(self.p)) >> np.uint64(self.p)  # low `width` bits
+        # exact bit_length: split so every float conversion is < 2^53
+        hi = (w >> np.uint64(11)).astype(np.float64)
+        lo = (w & np.uint64((1 << 11) - 1)).astype(np.float64)
+        bl = np.where(
+            hi > 0,
+            np.floor(np.log2(np.where(hi > 0, hi, 1.0))) + 1.0 + 11.0,
+            np.where(lo > 0, np.floor(np.log2(np.where(lo > 0, lo, 1.0))) + 1.0, 0.0),
+        )
+        rank = (width - bl + 1.0).astype(np.uint8)  # w == 0 → width + 1
+        np.maximum.at(self.registers, idx, rank)
+        return self
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.exp2(-self.registers.astype(np.float64)))
+        if est <= 2.5 * m:
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                est = m * np.log(m / zeros)
+        return float(est)
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, p: int = 12) -> "HyperLogLog":
+        h = cls(p)
+        h.registers = np.frombuffer(b, dtype=np.uint8).copy()
+        return h
+
+
+class BloomFilter:
+    def __init__(self, n_items: int, fpr: float = 0.01):
+        m = int(-n_items * np.log(fpr) / (np.log(2) ** 2)) + 8
+        self.m = m
+        self.k = max(1, int(round(m / max(1, n_items) * np.log(2))))
+        self.bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+
+    def _positions(self, values) -> np.ndarray:
+        h = _hash64(values)
+        h1 = h & np.uint64(0xFFFFFFFF)
+        h2 = h >> np.uint64(32)
+        ks = np.arange(self.k, dtype=np.uint64)
+        return ((h1[:, None] + ks[None, :] * h2[:, None])
+                % np.uint64(self.m)).astype(np.int64)
+
+    def add_many(self, values) -> "BloomFilter":
+        pos = self._positions(values).ravel()
+        np.bitwise_or.at(self.bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+        return self
+
+    def contains_many(self, values) -> np.ndarray:
+        pos = self._positions(values)
+        got = (self.bits[pos // 8] >> (pos % 8).astype(np.uint8)) & 1
+        return got.all(axis=1).astype(bool)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        return self
+
+
+def hll_distinct(ds, key_cols, value_col: str, p: int = 12):
+    """Approximate distinct values of ``value_col`` per key group:
+    one HLL per (key, batch) serialized to bytes, merged per key in a
+    tiny map_groups — the shuffle carries sketches, never raw values."""
+    import pandas as pd
+    import pyarrow as pa
+
+    key_cols = list(key_cols)
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        df = batch.select(key_cols + [value_col]).to_pandas()
+        rows = []
+        for keys, grp in df.groupby(key_cols):
+            h = HyperLogLog(p).add_many(grp[value_col].tolist())
+            keys = keys if isinstance(keys, tuple) else (keys,)
+            rows.append((*keys, h.to_bytes()))
+        return pa.table(
+            {
+                **{k: pa.array([r[i] for r in rows]) for i, k in enumerate(key_cols)},
+                "sketch": pa.array([r[-1] for r in rows], pa.binary()),
+            }
+        )
+
+    def merge_sketches(g: pd.DataFrame) -> pd.DataFrame:
+        h = HyperLogLog(p)
+        for b in g["sketch"]:
+            h.merge(HyperLogLog.from_bytes(b, p))
+        out = {k: [g[k].iloc[0]] for k in key_cols}
+        out["approx_distinct"] = [round(h.estimate())]
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(sketch_batch, batch_format="pyarrow")
+        .groupby(key_cols)
+        .map_groups(merge_sketches, batch_format="pandas")
+    )

@@ -263,3 +263,23 @@ def test_counter_actor(ray_session):
     ray.get(c.incr_many.remote({"x": 1, "y": 5}))
     snap = ray.get(c.snapshot.remote())
     assert snap == {"x": 3, "y": 5}
+
+
+def test_hll_accuracy_and_merge():
+    from ocaml_geojson_ray.stages.sketches import HyperLogLog
+
+    a = HyperLogLog(12).add_many(list(range(5000)))
+    b = HyperLogLog(12).add_many(list(range(2500, 7500)))
+    a.merge(b)
+    assert abs(a.estimate() - 7500) / 7500 < 0.05
+    c = HyperLogLog.from_bytes(a.to_bytes(), 12)
+    assert c.estimate() == a.estimate()
+
+
+def test_bloom_no_false_negatives():
+    from ocaml_geojson_ray.stages.sketches import BloomFilter
+
+    bf = BloomFilter(5000, fpr=0.01).add_many(list(range(5000)))
+    assert bf.contains_many(list(range(5000))).all()
+    fpr = bf.contains_many(list(range(5000, 25000))).mean()
+    assert fpr < 0.03
