@@ -157,6 +157,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("events_window", Q.q_events_window)
     timed("session_windows", Q.q_session_windows)
     timed("asof_user_order", Q.q_asof_user_order)
+    timed("semi_join_segment", Q.q_semi_join_segment)
+    timed("hll_distinct_users", Q.q_hll_distinct_users)
     timed("exact_dedup", Q.q_exact_dedup)
     timed("minhash_neardups", Q.q_minhash_neardups)
     timed("ann_cosine_topk", Q.q_ann_cosine_topk)
