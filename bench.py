@@ -12,16 +12,15 @@ write parquet), streaming end to end. Page-table generation is cached
 setup (untimed): the table is the INPUT, not the work.
 
 --scaling: runs the headline twice in fresh processes at
-RAY_GRAFT_CPUS_LO/HI on the same (4x-sized, cached) input and reports
+RAY_GRAFT_CPUS_LO/HI on the same (8x-sized, cached) input and reports
 both throughputs + scaling efficiency (the sandbox substitute for N vs
-4N nodes, BASELINE.json north_rule); the input is 8x the sf's page
-count so fixed overhead stays <3% of the low-CPU runtime. Defaults are LO=2/HI=8: a
+4N nodes, BASELINE.json north_rule). Defaults are LO=2/HI=8: a
 fixed-work burn test shows this sandbox delivers ~12.5 effective cores
 at 32-wide (2.1 at 2-wide, 6.8 at 8-wide) — the hardware itself scales
 only 1.84x from 8 to 32 slots, so 2->8 is the band where engine
-scaling is observable (ceiling 0.81); the input is 4x the sf's page
-count so fixed per-pipeline overhead (~1s) is amortized, and one
-untimed warm-up run spawns workers/imports before the timed run.
+scaling is observable. The 8x input keeps fixed per-pipeline overhead
+(~1.5 s) under 3% of the low-CPU runtime, and one untimed warm-up run
+spawns workers/imports before the timed run.
 """
 
 from __future__ import annotations
