@@ -351,6 +351,49 @@ def envelope_join(probe_ds, polygons, res: int = DEFAULT_JOIN_RES):
     )
 
 
+def spatial_join_features(features_ds, polygons, res: int = DEFAULT_JOIN_RES):
+    """Mixed-geometry join of parsed features against a polygon layer:
+    Point rows go through the exact PIP join; every other geometry
+    joins by envelope overlap (documented approximation for non-point
+    shapes — exact refinement would intersect geometries). Returns the
+    union with a ``join_kind`` column ('pip' | 'envelope')."""
+    import pyarrow.compute as pc
+
+    ref = broadcast_polygon_index(polygons, res)
+
+    def pts_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.and_(pc.equal(b["geom_type"], "Point"), b["ok"]))
+
+    def nonpts_only(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.and_(
+                pc.and_(b["ok"], pc.invert(pc.equal(b["geom_type"], "Point"))),
+                pc.is_valid(b["minx"]),
+            )
+        )
+
+    pip = features_ds.map_batches(pts_only, batch_format="pyarrow").map_batches(
+        join_batch_fn, fn_kwargs={"index_ref": ref}, batch_format="pyarrow"
+    )
+    pip = pip.map_batches(
+        lambda b: b.append_column(
+            "join_kind", pa.array(["pip"] * len(b), pa.string())
+        ),
+        batch_format="pyarrow",
+    ).drop_columns(["poly_name"])
+    env = features_ds.map_batches(nonpts_only, batch_format="pyarrow").map_batches(
+        EnvelopeJoiner, fn_constructor_args=(ref,), batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    env = env.map_batches(
+        lambda b: b.append_column(
+            "join_kind", pa.array(["envelope"] * len(b), pa.string())
+        ),
+        batch_format="pyarrow",
+    )
+    return pip.union(env)
+
+
 # -- large-large fallback ---------------------------------------------------
 
 def add_cell_column(batch: pa.Table, res: int = DEFAULT_JOIN_RES,

@@ -85,3 +85,21 @@ def test_flagship_resumable(ray_session, tmp_path):
     # second run: nothing to do (manifest complete)
     second = flagship_resumable(pages, polys, out)
     assert second == {}
+
+
+def test_spatial_join_features_mixed(ray_session, tmp_path):
+    """Mixed-geometry join: points via PIP, other geometries via
+    envelope overlap, unioned with a join_kind tag."""
+    from ocaml_geojson_ray.pipelines.flagship import parsed_features
+    from ocaml_geojson_ray.sources.pages import materialize_pages_parquet
+    from ocaml_geojson_ray.sources.polygons import generate_polygon_layer
+    from ocaml_geojson_ray.spatial.join import spatial_join_features
+
+    pages = materialize_pages_parquet(0.0005, root=str(tmp_path))
+    polys = generate_polygon_layer(0.01, root=str(tmp_path))
+    feats = parsed_features(pages)
+    out = spatial_join_features(feats, polys).take_all()
+    kinds = {r["join_kind"] for r in out}
+    assert "envelope" in kinds  # polygons/linestrings matched by bbox
+    for r in out:
+        assert r["poly_id"] is not None
