@@ -446,20 +446,35 @@ FROM pts GROUP BY cell HAVING count(*) >= 100
 
 def q_pricing_summary(sf_dir: str):
     """TPC-H-Q1-shaped grouped aggregation with map-side pre-agg.
-    Sums of 2-decimal values are decimal-grid exact → round(_, 4) is
-    bitwise-stable vs the oracle."""
+
+    Money sums use EXACT integer arithmetic: 2-decimal prices become
+    cents (int64), 4-decimal disc_price becomes 1e-4 units — float
+    sums of ~5e9 at sf0.1 accumulate ulp error past any rounding
+    granularity (observed: 5298232731.03 vs .0299 across engines), but
+    integer sums are order-independent and bitwise equal; the final
+    divide is the same single double op on both sides."""
     from ray.data.aggregate import Sum
 
     import ray.data as rd
 
     def partial(batch: pa.Table) -> pa.Table:
-        disc_price = pc.multiply(
-            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        price = batch["l_extendedprice"].to_numpy()
+        disc = batch["l_discount"].to_numpy()
+        qty = batch["l_quantity"].to_numpy()
+        cents = np.round(price * 100.0).astype(np.int64)
+        disc_t = np.round(price * (1.0 - disc) * 10000.0).astype(np.int64)
+        qty_c = np.round(qty * 100.0).astype(np.int64)
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qc": pa.array(qty_c, pa.int64()),
+                "pc": pa.array(cents, pa.int64()),
+                "dc": pa.array(disc_t, pa.int64()),
+            }
         )
-        batch = batch.append_column("disc_price", disc_price)
-        t = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
-            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
-             ("disc_price", "sum"), ("l_quantity", "count")]
+        t = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qc", "sum"), ("pc", "sum"), ("dc", "sum"), ("qc", "count")]
         )
         return t.rename_columns(
             ["l_returnflag", "l_linestatus", "sq", "sp", "sd", "cnt"]
@@ -473,28 +488,32 @@ def q_pricing_summary(sf_dir: str):
     agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
         ["l_returnflag", "l_linestatus"]
     ).aggregate(
-        Sum("sq", alias_name="sum_qty"),
-        Sum("sp", alias_name="sum_base_price"),
-        Sum("sd", alias_name="sum_disc_price"),
+        Sum("sq", alias_name="sq"),
+        Sum("sp", alias_name="sp"),
+        Sum("sd", alias_name="sd"),
         Sum("cnt", alias_name="count_order"),
     )
 
-    def rounder(batch: pa.Table) -> pa.Table:
-        for col in ("sum_qty", "sum_base_price", "sum_disc_price"):
-            i = batch.schema.get_field_index(col)
-            batch = batch.set_column(
-                i, col, pa.array(np.round(batch[col].to_numpy(), 4), pa.float64())
-            )
-        return batch
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": pa.array(batch["sq"].to_numpy() / 100.0, pa.float64()),
+                "sum_base_price": pa.array(batch["sp"].to_numpy() / 100.0, pa.float64()),
+                "sum_disc_price": pa.array(batch["sd"].to_numpy() / 10000.0, pa.float64()),
+                "count_order": batch["count_order"],
+            }
+        )
 
-    return agg.map_batches(rounder, batch_format="pyarrow")
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 4) AS sum_qty,
-       round(sum(l_extendedprice), 4) AS sum_base_price,
-       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+       sum(CAST(round(l_quantity * 100.0) AS BIGINT)) / 100.0 AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 100.0 AS sum_base_price,
+       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) / 10000.0 AS sum_disc_price,
        count(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -546,21 +565,37 @@ def q_segment_order_stats(sf_dir: str):
         AttachSegment, fn_constructor_args=(lookup_ref,),
         batch_format="pyarrow", concurrency=(1, 2),
     )
-    agg = ds.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total")
-    )
 
-    def rounder(batch: pa.Table) -> pa.Table:
-        i = batch.schema.get_field_index("total")
-        return batch.set_column(
-            i, "total", pa.array(np.round(batch["total"].to_numpy(), 2), pa.float64())
+    # exact integer-cents sum (float sums diverge across engines at
+    # sf0.1 magnitudes — see q_pricing_summary)
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = np.round(b["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "c_mktsegment": b["c_mktsegment"],
+                "cents": pa.array(cents, pa.int64()),
+            }
         )
 
-    return agg.map_batches(rounder, batch_format="pyarrow")
+    agg = ds.map_batches(to_cents, batch_format="pyarrow").groupby(
+        "c_mktsegment"
+    ).aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="cents"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "n_orders": batch["n_orders"],
+                "total": pa.array(batch["cents"].to_numpy() / 100.0, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 SQL_SEGMENT_ORDER_STATS = """
-SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+SELECT c_mktsegment, count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0 AS total
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
