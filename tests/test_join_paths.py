@@ -103,3 +103,22 @@ def test_spatial_join_features_mixed(ray_session, tmp_path):
     assert "envelope" in kinds  # polygons/linestrings matched by bbox
     for r in out:
         assert r["poly_id"] is not None
+
+
+def test_partitioned_parquet_sink(ray_session, tmp_path):
+    """Hive-style partitioned output (resumable layout per key range):
+    write_parquet(partition_cols) → one directory per lang, readable
+    back per partition."""
+    import pathlib
+
+    import ray.data as rd
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "by_lang")
+    ds.write_parquet(out, partition_cols=["lang"])
+    parts = sorted(p.name for p in pathlib.Path(out).iterdir() if p.is_dir())
+    assert parts and all(p.startswith("lang=") for p in parts)
+    one = rd.read_parquet(out + "/" + parts[0]).count()
+    assert one > 0
+    total = rd.read_parquet(out).count()
+    assert total == ds.count()
