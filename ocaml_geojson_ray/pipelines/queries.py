@@ -1478,7 +1478,7 @@ def q_pages_geom_dedup(sf_dir: str):
     from ..stages.dedup import md5_column
     from .flagship import parsed_features
 
-    feats = parsed_features(_pages_for(sf_dir))
+    feats = _parsed_for(sf_dir)
 
     def ok_geoms(b: pa.Table) -> pa.Table:
         b = b.filter(pc.and_(b["ok"], pc.is_valid(b["geometry_json"])))
@@ -1543,6 +1543,28 @@ def _pages_for(sf_dir: str):
     return materialize_pages_parquet(sf, root="/tmp/ogr_data")
 
 
+def _parsed_for(sf_dir: str):
+    """Parsed-features table for the sf's pages, materialized ONCE per
+    generator version (several queries consume it; re-mining the whole
+    corpus per query would repeat identical work — the flagship/bench
+    still run the live pipeline)."""
+    import os
+
+    import ray.data as rd
+
+    from .flagship import parsed_features
+
+    pages = _pages_for(sf_dir)
+    out = pages.rstrip("/") + "_parsed"
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        parsed_features(pages).write_parquet(out, max_rows_per_file=16384)
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    return rd.read_parquet(out)
+
+
 def q_pages_mine_verdicts(sf_dir: str):
     """Flagship mine+parse over the synthetic CC pages: verdict counts
     per (doc_kind, geom_type, ok, error)."""
@@ -1550,7 +1572,7 @@ def q_pages_mine_verdicts(sf_dir: str):
 
     from .flagship import parsed_features
 
-    feats = parsed_features(_pages_for(sf_dir))
+    feats = _parsed_for(sf_dir)
 
     def fill(b: pa.Table) -> pa.Table:
         # group keys must be non-null across blocks (a block whose
@@ -1575,7 +1597,7 @@ def q_pages_spatial_join(sf_dir: str):
 
     sf = 0.001 if "0.001" in sf_dir else (0.1 if "0.1" in sf_dir else 0.01)
     polys = generate_polygon_layer(sf, root="/tmp/ogr_data")
-    feats = parsed_features(_pages_for(sf_dir))
+    feats = _parsed_for(sf_dir)
 
     def only_pts(b: pa.Table) -> pa.Table:
         return b.filter(pc.and_(pc.equal(b["geom_type"], "Point"), b["ok"]))
@@ -1593,7 +1615,7 @@ def q_pages_tile_vectorize(sf_dir: str):
     from ..stages.tiles_stage import densest_tiles, tiles_to_features
     from .flagship import parsed_features
 
-    feats = parsed_features(_pages_for(sf_dir))
+    feats = _parsed_for(sf_dir)
     ok_feats = feats.map_batches(
         lambda b: b.filter(b["ok"]), batch_format="pyarrow"
     )
@@ -1615,7 +1637,7 @@ def q_pages_tile_topk(sf_dir: str):
     from ..stages.tiles_stage import densest_tiles
     from .flagship import parsed_features
 
-    feats = parsed_features(_pages_for(sf_dir))
+    feats = _parsed_for(sf_dir)
     ok_feats = feats.map_batches(
         lambda b: b.filter(b["ok"]), batch_format="pyarrow"
     )
