@@ -348,34 +348,40 @@ def q_knn_points(sf_dir: str):
 
     The neighbor id packs (l_orderkey, l_linenumber) as
     ``l_orderkey * 10 + l_linenumber`` (linenumber < 10) so the oracle
-    can reproduce it."""
+    can reproduce it.
+
+    Scale shape: the HUGE side (lineitem-derived targets) streams
+    through map_batches — never read on the driver, never broadcast;
+    only the small supplier query set is broadcast (ray.put once)."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    from ..spatial.knn import knn_point_to_point
+    from ..spatial.knn import knn_points_stream
 
-    t = pq.read_table(
+    def derive_targets(batch: pa.Table) -> pa.Table:
+        ok_ = batch["l_orderkey"].to_numpy()
+        ln = batch["l_linenumber"].to_numpy().astype(np.int64)
+        pk = batch["l_partkey"].to_numpy()
+        tlng = ((ok_ * 7919 + ln * 104729) % 36000) / 100.0 - 180.0
+        tlat = ((ok_ * 104729 + pk * 7919) % 18000) / 100.0 - 90.0
+        return pa.table({
+            "neighbor_id": pa.array(ok_ * 10 + ln, pa.int64()),
+            "lng": pa.array(tlng, pa.float64()),
+            "lat": pa.array(tlat, pa.float64()),
+        })
+
+    targets = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_partkey"],
-    )
-    ok_ = t["l_orderkey"].to_numpy()
-    ln = t["l_linenumber"].to_numpy().astype(np.int64)
-    pk = t["l_partkey"].to_numpy()
-    tlng = ((ok_ * 7919 + ln * 104729) % 36000) / 100.0 - 180.0
-    tlat = ((ok_ * 104729 + pk * 7919) % 18000) / 100.0 - 90.0
-    tids = ok_ * 10 + ln
+    ).map_batches(derive_targets, batch_format="pyarrow")
 
-    def derive(batch: pa.Table) -> pa.Table:
-        sk = batch["s_suppkey"].to_numpy()
-        lng = ((sk * 7919) % 36000) / 100.0 - 180.0
-        lat = ((sk * 104729) % 18000) / 100.0 - 90.0
-        batch = batch.append_column("lng", pa.array(lng, pa.float64()))
-        return batch.append_column("lat", pa.array(lat, pa.float64()))
+    qt = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    sk = qt["s_suppkey"].to_numpy()
+    qlng = ((sk * 7919) % 36000) / 100.0 - 180.0
+    qlat = ((sk * 104729) % 18000) / 100.0 - 90.0
 
-    q = rd.read_parquet(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]
-    ).map_batches(derive, batch_format="pyarrow")
-    kn = knn_point_to_point(q, tids, tlng, tlat, k=3)
+    kn = knn_points_stream(targets, sk, qlng, qlat, k=3,
+                           query_col="s_suppkey")
 
     def finish(batch: pa.Table) -> pa.Table:
         d = np.round(batch["distance_deg"].to_numpy(), 6)
@@ -546,24 +552,35 @@ def q_segment_order_stats(sf_dir: str):
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
-    lookup_ref = ray.put(
-        dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
-    )
+    ck = cust["c_custkey"].to_numpy()
+    cs = np.asarray(cust["c_mktsegment"].to_pylist(), dtype=object)
+    order_ = np.argsort(ck)
+    lookup_ref = ray.put((ck[order_], cs[order_]))
 
     class AttachSegment:
+        """Instance-based stateless stage: ships only the ObjectRef;
+        each worker process resolves it once (plasma-shared arrays)."""
+
         def __init__(self, ref):
-            self.lookup = ray.get(ref)
+            self.ref = ref
+            self._lookup = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            seg = [self.lookup.get(k) for k in batch["o_custkey"].to_pylist()]
+            if self._lookup is None:
+                self._lookup = ray.get(self.ref)
+            self.keys, self.segs = self._lookup
+            # vectorized sorted-array lookup, not a per-row dict probe
+            k = batch["o_custkey"].to_numpy()
+            pos = np.clip(np.searchsorted(self.keys, k), 0, len(self.keys) - 1)
+            seg = self.segs[pos].copy()
+            seg[self.keys[pos] != k] = None
             return batch.append_column("c_mktsegment", pa.array(seg, pa.string()))
 
     ds = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
     ds = ds.map_batches(
-        AttachSegment, fn_constructor_args=(lookup_ref,),
-        batch_format="pyarrow", concurrency=(1, 2),
+        AttachSegment(lookup_ref), batch_format="pyarrow",
     )
 
     # exact integer-cents sum (float sums diverge across engines at
@@ -676,8 +693,8 @@ WITH marked AS (
   FROM events),
 sess AS (
   SELECT user_id, ts_us,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
-                        ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM marked)
 SELECT user_id, session_id, count(*) AS n_events,
        min(ts_us) AS start_us, max(ts_us) AS end_us
@@ -1061,7 +1078,9 @@ def q_token_stats(sf_dir: str):
     from ..stages.textstats import TextStats
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
-    stats = ds.map_batches(TextStats, batch_format="pyarrow", concurrency=(1, 2))
+    # instance → stateless elastic tasks: regex state is cheap to ship,
+    # and a pool here pays startup + pins the fused chain width
+    stats = ds.map_batches(TextStats(), batch_format="pyarrow")
     return stats.groupby("lang").aggregate(
         Count(alias_name="n_docs"),
         Sum("n_tokens", alias_name="sum_tokens"),
@@ -1072,9 +1091,9 @@ def q_token_stats(sf_dir: str):
 
 SQL_TOKEN_STATS = """
 SELECT lang, count(*) AS n_docs,
-       sum(len(string_split_regex(trim(text), '\\s+'))) AS sum_tokens,
-       sum(len(regexp_extract_all(text, '\\w+'))) AS sum_words,
-       sum(length(text)) AS sum_chars
+       CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS sum_tokens,
+       CAST(sum(len(regexp_extract_all(text, '\\w+'))) AS BIGINT) AS sum_words,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars
 FROM documents GROUP BY lang
 """
 
@@ -1112,9 +1131,9 @@ def q_word_shape_stats(sf_dir: str):
 
 SQL_WORD_SHAPE_STATS = """
 SELECT lang, count(*) AS n_docs,
-       sum(length(regexp_replace(text, '\\W', '', 'g'))) AS sum_word_chars,
-       sum(length(regexp_replace(text, '[^A-Z]', '', 'g'))) AS sum_upper_chars,
-       sum(length(regexp_replace(text, '[^0-9]', '', 'g'))) AS sum_digit_chars
+       CAST(sum(length(regexp_replace(text, '\\W', '', 'g'))) AS BIGINT) AS sum_word_chars,
+       CAST(sum(length(regexp_replace(text, '[^A-Z]', '', 'g'))) AS BIGINT) AS sum_upper_chars,
+       CAST(sum(length(regexp_replace(text, '[^0-9]', '', 'g'))) AS BIGINT) AS sum_digit_chars
 FROM documents GROUP BY lang
 """
 
@@ -1307,7 +1326,7 @@ def q_langid_distribution(sf_dir: str):
     from ..stages.textstats import LangId
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    pred = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2))
+    pred = ds.map_batches(LangId(), batch_format="pyarrow")
     return pred.groupby("lang_pred").aggregate(Count(alias_name="n_docs"))
 
 
@@ -1317,7 +1336,7 @@ def q_quality_scores(sf_dir: str):
     from ..stages.textstats import QualityScore
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(QualityScore, batch_format="pyarrow", concurrency=(1, 2))
+    out = ds.map_batches(QualityScore(), batch_format="pyarrow")
     return out.select_columns(["doc_id", "quality"])
 
 
@@ -1332,26 +1351,19 @@ def q_rolling_fingerprints(sf_dir: str):
 
 
 def q_minhash_neardups(sf_dir: str):
-    """MinHash+LSH candidate pairs verified by n-gram Jaccard ≥ 0.5."""
-    import ray
-    import ray.data as rd
-    import pyarrow.parquet as pq
+    """MinHash+LSH candidate pairs verified by n-gram Jaccard ≥ 0.5.
 
-    from ..stages.dedup import PairVerifier, minhash_lsh_candidates
+    Scale shape: the candidate filter is a distributed left-semi join
+    and the verification joins pairs back to the documents table —
+    nothing corpus-sized touches the driver or the object store as a
+    single broadcast."""
+    import ray.data as rd
+
+    from ..stages.dedup import minhash_lsh_candidates, verify_pairs_distributed
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     cands = minhash_lsh_candidates(ds, bands=32, rows=4)
-    texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    texts_ref = ray.put(
-        dict(zip(texts["doc_id"].to_pylist(), texts["text"].to_pylist()))
-    )
-    return cands.map_batches(
-        PairVerifier,
-        fn_constructor_args=(texts_ref,),
-        fn_constructor_kwargs={"threshold": 0.5},
-        batch_format="pyarrow",
-        concurrency=(1, 2),
-    )
+    return verify_pairs_distributed(cands, ds, threshold=0.5)
 
 
 def q_simhash_dedup(sf_dir: str):
@@ -1510,10 +1522,7 @@ def q_s2_cell_counts(sf_dir: str):
         columns=["l_orderkey", "l_linenumber", "l_partkey"],
     ).map_batches(derive_lineitem_points_batch, batch_format="pyarrow")
     enc = ds.map_batches(
-        CellEncoder,
-        fn_constructor_kwargs={"res": 6, "s2_level": 6},
-        batch_format="pyarrow",
-        concurrency=(1, 2),
+        CellEncoder(res=6, s2_level=6), batch_format="pyarrow"
     )
     return enc.groupby("s2_cell").aggregate(Count(alias_name="n_points"))
 

@@ -41,12 +41,16 @@ def flagship_resumable(pages_dir: str, polygons_path: str, out_dir: str) -> dict
             .map_batches(GeoJsonMiner("extracted_text"), batch_format="pyarrow")
             .map_batches(parse_candidates_batch, batch_format="pyarrow")
         ).materialize()
-        # lineage metrics for the manifest (one reduce over the shard)
-        tabs = [b for b in feats.iter_batches(batch_format="pyarrow")]
-        n_rows = sum(len(t) for t in tabs)
-        n_valid = sum(
-            pc.sum(pc.cast(t["ok"], pa.int64())).as_py() or 0 for t in tabs if len(t)
-        )
+        # lineage metrics for the manifest: one DISTRIBUTED reduce
+        # (Count + Sum aggregate), not driver-side batch iteration
+        from ray.data.aggregate import Count, Sum
+
+        agg = feats.map_batches(
+            lambda b: pa.table({"ok_i": pc.cast(b["ok"], pa.int64())}),
+            batch_format="pyarrow",
+        ).aggregate(Count(alias_name="n_rows"), Sum("ok_i", alias_name="n_valid"))
+        n_rows = int(agg.get("n_rows") or 0)
+        n_valid = int(agg.get("n_valid") or 0)
         pts = feats.map_batches(
             lambda b: b.filter(pc.and_(pc.equal(b["geom_type"], "Point"), b["ok"])),
             batch_format="pyarrow",
@@ -54,7 +58,7 @@ def flagship_resumable(pages_dir: str, polygons_path: str, out_dir: str) -> dict
         joined = pts.map_batches(
             join_batch_fn, fn_kwargs={"index_ref": index_ref},
             batch_format="pyarrow",
-        )
+        ).materialize()  # consumed twice (write + count): run the join once
         joined.write_parquet(dest)
         n_matched = joined.count()
         return {

@@ -27,6 +27,7 @@ import pyarrow as pa
 
 from . import cells as C
 from . import pip as P
+from ..util import elastic_concurrency as _elastic
 
 DEFAULT_JOIN_RES = 9  # ~0.7° cells; polygon layer radii are 0.01°-2°
 
@@ -298,38 +299,69 @@ class EnvelopeJoiner:
     def __call__(self, batch: pa.Table) -> pa.Table:
         idx = self.index
         res = idx.res
+        n = 1 << res
         minx = batch["minx"].to_numpy(zero_copy_only=False)
         miny = batch["miny"].to_numpy(zero_copy_only=False)
         maxx = batch["maxx"].to_numpy(zero_copy_only=False)
         maxy = batch["maxy"].to_numpy(zero_copy_only=False)
         # every build polygon's exact envelope (rect or not)
         use = np.asarray(idx.bbox, dtype=np.float64)
-        out_pt, out_poly = [], []
-        for i in range(len(batch)):
-            if np.isnan(minx[i]):
-                continue
-            cand_set = {}
-            for cell in C.cover_bbox(minx[i], miny[i], maxx[i], maxy[i], res):
-                hit = idx.cell_to_polys.get(int(cell))
-                if hit is None:
-                    continue
-                for pl in hit:
-                    cand_set[int(pl)] = None
-            if not cand_set:
-                continue
-            cand = np.fromiter(cand_set.keys(), dtype=np.int64, count=len(cand_set))
-            b = use[cand]
+
+        # 1. per-probe covering-cell RANGES, fully vectorized (the rare
+        #    antimeridian-crossing probe, minx > maxx, falls back to
+        #    cover_bbox below)
+        bad = np.isnan(minx) | np.isnan(miny) | np.isnan(maxx) | np.isnan(maxy)
+        wrap = ~bad & (minx > maxx)
+        x0 = np.clip(np.floor((minx + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+        x1 = np.clip(np.floor((maxx + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+        y0 = np.clip(np.floor((miny + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+        y1 = np.clip(np.floor((maxy + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+        counts = np.where(bad | wrap, 0, (x1 - x0 + 1) * (y1 - y0 + 1))
+
+        # 2. flat (probe, cell) expansion: one arange over the total
+        total = int(counts.sum())
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        probe = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+        local = np.arange(total, dtype=np.int64) - starts[probe]
+        ny = y1[probe] - y0[probe] + 1
+        cell = C.pack_cell(res, x0[probe] + local // ny, y0[probe] + local % ny)
+        if wrap.any():
+            extra_p, extra_c = [], []
+            for i in np.flatnonzero(wrap):
+                cc = C.cover_bbox(minx[i], miny[i], maxx[i], maxy[i], res)
+                extra_p.append(np.full(len(cc), i, dtype=np.int64))
+                extra_c.append(cc)
+            probe = np.concatenate([probe] + extra_p)
+            cell = np.concatenate([cell] + extra_c)
+
+        # 3. candidate pairs grouped by UNIQUE cell (one dict lookup per
+        #    distinct cell, as in candidates_for_points)
+        order = np.argsort(cell, kind="stable")
+        sc, sp = cell[order], probe[order]
+        uniq, ustarts = np.unique(sc, return_index=True)
+        uends = np.append(ustarts[1:], len(sc))
+        pr, pl = [], []
+        for u, s, e in zip(uniq, ustarts, uends):
+            hit = idx.cell_to_polys.get(int(u))
+            if hit is not None:
+                grp = sp[s:e]
+                pr.append(np.repeat(grp, len(hit)))
+                pl.append(np.tile(hit, e - s))
+        if pr:
+            pr = np.concatenate(pr)
+            pl = np.concatenate(pl)
+            # 4. dedup (probe, poly) pairs — a probe's bbox can cover
+            #    many cells holding the same polygon
+            key = pr * np.int64(len(use)) + pl
+            _, first = np.unique(key, return_index=True)
+            pr, pl = pr[first], pl[first]
+            # 5. one vectorized strict-overlap test over ALL pairs
+            b = use[pl]
             overlap = (
-                (minx[i] < b[:, 2]) & (maxx[i] > b[:, 0])
-                & (miny[i] < b[:, 3]) & (maxy[i] > b[:, 1])
+                (minx[pr] < b[:, 2]) & (maxx[pr] > b[:, 0])
+                & (miny[pr] < b[:, 3]) & (maxy[pr] > b[:, 1])
             )
-            hits = cand[overlap]
-            if len(hits):
-                out_pt.append(np.full(len(hits), i, dtype=np.int64))
-                out_poly.append(hits)
-        if out_pt:
-            rows = np.concatenate(out_pt)
-            polys = np.concatenate(out_poly)
+            rows, polys = pr[overlap], pl[overlap]
         else:
             rows = np.empty(0, dtype=np.int64)
             polys = np.empty(0, dtype=np.int64)
@@ -339,15 +371,21 @@ class EnvelopeJoiner:
         )
 
 
-def envelope_join(probe_ds, polygons, res: int = DEFAULT_JOIN_RES):
+def envelope_join(probe_ds, polygons, res: int = DEFAULT_JOIN_RES,
+                  concurrency=None):
     """Envelope-overlap join: probe Dataset (minx..maxy columns) ×
     broadcast polygon layer."""
+    import ray
+
     ref = broadcast_polygon_index(polygons, res)
+    if concurrency is None:
+        # elastic width from the cluster, not a hard (1, 4) cap
+        concurrency = _elastic()
     return probe_ds.map_batches(
         EnvelopeJoiner,
         fn_constructor_args=(ref,),
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=concurrency,
     )
 
 
@@ -383,7 +421,7 @@ def spatial_join_features(features_ds, polygons, res: int = DEFAULT_JOIN_RES):
     ).drop_columns(["poly_name"])
     env = features_ds.map_batches(nonpts_only, batch_format="pyarrow").map_batches(
         EnvelopeJoiner, fn_constructor_args=(ref,), batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=_elastic(),
     )
     env = env.map_batches(
         lambda b: b.append_column(

@@ -234,7 +234,7 @@ class PointKnn:
 
 
 def knn_point_to_point(query_ds, target_ids, target_lng, target_lat,
-                       k: int = 3, concurrency=(1, 4)):
+                       k: int = 3, concurrency=None):
     import ray
 
     ref = ray.put((
@@ -242,12 +242,115 @@ def knn_point_to_point(query_ds, target_ids, target_lng, target_lat,
         np.asarray(target_lng, dtype=np.float64),
         np.asarray(target_lat, dtype=np.float64),
     ))
+    if concurrency is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = max(2, ncpu - 2)
     return query_ds.map_batches(
         PointKnn,
         fn_constructor_args=(ref, k),
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+class PointKnnPartial:
+    """Per-target-batch partial top-k against a broadcast QUERY set.
+
+    The scale-safe orientation for the common probe-small/target-huge
+    shape: the huge target side streams through map_batches (never read
+    on the driver, never broadcast), each batch emits, per query, its
+    local top-k candidates *including boundary ties on d2* so the
+    downstream merge's (d2, id) tie-break stays exact. Output volume is
+    ~n_queries × k per batch — tiny — and the global merge is a groupby
+    on the query id over those partials.
+
+    d2 parity with SQL: dx*dx + dy*dy, identical per pair regardless of
+    which batch the target lands in, so the merged result is bitwise
+    equal to the dense single-matrix kernel.
+    """
+
+    CHUNK_DOUBLES = 48_000_000
+
+    def __init__(self, queries_ref, k: int = 3, query_col: str = "query_id"):
+        import ray
+
+        self.qids, self.qx, self.qy = ray.get(queries_ref)
+        self.k = k
+        self.query_col = query_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["neighbor_id"].to_numpy(zero_copy_only=False)
+        px = batch["lng"].to_numpy(zero_copy_only=False)
+        py = batch["lat"].to_numpy(zero_copy_only=False)
+        ok = ~(np.isnan(px) | np.isnan(py))
+        if not ok.all():
+            ids, px, py = ids[ok], px[ok], py[ok]
+        nq = len(self.qx)
+        out_q, out_id, out_d2 = [], [], []
+        chunk = max(1, self.CHUNK_DOUBLES // max(1, nq))
+        for s in range(0, len(px), chunk):
+            e = min(len(px), s + chunk)
+            dx = self.qx[:, None] - px[None, s:e]
+            dy = self.qy[:, None] - py[None, s:e]
+            d2 = dx * dx + dy * dy
+            kk = min(self.k, e - s)
+            sel = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            thr = d2[np.arange(nq)[:, None], sel].max(axis=1)
+            qi, ti = np.nonzero(d2 <= thr[:, None])
+            out_q.append(self.qids[qi])
+            out_id.append(ids[s:e][ti])
+            out_d2.append(d2[qi, ti])
+        if not out_q:
+            return pa.table({
+                self.query_col: pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "d2": pa.array([], pa.float64()),
+            })
+        return pa.table({
+            self.query_col: pa.array(np.concatenate(out_q), pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "d2": pa.array(np.concatenate(out_d2), pa.float64()),
+        })
+
+
+def knn_points_stream(target_ds, query_ids, query_lng, query_lat,
+                      k: int = 3, query_col: str = "query_id",
+                      concurrency=None):
+    """Exact point-to-point kNN with the huge side streaming.
+
+    ``target_ds`` must carry columns (neighbor_id, lng, lat); the small
+    query side (ids + coords arrays) is broadcast once via ray.put.
+    Returns (query_col, knn_rank, neighbor_id, distance_deg)."""
+    import pandas as pd
+    import ray
+
+    ref = ray.put((
+        np.asarray(query_ids, dtype=np.int64),
+        np.asarray(query_lng, dtype=np.float64),
+        np.asarray(query_lat, dtype=np.float64),
+    ))
+    if concurrency is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = max(2, ncpu - 2)
+    partial = target_ds.map_batches(
+        PointKnnPartial,
+        fn_constructor_args=(ref, k, query_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        d2 = group["d2"].to_numpy()
+        nid = group["neighbor_id"].to_numpy()
+        order = np.lexsort((nid, d2))[:k]
+        return pd.DataFrame({
+            query_col: group[query_col].to_numpy()[order],
+            "knn_rank": np.arange(len(order), dtype=np.int32),
+            "neighbor_id": nid[order],
+            "distance_deg": np.sqrt(d2[order]),
+        })
+
+    return partial.groupby(query_col).map_groups(merge, batch_format="pandas")
 
 
 def knn_points(points_ds, polygons_path: str, k: int = 3,

@@ -61,13 +61,17 @@ class BruteForceTopK:
 
 def brute_force_topk(ds, queries: dict, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     concurrency=(1, 4)):
+                     concurrency=None):
     """→ exact global top-k rows per query: partial top-k per batch,
     then one tiny per-query merge (groupby over ~Q×k×nblocks rows)."""
     import pandas as pd
     import ray
 
     ref = ray.put(queries)
+    if concurrency is None:
+        from ..util import elastic_concurrency
+
+        concurrency = elastic_concurrency()
     partials = ds.map_batches(
         BruteForceTopK,
         fn_constructor_args=(ref, k),

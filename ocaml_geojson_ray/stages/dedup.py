@@ -114,7 +114,9 @@ def minhash_bands_batch(batch: pa.Table, bands: int = 16, rows: int = 8,
             out_id.append(did)
     return pa.table(
         {
-            "band_id": pa.array(out_band, pa.int32()),
+            # int64: must match the groupby-aggregate output's key type
+            # (the left-semi join below compares these columns)
+            "band_id": pa.array(out_band, pa.int64()),
             "band_hash": pa.array(out_hash, pa.int64()),
             id_col: pa.array(out_id, pa.int64()),
         }
@@ -158,29 +160,29 @@ def minhash_lsh_candidates(ds, bands: int = 16, rows: int = 8,
     counts = bands_ds.groupby(["band_id", "band_hash"]).aggregate(
         Count(alias_name="n")
     )
-    hot = counts.filter(expr="n >= 2").select_columns(["band_id", "band_hash"])
-    hot_keys = {(r["band_id"], r["band_hash"]) for r in hot.iter_rows()}
-    if not hot_keys:
-        import pyarrow as _pa
+    # hot buckets (>= 2 members) as a DATASET — the filter stays
+    # distributed: a left-semi hash join replaces round 1's
+    # iter_rows()-to-driver key set (which broke at corpus scale)
+    hot = counts.filter(expr="n >= 2").select_columns(
+        ["band_id", "band_hash"]
+    ).materialize()
+    if hot.count() == 0:
+        import ray.data as rd
 
-        empty = pa.table(
+        return rd.from_arrow(pa.table(
             {
                 "a_id": pa.array([], pa.int64()),
                 "b_id": pa.array([], pa.int64()),
                 "n_shared_bands": pa.array([], pa.int64()),
             }
-        )
-        import ray.data as rd
-
-        return rd.from_arrow(empty)
-    keys_ref = ray.put(hot_keys)
-
-    def only_hot(batch: pa.Table) -> pa.Table:
-        hk = ray.get(keys_ref)
-        b = batch["band_id"].to_pylist()
-        h = batch["band_hash"].to_pylist()
-        keep = [(x, y) in hk for x, y in zip(b, h)]
-        return batch.filter(pa.array(keep))
+        ))
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    hot_rows = bands_ds.join(
+        hot, join_type="left_semi", on=("band_id", "band_hash"),
+        # join aggregators need ~1 CPU each; K beyond ncpu/2 stalls
+        # (memory ray-data-pitfalls-observed)
+        num_partitions=max(2, ncpu // 2),
+    )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(g[id_col].tolist())
@@ -188,8 +190,7 @@ def minhash_lsh_candidates(ds, bands: int = 16, rows: int = 8,
         return pd.DataFrame(pairs, columns=["a_id", "b_id"])
 
     pairs = (
-        bands_ds.map_batches(only_hot, batch_format="pyarrow")
-        .groupby(["band_id", "band_hash"])
+        hot_rows.groupby(["band_id", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     # candidate pairs can repeat across bands → distinct
@@ -213,12 +214,54 @@ def jaccard_ngrams(a: str, b: str, n: int = 3) -> float:
     return inter / (len(ga) + len(gb) - inter)
 
 
+def verify_pairs_distributed(pairs, docs, id_col: str = "doc_id",
+                             text_col: str = "text", n: int = 3,
+                             threshold: float = 0.8):
+    """Exact n-gram Jaccard verification with NO whole-corpus broadcast:
+    candidate pairs hash-join back to the documents table twice (on
+    a_id, then b_id) to pick up the two texts, then a per-pair kernel
+    filters by the threshold. Both joins shuffle only the candidate
+    pairs + the matched doc rows — at 100 TB the pair set is orders of
+    magnitude smaller than the corpus."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    np_ = max(2, ncpu // 2)
+
+    def rename_for(side: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.select([id_col, text_col]).rename_columns(
+                [f"{side}_id", f"{side}_text"]
+            )
+        return fn
+
+    docs_a = docs.map_batches(rename_for("a"), batch_format="pyarrow")
+    docs_b = docs.map_batches(rename_for("b"), batch_format="pyarrow")
+    j = pairs.join(docs_a, join_type="inner", on=("a_id",),
+                   num_partitions=np_)
+    j = j.join(docs_b, join_type="inner", on=("b_id",),
+               num_partitions=np_)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a_txt = batch["a_text"].to_pylist()
+        b_txt = batch["b_text"].to_pylist()
+        jac = [jaccard_ngrams(a or "", b or "", n)
+               for a, b in zip(a_txt, b_txt)]
+        out = batch.drop_columns(["a_text", "b_text"])
+        out = out.append_column("jaccard", pa.array(jac, pa.float64()))
+        return out.filter(pa.array([x >= threshold for x in jac]))
+
+    return j.map_batches(verify, batch_format="pyarrow")
+
+
 class PairVerifier:
     """Actor-pool stage: exact n-gram Jaccard on candidate pairs.
 
     Texts for pair members are fetched from a BROADCAST id→text lookup
-    (ray.put once — the documents table's text column at the verified
-    candidate scale, or a sampled subset)."""
+    (ray.put once). This is the SMALL-lookup kernel (e.g. a sampled
+    subset); the corpus-scale path is ``verify_pairs_distributed``,
+    which joins pairs back to the documents table instead of shipping
+    an id→text dict from the driver."""
 
     def __init__(self, texts_ref, n: int = 3, threshold: float = 0.8):
         import ray

@@ -55,6 +55,11 @@ def compare(name, ray_df, sql_df) -> list[str]:
 
         for c in a.columns:
             av, bv = a[c].to_numpy(), b[c].to_numpy()
+            # The driver's value-hash canonicalization distinguishes types
+            # (round-1 lesson: DuckDB HUGEINT sums vs engine int64 hash-
+            # mismatched despite equal values) — so flag dtype divergence.
+            if av.dtype != bv.dtype:
+                problems.append(f"col {c}: dtype {av.dtype} vs {bv.dtype}")
             if av.dtype.kind == "f" or bv.dtype.kind == "f":
                 av = av.astype(float)
                 bv = bv.astype(float)
