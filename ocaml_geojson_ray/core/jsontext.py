@@ -51,6 +51,144 @@ def loads_json(text: str | bytes) -> Any:
     return json.loads(text, parse_constant=_reject_constant)
 
 
+_HEX = set("0123456789abcdefABCDEF")
+_VALID_ESC = set('"\\/bfnrtu')
+
+
+def recover_json_text(text: str) -> str:
+    """Lexical error recovery mirroring the reference's streaming lexer
+    (src/geojsone/vendor/jsone/jsone.ml): inside string literals,
+
+    - an invalid escape (``\\q``) splices U+FFFD and continues, both
+      chars consumed (jsone.ml:390-397 ``r_escape`` default branch);
+    - a raw C0 control char splices U+FFFD (jsone.ml:416-420);
+    - ``\\u`` with a non-hex digit splices U+FFFD and consumes the
+      offending char — even a closing quote — discarding the partial
+      value (jsone.ml:327-342);
+    - a lone low surrogate splices U+FFFD (jsone.ml:353);
+    - a high surrogate not followed by ``\\uDC00-\\uDFFF`` splices
+      U+FFFD; when the low half is present but out of range, only
+      U+FFFD is emitted and the decoded half is discarded
+      (jsone.ml:345-362).
+
+    Valid ``\\uXXXX`` of a NON-surrogate decodes to its scalar — here we
+    deliberately follow upstream jsonm / the reference's DOM engine
+    (ezjsone + real jsonm in test/geojson), not the vendored effects
+    port's quirk at jsone.ml:352-353 which would turn every such escape
+    into U+FFFD; no reference test pins that branch, and following it
+    would corrupt ordinary escapes in otherwise-recoverable documents.
+
+    The output is strict JSON *at the lexical level*; structural errors
+    (unexpected values, unclosed containers) remain — the reference
+    aborts on those too (ezjsone.ml:57-59 raises on the first Error
+    lexeme). Callers re-parse the repaired text and fall back to the
+    original strict error if it still fails.
+    """
+    out = []
+    push = out.append
+    i = 0
+    n = len(text)
+    in_str = False
+    while i < n:
+        c = text[i]
+        if not in_str:
+            push(c)
+            if c == '"':
+                in_str = True
+            i += 1
+            continue
+        # inside a string literal
+        if c == '"':
+            push(c)
+            in_str = False
+            i += 1
+        elif ord(c) < 0x20:
+            push("�")
+            i += 1
+        elif c == "\\":
+            if i + 1 >= n:
+                push("�")  # r_escape at EOI: default branch
+                i = n
+                break
+            e = text[i + 1]
+            if e != "u":
+                if e in _VALID_ESC:
+                    push(c)
+                    push(e)
+                else:
+                    push("�")
+                i += 2
+            else:
+                u, j = _scan_u_hex(text, i + 2)
+                if u is None:
+                    push("�")
+                    i = j
+                elif u < 0xD800 or u > 0xDFFF:
+                    push(text[i : j])  # keep the valid escape verbatim
+                    i = j
+                elif u > 0xDBFF:
+                    push("�")  # lone low surrogate
+                    i = j
+                else:  # high surrogate: need \uDC00-\uDFFF next
+                    if j < n and text[j] == "\\":
+                        j += 1  # backslash consumed (jsone.ml:356)
+                        if j < n and text[j] == "u":
+                            u2, j2 = _scan_u_hex(text, j + 1)
+                            if u2 is not None and 0xDC00 <= u2 <= 0xDFFF:
+                                push(text[i : j2])  # valid pair verbatim
+                            else:
+                                push("�")  # half(s) discarded
+                            i = j2
+                        else:
+                            push("�")  # next char NOT consumed
+                            i = j
+                    else:
+                        push("�")  # next char NOT consumed
+                        i = j
+        else:
+            push(c)
+            i += 1
+    return "".join(out)
+
+
+def _scan_u_hex(text: str, i: int):
+    """Scan 4 hex digits at ``text[i:]``. → (value, next_index) on
+    success; (None, next_index) on a non-hex digit, where next_index
+    consumes the digits seen PLUS the offending char (jsone.ml:330-342:
+    error → baddc u_rep → readc)."""
+    n = len(text)
+    u = 0
+    for k in range(4):
+        if i + k >= n:
+            return None, n
+        c = text[i + k]
+        if c not in _HEX:
+            return None, i + k + 1
+        u = u * 16 + int(c, 16)
+    return u, i + 4
+
+
+def loads_json_recovering(text: str | bytes):
+    """→ (value, recovered). Strict parse first (the hot path); on
+    failure, one recovery pass over the text (see recover_json_text),
+    re-raising the ORIGINAL strict error if the repaired text still
+    doesn't parse (structural errors are not recoverable — matching
+    ezjsone.ml:57-59 aborting on the first Error lexeme)."""
+    if isinstance(text, (bytes, bytearray)):
+        text = decode_transport(bytes(text))
+    try:
+        return json.loads(text, parse_constant=_reject_constant), False
+    except ValueError as e:
+        orig = e
+    try:
+        return (
+            json.loads(recover_json_text(text), parse_constant=_reject_constant),
+            True,
+        )
+    except ValueError:
+        raise orig from None
+
+
 def decode_transport(data: bytes) -> str:
     """UTF transport decode with BOM sniffing and U+FFFD replacement.
 

@@ -420,3 +420,24 @@ def parse_text(text: str | bytes) -> Tuple[Optional[GeoJson], Optional[str], boo
     except RecursionError:
         return None, "JSON.of_buffer document nesting exceeds the recursion limit", False
     return of_json_result(v)
+
+
+def parse_text_recovering(
+    text: str | bytes,
+) -> Tuple[Optional[GeoJson], Optional[str], bool, bool]:
+    """Like parse_text, but with the streaming lexer's error RECOVERY
+    (jsontext.recover_json_text — U+FFFD splices for bad escapes /
+    control chars, per jsone.ml:327-420) applied when strict decode
+    fails. → (obj, error, raised, recovered); ``recovered`` marks a
+    document that only parsed after lexical repair."""
+    from .jsontext import loads_json_recovering
+
+    try:
+        v, recovered = loads_json_recovering(text)
+    except ValueError as e:
+        return None, f"JSON.of_buffer {e}", False, False
+    except RecursionError:
+        return (None, "JSON.of_buffer document nesting exceeds the recursion limit",
+                False, False)
+    obj, err, raised = of_json_result(v)
+    return obj, err, raised, recovered

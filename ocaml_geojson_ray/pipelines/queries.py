@@ -1563,8 +1563,10 @@ def _parsed_for(sf_dir: str):
 
     from .flagship import parsed_features
 
+    from ..stages.parse_stage import PARSE_VERSION
+
     pages = _pages_for(sf_dir)
-    out = pages.rstrip("/") + "_parsed"
+    out = pages.rstrip("/") + f"_parsed_p{PARSE_VERSION}"
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         os.makedirs(out, exist_ok=True)

@@ -64,8 +64,20 @@ _INVALID_DOCS = (
     '{"type":"Point","coordinates":["a",0]}',
 )
 
+# lexically broken but RECOVERABLE under the streaming lexer's U+FFFD
+# splices (jsone.ml:327-420; core/jsontext.recover_json_text): bad
+# escape, raw control char, bad \u hex. Real-web mined JSON hits these
+# constantly — they parse ok=True with recovered=True.
+_RECOVERABLE_DOCS = (
+    '{"type":"Feature","geometry":{"type":"Point","coordinates":[7.1,46.2]},'
+    '"properties":{"name":"z\\qrich"}}',
+    '{"type":"Feature","geometry":{"type":"Point","coordinates":[2.35,48.86]},'
+    '"properties":{"note":"tab\tchar"}}',
+    '{"type":"Point","coordinates":[13.4,52.5],"label":"bad \\u12G4 hex"}',
+)
 
-GENERATOR_VERSION = 4  # bump when page content changes → new cache dir
+
+GENERATOR_VERSION = 5  # bump when page content changes → new cache dir
 
 
 def page_count_for_sf(sf: float) -> int:
@@ -160,6 +172,10 @@ def build_page(page_id: int, seed: int = 42):
                     return float(np.round(v, 5))
 
                 doc = to_text(gj_random(f, skel))
+                n_valid += 1
+            elif roll < 0.92:
+                # lexically broken but recoverable → ok=True, recovered
+                doc = _RECOVERABLE_DOCS[int(rng.integers(0, len(_RECOVERABLE_DOCS)))]
                 n_valid += 1
             else:
                 doc = _INVALID_DOCS[int(rng.integers(0, len(_INVALID_DOCS)))]

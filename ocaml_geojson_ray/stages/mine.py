@@ -27,9 +27,48 @@ _TYPE_TOKEN = re.compile(
 _MAX_BACKSCAN = 65536  # bytes to walk back looking for the opening brace
 
 
+def lenient_value_end(text: str, start: int):
+    """End offset (exclusive) of ONE brace-balanced JSON-ish value at
+    ``start``, tolerating lexical junk inside strings (escape pairs
+    consumed blindly, raw control chars allowed) — the span a
+    recovering lexer (core/jsontext.recover_json_text) would consume.
+    None if the value never balances."""
+    depth = 0
+    i = start
+    n = len(text)
+    in_str = False
+    while i < n:
+        c = text[i]
+        if in_str:
+            if c == "\\":
+                i += 2
+                continue
+            if c == '"':
+                in_str = False
+        else:
+            if c == '"':
+                in_str = True
+            elif c == "{" or c == "[":
+                depth += 1
+            elif c == "}" or c == "]":
+                depth -= 1
+                if depth == 0:
+                    return i + 1
+        i += 1
+    return None
+
+
 def find_candidates(text: str) -> list[tuple[int, int, str]]:
     """→ [(start, end, doc_text)] of embedded JSON docs that carry a
-    GeoJSON type token, outermost-only, left to right."""
+    GeoJSON type token, outermost-only, left to right.
+
+    Candidates that fail STRICT decode get one recovery attempt: a
+    lenient span scan + recover_json_text re-parse (the streaming
+    lexer's U+FFFD splice behavior, jsone.ml:327-420) — so a web page
+    embedding ``{"a":"b\\qc", "type":"Feature", ...}`` still mines the
+    OUTER document instead of just its well-formed innards."""
+    from ..core.jsontext import recover_json_text
+
     decoder = json.JSONDecoder()
     out: list[tuple[int, int, str]] = []
     last_end = -1
@@ -46,15 +85,29 @@ def find_candidates(text: str) -> list[tuple[int, int, str]]:
                 out.append((start, end, text[start:end]))
                 last_end = end
                 found = True
+                continue
             except ValueError:
-                # brace was inside a string or unbalanced: try the next
-                # enclosing brace further left
-                start = _enclosing_brace(text, start - 1)
+                pass
             except RecursionError:
                 # pathologically deep candidate: skip this token rather
                 # than crash the worker (the parse stage records the
                 # same verdict for any candidate that does decode)
                 break
+            # strict decode failed: recoverable-per-the-reference doc?
+            end = lenient_value_end(text, start)
+            if end is not None and end > m.start():
+                span = text[start:end]
+                try:
+                    json.loads(recover_json_text(span))
+                    out.append((start, end, span))
+                    last_end = end
+                    found = True
+                    continue
+                except (ValueError, RecursionError):
+                    pass
+            # brace was inside a string or unbalanced: try the next
+            # enclosing brace further left
+            start = _enclosing_brace(text, start - 1)
     return out
 
 

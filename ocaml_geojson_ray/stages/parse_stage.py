@@ -18,8 +18,12 @@ import pyarrow as pa
 
 from ..core.jsontext import dumps_json
 from ..core.model import Feature, FeatureCollection, Geometry
-from ..core.parse import parse_text
+from ..core.parse import parse_text_recovering
 from ..core.serialize import geometry_to_text
+
+# bump when PARSED_SCHEMA, mining, or parse semantics change → derived
+# caches (queries._parsed_for) re-materialize
+PARSE_VERSION = 3
 
 PARSED_SCHEMA = pa.schema(
     [
@@ -31,11 +35,19 @@ PARSED_SCHEMA = pa.schema(
         ("ok", pa.bool_()),
         ("error", pa.string()),
         ("raised", pa.bool_()),
-        # error location for malformed-JSON verdicts (the reference's
-        # Err.t carries ((l1,c1),(l2,c2)) ranges, geojsone.ml:27-37; our
-        # decoder reports a single position)
+        # recovered=True: the document only parsed after the streaming
+        # lexer's U+FFFD error recovery (jsone.ml:327-420 branches;
+        # core/jsontext.recover_json_text)
+        ("recovered", pa.bool_()),
+        # error RANGE for malformed-JSON verdicts, mirroring the
+        # reference's Err.t ((l1,c1),(l2,c2)) (geojsone.ml:27-37):
+        # start = the decoder's reported position; end = the last char
+        # before the next value separator, the span discard_to would
+        # consume (jsone.ml:487-493). 1-based lines and columns.
         ("error_line", pa.int32()),
         ("error_col", pa.int32()),
+        ("error_line_end", pa.int32()),
+        ("error_col_end", pa.int32()),
         ("doc_kind", pa.string()),
         ("geom_type", pa.string()),
         ("geometry_json", pa.string()),
@@ -104,6 +116,30 @@ class _Rows:
         )
 
 
+_SEPARATORS = frozenset(",]}")
+
+
+def error_range(doc: str, pos: int, line: int, col: int):
+    """((l1,c1),(l2,c2)) for an error at char offset ``pos``: the end is
+    the last char before the next value separator / EOI — the exact
+    span the reference's ``discard_to`` consumes while recovering
+    (jsone.ml:487-493: spos at the error, epos per discarded char)."""
+    n = len(doc)
+    end = pos
+    while end < n and doc[end] not in _SEPARATORS:
+        end += 1
+    end = max(pos, end - 1)
+    seg = doc[pos : end + 1]
+    nl = seg.count("\n")
+    if nl:
+        l2 = line + nl
+        c2 = len(seg) - seg.rfind("\n") - 1
+    else:
+        l2 = line
+        c2 = col + max(0, len(seg) - 1)
+    return line, col, l2, c2
+
+
 def _feature_row(rows, base, feat_idx: int, f: Feature, doc_kind: str, bbox):
     g = f.geometry
     env = _envelope(g) if g is not None else None
@@ -145,22 +181,31 @@ def parse_candidates_batch(batch: pa.Table) -> pa.Table:
     docs = batch["cand_text"].to_pylist()
     import re as _re
 
-    loc_re = _re.compile(r"line (\d+) column (\d+)")
+    loc_re = _re.compile(r"line (\d+) column (\d+)(?: \(char (\d+)\))?")
     for i, doc in enumerate(docs):
         base = dict(url=urls[i], warc_ts=tss[i], lang=langs[i], cand_idx=cidx[i])
-        obj, err, raised = parse_text(doc)
+        obj, err, raised, recovered = parse_text_recovering(doc)
         if obj is None:
             m = loc_re.search(err) if err else None
+            l1 = c1 = l2 = c2 = None
+            if m:
+                l1, c1 = int(m.group(1)), int(m.group(2))
+                if m.group(3) is not None:
+                    l1, c1, l2, c2 = error_range(doc, int(m.group(3)), l1, c1)
             rows.add(
                 **base,
                 feat_idx=0,
                 ok=False,
                 error=err,
                 raised=raised,
-                error_line=int(m.group(1)) if m else None,
-                error_col=int(m.group(2)) if m else None,
+                recovered=False,
+                error_line=l1,
+                error_col=c1,
+                error_line_end=l2,
+                error_col_end=c2,
             )
             continue
+        base["recovered"] = recovered
         v = obj.value
         if isinstance(v, FeatureCollection):
             for j, f in enumerate(v.features):

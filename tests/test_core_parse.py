@@ -281,3 +281,102 @@ def test_pathological_nesting_mining_survives():
     cands = find_candidates(text)
     # the sane doc is still mined; the deep one is skipped, not a crash
     assert any(d == '{"type":"Point","coordinates":[5,6]}' for _, _, d in cands)
+
+
+# -- lexical error recovery (jsone.ml splice branches) ---------------------
+
+def test_recovery_invalid_escape_splices_fffd():
+    """r_escape default branch (jsone.ml:390-397): ``\\q`` → U+FFFD,
+    both chars consumed, document parses."""
+    from ocaml_geojson_ray.core.parse import parse_text_recovering
+
+    doc = '{"type":"Feature","geometry":{"type":"Point","coordinates":[1,2]},"properties":{"name":"a\\qb"}}'
+    obj, err, raised, recovered = parse_text_recovering(doc)
+    assert err is None and recovered
+    assert obj.value.properties["name"] == "a�b"
+
+
+def test_recovery_control_char_splices_fffd():
+    """Raw C0 control inside a string (jsone.ml:416-420) → U+FFFD."""
+    from ocaml_geojson_ray.core.parse import parse_text_recovering
+
+    doc = '{"type":"Feature","geometry":{"type":"Point","coordinates":[1,2]},"properties":{"name":"a\x01b"}}'
+    obj, err, raised, recovered = parse_text_recovering(doc)
+    assert err is None and recovered
+    assert obj.value.properties["name"] == "a�b"
+
+
+def test_recovery_bad_hex_consumes_offender():
+    """\\u with a non-hex digit (jsone.ml:330-342): U+FFFD spliced, the
+    offending char consumed, partial value discarded — ``\\u12G4`` →
+    ``�4``."""
+    from ocaml_geojson_ray.core.parse import parse_text_recovering
+
+    doc = ('{"type":"Feature","geometry":{"type":"Point","coordinates":[1,2]},'
+           '"properties":{"name":"x\\u12G4y","bad":"a\\qz"}}')
+    obj, err, raised, recovered = parse_text_recovering(doc)
+    assert err is None and recovered
+    assert obj.value.properties["name"] == "x�4y"
+    assert obj.value.properties["bad"] == "a�z"
+
+
+def test_recovery_lone_surrogates():
+    """Lone high surrogate → U+FFFD without consuming the next char
+    (jsone.ml:355); high+invalid-low discards both halves
+    (jsone.ml:345-348). Strict-valid docs NEVER take the recovery path
+    (``recovered`` False), so Python's accept-lone-surrogate fast path
+    is unchanged."""
+    from ocaml_geojson_ray.core.parse import parse_text_recovering
+
+    # \q forces the recovery path; the lone \ud800 then splices U+FFFD
+    doc = ('{"type":"Feature","geometry":{"type":"Point","coordinates":[1,2]},'
+           '"properties":{"a":"\\q","hi":"\\ud800x","pair":"\\ud83d\\ude00"}}')
+    obj, err, raised, recovered = parse_text_recovering(doc)
+    assert err is None and recovered
+    assert obj.value.properties["hi"] == "�x"
+    assert obj.value.properties["pair"] == "\U0001f600"  # valid pair kept
+
+
+def test_recovery_valid_unicode_escape_kept():
+    """Non-surrogate \\uXXXX decodes to its scalar on the recovery path
+    (upstream jsonm / the DOM engine; the vendored effects port's
+    jsone.ml:352-353 branch is documented as not followed)."""
+    from ocaml_geojson_ray.core.parse import parse_text_recovering
+
+    doc = ('{"type":"Feature","geometry":{"type":"Point","coordinates":[1,2]},'
+           '"properties":{"a":"\\q","e":"caf\\u00e9"}}')
+    obj, err, raised, recovered = parse_text_recovering(doc)
+    assert err is None and recovered
+    assert obj.value.properties["e"] == "café"
+
+
+def test_recovery_structural_error_still_errors():
+    """discard_to-style structural junk returns an Error lexeme and the
+    DOM consumer aborts (ezjsone.ml:57-59) — recovery must NOT mask
+    it; the ORIGINAL strict message is kept."""
+    from ocaml_geojson_ray.core.parse import parse_text_recovering
+
+    obj, err, raised, recovered = parse_text_recovering(
+        '{"type": nope, "coordinates":[1,2]}'
+    )
+    assert obj is None and not recovered
+    assert err.startswith("JSON.of_buffer")
+
+
+def test_error_range_spans_to_separator():
+    """((l1,c1),(l2,c2)) mirrors discard_to's consumed span
+    (jsone.ml:487-493): start at the error, end at the last char
+    before the next separator."""
+    from ocaml_geojson_ray.stages.parse_stage import error_range
+
+    doc = '{"type": nope!, "x": 1}'
+    pos = doc.index("nope")
+    l1, c1, l2, c2 = error_range(doc, pos, 1, pos + 1)
+    assert (l1, c1) == (1, 10)
+    assert (l2, c2) == (1, 14)  # spans "nope!" to the char before ','
+
+    doc2 = '{"a":\n  nope\n  more, "x":1}'
+    pos2 = doc2.index("nope")
+    l1, c1, l2, c2 = error_range(doc2, pos2, 2, 3)
+    assert (l1, c1) == (2, 3)
+    assert l2 == 3 and c2 == len("  more") - 1 + 1  # 1-based end col

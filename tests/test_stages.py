@@ -283,3 +283,49 @@ def test_bloom_no_false_negatives():
     assert bf.contains_many(list(range(5000))).all()
     fpr = bf.contains_many(list(range(5000, 25000))).mean()
     assert fpr < 0.03
+
+
+def test_mine_recovers_lexically_broken_outer_doc():
+    """A bad escape in the OUTER document must not shrink mining to the
+    well-formed inner geometry; the recovered parse splices U+FFFD
+    (jsone.ml:390-397) and the verdict row is ok=True, recovered=True."""
+    import pyarrow as pa
+
+    from ocaml_geojson_ray.stages.mine import find_candidates
+    from ocaml_geojson_ray.stages.parse_stage import parse_candidates_batch
+
+    doc = ('{"type":"Feature","geometry":{"type":"Point","coordinates":[7.1,46.2]},'
+           '"properties":{"name":"z\\qrich"}}')
+    text = "prose before " + doc + " prose after"
+    cands = find_candidates(text)
+    assert len(cands) == 1 and cands[0][2] == doc  # outer doc, not the inner Point
+
+    batch = pa.table({
+        "url": ["u"], "warc_ts": pa.array([0], pa.timestamp("us")),
+        "lang": ["en"], "cand_idx": pa.array([0], pa.int32()),
+        "cand_text": [doc],
+    })
+    out = parse_candidates_batch(batch)
+    assert out["ok"].to_pylist() == [True]
+    assert out["recovered"].to_pylist() == [True]
+    assert out["properties_json"].to_pylist() == ['{"name":"z�rich"}']
+
+
+def test_error_range_columns_populated_for_malformed_json():
+    """Malformed-JSON verdicts carry the ((l1,c1),(l2,c2)) range
+    (geojsone.ml:27-37 Err.t shape)."""
+    import pyarrow as pa
+
+    from ocaml_geojson_ray.stages.parse_stage import parse_candidates_batch
+
+    batch = pa.table({
+        "url": ["u"], "warc_ts": pa.array([0], pa.timestamp("us")),
+        "lang": ["en"], "cand_idx": pa.array([0], pa.int32()),
+        "cand_text": ['{"type": nope!,\n "x": 1}'],
+    })
+    out = parse_candidates_batch(batch)
+    assert out["ok"].to_pylist() == [False]
+    (l1,), (c1,) = out["error_line"].to_pylist(), out["error_col"].to_pylist()
+    (l2,), (c2,) = out["error_line_end"].to_pylist(), out["error_col_end"].to_pylist()
+    assert (l1, c1) == (1, 10)
+    assert (l2, c2) == (1, 14)  # spans "nope!" up to the char before ','
