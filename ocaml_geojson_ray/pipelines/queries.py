@@ -97,13 +97,25 @@ SUPPLIER_POINTS_SQL = (
 )
 
 
+def _read_split(sf_dir: str, table: str, columns):
+    """read_parquet + no-shuffle block split. The sf test tables are ONE
+    file with ONE row group, so a plain read yields a single block and
+    every fused map stage downstream runs as one serial task. A real
+    100 TB table arrives as thousands of files/row-groups — the split
+    only compensates for the single-file test input."""
+    import ray
+    import ray.data as rd
+
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    return rd.read_parquet(
+        f"{sf_dir}/{table}.parquet", columns=list(columns)
+    ).repartition(max(8, 2 * ncpu), shuffle=False)
+
+
 def lineitem_points(sf_dir: str):
     import ray.data as rd
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_linenumber", "l_partkey"],
-    )
+    ds = _read_split(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"])
     return ds.map_batches(derive_lineitem_points_batch, batch_format="pyarrow")
 
 
@@ -138,10 +150,7 @@ def q_geojson_parse_points(sf_dir: str):
 
     import ray.data as rd
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_linenumber", "l_partkey"],
-    )
+    ds = _read_split(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"])
     return ds.map_batches(run, batch_format="pyarrow")
 
 
@@ -181,9 +190,7 @@ def q_geojson_linestring_verdicts(sf_dir: str):
 
     import ray.data as rd
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
-    )
+    ds = _read_split(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
     return ds.map_batches(run, batch_format="pyarrow")
 
 
@@ -221,10 +228,7 @@ def q_cell_assign_counts(sf_dir: str):
 
     import ray.data as rd
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_linenumber", "l_partkey"],
-    )
+    ds = _read_split(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"])
     partial = ds.map_batches(encode_and_partial, batch_format="pyarrow")
     return partial.groupby("cell").aggregate(Sum("partial", alias_name="n_points"))
 
@@ -258,10 +262,7 @@ def q_tile_assign_counts(sf_dir: str):
 
     import ray.data as rd
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_linenumber", "l_partkey"],
-    )
+    ds = _read_split(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"])
     partial = ds.map_batches(encode_and_partial, batch_format="pyarrow")
     return partial.groupby(["x", "y"]).aggregate(Sum("partial", alias_name="n_points"))
 
@@ -370,9 +371,8 @@ def q_knn_points(sf_dir: str):
             "lat": pa.array(tlat, pa.float64()),
         })
 
-    targets = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_linenumber", "l_partkey"],
+    targets = _read_split(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"]
     ).map_batches(derive_targets, batch_format="pyarrow")
 
     qt = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
@@ -380,8 +380,13 @@ def q_knn_points(sf_dir: str):
     qlng = ((sk * 7919) % 36000) / 100.0 - 180.0
     qlat = ((sk * 104729) % 18000) / 100.0 - 90.0
 
+    # window radius for the pruned pass-1 kernel: aim for ~40 expected
+    # in-radius targets (footer-only metadata read, no data)
+    n_targets = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    radius = float(np.sqrt(40.0 * 360.0 * 180.0 / (np.pi * max(1, n_targets))))
+
     kn = knn_points_stream(targets, sk, qlng, qlat, k=3,
-                           query_col="s_suppkey")
+                           query_col="s_suppkey", prune_radius=radius)
 
     def finish(batch: pa.Table) -> pa.Table:
         d = np.round(batch["distance_deg"].to_numpy(), 6)
@@ -428,10 +433,7 @@ def q_hot_cells(sf_dir: str):
 
     import ray.data as rd
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_linenumber", "l_partkey"],
-    ).map_batches(encode, batch_format="pyarrow")
+    ds = _read_split(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"]).map_batches(encode, batch_format="pyarrow")
     summed = salted_grouped_sum(ds, ["cell"], "one", k=8, alias="n_points")
     return summed.filter(expr="n_points >= 100")
 
@@ -486,11 +488,8 @@ def q_pricing_summary(sf_dir: str):
             ["l_returnflag", "l_linestatus", "sq", "sp", "sd", "cnt"]
         )
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_returnflag", "l_linestatus", "l_quantity",
-                 "l_extendedprice", "l_discount"],
-    )
+    ds = _read_split(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
     agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
         ["l_returnflag", "l_linestatus"]
     ).aggregate(
@@ -779,55 +778,33 @@ FROM probe JOIN rects
 def q_asof_user_order(sf_dir: str):
     """As-of join (ray_guide 'As-of / range join'): for every event,
     the latest order of customer ``user_id`` with o_orderdate <= ts.
-    Broadcast per-customer sorted date arrays (ray.put once) +
-    vectorized searchsorted per batch — no shuffle; oracle is DuckDB's
-    native ASOF LEFT JOIN."""
-    import pyarrow.parquet as pq
-    import ray
+
+    Scale shape (stages/asof.py): both sides stream, tag, union, ONE
+    hash shuffle on user_id, vectorized merge-asof per group — neither
+    table is read on the driver or broadcast; oracle is DuckDB's native
+    ASOF LEFT JOIN."""
     import ray.data as rd
 
-    orders = pq.read_table(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
-    )
-    ck = orders["o_custkey"].to_numpy()
-    od = orders["o_orderdate"].cast(pa.int64()).to_numpy()  # µs epoch
-    order_lookup = {}
-    srt = np.lexsort((od, ck))
-    ck_s, od_s = ck[srt], od[srt]
-    bounds = np.flatnonzero(np.diff(ck_s)) + 1
-    for keys, dates in zip(np.split(ck_s, bounds), np.split(od_s, bounds)):
-        order_lookup[int(keys[0])] = dates
-    ref = ray.put(order_lookup)
+    from ..stages.asof import asof_join_latest
 
-    def asof(batch: pa.Table) -> pa.Table:
-        lut = ray.get(ref)
-        uid = batch["user_id"].to_numpy()
-        ts = batch["ts"].cast(pa.int64()).to_numpy()
-        out = np.full(len(batch), -1, dtype=np.int64)
-        order = np.argsort(uid, kind="stable")
-        ub = np.flatnonzero(np.diff(uid[order])) + 1
-        for grp in np.split(order, ub):
-            dates = lut.get(int(uid[grp[0]]))
-            if dates is None:
-                continue
-            pos = np.searchsorted(dates, ts[grp], side="right") - 1
-            hit = pos >= 0
-            out[grp[hit]] = dates[pos[hit]]
-        t = pa.table(
-            {
-                "event_id": batch["event_id"],
-                "last_order_us": pa.array(
-                    np.where(out >= 0, out, 0), pa.int64()
-                ),
-                "has_order": pa.array(out >= 0, pa.bool_()),
-            }
-        )
-        return t
-
-    ds = rd.read_parquet(
+    events = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
-    return ds.map_batches(asof, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+    out = asof_join_latest(events, orders, left_key="user_id", left_ts="ts",
+                           right_key="o_custkey", right_ts="o_orderdate",
+                           left_id="event_id")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["event_id"],
+            "last_order_us": b["last_right_us"],
+            "has_order": b["has_right"],
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 SQL_ASOF_USER_ORDER = """
@@ -1249,10 +1226,7 @@ def q_map_geometry_rewrite(sf_dir: str):
             }
         )
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_linenumber", "l_partkey"],
-    )
+    ds = _read_split(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"])
     return ds.map_batches(run, batch_format="pyarrow")
 
 
@@ -1375,17 +1349,46 @@ def q_simhash_dedup(sf_dir: str):
     return simhash_dedup(ds)
 
 
+NEARDUP_PLANT_OFFSET = 1_000_000  # planted copy's id = original + this
+
+
+def plant_neardup_batch(batch: pa.Table) -> pa.Table:
+    """Append a deterministically perturbed copy of every 20th vector
+    (id + NEARDUP_PLANT_OFFSET, ~0.995 cosine to its source). The raw
+    test embeddings are random — no true 0.9-neighbors exist — so the
+    planted pairs give the LSH path real positives to find."""
+    ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+    vecs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+    sel = np.flatnonzero(ids % 20 == 0)
+    new_ids, new_vecs = [], []
+    for i in sel:
+        rng = np.random.default_rng(np.random.SeedSequence([7, int(ids[i])]))
+        noise = rng.standard_normal(vecs.shape[1])
+        noise *= 0.1 * np.linalg.norm(vecs[i]) / max(np.linalg.norm(noise), 1e-12)
+        new_ids.append(ids[i] + NEARDUP_PLANT_OFFSET)
+        new_vecs.append(vecs[i] + noise)
+    out_ids = np.concatenate([ids, np.asarray(new_ids, dtype=np.int64)])
+    out_vecs = list(batch["embedding"].to_pylist()) + [v.tolist() for v in new_vecs]
+    return pa.table({
+        "vec_id": pa.array(out_ids, pa.int64()),
+        "embedding": pa.array(out_vecs, pa.list_(pa.float64())),
+    })
+
+
 def q_embedding_neardups(sf_dir: str):
     """LSH-bucketed near-dup pairs — the 100TB scale path (approximate;
-    rows-only check). Random test embeddings have no true near-dups at
-    0.9, so this demonstrates plumbing; the exact variant below is the
-    value-checked one."""
+    rows-only check): hyperplane sign buckets → within-bucket exact
+    cosine ≥ 0.9, one shuffle on the bucket key. Planted perturbed
+    copies (plant_neardup_batch) give the path true positives; found
+    pairs are verified ⊆ the exact kernel's pairs in
+    tests/test_stages.py."""
     import ray.data as rd
 
     from ..stages.dedup import embedding_neardup_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return embedding_neardup_pairs(ds, threshold=0.9)
+    aug = ds.map_batches(plant_neardup_batch, batch_format="pyarrow")
+    return embedding_neardup_pairs(aug, threshold=0.9)
 
 
 def q_embedding_neardups_exact(sf_dir: str):
@@ -1517,10 +1520,7 @@ def q_s2_cell_counts(sf_dir: str):
 
     from ..spatial.join import CellEncoder
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_linenumber", "l_partkey"],
-    ).map_batches(derive_lineitem_points_batch, batch_format="pyarrow")
+    ds = _read_split(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"]).map_batches(derive_lineitem_points_batch, batch_format="pyarrow")
     enc = ds.map_batches(
         CellEncoder(res=6, s2_level=6), batch_format="pyarrow"
     )

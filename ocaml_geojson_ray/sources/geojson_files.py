@@ -10,6 +10,11 @@ sources/sinks:
   line, ray.data.read_text);
 - ``write_geojson``       — canonical minified serialization back to
   text, partitioned (one part file per block; resumable layout).
+
+Oversized documents: a multi-GB FeatureCollection read here stays ONE
+text row, but the parse stage splits it incrementally (T7,
+stages/parse_stage.GIANT_DOC_BYTES → core/stream_split.py) so the DOM
+— the ~10× blow-up — never materializes whole in a worker.
 """
 
 from __future__ import annotations

@@ -371,21 +371,31 @@ class EnvelopeJoiner:
         )
 
 
+def envelope_batch_fn(batch: pa.Table, index_ref=None) -> pa.Table:
+    """Stateless-task form of EnvelopeJoiner (same output), using the
+    per-process index cache — elastic, no pool startup."""
+    joiner = EnvelopeJoiner.__new__(EnvelopeJoiner)
+    joiner.index = _get_index(index_ref)
+    return joiner(batch)
+
+
 def envelope_join(probe_ds, polygons, res: int = DEFAULT_JOIN_RES,
                   concurrency=None):
     """Envelope-overlap join: probe Dataset (minx..maxy columns) ×
-    broadcast polygon layer."""
-    import ray
-
+    broadcast polygon layer. Stateless tasks + per-process index cache
+    by default (pool form behind ``concurrency``)."""
     ref = broadcast_polygon_index(polygons, res)
-    if concurrency is None:
-        # elastic width from the cluster, not a hard (1, 4) cap
-        concurrency = _elastic()
+    if concurrency is not None:
+        return probe_ds.map_batches(
+            EnvelopeJoiner,
+            fn_constructor_args=(ref,),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
     return probe_ds.map_batches(
-        EnvelopeJoiner,
-        fn_constructor_args=(ref,),
+        envelope_batch_fn,
+        fn_kwargs={"index_ref": ref},
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
 
 
@@ -420,8 +430,8 @@ def spatial_join_features(features_ds, polygons, res: int = DEFAULT_JOIN_RES):
         batch_format="pyarrow",
     ).drop_columns(["poly_name"])
     env = features_ds.map_batches(nonpts_only, batch_format="pyarrow").map_batches(
-        EnvelopeJoiner, fn_constructor_args=(ref,), batch_format="pyarrow",
-        concurrency=_elastic(),
+        envelope_batch_fn, fn_kwargs={"index_ref": ref},
+        batch_format="pyarrow",
     )
     env = env.map_batches(
         lambda b: b.append_column(

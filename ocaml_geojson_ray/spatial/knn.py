@@ -271,14 +271,41 @@ class PointKnnPartial:
 
     CHUNK_DOUBLES = 48_000_000
 
-    def __init__(self, queries_ref, k: int = 3, query_col: str = "query_id"):
-        import ray
-
-        self.qids, self.qx, self.qy = ray.get(queries_ref)
+    def __init__(self, queries_ref, k: int = 3, query_col: str = "query_id",
+                 prune_radius: float | None = None, only_ids=None):
+        # instance-based stateless stage: ship only the ref; resolve
+        # lazily once per worker process (an actor pool here paid ~1 s
+        # startup x pool width per query — measured at 32 slots)
+        self.ref = queries_ref
+        self.qids = None
         self.k = k
         self.query_col = query_col
+        # prune_radius R: only pairs with |dlng|<=R are examined (sorted
+        # window per query). Any pair with d2 <= R^2 is inside the
+        # window, so results are EXACT whenever the kth distance
+        # certifies <= R (checked in the merge; uncertified queries take
+        # a dense second pass). Cuts the dense Q x N distance matrix —
+        # the memory-bandwidth wall at 600M pairs — to ~Q x (2R/360) N.
+        self.prune_radius = prune_radius
+        self.only_ids = only_ids  # optional query-id subset (pass 2)
+
+    def _empty(self) -> pa.Table:
+        return pa.table({
+            self.query_col: pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "d2": pa.array([], pa.float64()),
+        })
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.qids is None:
+            import ray
+
+            self.qids, self.qx, self.qy = ray.get(self.ref)
+            if self.only_ids is not None:
+                keep = np.isin(self.qids, np.asarray(self.only_ids))
+                self.qids = self.qids[keep]
+                self.qx = self.qx[keep]
+                self.qy = self.qy[keep]
         ids = batch["neighbor_id"].to_numpy(zero_copy_only=False)
         px = batch["lng"].to_numpy(zero_copy_only=False)
         py = batch["lat"].to_numpy(zero_copy_only=False)
@@ -286,6 +313,10 @@ class PointKnnPartial:
         if not ok.all():
             ids, px, py = ids[ok], px[ok], py[ok]
         nq = len(self.qx)
+        if nq == 0 or len(px) == 0:
+            return self._empty()
+        if self.prune_radius is not None:
+            return self._windowed(ids, px, py)
         out_q, out_id, out_d2 = [], [], []
         chunk = max(1, self.CHUNK_DOUBLES // max(1, nq))
         for s in range(0, len(px), chunk):
@@ -301,11 +332,43 @@ class PointKnnPartial:
             out_id.append(ids[s:e][ti])
             out_d2.append(d2[qi, ti])
         if not out_q:
-            return pa.table({
-                self.query_col: pa.array([], pa.int64()),
-                "neighbor_id": pa.array([], pa.int64()),
-                "d2": pa.array([], pa.float64()),
-            })
+            return self._empty()
+        return pa.table({
+            self.query_col: pa.array(np.concatenate(out_q), pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "d2": pa.array(np.concatenate(out_d2), pa.float64()),
+        })
+
+    def _windowed(self, ids, px, py) -> pa.Table:
+        """Sorted-window kernel: sort the batch by lng once, binary-
+        search each query's [qx-R, qx+R] window, exact (diff)^2 math on
+        the window only — identical IEEE ops per surviving pair."""
+        R = self.prune_radius
+        order = np.argsort(px, kind="stable")
+        pxs, pys, idss = px[order], py[order], ids[order]
+        lo = np.searchsorted(pxs, self.qx - R, side="left")
+        hi = np.searchsorted(pxs, self.qx + R, side="right")
+        out_q, out_id, out_d2 = [], [], []
+        for qi in range(len(self.qx)):
+            s, e = int(lo[qi]), int(hi[qi])
+            if s >= e:
+                continue
+            dy = self.qy[qi] - pys[s:e]
+            near = np.abs(dy) <= R
+            if not near.any():
+                continue
+            dx = self.qx[qi] - pxs[s:e][near]
+            dyn = dy[near]
+            d2 = dx * dx + dyn * dyn
+            kk = min(self.k, len(d2))
+            sel = np.argpartition(d2, kk - 1)[:kk]
+            thr = d2[sel].max()
+            keep = d2 <= thr
+            out_q.append(np.full(int(keep.sum()), self.qids[qi]))
+            out_id.append(idss[s:e][near][keep])
+            out_d2.append(d2[keep])
+        if not out_q:
+            return self._empty()
         return pa.table({
             self.query_col: pa.array(np.concatenate(out_q), pa.int64()),
             "neighbor_id": pa.array(np.concatenate(out_id), pa.int64()),
@@ -315,12 +378,20 @@ class PointKnnPartial:
 
 def knn_points_stream(target_ds, query_ids, query_lng, query_lat,
                       k: int = 3, query_col: str = "query_id",
-                      concurrency=None):
+                      prune_radius: float | None = None):
     """Exact point-to-point kNN with the huge side streaming.
 
     ``target_ds`` must carry columns (neighbor_id, lng, lat); the small
     query side (ids + coords arrays) is broadcast once via ray.put.
-    Returns (query_col, knn_rank, neighbor_id, distance_deg)."""
+    Returns (query_col, knn_rank, neighbor_id, distance_deg).
+
+    ``prune_radius`` R enables the sorted-window kernel (see
+    PointKnnPartial): pass 1 examines only |dlng|<=R pairs; the merge
+    CERTIFIES each query (>= k results, kth distance <= R — any pair at
+    d2 <= R^2 is inside the window, so a certified result equals the
+    dense answer bitwise); uncertified queries re-run dense in a second
+    streaming pass. Pick R ≈ sqrt(E·area/(π·N)) for E≈40 expected
+    in-radius targets."""
     import pandas as pd
     import ray
 
@@ -329,15 +400,6 @@ def knn_points_stream(target_ds, query_ids, query_lng, query_lat,
         np.asarray(query_lng, dtype=np.float64),
         np.asarray(query_lat, dtype=np.float64),
     ))
-    if concurrency is None:
-        ncpu = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = max(2, ncpu - 2)
-    partial = target_ds.map_batches(
-        PointKnnPartial,
-        fn_constructor_args=(ref, k, query_col),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         d2 = group["d2"].to_numpy()
@@ -350,7 +412,32 @@ def knn_points_stream(target_ds, query_ids, query_lng, query_lat,
             "distance_deg": np.sqrt(d2[order]),
         })
 
-    return partial.groupby(query_col).map_groups(merge, batch_format="pandas")
+    def run(prune, only=None):
+        partial = target_ds.map_batches(
+            PointKnnPartial(ref, k, query_col, prune, only),
+            batch_format="pyarrow",
+        )
+        return partial.groupby(query_col).map_groups(merge, batch_format="pandas")
+
+    if prune_radius is None:
+        return run(None)
+    import ray.data as rd
+
+    # pass 1 (pruned) fully merges to a tiny Q×k table; certify on it
+    mt = run(prune_radius).to_pandas()
+    per_q = mt.groupby(query_col)["distance_deg"].agg(["count", "max"])
+    certified = per_q[(per_q["count"] >= min(k, 1))
+                      & (per_q["count"] >= k)
+                      & (per_q["max"] <= prune_radius * 0.999)].index
+    bad = np.setdiff1d(np.asarray(query_ids, dtype=np.int64),
+                       certified.to_numpy())
+    good = mt[mt[query_col].isin(set(certified))]
+    if len(bad) == 0:
+        return rd.from_pandas(good.reset_index(drop=True))
+    dense_bad = run(None, only=bad)
+    if len(good) == 0:
+        return dense_bad
+    return rd.from_pandas(good.reset_index(drop=True)).union(dense_bad)
 
 
 def knn_points(points_ds, polygons_path: str, k: int = 3,

@@ -179,9 +179,10 @@ def minhash_lsh_candidates(ds, bands: int = 16, rows: int = 8,
     ncpu = int(ray.cluster_resources().get("CPU", 4))
     hot_rows = bands_ds.join(
         hot, join_type="left_semi", on=("band_id", "band_hash"),
-        # join aggregators need ~1 CPU each; K beyond ncpu/2 stalls
-        # (memory ray-data-pitfalls-observed)
-        num_partitions=max(2, ncpu // 2),
+        # join aggregators are ACTORS (~1 CPU + startup each): K beyond
+        # ncpu/2 stalls (memory ray-data-pitfalls-observed), and large K
+        # pays startup — cap at 8 (plenty for the candidate volume)
+        num_partitions=max(2, min(8, ncpu // 4)),
     )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -226,7 +227,7 @@ def verify_pairs_distributed(pairs, docs, id_col: str = "doc_id",
     import ray
 
     ncpu = int(ray.cluster_resources().get("CPU", 4))
-    np_ = max(2, ncpu // 2)
+    np_ = max(2, min(8, ncpu // 4))
 
     def rename_for(side: str):
         def fn(b: pa.Table) -> pa.Table:

@@ -171,6 +171,72 @@ def _feature_row(rows, base, feat_idx: int, f: Feature, doc_kind: str, bbox):
     )
 
 
+# documents above this size take the incremental splitter (T7,
+# geojsone.ml:68-116): per-feature parse bounds peak memory at
+# O(one feature's DOM), not O(whole-collection DOM ≈ 10× text size)
+GIANT_DOC_BYTES = 4 << 20
+
+
+def _parse_giant_collection(rows, base, doc: str) -> bool:
+    """Bounded-memory parse of one oversized FeatureCollection: stream-
+    split the top-level features array (core/stream_split.py), parse
+    the small meta doc for bbox/kind, then each feature text on its
+    own, emitting rows as we go. → False (with rows rolled back) if the
+    doc isn't a cleanly-splittable FC — caller falls back to the
+    whole-doc path so verdict semantics never diverge."""
+    from ..core.stream_split import NotACollection, iter_features_text
+
+    mark = len(rows.cols["url"])
+
+    def rollback() -> bool:
+        for col in rows.cols.values():
+            del col[mark:]
+        return False
+
+    try:
+        feat_idx = 0
+        meta_seen = False
+        # meta arrives LAST from the splitter (rows stream before it);
+        # bbox / meta-level recovery are per-doc constants, so patch
+        # the already-emitted row indices once meta parses
+        patch_rows = []
+        meta_bbox = None
+        meta_rec = False
+        for kind, text in iter_features_text([doc]):
+            if kind == "feature":
+                fobj, ferr, fraised, frec = parse_text_recovering(text)
+                if fobj is None or not isinstance(fobj.value, Feature):
+                    return rollback()
+                b = dict(base)
+                b["recovered"] = frec
+                patch_rows.append(len(rows.cols["url"]))
+                _feature_row(rows, b, feat_idx, fobj.value,
+                             "FeatureCollection", None)
+                feat_idx += 1
+            else:
+                mobj, merr, mraised, mrec = parse_text_recovering(text)
+                if mobj is None or not isinstance(mobj.value, FeatureCollection):
+                    return rollback()
+                meta_seen = True
+                meta_rec = mrec
+                meta_bbox = list(mobj.bbox) if mobj.bbox is not None else None
+                if meta_bbox is not None:
+                    for r in patch_rows:
+                        rows.cols["bbox"][r] = meta_bbox
+                if mrec:
+                    for r in patch_rows:
+                        rows.cols["recovered"][r] = True
+        if not meta_seen:
+            return rollback()
+        if feat_idx == 0:
+            rows.add(**base, feat_idx=-1, ok=True, raised=False,
+                     recovered=meta_rec, doc_kind="FeatureCollection",
+                     bbox=meta_bbox)
+        return True
+    except (NotACollection, RecursionError):
+        return rollback()
+
+
 def parse_candidates_batch(batch: pa.Table) -> pa.Table:
     """map_batches fn: mined candidates → exploded parsed features."""
     rows = _Rows()
@@ -184,6 +250,9 @@ def parse_candidates_batch(batch: pa.Table) -> pa.Table:
     loc_re = _re.compile(r"line (\d+) column (\d+)(?: \(char (\d+)\))?")
     for i, doc in enumerate(docs):
         base = dict(url=urls[i], warc_ts=tss[i], lang=langs[i], cand_idx=cidx[i])
+        if len(doc) > GIANT_DOC_BYTES and '"features"' in doc[:GIANT_DOC_BYTES]:
+            if _parse_giant_collection(rows, base, doc):
+                continue  # bounded-memory path emitted the rows
         obj, err, raised, recovered = parse_text_recovering(doc)
         if obj is None:
             m = loc_re.search(err) if err else None

@@ -329,3 +329,99 @@ def test_error_range_columns_populated_for_malformed_json():
     (l2,), (c2,) = out["error_line_end"].to_pylist(), out["error_col_end"].to_pylist()
     assert (l1, c1) == (1, 10)
     assert (l2, c2) == (1, 14)  # spans "nope!" up to the char before ','
+
+
+def test_embedding_neardups_finds_planted_pairs(ray_session):
+    """The LSH near-dup path must find REAL positives: planted
+    perturbed copies (cos ≈ 0.995) come back as (id, id+OFFSET) pairs,
+    each with an exact within-bucket cosine >= the threshold (so every
+    emitted pair is also in the exact kernel's >= 0.9 set)."""
+    from ocaml_geojson_ray.pipelines.queries import (
+        NEARDUP_PLANT_OFFSET,
+        q_embedding_neardups,
+    )
+
+    df = q_embedding_neardups("/root/testdata/sf0.001").to_pandas()
+    assert len(df) > 0
+    assert (df["cosine"] >= 0.9).all()
+    # every pair is a planted (original, copy) pair
+    assert ((df["b_id"] - df["a_id"]) == NEARDUP_PLANT_OFFSET).all()
+    assert (df["a_id"] % 20 == 0).all()
+
+
+def _fc_doc(n_feats, props_pad=""):
+    feats = ",".join(
+        '{"type":"Feature","geometry":{"type":"Point","coordinates":[%d,%d]},'
+        '"properties":{"i":%d%s}}' % (i % 180, i % 80, i, props_pad)
+        for i in range(n_feats)
+    )
+    return ('{"type":"FeatureCollection","bbox":[0,0,10,10],"features":['
+            + feats + '],"source":"synthetic"}')
+
+
+def test_giant_collection_split_parse_matches_batch_parse(monkeypatch):
+    """T7 (geojsone.ml:68-116): an oversized FeatureCollection parses
+    feature-by-feature via the incremental splitter with IDENTICAL rows
+    to the whole-doc path."""
+    import pyarrow as pa
+
+    from ocaml_geojson_ray.stages import parse_stage
+
+    doc = _fc_doc(50)
+
+    def parse(d):
+        batch = pa.table({
+            "url": ["u"], "warc_ts": pa.array([0], pa.timestamp("us")),
+            "lang": ["en"], "cand_idx": pa.array([0], pa.int32()),
+            "cand_text": [d],
+        })
+        return parse_stage.parse_candidates_batch(batch)
+
+    whole = parse(doc)
+    monkeypatch.setattr(parse_stage, "GIANT_DOC_BYTES", 100)
+    split = parse(doc)
+    assert split.equals(whole)
+    assert len(split) == 50 and all(split["ok"].to_pylist())
+
+
+def test_giant_collection_splitter_buffer_is_bounded():
+    """The splitter's working buffer stays O(one feature), not O(doc):
+    feed chunks and track the internal buffer via a probe iterable."""
+    from ocaml_geojson_ray.core.stream_split import iter_features_text
+
+    doc = _fc_doc(200, props_pad=', "pad":"' + "x" * 200 + '"')
+    CH = 1024
+    chunks = [doc[i:i + CH] for i in range(0, len(doc), CH)]
+    n = 0
+    for kind, text in iter_features_text(chunks):
+        if kind == "feature":
+            n += 1
+            # each yielded feature is small — the buffer never has to
+            # hold more than one feature + a chunk
+            assert len(text) < 600
+        else:
+            assert len(text) < 200  # meta: header + [] + trailer only
+    assert n == 200
+
+
+def test_giant_collection_malformed_falls_back(monkeypatch):
+    """A giant doc that is NOT a cleanly-splittable FC falls back to
+    whole-doc semantics (identical verdict either way)."""
+    import pyarrow as pa
+
+    from ocaml_geojson_ray.stages import parse_stage
+
+    bad = '{"type":"FeatureCollection","features":[{"type":"Nope"}]}'
+
+    def parse(d):
+        batch = pa.table({
+            "url": ["u"], "warc_ts": pa.array([0], pa.timestamp("us")),
+            "lang": ["en"], "cand_idx": pa.array([0], pa.int32()),
+            "cand_text": [d],
+        })
+        return parse_stage.parse_candidates_batch(batch)
+
+    whole = parse(bad)
+    monkeypatch.setattr(parse_stage, "GIANT_DOC_BYTES", 10)
+    split = parse(bad)
+    assert split.equals(whole)
