@@ -12,15 +12,14 @@ write parquet), streaming end to end. Page-table generation is cached
 setup (untimed): the table is the INPUT, not the work.
 
 --scaling: runs the headline twice in fresh processes at
-RAY_GRAFT_CPUS_LO/HI on the same (8x-sized, cached) input and reports
-both throughputs + scaling efficiency (the sandbox substitute for N vs
-4N nodes, BASELINE.json north_rule). Defaults are LO=2/HI=8: a
-fixed-work burn test shows this sandbox delivers ~12.5 effective cores
-at 32-wide (2.1 at 2-wide, 6.8 at 8-wide) — the hardware itself scales
-only 1.84x from 8 to 32 slots, so 2->8 is the band where engine
-scaling is observable. The 8x input keeps fixed per-pipeline overhead
-(~1.5 s) under 3% of the low-CPU runtime, and one untimed warm-up run
-spawns workers/imports before the timed run.
+RAY_GRAFT_CPUS_LO/HI on the same (GRAFT_SCALE_MULT x-sized, cached)
+input and reports both throughputs + scaling efficiency (the sandbox
+substitute for N vs 4N nodes, BASELINE.json north_rule). Defaults are
+LO=2/HI=8 — the band where a fixed-work burn test shows near-linear
+hardware (burn numbers re-measured each round; see BASELINE.md
+"Hardware note"). The scaled input keeps fixed per-pipeline overhead
+(~1.5 s) small relative to the low-CPU runtime; one untimed warm-up
+run spawns workers/imports, then best-of-2 timed runs.
 """
 
 from __future__ import annotations
@@ -73,9 +72,11 @@ def run_scaling_child(sf_dir: str, num_cpus: int) -> dict:
     from ocaml_geojson_ray.sources.polygons import generate_polygon_layer
 
     sf = sf_of(sf_dir)
-    sf_big = sf * 8  # 8x the sf's pages: fixed per-pipeline overhead
-    # (~1.5 s) must be <3%% of the low-CPU runtime for the efficiency
-    # ratio to reflect the engine rather than the constant
+    mult = float(os.environ.get("GRAFT_SCALE_MULT", "8"))
+    sf_big = sf * mult  # scaled-up pages: fixed per-pipeline overhead
+    # (~1.5 s) must be a small fraction of the LOW-cpu runtime for the
+    # efficiency ratio to reflect the engine rather than the constant;
+    # higher CPU bands need a bigger multiplier (GRAFT_SCALE_MULT)
     pages = materialize_pages_parquet(sf_big, root="/tmp/ogr_data")
     polys = generate_polygon_layer(sf, root="/tmp/ogr_data")
     n_pages = page_count_for_sf(sf_big)
@@ -224,7 +225,9 @@ def main():
         from ocaml_geojson_ray.sources.pages import materialize_pages_parquet
         from ocaml_geojson_ray.sources.polygons import generate_polygon_layer
 
-        materialize_pages_parquet(sf_of(sf_dir) * 8, root="/tmp/ogr_data")
+        materialize_pages_parquet(
+            sf_of(sf_dir) * float(os.environ.get("GRAFT_SCALE_MULT", "8")),
+            root="/tmp/ogr_data")
         generate_polygon_layer(sf_of(sf_dir), root="/tmp/ogr_data")
         ray.shutdown()
         r_lo = run_child(lo, ("--scaling-child",))

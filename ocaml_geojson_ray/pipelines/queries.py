@@ -1082,17 +1082,21 @@ def q_word_shape_stats(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     def shape(batch: pa.Table) -> pa.Table:
-        import re
+        from ..stages.textstats import word_char_mask
 
-        word = re.compile(r"\w+", re.UNICODE)
         texts = batch["text"].to_pylist()
         wc = np.empty(len(texts), dtype=np.int64)
         up = np.empty(len(texts), dtype=np.int64)
         dg = np.empty(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
-            wc[i] = sum(len(w) for w in word.findall(t))
-            up[i] = sum(c.isupper() for c in t)
-            dg[i] = sum(c.isdigit() for c in t)
+            # vectorized codepoint classes — the exact [A-Z]/[0-9]/\w
+            # definitions the oracle's RE2 regexes use (the old per-char
+            # isupper()/isdigit() loop was the hotspot AND a latent
+            # Unicode-class divergence)
+            cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            wc[i] = int(word_char_mask(cps).sum())
+            up[i] = int(((cps >= 65) & (cps <= 90)).sum())
+            dg[i] = int(((cps >= 48) & (cps <= 57)).sum())
         batch = batch.append_column("word_chars", pa.array(wc, pa.int64()))
         batch = batch.append_column("upper_chars", pa.array(up, pa.int64()))
         return batch.append_column("digit_chars", pa.array(dg, pa.int64()))

@@ -284,21 +284,38 @@ class PairVerifier:
 
 # -- SimHash ---------------------------------------------------------------
 
+# word -> 64-bit md5 hash memo (bounded): corpora repeat words heavily,
+# and md5-per-word was the simhash hotspot
+_WORD_HASH_MEMO: dict = {}
+_WORD_HASH_MEMO_MAX = 1 << 20
+
+
+def _word_hash64(w: str) -> int:
+    h = _WORD_HASH_MEMO.get(w)
+    if h is None:
+        h = struct.unpack("<Q", hashlib.md5(w.encode("utf-8")).digest()[:8])[0]
+        if len(_WORD_HASH_MEMO) < _WORD_HASH_MEMO_MAX:
+            _WORD_HASH_MEMO[w] = h
+    return h
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word hashes."""
-    acc = np.zeros(64, dtype=np.int64)
+    """64-bit SimHash over word hashes (weighted by occurrence count;
+    identical to the per-occurrence formulation). The bit spread is one
+    vectorized (U, 64) expression over UNIQUE words, not a per-word
+    Python loop."""
+    words = text.split()
+    if not words:
+        return 0
+    uniq, counts = np.unique(words, return_counts=True)
+    hs = np.asarray([_word_hash64(w) for w in uniq], dtype=np.uint64)
     shifts = np.arange(64, dtype=np.uint64)
-    for w in text.split():
-        h = np.uint64(
-            struct.unpack("<Q", hashlib.md5(w.encode("utf-8")).digest()[:8])[0]
-        )
-        bits = (h >> shifts) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)  # (U, 64)
+    signed = np.where(bits == 1, 1, -1) * counts[:, None]
+    acc = signed.sum(axis=0)
+    return int(np.bitwise_or.reduce(
+        (acc > 0).astype(np.uint64) << shifts
+    ))
 
 
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:

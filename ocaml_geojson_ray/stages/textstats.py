@@ -13,6 +13,18 @@ import numpy as np
 import pyarrow as pa
 
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+
+def word_char_mask(cps: np.ndarray) -> np.ndarray:
+    """ASCII \\w class ([0-9A-Za-z_]) over a uint32 codepoint array —
+    exactly RE2's default \\w, which is what the DuckDB oracle's
+    regexp functions use."""
+    return (
+        ((cps >= 48) & (cps <= 57))
+        | ((cps >= 65) & (cps <= 90))
+        | ((cps >= 97) & (cps <= 122))
+        | (cps == 95)
+    )
 # a BPE-ish subword splitter: runs of letters, digits, or single punct
 _BPE_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
 
@@ -51,14 +63,25 @@ class TextStats:
         upr = np.empty(len(texts), dtype=np.float64)
         dig = np.empty(len(texts), dtype=np.float64)
         for i, t in enumerate(texts):
+            # one codepoint array per doc; all class tests vectorized
+            # (ASCII classes — exactly RE2's \w/[A-Z]/[0-9], which is
+            # what the DuckDB oracle computes; the old per-char
+            # isupper()/isdigit() loop was the profile hotspot)
+            cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
             n_tok[i] = len(t.split())
-            words = self.word.findall(t)
-            n_words[i] = len(words)
+            is_w = word_char_mask(cps)
+            wc = int(is_w.sum())
+            # \w+ match count = number of True-runs in the mask
+            if len(is_w):
+                nw = int(is_w[0]) + int((is_w[1:] & ~is_w[:-1]).sum())
+            else:
+                nw = 0
+            n_words[i] = nw
             n_chars[i] = len(t)
-            awl[i] = (sum(len(w) for w in words) / len(words)) if words else 0.0
+            awl[i] = (wc / nw) if nw else 0.0
             n = len(t) or 1
-            upr[i] = sum(c.isupper() for c in t) / n
-            dig[i] = sum(c.isdigit() for c in t) / n
+            upr[i] = int(((cps >= 65) & (cps <= 90)).sum()) / n
+            dig[i] = int(((cps >= 48) & (cps <= 57)).sum()) / n
         for name, arr, typ in (
             ("n_tokens", n_tok, pa.int64()),
             ("n_words", n_words, pa.int64()),
@@ -156,10 +179,15 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     MOD = (1 << 61) - 1
     BASE = 1000003
     rolls = np.empty(len(texts), dtype=np.int64)
+    wh_memo: dict = {}
     for i, t in enumerate(texts):
         h = 0
         for w in t.split():
-            wh = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+            wh = wh_memo.get(w)
+            if wh is None:
+                wh = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+                if len(wh_memo) < (1 << 20):
+                    wh_memo[w] = wh
             h = (h * BASE + wh) % MOD
         rolls[i] = h
     batch = batch.append_column("content_md5", pa.array(md5s, pa.string()))
