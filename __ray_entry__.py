@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": Q.q_quality_scores,
         "rolling_fingerprints": Q.q_rolling_fingerprints,
         "minhash_neardups": Q.q_minhash_neardups,
+        "ngram_jaccard_pairs": Q.q_ngram_jaccard_pairs,
         "simhash_dedup": Q.q_simhash_dedup,
         "embedding_neardups": Q.q_embedding_neardups,
         "ivf_ann": Q.q_ivf_ann,
@@ -114,4 +115,5 @@ def oracle_sql() -> dict[str, str]:
         "map_geometry_rewrite": Q.SQL_MAP_GEOMETRY_REWRITE,
         "ann_cosine_topk": Q.SQL_ANN_COSINE_TOPK,
         "embedding_neardups_exact": Q.SQL_EMBEDDING_NEARDUPS_EXACT,
+        "ngram_jaccard_pairs": Q.SQL_NGRAM_JACCARD_PAIRS,
     }

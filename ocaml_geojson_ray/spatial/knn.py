@@ -425,6 +425,9 @@ def knn_points_stream(target_ds, query_ids, query_lng, query_lat,
 
     # pass 1 (pruned) fully merges to a tiny Q×k table; certify on it
     mt = run(prune_radius).to_pandas()
+    if mt.empty:
+        # nothing in-window anywhere: every query takes the dense pass
+        return run(None)
     per_q = mt.groupby(query_col)["distance_deg"].agg(["count", "max"])
     certified = per_q[(per_q["count"] >= min(k, 1))
                       & (per_q["count"] >= k)

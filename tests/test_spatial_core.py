@@ -225,3 +225,41 @@ def test_envelope_to_tiles():
     assert set(zip(xs.tolist(), ys.tolist())) == {
         (31, 31), (31, 32), (32, 31), (32, 32)
     }
+
+
+def test_knn_points_stream_pruned_matches_dense(ray_session):
+    """Window pruning + certification must return the EXACT dense
+    answer, including when the radius is tiny and every query falls
+    back to the dense second pass."""
+    import numpy as np
+    import ray.data as rd
+
+    from ocaml_geojson_ray.spatial.knn import knn_points_stream
+
+    rng = np.random.default_rng(11)
+    n_t, n_q = 3000, 17
+    t_ids = np.arange(n_t, dtype=np.int64) + 100
+    tx = rng.uniform(-180, 180, n_t)
+    ty = rng.uniform(-90, 90, n_t)
+    q_ids = np.arange(n_q, dtype=np.int64)
+    qx = rng.uniform(-180, 180, n_q)
+    qy = rng.uniform(-90, 90, n_q)
+    import pyarrow as pa
+
+    targets = rd.from_arrow(pa.table({
+        "neighbor_id": t_ids, "lng": tx, "lat": ty,
+    })).repartition(6)
+
+    def run(radius):
+        df = knn_points_stream(targets, q_ids, qx, qy, k=3,
+                               prune_radius=radius).to_pandas()
+        return df.sort_values(["query_id", "knn_rank"]).reset_index(drop=True)
+
+    dense = run(None)
+    generous = run(30.0)   # certifies nearly everything
+    tiny = run(0.05)       # certifies nothing -> full dense fallback
+    for got, name in ((generous, "generous"), (tiny, "tiny")):
+        assert got[["query_id", "knn_rank", "neighbor_id"]].equals(
+            dense[["query_id", "knn_rank", "neighbor_id"]]), name
+        assert np.allclose(got["distance_deg"], dense["distance_deg"],
+                           rtol=0, atol=0), name
