@@ -1362,46 +1362,91 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def grams_batch(b: pa.Table) -> pa.Table:
+        import hashlib
+        import struct
+
         ids = b["doc_id"].to_pylist()
         texts = b["text"].to_pylist()
         out_id, out_g = [], []
+        memo: dict = {}
         for d, t in zip(ids, texts):
             words = t.split()
             if len(words) < 3:
                 grams = {" ".join(words)} if words else set()
             else:
                 grams = {" ".join(words[i:i + 3]) for i in range(len(words) - 2)}
-            out_id.extend([d] * len(grams))
-            out_g.extend(grams)
+            for g in grams:
+                # int64 gram key: an 8-byte join/shuffle key instead of
+                # a ~20-byte string (collision odds ~|grams|²/2⁶⁴)
+                h = memo.get(g)
+                if h is None:
+                    h = struct.unpack(
+                        "<q", hashlib.md5(g.encode("utf-8")).digest()[:8])[0]
+                    memo[g] = h
+                out_id.append(d)
+                out_g.append(h)
         return pa.table({
             "doc_id": pa.array(out_id, pa.int64()),
-            "gram": pa.array(out_g, pa.string()),
+            "gram": pa.array(out_g, pa.int64()),
         })
 
     grams = ds.map_batches(grams_batch, batch_format="pyarrow").materialize()
-    counts = grams.groupby("doc_id").aggregate(Count(alias_name="n_grams"))
+    counts = grams.groupby("doc_id").aggregate(Count(alias_name="n_grams")) \
+        .materialize()
+    min_grams = counts.min("n_grams")
 
     ncpu = int(ray.cluster_resources().get("CPU", 4))
     np_ = max(2, min(8, ncpu // 4))
 
-    # most grams are singletons → filter to shared grams first (the
-    # same distributed left-semi pattern as the MinHash hot buckets)
-    shared = grams.groupby("gram").aggregate(Count(alias_name="df")) \
-        .filter(expr="df >= 2").select_columns(["gram"])
-    hot = grams.join(shared, join_type="left_semi", on=("gram",),
-                     num_partitions=np_).materialize()
-
-    # co-occurring pairs via SELF-JOIN on gram (per-group map_groups
-    # paid ~3 ms × thousands of small groups — measured 21 s; the hash
-    # join emits the same pairs in one exchange)
-    hot_a = hot.map_batches(
+    # co-occurring pairs via SELF-JOIN on gram, then PARTIAL pair
+    # counts per join partition and one vectorized final combine.
+    # (Ray's groupby-aggregate pays ~15 µs/group in Python — 1.1M
+    # distinct pairs took 19 s; np.unique over the 20 MB partial-count
+    # table is sub-second. The combine is O(candidate pairs) on one
+    # worker — candidates at that point are the near-dup pair table,
+    # orders of magnitude smaller than the corpus; swap back to a
+    # groupby if a corpus ever makes it large.)
+    grams_a = grams.map_batches(
         lambda b: b.rename_columns(["a_id", "gram"]), batch_format="pyarrow")
-    hot_b = hot.map_batches(
+    grams_b = grams.map_batches(
         lambda b: b.rename_columns(["b_id", "gram"]), batch_format="pyarrow")
+    joined = grams_a.join(grams_b, join_type="inner", on=("gram",),
+                          num_partitions=np_)
+
+    def pack_partial(b: pa.Table) -> pa.Table:
+        a = b["a_id"].to_numpy()
+        bb = b["b_id"].to_numpy()
+        keep = a < bb
+        pk = a[keep] * np.int64(1 << 32) + bb[keep]
+        uk, cnt = np.unique(pk, return_counts=True)
+        return pa.table({"pk": pa.array(uk, pa.int64()),
+                         "c": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    # exact prefilter: jaccard >= 0.5 ⟹ inter >= (na+nb)/3 >= 2·m/3
+    # where m = global min gram count — cuts the pair table before the
+    # count-attach joins
+    bound = max(1, int(np.ceil(2.0 * min_grams / 3.0)))
+
+    def combine(b: pa.Table) -> pa.Table:
+        pk = b["pk"].to_numpy()
+        c = b["c"].to_numpy()
+        order = np.argsort(pk, kind="stable")
+        pk, c = pk[order], c[order]
+        starts = np.flatnonzero(np.diff(pk)) + 1
+        uk = pk[np.concatenate([[0], starts])] if len(pk) else pk
+        sums = np.add.reduceat(c, np.concatenate([[0], starts])) if len(pk) else c
+        keep = sums >= bound
+        uk, sums = uk[keep], sums[keep]
+        return pa.table({
+            "a_id": pa.array(uk >> np.int64(32), pa.int64()),
+            "b_id": pa.array(uk & np.int64((1 << 32) - 1), pa.int64()),
+            "inter": pa.array(sums, pa.int64()),
+        })
+
     inter = (
-        hot_a.join(hot_b, join_type="inner", on=("gram",), num_partitions=np_)
-        .filter(expr="a_id < b_id")
-        .groupby(["a_id", "b_id"]).aggregate(Count(alias_name="inter"))
+        joined.map_batches(pack_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pyarrow")
     )
 
     def rename_counts(side: str):

@@ -166,25 +166,30 @@ def minhash_lsh_candidates(ds, bands: int = 16, rows: int = 8,
         fn_kwargs={"bands": bands, "rows": rows, "id_col": id_col},
     ).materialize()
 
-    # Nearly every bucket is a singleton (unique band hash); running
-    # map_groups over all of them pays per-group pandas overhead for
-    # nothing. Two-phase: (1) vectorized counts → the tiny set of
-    # buckets with >= 2 members, broadcast it; (2) filter the band
-    # stream to those buckets and pair only there.
-    import numpy as np
+    # Co-occurring pairs via ONE self-join on the bucket key (a < b
+    # drops the singleton self-pairs): round 1's four-exchange plan
+    # (count → hot filter → semi-join → per-bucket map_groups) paid
+    # ~2 s of all-to-all fixed cost per exchange; this is two.
+    # Join aggregators are ACTORS (~1 CPU + startup each): K beyond
+    # ncpu/2 stalls (memory ray-data-pitfalls-observed) — cap at 8.
     import ray
     from ray.data.aggregate import Count
 
-    counts = bands_ds.groupby(["band_id", "band_hash"]).aggregate(
-        Count(alias_name="n")
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    np_ = max(2, min(8, ncpu // 4))
+    bands_a = bands_ds.map_batches(
+        lambda b: b.rename_columns(["band_id", "band_hash", "a_id"]),
+        batch_format="pyarrow",
     )
-    # hot buckets (>= 2 members) as a DATASET — the filter stays
-    # distributed: a left-semi hash join replaces round 1's
-    # iter_rows()-to-driver key set (which broke at corpus scale)
-    hot = counts.filter(expr="n >= 2").select_columns(
-        ["band_id", "band_hash"]
-    ).materialize()
-    if hot.count() == 0:
+    bands_b = bands_ds.map_batches(
+        lambda b: b.rename_columns(["band_id", "band_hash", "b_id"]),
+        batch_format="pyarrow",
+    )
+    pairs = bands_a.join(
+        bands_b, join_type="inner", on=("band_id", "band_hash"),
+        num_partitions=np_,
+    ).filter(expr="a_id < b_id").materialize()
+    if pairs.count() == 0:
         import ray.data as rd
 
         return rd.from_arrow(pa.table(
@@ -194,24 +199,6 @@ def minhash_lsh_candidates(ds, bands: int = 16, rows: int = 8,
                 "n_shared_bands": pa.array([], pa.int64()),
             }
         ))
-    ncpu = int(ray.cluster_resources().get("CPU", 4))
-    hot_rows = bands_ds.join(
-        hot, join_type="left_semi", on=("band_id", "band_hash"),
-        # join aggregators are ACTORS (~1 CPU + startup each): K beyond
-        # ncpu/2 stalls (memory ray-data-pitfalls-observed), and large K
-        # pays startup — cap at 8 (plenty for the candidate volume)
-        num_partitions=max(2, min(8, ncpu // 4)),
-    )
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].tolist())
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame(pairs, columns=["a_id", "b_id"])
-
-    pairs = (
-        hot_rows.groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-    )
     # candidate pairs can repeat across bands → distinct
     return pairs.groupby(["a_id", "b_id"]).aggregate(
         Count(alias_name="n_shared_bands")
