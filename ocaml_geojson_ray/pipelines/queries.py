@@ -43,6 +43,24 @@ POINTS_SQL = (
 )
 
 
+# (sf_dir, res) → broadcast PolygonIndex ObjectRef; rebuilding the
+# 20k-rect index cost ~3 s of driver time per query at sf0.1
+_RECT_INDEX_MEMO: dict = {}
+
+
+def rect_polygons_index_ref(sf_dir: str, res: int):
+    import ray
+
+    from ..spatial.join import PolygonIndex
+
+    key = (sf_dir, res)
+    ref = _RECT_INDEX_MEMO.get(key)
+    if ref is None:
+        ref = ray.put(PolygonIndex(rect_polygons_rows(sf_dir), res))
+        _RECT_INDEX_MEMO[key] = ref
+    return ref
+
+
 def rect_polygons_rows(sf_dir: str):
     """part keys → deterministic axis-aligned rectangle polygons
     (generic polygons to the engine; BETWEEN-joinable for the oracle)."""
@@ -228,9 +246,13 @@ def q_cell_assign_counts(sf_dir: str):
 
     import ray.data as rd
 
+    from ..util import grouped_sum_combine
+
     ds = _read_split(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"])
     partial = ds.map_batches(encode_and_partial, batch_format="pyarrow")
-    return partial.groupby("cell").aggregate(Sum("partial", alias_name="n_points"))
+    # vectorized final combine: the distinct-cell table is bounded by
+    # the grid, and Ray's groupby paid ~15µs/group over 235k cells
+    return grouped_sum_combine(partial, ["cell"], "partial", "n_points")
 
 
 SQL_CELL_ASSIGN = f"""
@@ -262,9 +284,11 @@ def q_tile_assign_counts(sf_dir: str):
 
     import ray.data as rd
 
+    from ..util import grouped_sum_combine
+
     ds = _read_split(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"])
     partial = ds.map_batches(encode_and_partial, batch_format="pyarrow")
-    return partial.groupby(["x", "y"]).aggregate(Sum("partial", alias_name="n_points"))
+    return grouped_sum_combine(partial, ["x", "y"], "partial", "n_points")
 
 
 SQL_TILE_ASSIGN = f"""
@@ -287,7 +311,7 @@ def q_spatial_join_rect(sf_dir: str):
     from ..spatial.join import spatial_join_points
 
     pts = lineitem_points(sf_dir)
-    joined = spatial_join_points(pts, rect_polygons_rows(sf_dir), res=7,
+    joined = spatial_join_points(pts, rect_polygons_index_ref(sf_dir, 7), res=7,
                                  batch_size=16384)
     return joined.select_columns(["l_orderkey", "l_linenumber", "poly_id"])
 
@@ -316,7 +340,7 @@ def q_knn_rect(sf_dir: str):
     pts = rd.read_parquet(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]
     ).map_batches(derive, batch_format="pyarrow")
-    kn = knn_points(pts, rect_polygons_rows(sf_dir), k=3, res=7)
+    kn = knn_points(pts, rect_polygons_index_ref(sf_dir, 7), k=3, res=7)
 
     def finish(batch: pa.Table) -> pa.Table:
         d = np.round(batch["distance_deg"].to_numpy(), 6)
@@ -756,7 +780,7 @@ def q_envelope_join(sf_dir: str):
     probe = rd.read_parquet(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]
     ).map_batches(derive, batch_format="pyarrow")
-    joined = envelope_join(probe, rect_polygons_rows(sf_dir), res=7)
+    joined = envelope_join(probe, rect_polygons_index_ref(sf_dir, 7), res=7)
     return joined.select_columns(["s_suppkey", "poly_id"])
 
 

@@ -230,10 +230,13 @@ _BROADCAST_MEMO: dict = {}
 def broadcast_polygon_index(polygons, res: int = DEFAULT_JOIN_RES):
     """Build + ray.put the index once; returns the object ref.
 
-    ``polygons``: parquet path, list of row dicts, or PolygonIndex.
+    ``polygons``: parquet path, list of row dicts, PolygonIndex, or an
+    already-broadcast ObjectRef (returned as-is).
     """
     import ray
 
+    if isinstance(polygons, ray.ObjectRef):
+        return polygons
     if isinstance(polygons, str):
         key = (polygons, res)
         ref = _BROADCAST_MEMO.get(key)

@@ -443,21 +443,37 @@ def knn_points_stream(target_ds, query_ids, query_lng, query_lat,
     return rd.from_pandas(good.reset_index(drop=True)).union(dense_bad)
 
 
+def knn_batch_fn(batch: pa.Table, index_ref=None, k: int = 3,
+                 max_ring: int = 8) -> pa.Table:
+    """Stateless-task form of KnnJoiner (same output), resolving the
+    broadcast index through the per-process cache — elastic, no pool
+    startup (a fixed ncpu-wide pool paid ~1 s × width per query)."""
+    from .join import _get_index
+
+    joiner = KnnJoiner.__new__(KnnJoiner)
+    joiner.index = _get_index(index_ref)
+    joiner.k = k
+    joiner.max_ring = max_ring
+    joiner.cell_size = 180.0 / (1 << joiner.index.res)
+    return joiner(batch)
+
+
 def knn_points(points_ds, polygons_path: str, k: int = 3,
                res: int = 9, concurrency=None, batch_size: int | None = None):
-    import ray
-
     from .join import broadcast_polygon_index
 
     ref = broadcast_polygon_index(polygons_path, res)
-    if concurrency is None:
-        # fixed pool: upstream stages fuse into it (see join.py note)
-        ncpu = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = max(2, ncpu - 2)
+    if concurrency is not None:
+        return points_ds.map_batches(
+            KnnJoiner,
+            fn_constructor_args=(ref, k),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
     return points_ds.map_batches(
-        KnnJoiner,
-        fn_constructor_args=(ref, k),
+        knn_batch_fn,
+        fn_kwargs={"index_ref": ref, "k": k},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )

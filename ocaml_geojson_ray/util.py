@@ -2,6 +2,47 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pyarrow as pa
+
+
+def grouped_sum_combine(partial_ds, key_cols, val_col: str, alias: str):
+    """Final combine for an already-PARTIALLY-aggregated (key, sum)
+    stream: funnel the partials to one task and reduce with
+    lexsort + add.reduceat (vectorized C).
+
+    Why: Ray's generic groupby-aggregate pays ~15 µs of Python per
+    GROUP (measured: 1.1M groups → 19 s; 235k cell groups → ~3.5 s),
+    while the partial tables here are megabytes. Use ONLY when the
+    distinct-key table fits one worker — cell/tile/count tables do by
+    construction (bounded key space); a corpus-sized key set needs the
+    plain groupby (or a k-way tree of this combine).
+    """
+    key_cols = list(key_cols)
+
+    def combine(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            cols = {c: b[c] for c in key_cols}
+            cols[alias] = pa.array([], pa.int64())
+            return pa.table(cols)
+        keys = [b[c].to_numpy(zero_copy_only=False) for c in key_cols]
+        v = b[val_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort(keys[::-1])
+        ks = [k[order] for k in keys]
+        v = v[order]
+        neq = np.zeros(len(v), dtype=bool)
+        neq[0] = True
+        for k in ks:
+            neq[1:] |= k[1:] != k[:-1]
+        starts = np.flatnonzero(neq)
+        sums = np.add.reduceat(v, starts)
+        cols = {c: pa.array(k[starts]) for c, k in zip(key_cols, ks)}
+        cols[alias] = pa.array(sums.astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return partial_ds.repartition(1).map_batches(
+        combine, batch_format="pyarrow")
+
 
 def elastic_concurrency(reserve: int = 2, lo: int = 2) -> int:
     """Fixed actor-pool width derived from the cluster, not a hard cap.
