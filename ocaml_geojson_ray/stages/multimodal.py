@@ -128,6 +128,46 @@ class ResizeImage:
         )
 
 
+class AudioFeatures:
+    """Audio feature-extract plumbing (the third modality).
+
+    STUB like DecodeImage: real codecs (libsndfile/ffmpeg) are absent;
+    ``fake=True`` derives a deterministic PCM buffer from the payload
+    hash and emits real vectorized features (RMS energy, zero-crossing
+    rate, spectral-centroid stand-in) so schema/batching are tested."""
+
+    def __init__(self, fake: bool = False, sample_rate: int = 16000):
+        if not fake:
+            raise NotImplementedError(
+                "audio decoding requires an audio library not present in "
+                "this environment; construct with fake=True for the "
+                "deterministic stand-in"
+            )
+        self.sr = sample_rate
+
+    @staticmethod
+    def _fake_pcm(payload: bytes, n: int = 4096) -> np.ndarray:
+        seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "little")
+        rng = np.random.default_rng(seed)
+        return rng.standard_normal(n)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        feats = np.empty((len(payloads), 3), dtype=np.float64)
+        for i, p in enumerate(payloads):
+            x = self._fake_pcm(p)
+            feats[i, 0] = float(np.sqrt((x * x).mean()))          # RMS
+            feats[i, 1] = float((np.diff(np.signbit(x)) != 0).mean())  # ZCR
+            mag = np.abs(np.fft.rfft(x))
+            freqs = np.arange(len(mag), dtype=np.float64)
+            feats[i, 2] = float((mag * freqs).sum() / max(mag.sum(), 1e-12))
+        out = batch.drop_columns(["payload"])  # drop big bytes ASAP
+        return out.append_column(
+            "audio_features",
+            pa.array([row.tolist() for row in feats], pa.list_(pa.float64())),
+        )
+
+
 def frame_sample_batch(batch: pa.Table, every: int = 10) -> pa.Table:
     """Video frame-sampling plumbing: one row per sampled frame index
     (the decode itself would live in an actor like DecodeImage)."""

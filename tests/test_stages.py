@@ -425,3 +425,33 @@ def test_giant_collection_malformed_falls_back(monkeypatch):
     monkeypatch.setattr(parse_stage, "GIANT_DOC_BYTES", 10)
     split = parse(bad)
     assert split.equals(whole)
+
+
+def test_multimodal_audio_and_resize_and_frames(ray_session):
+    """The full modality triple: audio features (stub + deterministic
+    fake), image resize plumbing, video frame sampling."""
+    from ocaml_geojson_ray.stages.multimodal import (
+        AudioFeatures,
+        ResizeImage,
+        frame_sample_batch,
+        synth_media_batch,
+    )
+
+    with pytest.raises(NotImplementedError):
+        AudioFeatures()
+    t = synth_media_batch(pa.table({"id": pa.array([1, 2, 3], pa.int64())}))
+
+    a1 = AudioFeatures(fake=True)(t)
+    assert "payload" not in a1.column_names
+    a2 = AudioFeatures(fake=True)(t)
+    assert a1["audio_features"].to_pylist() == a2["audio_features"].to_pylist()
+    assert all(len(f) == 3 for f in a1["audio_features"].to_pylist())
+
+    r = ResizeImage(out_w=8, out_h=8, fake=True)(t)
+    assert r["width"].to_pylist() == [8, 8, 8]
+    assert all(len(b) == 8 * 8 * 3 for b in r["resized"].to_pylist())
+
+    fs = frame_sample_batch(
+        pa.table({"media_id": pa.array([7], pa.int64()),
+                  "n_frames": pa.array([25], pa.int64())}), every=10)
+    assert fs["frame_idx"].to_pylist() == [0, 10, 20]
