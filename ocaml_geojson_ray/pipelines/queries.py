@@ -1046,8 +1046,17 @@ def q_hll_distinct_users(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
     approx = hll_distinct(ds, ["event_type"], "user_id").to_pandas()
-    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
-    exact = t.to_pandas().groupby("event_type")["user_id"].nunique()
+    # exact reference computed DISTRIBUTED (distinct pairs → count per
+    # key), not by loading the table to driver pandas — the sketch is
+    # the production path; this check must not defeat it at scale
+    from ray.data.aggregate import Count
+
+    exact_df = (
+        ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_c"))
+        .groupby("event_type").aggregate(Count(alias_name="exact_distinct"))
+        .to_pandas()
+    )
+    exact = exact_df.set_index("event_type")["exact_distinct"]
     approx["exact_distinct"] = approx["event_type"].map(exact).astype("int64")
     err = (approx["approx_distinct"] - approx["exact_distinct"]).abs() / approx[
         "exact_distinct"

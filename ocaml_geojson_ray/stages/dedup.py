@@ -143,7 +143,7 @@ def minhash_bands_batch(batch: pa.Table, bands: int = 16, rows: int = 8,
 
 def minhash_lsh_candidates(ds, bands: int = 16, rows: int = 8,
                            num_hashes: int = 128, id_col: str = "doc_id",
-                           text_col: str = "text", concurrency=(1, 4)):
+                           text_col: str = "text"):
     """documents → candidate near-dup pairs (a_id < b_id, deduped).
 
     shingle→minhash (actor pool) → band explode → groupby(band,hash)

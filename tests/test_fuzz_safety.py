@@ -49,3 +49,60 @@ def test_parse_text_never_raises(text):
 def test_find_candidates_never_raises(text):
     for start, end, doc in find_candidates(text):
         assert text[start:end] == doc
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=200))
+def test_parse_text_recovering_never_raises(text):
+    from ocaml_geojson_ray.core.parse import parse_text_recovering
+
+    obj, err, raised, recovered = parse_text_recovering(text)
+    assert (obj is None) != (err is None)
+    if recovered:
+        assert obj is not None  # recovered implies a successful parse
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet='{}[]"\\qu0123456789abcdef \n,:', max_size=150))
+def test_recover_json_text_never_raises(text):
+    """The recovery scanner must terminate and return a string for ANY
+    input, including pathological escape/surrogate soups."""
+    from ocaml_geojson_ray.core.jsontext import recover_json_text
+
+    out = recover_json_text(text)
+    assert isinstance(out, str)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet='{}[]"\\abc,: \n', max_size=200))
+def test_stream_split_never_raises(text):
+    """iter_features_text either splits or raises NotACollection —
+    nothing else — for arbitrary brace soup."""
+    from ocaml_geojson_ray.core.stream_split import (
+        NotACollection,
+        iter_features_text,
+    )
+
+    try:
+        for kind, _t in iter_features_text([text]):
+            assert kind in ("feature", "meta")
+    except NotACollection:
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=250))
+def test_parse_candidates_batch_never_raises(text):
+    """The full batch UDF (mining verdict semantics incl. recovery,
+    ranges, giant-doc dispatch) over arbitrary candidate text."""
+    import pyarrow as pa
+
+    from ocaml_geojson_ray.stages.parse_stage import parse_candidates_batch
+
+    batch = pa.table({
+        "url": ["u"], "warc_ts": pa.array([0], pa.timestamp("us")),
+        "lang": ["en"], "cand_idx": pa.array([0], pa.int32()),
+        "cand_text": [text],
+    })
+    out = parse_candidates_batch(batch)
+    assert len(out) >= 1
