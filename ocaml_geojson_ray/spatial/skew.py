@@ -39,11 +39,13 @@ def detect_hot_cells(ds, threshold: int, cell_col: str = "cell") -> dict:
                        fn_kwargs={"cell_col": cell_col})
         .groupby(cell_col)
         .aggregate(Sum("partial_count", alias_name="n"))
+        # threshold applied IN the dataset: only the hot set (small by
+        # definition) reaches the driver, not every distinct cell
+        .filter(expr=f"n >= {int(threshold)}")
     )
     hot = {}
     for row in counts.iter_rows():
-        if row["n"] >= threshold:
-            hot[row[cell_col]] = row["n"]
+        hot[row[cell_col]] = row["n"]
     return hot
 
 
