@@ -116,4 +116,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": Q.SQL_ANN_COSINE_TOPK,
         "embedding_neardups_exact": Q.SQL_EMBEDDING_NEARDUPS_EXACT,
         "ngram_jaccard_pairs": Q.SQL_NGRAM_JACCARD_PAIRS,
+        "rolling_fingerprints": Q.SQL_ROLLING_FINGERPRINTS,
+        "simhash_dedup": Q.SQL_SIMHASH_DEDUP,
     }

@@ -1352,6 +1352,10 @@ def q_quality_scores(sf_dir: str):
 
 
 def q_rolling_fingerprints(sf_dir: str):
+    """Karp-Rabin rolling fingerprint over word md5s — SQL-checked:
+    the fold is list_reduce over HUGEINT in DuckDB, word hashes parsed
+    from md5 hex ('0x'||substr)::BIGINT, value-identical to the numpy
+    side (textstats.fingerprint_batch)."""
     import ray.data as rd
 
     from ..stages.textstats import fingerprint_batch
@@ -1359,6 +1363,18 @@ def q_rolling_fingerprints(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
     return out.select_columns(["doc_id", "content_md5", "rolling_hash"])
+
+
+SQL_ROLLING_FINGERPRINTS = r"""
+WITH w AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS ws FROM documents)
+SELECT doc_id, md5(text) AS content_md5,
+  CAST(list_reduce(
+    list_prepend(CAST(0 AS HUGEINT),
+      [CAST(CAST('0x' || substr(md5(x),1,15) AS BIGINT) AS HUGEINT) for x in ws]),
+    (h, wh) -> (h * 1000003 + wh) % 2305843009213693951
+  ) AS BIGINT) AS rolling_hash
+FROM w
+"""
 
 
 def q_minhash_neardups(sf_dir: str):
@@ -1527,12 +1543,44 @@ WHERE i.inter::DOUBLE / (na.n_grams + nb.n_grams - i.inter) >= 0.5
 
 
 def q_simhash_dedup(sf_dir: str):
+    """SimHash buckets — SQL-checked: the oracle rebuilds the 64-bit
+    word hash (little-endian first 8 md5 bytes via byte-reversed hex
+    parse), spreads bits with a generate_series(0,63) cross join, and
+    signs the per-bit occurrence-weighted sums; HUGEINT assembles the
+    unsigned value, two's-complemented to the engine's int64 view."""
     import ray.data as rd
 
     from ..stages.dedup import simhash_dedup
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return simhash_dedup(ds)
+
+
+SQL_SIMHASH_DEDUP = r"""
+WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents),
+h AS (SELECT doc_id, md5(word) AS hx FROM w),
+u AS (SELECT doc_id,
+        CAST('0x' || substr(hx,15,2) || substr(hx,13,2) || substr(hx,11,2) || substr(hx,9,2)
+                  || substr(hx,7,2)  || substr(hx,5,2)  || substr(hx,3,2)  || substr(hx,1,2)
+             AS UBIGINT) AS wh
+      FROM h),
+bits AS (
+  SELECT doc_id, t.bit,
+         sum(CASE WHEN (wh >> t.bit) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM u, generate_series(0, 63) AS t(bit)
+  GROUP BY doc_id, t.bit),
+sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN CAST(CAST(1 AS UBIGINT) << bit AS HUGEINT) ELSE 0 END) AS uv
+  FROM bits GROUP BY doc_id),
+sv AS (
+  SELECT doc_id,
+         CAST(CASE WHEN uv >= 9223372036854775808 THEN uv - 18446744073709551616
+                   ELSE uv END AS BIGINT) AS simhash
+  FROM sh)
+SELECT simhash, min(doc_id) AS keeper_id, count(*) AS n_dups
+FROM sv GROUP BY simhash
+"""
 
 
 NEARDUP_PLANT_OFFSET = 1_000_000  # planted copy's id = original + this

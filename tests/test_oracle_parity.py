@@ -61,7 +61,8 @@ def test_rows_only_queries_run(contract, ray_session):
 
     qs = contract.queries()
     oracles = contract.oracle_sql()
-    for name in ("langid_distribution", "simhash_dedup", "multimodal_features",
+    # simhash_dedup graduated to a full SQL oracle in round 2
+    for name in ("langid_distribution", "multimodal_features",
                  "ivf_ann", "quality_scores"):
         assert name in qs and name not in oracles
         df = to_pandas(qs[name](SF))
