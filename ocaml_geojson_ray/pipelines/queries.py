@@ -1341,6 +1341,41 @@ def q_langid_distribution(sf_dir: str):
     return pred.groupby("lang_pred").aggregate(Count(alias_name="n_docs"))
 
 
+def _langid_profiles_sql() -> str:
+    from ..stages.textstats import _LANG_PROFILES
+
+    return ", ".join(
+        "('%s', %d, [%s])" % (lang, i + 1,
+                              ", ".join("'%s'" % w for w in sorted(prof)))
+        for i, (lang, prof) in enumerate(_LANG_PROFILES.items())
+    )
+
+
+def _sql_langid() -> str:
+    """Oracle for the stopword-profile language ID: per-(doc, lang)
+    hit ratio via list_filter/list_contains; tie-break = FIRST language
+    in profile-dict order with the max score (mirrors the engine's
+    strict `s > best` scan), 'und' when no profile scores > 0."""
+    return r"""
+WITH toks AS (SELECT doc_id, [lower(x) for x in regexp_extract_all(text, '\w+')] AS tk FROM documents),
+langs(lang, ord, prof) AS (VALUES %s),
+scores AS (
+  SELECT t.doc_id, l.lang, l.ord,
+         CASE WHEN len(t.tk) = 0 THEN 0.0
+              ELSE len(list_filter(t.tk, x -> list_contains(l.prof, x)))::DOUBLE / len(t.tk)
+         END AS s
+  FROM toks t CROSS JOIN langs l),
+best AS (
+  SELECT doc_id, lang, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, ord ASC) AS rn
+  FROM scores),
+pred AS (
+  SELECT doc_id, CASE WHEN s > 0 THEN lang ELSE 'und' END AS lang_pred
+  FROM best WHERE rn = 1)
+SELECT lang_pred, count(*) AS n_docs FROM pred GROUP BY lang_pred
+""" % _langid_profiles_sql()
+
+
 def q_quality_scores(sf_dir: str):
     import ray.data as rd
 
@@ -1349,6 +1384,40 @@ def q_quality_scores(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(QualityScore(), batch_format="pyarrow")
     return out.select_columns(["doc_id", "quality"])
+
+
+def _sql_quality() -> str:
+    """Oracle for the composite quality score: every component uses the
+    same RE2/ASCII char classes and IEEE arithmetic order as the engine
+    (textstats.QualityScore docstring)."""
+    from ..stages.textstats import _LANG_PROFILES
+
+    stop = ", ".join("'%s'" % w for w in sorted(_LANG_PROFILES["en"]))
+    return r"""
+WITH base AS (
+  SELECT doc_id, text,
+         [lower(x) for x in regexp_extract_all(text, '\w+')] AS ws,
+         length(text) AS n,
+         length(regexp_replace(text, '\W', '', 'g')) AS wc,
+         length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS alnum,
+         length(regexp_replace(text, '\S', '', 'g')) AS sp
+  FROM documents),
+c AS (
+  SELECT doc_id, n, len(ws) AS nw, wc, alnum, sp,
+         CASE WHEN len(ws) = 0 THEN 0.0
+              ELSE len(list_filter(ws, x -> list_contains([%s], x)))::DOUBLE / len(ws)
+         END AS stop_ratio
+  FROM base)
+SELECT doc_id,
+  CASE WHEN nw = 0 OR n < 10 THEN 0.0
+       ELSE round(
+         0.4 * least(1.0, nw / 50.0)
+       + 0.2 * (CASE WHEN wc::DOUBLE / nw BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END)
+       + 0.2 * least(1.0, stop_ratio * 4.0)
+       + 0.2 * (1.0 - least(1.0, ((n - alnum - sp)::DOUBLE / n) * 3.0)), 6)
+  END AS quality
+FROM c
+""" % stop
 
 
 def q_rolling_fingerprints(sf_dir: str):

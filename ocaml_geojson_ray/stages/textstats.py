@@ -139,18 +139,32 @@ class QualityScore:
         texts = batch["text"].to_pylist()
         out = np.empty(len(texts), dtype=np.float64)
         for i, t in enumerate(texts):
-            words = self.word.findall(t)
+            # char classes on the codepoint array with the RE2/ASCII
+            # definitions the SQL oracle uses ([A-Za-z0-9], \s) —
+            # definitional parity instead of corpus-contingent
+            cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            is_w = word_char_mask(cps)
+            if len(is_w):
+                nw = int(is_w[0]) + int((is_w[1:] & ~is_w[:-1]).sum())
+            else:
+                nw = 0
             n = len(t)
-            if not words or n < 10:
+            if not nw or n < 10:
                 out[i] = 0.0
                 continue
-            length_band = min(1.0, len(words) / 50.0)
-            awl = sum(len(w) for w in words) / len(words)
+            wc = int(is_w.sum())
+            length_band = min(1.0, nw / 50.0)
+            awl = wc / nw
             shape = 1.0 if 2.0 <= awl <= 12.0 else 0.3
-            low = [w.lower() for w in words]
+            low = [w.lower() for w in self.word.findall(t)]
             stop_ratio = sum(1 for w in low if w in self.stop) / len(low)
             stop_term = min(1.0, stop_ratio * 4.0)
-            sym = sum(not (c.isalnum() or c.isspace()) for c in t) / n
+            alnum = int((((cps >= 48) & (cps <= 57))
+                         | ((cps >= 65) & (cps <= 90))
+                         | ((cps >= 97) & (cps <= 122))).sum())
+            space = int(np.isin(cps, np.asarray(
+                [9, 10, 12, 13, 32], dtype=np.uint32)).sum())
+            sym = (n - alnum - space) / n
             sym_pen = 1.0 - min(1.0, sym * 3.0)
             out[i] = round(0.4 * length_band + 0.2 * shape + 0.2 * stop_term
                            + 0.2 * sym_pen, 6)

@@ -61,9 +61,9 @@ def test_rows_only_queries_run(contract, ray_session):
 
     qs = contract.queries()
     oracles = contract.oracle_sql()
-    # simhash_dedup graduated to a full SQL oracle in round 2
-    for name in ("langid_distribution", "multimodal_features",
-                 "ivf_ann", "quality_scores"):
+    # simhash/langid/quality graduated to full SQL oracles in round 2
+    for name in ("multimodal_features", "ivf_ann", "minhash_neardups",
+                 "embedding_neardups"):
         assert name in qs and name not in oracles
         df = to_pandas(qs[name](SF))
         assert len(df) > 0, name
