@@ -1046,14 +1046,21 @@ def q_hll_distinct_users(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
     approx = hll_distinct(ds, ["event_type"], "user_id").to_pandas()
-    # exact reference computed DISTRIBUTED (distinct pairs → count per
-    # key), not by loading the table to driver pandas — the sketch is
-    # the production path; this check must not defeat it at scale
-    from ray.data.aggregate import Count
+    # exact reference computed distributed: per-batch DISTINCT pairs
+    # (arrow group_by, C speed), then one tiny combine — not a driver
+    # pandas load, and not Ray's per-group Python aggregate either
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        return b.group_by(["event_type", "user_id"]).aggregate([])
+
+    def count_distinct(b: pa.Table) -> pa.Table:
+        d = b.group_by(["event_type", "user_id"]).aggregate([])
+        return d.group_by(["event_type"]).aggregate([("user_id", "count")]) \
+            .rename_columns(["event_type", "exact_distinct"])
 
     exact_df = (
-        ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_c"))
-        .groupby("event_type").aggregate(Count(alias_name="exact_distinct"))
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(count_distinct, batch_format="pyarrow")
         .to_pandas()
     )
     exact = exact_df.set_index("event_type")["exact_distinct"]

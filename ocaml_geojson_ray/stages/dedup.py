@@ -65,28 +65,48 @@ class MinHasher:
         self.shingle = shingle
         self.text_col = text_col
 
-    _memo: dict = {}  # shingle -> hash, bounded, per worker process
+    _memo: dict = {}  # word -> hash, bounded, per worker process
     _MEMO_MAX = 1 << 20
 
+    # splitmix64-style avalanche (public-domain constants)
+    @staticmethod
+    def _mix64(x: np.ndarray) -> np.ndarray:
+        x = (x + np.uint64(0x9E3779B97F4A7C15))
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
     def shingle_hashes(self, text: str) -> np.ndarray:
+        """Shingle hash = avalanche-mixed combination of the k word
+        hashes (rolling window, fully vectorized) — one md5 per DISTINCT
+        WORD (memoized), not one per shingle. Any well-distributed
+        64-bit shingle hash is a valid MinHash basis; candidate recall
+        is set by the band/row parameters, and every emitted pair is
+        Jaccard-verified exactly downstream."""
         words = text.split()
-        k = self.shingle
-        if len(words) < k:
-            grams = [" ".join(words)] if words else []
-        else:
-            grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-        out = np.empty(len(grams), dtype=np.uint64)
+        if not words:
+            return np.empty(0, dtype=np.uint64)
         memo = self._memo
-        for i, g in enumerate(grams):
-            h = memo.get(g)
+        wh = np.empty(len(words), dtype=np.uint64)
+        for i, w in enumerate(words):
+            h = memo.get(w)
             if h is None:
                 h = struct.unpack(
-                    "<Q", hashlib.md5(g.encode("utf-8")).digest()[:8]
+                    "<Q", hashlib.md5(w.encode("utf-8")).digest()[:8]
                 )[0]
                 if len(memo) < self._MEMO_MAX:
-                    memo[g] = h
-            out[i] = h
-        return out
+                    memo[w] = h
+            wh[i] = h
+        k = self.shingle
+        if len(words) < k:
+            out = wh[0]
+            for j in range(1, len(words)):
+                out = self._mix64(out ^ np.uint64(j)) ^ wh[j]
+            return np.asarray([self._mix64(np.uint64(out))], dtype=np.uint64)
+        acc = wh[: len(words) - k + 1].copy()
+        for j in range(1, k):
+            acc = self._mix64(acc ^ np.uint64(j)) ^ wh[j : j + len(acc)]
+        return self._mix64(acc)
 
     def signature(self, text: str) -> np.ndarray:
         sh = self.shingle_hashes(text)
