@@ -69,24 +69,18 @@ def sliding(ds, key: str, ts_col: str, width_s: int, slide_s: int, agg_col: str)
 
     def explode(batch: pa.Table) -> pa.Table:
         ts = batch[ts_col].cast(pa.int64()).to_numpy()
-        keys = batch[key].to_pylist()
-        vals = batch[agg_col].to_numpy()
-        out_k, out_w, out_v = [], [], []
+        vals = batch[agg_col].to_numpy().astype(np.float64)
+        n = len(ts)
         base = ts // slide_us
-        for j in range(k):
-            w = base - j
-            for i in range(len(ts)):
-                out_k.append(keys[i])
-                out_w.append(int(w[i]))
-                out_v.append(float(vals[i]))
-        return pa.table(
-            {
-                key: pa.array(out_k),
-                "window_start": pa.array(
-                    np.asarray(out_w, dtype=np.int64) * slide_us, pa.int64()
-                ),
-                agg_col: pa.array(out_v, pa.float64()),
-            }
+        # (k, n) window grid, flattened — no per-row Python loop
+        w = (base[None, :] - np.arange(k, dtype=np.int64)[:, None]).ravel()
+        idx = np.tile(np.arange(n, dtype=np.int64), k)
+        out = batch.select([key]).take(pa.array(idx))
+        out = out.append_column(
+            "window_start", pa.array(w * slide_us, pa.int64())
+        )
+        return out.append_column(
+            agg_col, pa.array(np.tile(vals, k), pa.float64())
         )
 
     return (
