@@ -149,9 +149,13 @@ def iter_features_text(chunks: Iterable[str]) -> Iterator[tuple[str, str]]:
             pos += 1
             continue
         if c == '"':
+            if elem_start < 0 and edepth == 0:
+                # bare STRING element: only container elements split
+                # cleanly (a primitive would vanish from both streams
+                # and flip the reference's error verdict) — bail to the
+                # whole-doc path
+                raise NotACollection()
             in_str = True
-            if elem_start < 0:
-                elem_start = pos
             pos += 1
             continue
         if edepth == 0 and c == "]":
@@ -165,6 +169,11 @@ def iter_features_text(chunks: Iterable[str]) -> Iterator[tuple[str, str]]:
             pos += 1
             continue
         if elem_start < 0:
+            if c not in "{[":
+                # primitive element (null / number / bool): not
+                # splittable — fall back so verdicts match the
+                # whole-doc parse exactly
+                raise NotACollection()
             elem_start = pos
         if c in "{[":
             edepth += 1
@@ -178,11 +187,54 @@ def iter_features_text(chunks: Iterable[str]) -> Iterator[tuple[str, str]]:
                 continue
         pos += 1
 
-    # ---- postamble: the rest is meta ----------------------------------
-    meta.append(buf[pos:])
-    for piece in chunk_iter:
-        meta.append(piece)
+    # ---- postamble: the rest is meta; a DUPLICATE top-level "features"
+    # key would make json.loads of the original doc keep the LAST array
+    # while we split the FIRST — detect and bail ------------------------
+    tail = buf[pos:] + "".join(chunk_iter)
+    if _has_toplevel_features_key(tail):
+        raise NotACollection()
+    meta.append(tail)
     yield "meta", "".join(meta)
+
+
+def _has_toplevel_features_key(tail: str) -> bool:
+    """True if the postamble (depth-1 continuation of the root object)
+    contains another ``"features"`` member name at depth 1."""
+    depth = 1  # we are inside the root object
+    in_str = False
+    esc = False
+    name_start = -1
+    i = 0
+    n = len(tail)
+    while i < n:
+        c = tail[i]
+        if in_str:
+            if esc:
+                esc = False
+            elif c == "\\":
+                esc = True
+            elif c == '"':
+                in_str = False
+                if depth == 1 and name_start >= 0:
+                    name = tail[name_start + 1 : i]
+                    # a depth-1 string followed (after ws) by ':' is a
+                    # member name
+                    j = i + 1
+                    while j < n and tail[j] in " \t\r\n":
+                        j += 1
+                    if j < n and tail[j] == ":" and name == "features":
+                        return True
+                name_start = -1
+        elif c == '"':
+            in_str = True
+            if depth == 1:
+                name_start = i
+        elif c in "{[":
+            depth += 1
+        elif c in "}]":
+            depth -= 1
+        i += 1
+    return False
 
 
 def split_collection_text(doc: str):

@@ -52,11 +52,13 @@ def rect_polygons_index_ref(sf_dir: str, res: int):
     import ray
 
     from ..spatial.join import PolygonIndex
+    from ..util import ray_session_token
 
-    key = (sf_dir, res)
+    key = (sf_dir, res, ray_session_token())
     ref = _RECT_INDEX_MEMO.get(key)
     if ref is None:
         ref = ray.put(PolygonIndex(rect_polygons_rows(sf_dir), res))
+        _RECT_INDEX_MEMO.clear()  # refs from older sessions are dead
         _RECT_INDEX_MEMO[key] = ref
     return ref
 
@@ -1108,7 +1110,8 @@ def q_token_stats(sf_dir: str):
 
 SQL_TOKEN_STATS = """
 SELECT lang, count(*) AS n_docs,
-       CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS sum_tokens,
+       CAST(sum(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x <> ''))) AS BIGINT) AS sum_tokens,
        CAST(sum(len(regexp_extract_all(text, '\\w+'))) AS BIGINT) AS sum_words,
        CAST(sum(length(text)) AS BIGINT) AS sum_chars
 FROM documents GROUP BY lang
@@ -1442,7 +1445,9 @@ def q_rolling_fingerprints(sf_dir: str):
 
 
 SQL_ROLLING_FINGERPRINTS = r"""
-WITH w AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS ws FROM documents)
+WITH w AS (SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+       FROM documents)
 SELECT doc_id, md5(text) AS content_md5,
   CAST(list_reduce(
     list_prepend(CAST(0 AS HUGEINT),
@@ -1542,9 +1547,20 @@ def q_ngram_jaccard_pairs(sf_dir: str):
         a = b["a_id"].to_numpy()
         bb = b["b_id"].to_numpy()
         keep = a < bb
-        pk = a[keep] * np.int64(1 << 32) + bb[keep]
-        uk, cnt = np.unique(pk, return_counts=True)
-        return pa.table({"pk": pa.array(uk, pa.int64()),
+        a, bb = a[keep], bb[keep]
+        # partial counts per (a, b) with BOTH key columns kept — a
+        # packed a*2^32+b key silently corrupts once ids reach 2^31
+        order = np.lexsort((bb, a))
+        a, bb = a[order], bb[order]
+        if len(a):
+            neq = np.concatenate([[True], (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])])
+            starts = np.flatnonzero(neq)
+            cnt = np.diff(np.concatenate([starts, [len(a)]]))
+            a, bb = a[starts], bb[starts]
+        else:
+            cnt = np.empty(0, dtype=np.int64)
+        return pa.table({"a_id": pa.array(a, pa.int64()),
+                         "b_id": pa.array(bb, pa.int64()),
                          "c": pa.array(cnt.astype(np.int64), pa.int64())})
 
     # exact prefilter: jaccard >= 0.5 ⟹ inter >= (na+nb)/3 >= 2·m/3
@@ -1553,19 +1569,23 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     bound = max(1, int(np.ceil(2.0 * min_grams / 3.0)))
 
     def combine(b: pa.Table) -> pa.Table:
-        pk = b["pk"].to_numpy()
+        a = b["a_id"].to_numpy()
+        bb = b["b_id"].to_numpy()
         c = b["c"].to_numpy()
-        order = np.argsort(pk, kind="stable")
-        pk, c = pk[order], c[order]
-        starts = np.flatnonzero(np.diff(pk)) + 1
-        uk = pk[np.concatenate([[0], starts])] if len(pk) else pk
-        sums = np.add.reduceat(c, np.concatenate([[0], starts])) if len(pk) else c
+        order = np.lexsort((bb, a))
+        a, bb, c = a[order], bb[order], c[order]
+        if len(a):
+            neq = np.concatenate([[True], (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])])
+            starts = np.flatnonzero(neq)
+            sums = np.add.reduceat(c, starts)
+            a, bb = a[starts], bb[starts]
+        else:
+            sums = np.empty(0, dtype=np.int64)
         keep = sums >= bound
-        uk, sums = uk[keep], sums[keep]
         return pa.table({
-            "a_id": pa.array(uk >> np.int64(32), pa.int64()),
-            "b_id": pa.array(uk & np.int64((1 << 32) - 1), pa.int64()),
-            "inter": pa.array(sums, pa.int64()),
+            "a_id": pa.array(a[keep], pa.int64()),
+            "b_id": pa.array(bb[keep], pa.int64()),
+            "inter": pa.array(sums[keep].astype(np.int64), pa.int64()),
         })
 
     inter = (
@@ -1633,7 +1653,9 @@ def q_simhash_dedup(sf_dir: str):
 
 
 SQL_SIMHASH_DEDUP = r"""
-WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents),
+WITH w AS (SELECT doc_id, unnest(
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')
+       ) AS word FROM documents),
 h AS (SELECT doc_id, md5(word) AS hx FROM w),
 u AS (SELECT doc_id,
         CAST('0x' || substr(hx,15,2) || substr(hx,13,2) || substr(hx,11,2) || substr(hx,9,2)
@@ -1653,9 +1675,13 @@ sv AS (
   SELECT doc_id,
          CAST(CASE WHEN uv >= 9223372036854775808 THEN uv - 18446744073709551616
                    ELSE uv END AS BIGINT) AS simhash
-  FROM sh)
+  FROM sh),
+alldocs AS (
+  -- no-word docs never reach u; the engine emits simhash 0 for them
+  SELECT d.doc_id, COALESCE(sv.simhash, 0) AS simhash
+  FROM documents d LEFT JOIN sv ON d.doc_id = sv.doc_id)
 SELECT simhash, min(doc_id) AS keeper_id, count(*) AS n_dups
-FROM sv GROUP BY simhash
+FROM alldocs GROUP BY simhash
 """
 
 

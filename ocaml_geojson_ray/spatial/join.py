@@ -27,7 +27,6 @@ import pyarrow as pa
 
 from . import cells as C
 from . import pip as P
-from ..util import elastic_concurrency as _elastic
 
 DEFAULT_JOIN_RES = 9  # ~0.7° cells; polygon layer radii are 0.01°-2°
 
@@ -238,11 +237,14 @@ def broadcast_polygon_index(polygons, res: int = DEFAULT_JOIN_RES):
     if isinstance(polygons, ray.ObjectRef):
         return polygons
     if isinstance(polygons, str):
-        key = (polygons, res)
+        from ..util import ray_session_token
+
+        key = (polygons, res, ray_session_token())
         ref = _BROADCAST_MEMO.get(key)
         if ref is not None:
             return ref
         ref = ray.put(PolygonIndex.from_parquet(polygons, res))
+        _BROADCAST_MEMO.clear()  # refs from older sessions are dead
         _BROADCAST_MEMO[key] = ref
         return ref
     if isinstance(polygons, PolygonIndex):

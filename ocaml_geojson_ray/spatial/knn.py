@@ -243,8 +243,9 @@ def knn_point_to_point(query_ds, target_ids, target_lng, target_lat,
         np.asarray(target_lat, dtype=np.float64),
     ))
     if concurrency is None:
-        ncpu = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = max(2, ncpu - 2)
+        from ..util import elastic_concurrency
+
+        concurrency = elastic_concurrency()
     return query_ds.map_batches(
         PointKnn,
         fn_constructor_args=(ref, k),

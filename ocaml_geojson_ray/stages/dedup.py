@@ -140,8 +140,14 @@ def minhash_bands_batch(batch: pa.Table, bands: int = 16, rows: int = 8,
     the ~2^-60 false-collision rate only adds candidates the Jaccard
     verification filters out."""
     ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-    sigs = np.asarray(batch["minhash"].to_pylist(), dtype=np.int64)
     n = len(ids)
+    if n == 0:
+        return pa.table({
+            "band_id": pa.array([], pa.int64()),
+            "band_hash": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+        })
+    sigs = np.asarray(batch["minhash"].to_pylist(), dtype=np.int64)
     use = sigs[:, : bands * rows].reshape(n, bands, rows)
     rng = np.random.default_rng(_BAND_COEF_SEED)
     # coef < 2^29 and minhash values < 2^31 keep every product < 2^60

@@ -201,14 +201,15 @@ def _parse_giant_collection(rows, base, doc: str) -> bool:
         # the already-emitted row indices once meta parses
         patch_rows = []
         meta_bbox = None
-        meta_rec = False
+        any_rec = False
         for kind, text in iter_features_text([doc]):
             if kind == "feature":
                 fobj, ferr, fraised, frec = parse_text_recovering(text)
                 if fobj is None or not isinstance(fobj.value, Feature):
                     return rollback()
+                any_rec = any_rec or frec
                 b = dict(base)
-                b["recovered"] = frec
+                b["recovered"] = False  # patched below, per-DOC
                 patch_rows.append(len(rows.cols["url"]))
                 _feature_row(rows, b, feat_idx, fobj.value,
                              "FeatureCollection", None)
@@ -218,19 +219,21 @@ def _parse_giant_collection(rows, base, doc: str) -> bool:
                 if mobj is None or not isinstance(mobj.value, FeatureCollection):
                     return rollback()
                 meta_seen = True
-                meta_rec = mrec
+                any_rec = any_rec or mrec
                 meta_bbox = list(mobj.bbox) if mobj.bbox is not None else None
                 if meta_bbox is not None:
                     for r in patch_rows:
                         rows.cols["bbox"][r] = meta_bbox
-                if mrec:
-                    for r in patch_rows:
-                        rows.cols["recovered"][r] = True
         if not meta_seen:
             return rollback()
+        # recovered is a PER-DOCUMENT flag (whole-doc path repairs the
+        # document once and marks every row) — same here
+        if any_rec:
+            for r in patch_rows:
+                rows.cols["recovered"][r] = True
         if feat_idx == 0:
             rows.add(**base, feat_idx=-1, ok=True, raised=False,
-                     recovered=meta_rec, doc_kind="FeatureCollection",
+                     recovered=any_rec, doc_kind="FeatureCollection",
                      bbox=meta_bbox)
         return True
     except (NotACollection, RecursionError):

@@ -13,6 +13,10 @@ import numpy as np
 import pyarrow as pa
 
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
+# RE2's default \w is ASCII — tokenizers feeding ORACLE-CHECKED queries
+# (LangId, QualityScore stop ratio) use this so engine/SQL parity is
+# definitional, not corpus-contingent
+_ASCII_WORD_RE = re.compile(r"[0-9A-Za-z_]+")
 
 
 def word_char_mask(cps: np.ndarray) -> np.ndarray:
@@ -104,7 +108,7 @@ class LangId:
 
     def __init__(self):
         self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
-        self.word = _WORD_RE
+        self.word = _ASCII_WORD_RE  # matches the oracle's RE2 \w
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
@@ -133,7 +137,7 @@ class QualityScore:
 
     def __init__(self, stop_langs=("en",)):
         self.stop = frozenset().union(*(_LANG_PROFILES[l] for l in stop_langs))
-        self.word = _WORD_RE
+        self.word = _ASCII_WORD_RE  # matches the oracle's RE2 \w
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()

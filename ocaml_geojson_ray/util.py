@@ -58,3 +58,15 @@ def elastic_concurrency(reserve: int = 2, lo: int = 2) -> int:
 
     ncpu = int(ray.cluster_resources().get("CPU", 4))
     return max(lo, ncpu - reserve)
+
+
+def ray_session_token():
+    """Opaque token identifying the CURRENT Ray session — memo keys for
+    ObjectRefs must include it, or a shutdown/re-init in the same
+    process serves dangling refs from the dead session."""
+    import ray
+
+    try:
+        return ray.get_runtime_context().get_node_id()
+    except Exception:
+        return None

@@ -455,3 +455,93 @@ def test_multimodal_audio_and_resize_and_frames(ray_session):
         pa.table({"media_id": pa.array([7], pa.int64()),
                   "n_frames": pa.array([25], pa.int64())}), every=10)
     assert fs["frame_idx"].to_pylist() == [0, 10, 20]
+
+
+def test_giant_collection_primitive_elements_fall_back(monkeypatch):
+    """features arrays containing primitives (null / numbers / strings)
+    are NOT cleanly splittable — the giant path must fall back so the
+    verdict matches the whole-doc parse exactly (reference errors)."""
+    import pyarrow as pa
+
+    from ocaml_geojson_ray.core.stream_split import (
+        NotACollection,
+        split_collection_text,
+    )
+    from ocaml_geojson_ray.stages import parse_stage
+
+    for bad in (
+        '{"type":"FeatureCollection","features":[null]}',
+        '{"type":"FeatureCollection","features":[1,2]}',
+        '{"type":"FeatureCollection","features":["x"]}',
+        '{"type":"FeatureCollection","features":[{"type":"Feature","geometry":{"type":"Point","coordinates":[1,2]},"properties":{}},null]}',
+    ):
+        try:
+            split_collection_text(bad)
+            raise AssertionError(f"should not split: {bad}")
+        except NotACollection:
+            pass
+
+        def parse(d):
+            batch = pa.table({
+                "url": ["u"], "warc_ts": pa.array([0], pa.timestamp("us")),
+                "lang": ["en"], "cand_idx": pa.array([0], pa.int32()),
+                "cand_text": [d],
+            })
+            return parse_stage.parse_candidates_batch(batch)
+
+        whole = parse(bad)
+        monkeypatch.setattr(parse_stage, "GIANT_DOC_BYTES", 10)
+        split = parse(bad)
+        monkeypatch.undo()
+        assert split.equals(whole), bad
+
+
+def test_giant_collection_duplicate_features_key_falls_back():
+    """json.loads keeps the LAST duplicate key; the splitter grabs the
+    FIRST array — duplicates must bail to the whole-doc path."""
+    from ocaml_geojson_ray.core.stream_split import (
+        NotACollection,
+        split_collection_text,
+    )
+
+    f1 = '{"type":"Feature","geometry":{"type":"Point","coordinates":[1,2]},"properties":{"v":1}}'
+    f2 = '{"type":"Feature","geometry":{"type":"Point","coordinates":[3,4]},"properties":{"v":2}}'
+    dup = ('{"type":"FeatureCollection","features":[%s],"features":[%s]}'
+           % (f1, f2))
+    try:
+        split_collection_text(dup)
+        raise AssertionError("duplicate features key must not split")
+    except NotACollection:
+        pass
+    # a NESTED "features" key in a trailing member is fine
+    ok = ('{"type":"FeatureCollection","features":[%s],"meta":{"features":[1]}}'
+          % f1)
+    feats, meta = split_collection_text(ok)
+    assert len(feats) == 1
+
+
+def test_giant_collection_recovered_flag_is_per_document(monkeypatch):
+    """recovered marks the DOCUMENT (whole-doc semantics): a bad escape
+    in one feature marks every emitted row on both paths."""
+    import pyarrow as pa
+
+    from ocaml_geojson_ray.stages import parse_stage
+
+    doc = ('{"type":"FeatureCollection","features":['
+           '{"type":"Feature","geometry":{"type":"Point","coordinates":[1,2]},"properties":{"name":"a\\qb"}},'
+           '{"type":"Feature","geometry":{"type":"Point","coordinates":[3,4]},"properties":{}}'
+           ']}')
+
+    def parse(d):
+        batch = pa.table({
+            "url": ["u"], "warc_ts": pa.array([0], pa.timestamp("us")),
+            "lang": ["en"], "cand_idx": pa.array([0], pa.int32()),
+            "cand_text": [d],
+        })
+        return parse_stage.parse_candidates_batch(batch)
+
+    whole = parse(doc)
+    monkeypatch.setattr(parse_stage, "GIANT_DOC_BYTES", 10)
+    split = parse(doc)
+    assert whole["recovered"].to_pylist() == [True, True]
+    assert split.equals(whole)
