@@ -20,8 +20,6 @@ The PIP tie-break rule is pinned in spatial/pip.py (half-open edges).
 
 from __future__ import annotations
 
-from collections import defaultdict
-
 import numpy as np
 import pyarrow as pa
 
@@ -39,59 +37,115 @@ class PolygonIndex:
 
     def __init__(self, rows, res: int = DEFAULT_JOIN_RES):
         """rows: iterable of dicts with poly_id, name, rings, minx..maxy
-        (the polygons parquet schema, sources/polygons.py)."""
+        (the polygons parquet schema, sources/polygons.py).
+
+        Construction is VECTORIZED across polygons (cell coverage, cell
+        grouping, centers/radii, rect detection) — per-polygon
+        cover_bbox calls cost ~115 µs each, i.e. ~2 min of driver time
+        for a 10^6-polygon layer."""
+        rows = list(rows)
+        n = len(rows)
         self.res = res
-        self.cell_to_polys = defaultdict(list)
-        self.rings = []
-        self.poly_ids = []
-        self.names = []
-        self.bbox = []
-        for i, r in enumerate(rows):
-            self.poly_ids.append(r["poly_id"])
-            self.names.append(r["name"])
-            self.rings.append(
-                [np.asarray(ring, dtype=np.float64) for ring in r["rings"]]
-            )
-            self.bbox.append((r["minx"], r["miny"], r["maxx"], r["maxy"]))
-            for cell in C.cover_bbox(r["minx"], r["miny"], r["maxx"], r["maxy"], res):
-                self.cell_to_polys[int(cell)].append(i)
-        self.cell_to_polys = {
-            k: np.asarray(v, dtype=np.int64) for k, v in self.cell_to_polys.items()
-        }
-        self.poly_ids = np.asarray(self.poly_ids, dtype=np.int64)
-        # per-polygon center + enclosing radius (kNN lower bounds)
-        cx, cy, rad = [], [], []
-        for rings in self.rings:
-            pts = np.concatenate(rings)
-            c = pts.mean(axis=0)
-            cx.append(c[0])
-            cy.append(c[1])
-            rad.append(float(np.sqrt(((pts - c) ** 2).sum(axis=1).max())))
-        self.centers = np.column_stack([cx, cy]) if cx else np.zeros((0, 2))
-        self.radius = np.asarray(rad, dtype=np.float64)
-        # axis-aligned rectangle detection: for such polygons the
+        self.poly_ids = np.fromiter(
+            (r["poly_id"] for r in rows), dtype=np.int64, count=n)
+        self.names = [r["name"] for r in rows]
+        self.rings = [
+            [np.asarray(ring, dtype=np.float64) for ring in r["rings"]]
+            for r in rows
+        ]
+        self.bbox = [(r["minx"], r["miny"], r["maxx"], r["maxy"]) for r in rows]
+        bb = np.asarray(self.bbox, dtype=np.float64) if n else np.zeros((0, 4))
+
+        # -- covering cells, flat-expanded over ALL polygons -----------
+        nres = 1 << res
+        if n:
+            wrap = bb[:, 0] > bb[:, 2]  # antimeridian: rare, loop below
+            x0 = np.clip(np.floor((bb[:, 0] + 180.0) / 360.0 * nres),
+                         0, nres - 1).astype(np.int64)
+            x1 = np.clip(np.floor((bb[:, 2] + 180.0) / 360.0 * nres),
+                         0, nres - 1).astype(np.int64)
+            y0 = np.clip(np.floor((bb[:, 1] + 90.0) / 180.0 * nres),
+                         0, nres - 1).astype(np.int64)
+            y1 = np.clip(np.floor((bb[:, 3] + 90.0) / 180.0 * nres),
+                         0, nres - 1).astype(np.int64)
+            counts = np.where(wrap, 0, (x1 - x0 + 1) * (y1 - y0 + 1))
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            rep = np.repeat(np.arange(n, dtype=np.int64), counts)
+            local = np.arange(int(counts.sum()), dtype=np.int64) - starts[rep]
+            ny = y1[rep] - y0[rep] + 1
+            cells = C.pack_cell(res, x0[rep] + local // ny, y0[rep] + local % ny)
+            if wrap.any():
+                extra_p, extra_c = [], []
+                for i in np.flatnonzero(wrap):
+                    cc = C.cover_bbox(bb[i, 0], bb[i, 1], bb[i, 2], bb[i, 3], res)
+                    extra_p.append(np.full(len(cc), i, dtype=np.int64))
+                    extra_c.append(cc)
+                rep = np.concatenate([rep] + extra_p)
+                cells = np.concatenate([cells] + extra_c)
+            order = np.argsort(cells, kind="stable")
+            sc, sp = cells[order], rep[order]
+            uniq, ustarts = np.unique(sc, return_index=True)
+            uends = np.append(ustarts[1:], len(sc))
+            self.cell_to_polys = {
+                int(u): np.ascontiguousarray(sp[s:e])
+                for u, s, e in zip(uniq, ustarts, uends)
+            }
+        else:
+            self.cell_to_polys = {}
+
+        # -- per-polygon center + enclosing radius (kNN lower bounds),
+        #    one concatenated point array + reduceat ---------------------
+        if n:
+            pts_per_poly = [np.concatenate(r) for r in self.rings]
+            sizes = np.fromiter((len(p) for p in pts_per_poly),
+                                dtype=np.int64, count=n)
+            allp = np.concatenate(pts_per_poly)
+            offs = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+            sums = np.add.reduceat(allp, offs, axis=0)
+            self.centers = sums / sizes[:, None]
+            d2 = ((allp - np.repeat(self.centers, sizes, axis=0)) ** 2).sum(axis=1)
+            self.radius = np.sqrt(np.maximum.reduceat(d2, offs))
+        else:
+            self.centers = np.zeros((0, 2))
+            self.radius = np.zeros(0)
+
+        # -- axis-aligned rectangle detection: for such polygons the
         # half-open ray-cast verdict is EXACTLY the bbox comparison
         # (see spatial/pip.py), so the join evaluates all their
         # candidates in one vectorized expression instead of a
-        # per-polygon PIP loop
-        n = len(self.rings)
+        # per-polygon PIP loop. Candidates (single 5-point closed ring)
+        # are stacked and tested in one pass.
         self.is_rect = np.zeros(n, dtype=bool)
         self.rect_bounds = np.zeros((n, 4), dtype=np.float64)
-        for i, rings in enumerate(self.rings):
-            if len(rings) != 1 or len(rings[0]) != 5:
-                continue
-            r = rings[0]
-            if not (r[0] == r[4]).all():
-                continue
-            xs = np.unique(r[:, 0])
-            ys = np.unique(r[:, 1])
-            if len(xs) == 2 and len(ys) == 2:
-                corners = {(float(x), float(y)) for x, y in r[:4]}
-                want = {(float(xs[0]), float(ys[0])), (float(xs[1]), float(ys[0])),
-                        (float(xs[1]), float(ys[1])), (float(xs[0]), float(ys[1]))}
-                if corners == want:
-                    self.is_rect[i] = True
-                    self.rect_bounds[i] = (xs[0], ys[0], xs[1], ys[1])
+        cand = [i for i, rings in enumerate(self.rings)
+                if len(rings) == 1 and rings[0].shape == (5, 2)]
+        if cand:
+            ci = np.asarray(cand, dtype=np.int64)
+            stack = np.stack([self.rings[i][0] for i in cand])  # (m, 5, 2)
+            closed = (stack[:, 0] == stack[:, 4]).all(axis=1)
+            xs_min = stack[:, :4, 0].min(axis=1)
+            xs_max = stack[:, :4, 0].max(axis=1)
+            ys_min = stack[:, :4, 1].min(axis=1)
+            ys_max = stack[:, :4, 1].max(axis=1)
+            # exactly the 4 distinct bbox corners, each appearing once:
+            # every x/y is one of the two extremes, extremes differ, and
+            # the 4 corner points are pairwise distinct
+            x_ok = ((stack[:, :4, 0] == xs_min[:, None])
+                    | (stack[:, :4, 0] == xs_max[:, None])).all(axis=1)
+            y_ok = ((stack[:, :4, 1] == ys_min[:, None])
+                    | (stack[:, :4, 1] == ys_max[:, None])).all(axis=1)
+            nondeg = (xs_min != xs_max) & (ys_min != ys_max)
+            distinct = np.asarray([
+                len({(float(x), float(y)) for x, y in s[:4]}) == 4
+                for s in stack
+            ])
+            ok = closed & x_ok & y_ok & nondeg & distinct
+            sel = ci[ok]
+            self.is_rect[sel] = True
+            self.rect_bounds[sel, 0] = xs_min[ok]
+            self.rect_bounds[sel, 1] = ys_min[ok]
+            self.rect_bounds[sel, 2] = xs_max[ok]
+            self.rect_bounds[sel, 3] = ys_max[ok]
 
     @classmethod
     def from_parquet(cls, path: str, res: int = DEFAULT_JOIN_RES):
