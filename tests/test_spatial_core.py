@@ -263,3 +263,51 @@ def test_knn_points_stream_pruned_matches_dense(ray_session):
             dense[["query_id", "knn_rank", "neighbor_id"]]), name
         assert np.allclose(got["distance_deg"], dense["distance_deg"],
                            rtol=0, atol=0), name
+
+
+def test_polygon_index_matches_naive_construction():
+    """The vectorized PolygonIndex build must equal a naive per-polygon
+    reference: identical cell lists and rect flags; centers/radii equal
+    up to summation-order rounding with the radius still bounding every
+    vertex (the kNN lower-bound invariant)."""
+    import numpy as np
+
+    from ocaml_geojson_ray.spatial import cells as C
+    from ocaml_geojson_ray.spatial.join import PolygonIndex
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(200):
+        cx, cy = rng.uniform(-170, 170), rng.uniform(-80, 80)
+        if i % 3 == 0:  # axis-aligned rectangle
+            w, h = rng.uniform(0.1, 2), rng.uniform(0.1, 2)
+            ring = [[cx, cy], [cx + w, cy], [cx + w, cy + h], [cx, cy + h], [cx, cy]]
+        else:  # irregular polygon
+            k = int(rng.integers(4, 9))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+            r = rng.uniform(0.2, 1.5, k)
+            ring = [[cx + rr * np.cos(a), cy + rr * np.sin(a)] for a, rr in zip(ang, r)]
+            ring.append(ring[0])
+        xs = [p[0] for p in ring]; ys = [p[1] for p in ring]
+        rows.append({"poly_id": i, "name": f"p{i}", "rings": [ring],
+                     "minx": min(xs), "miny": min(ys),
+                     "maxx": max(xs), "maxy": max(ys)})
+
+    idx = PolygonIndex(rows, 7)
+    # naive cell coverage
+    from collections import defaultdict
+    want = defaultdict(list)
+    for i, r in enumerate(rows):
+        for cell in C.cover_bbox(r["minx"], r["miny"], r["maxx"], r["maxy"], 7):
+            want[int(cell)].append(i)
+    assert set(idx.cell_to_polys) == set(want)
+    for k, v in want.items():
+        assert idx.cell_to_polys[k].tolist() == v
+    # rect flags: exactly the i % 3 == 0 rows
+    assert idx.is_rect.tolist() == [i % 3 == 0 for i in range(200)]
+    # center/radius invariant
+    for i in range(200):
+        pts = np.concatenate(idx.rings[i])
+        d = np.sqrt(((pts - idx.centers[i]) ** 2).sum(axis=1)).max()
+        assert d <= idx.radius[i] + 1e-12
+        assert np.allclose(idx.centers[i], pts.mean(axis=0), rtol=0, atol=1e-9)
