@@ -106,3 +106,41 @@ def test_parse_candidates_batch_never_raises(text):
     })
     out = parse_candidates_batch(batch)
     assert len(out) >= 1
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.dictionaries(
+            st.sampled_from(["type", "a", "b", "features", "x,y"]),
+            st.recursive(
+                st.one_of(st.none(), st.integers(-5, 5),
+                          st.text(alphabet='ab{}[]",\\: ', max_size=8)),
+                lambda inner: st.one_of(st.lists(inner, max_size=3),
+                                        st.dictionaries(st.text(max_size=3),
+                                                        inner, max_size=3)),
+                max_leaves=6,
+            ),
+            max_size=4,
+        ),
+        max_size=5,
+    ),
+    st.dictionaries(st.sampled_from(["bbox", "meta", "t"]),
+                    st.integers(-9, 9), max_size=3),
+)
+def test_stream_split_agrees_with_json_loads(features, extra):
+    """PROPERTY: for any valid FC json (object elements only), the
+    splitter's feature texts parse to exactly json.loads(doc)
+    ['features'], and the meta doc is the document with features
+    emptied."""
+    import json
+
+    from ocaml_geojson_ray.core.stream_split import split_collection_text
+
+    doc_obj = {"type": "FeatureCollection", **extra, "features": features}
+    doc = json.dumps(doc_obj)
+    feats, meta = split_collection_text(doc)
+    assert [json.loads(f) for f in feats] == features
+    want_meta = dict(doc_obj)
+    want_meta["features"] = []
+    assert json.loads(meta) == want_meta
