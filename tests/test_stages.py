@@ -545,3 +545,26 @@ def test_giant_collection_recovered_flag_is_per_document(monkeypatch):
     split = parse(doc)
     assert whole["recovered"].to_pylist() == [True, True]
     assert split.equals(whole)
+
+
+def test_verify_pairs_distributed(ray_session):
+    """Pairs join back to the docs table for texts; only >= threshold
+    Jaccard survives; no broadcast of the corpus."""
+    import ray.data as rd
+
+    from ocaml_geojson_ray.stages.dedup import verify_pairs_distributed
+
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon"},
+        {"doc_id": 2, "text": "alpha beta gamma delta zeta"},
+        {"doc_id": 3, "text": "completely different words here now"},
+    ])
+    pairs = rd.from_items([
+        {"a_id": 1, "b_id": 2, "n_shared_bands": 3},
+        {"a_id": 1, "b_id": 3, "n_shared_bands": 1},
+    ])
+    out = verify_pairs_distributed(pairs, docs, threshold=0.3).to_pandas()
+    assert set(zip(out["a_id"], out["b_id"])) == {(1, 2)}
+    # jaccard of 3-gram sets: {abc,bcd,cde} vs {abc,bcd,cdz} -> 2/4
+    assert abs(out["jaccard"].iloc[0] - 0.5) < 1e-12
+    assert "n_shared_bands" in out.columns  # pair metadata carried through
