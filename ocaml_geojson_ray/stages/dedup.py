@@ -68,13 +68,16 @@ class MinHasher:
     _memo: dict = {}  # word -> hash, bounded, per worker process
     _MEMO_MAX = 1 << 20
 
-    # splitmix64-style avalanche (public-domain constants)
+    # splitmix64-style avalanche (public-domain constants); uint64
+    # wraparound is the intended arithmetic — suppress numpy's scalar
+    # overflow warning
     @staticmethod
     def _mix64(x: np.ndarray) -> np.ndarray:
-        x = (x + np.uint64(0x9E3779B97F4A7C15))
-        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        return x ^ (x >> np.uint64(31))
+        with np.errstate(over="ignore"):
+            x = (x + np.uint64(0x9E3779B97F4A7C15))
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return x ^ (x >> np.uint64(31))
 
     def shingle_hashes(self, text: str) -> np.ndarray:
         """Shingle hash = avalanche-mixed combination of the k word
@@ -117,11 +120,37 @@ class MinHasher:
         vals = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)
 
+    # bound the (num_hashes, total_shingles) chunk to ~50M doubles-worth
+    _CHUNK_SHINGLES = 400_000
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Signatures computed BATCHED across documents: one permuted
+        (H, ΣS) product per chunk with per-doc minimum.reduceat, not a
+        tiny einsum per doc."""
         texts = batch[self.text_col].to_pylist()
-        sigs = [self.signature(t) for t in texts]
+        shingles = [self.shingle_hashes(t) for t in texts]
+        sizes = np.fromiter((len(s) for s in shingles), dtype=np.int64,
+                            count=len(shingles))
+        sigs = np.zeros((len(texts), self.num_hashes), dtype=np.int64)
+        nz = np.flatnonzero(sizes > 0)
+        i = 0
+        while i < len(nz):
+            # take docs until the chunk shingle budget is filled
+            j = i
+            tot = 0
+            while j < len(nz) and (tot == 0 or
+                                   tot + sizes[nz[j]] <= self._CHUNK_SHINGLES):
+                tot += int(sizes[nz[j]])
+                j += 1
+            sel = nz[i:j]
+            x = np.concatenate([shingles[d] for d in sel])
+            x = (x % np.uint64(_MERSENNE)).astype(np.int64)
+            vals = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
+            offs = np.concatenate([[0], np.cumsum(sizes[sel])[:-1]])
+            sigs[sel] = np.minimum.reduceat(vals, offs, axis=1).T
+            i = j
         return batch.append_column(
-            "minhash", pa.array([s.tolist() for s in sigs],
+            "minhash", pa.array([row.tolist() for row in sigs],
                                 pa.list_(pa.int64())),
         )
 
