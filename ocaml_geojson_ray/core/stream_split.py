@@ -197,9 +197,27 @@ def iter_features_text(chunks: Iterable[str]) -> Iterator[tuple[str, str]]:
     yield "meta", "".join(meta)
 
 
+def _name_is_features(raw: str) -> bool:
+    """Compare a raw (still-escaped) member name against "features"
+    AFTER JSON string decoding, so shadowing spellings like
+    "\\u0066eatures" are caught. Undecodable names count as a match —
+    the caller bails to the whole-doc path, which is always safe."""
+    if raw == "features":
+        return True
+    if "\\" not in raw:
+        return False
+    import json as _json
+
+    try:
+        return _json.loads('"' + raw + '"') == "features"
+    except Exception:
+        return True
+
+
 def _has_toplevel_features_key(tail: str) -> bool:
     """True if the postamble (depth-1 continuation of the root object)
-    contains another ``"features"`` member name at depth 1."""
+    contains another ``"features"`` member name at depth 1 (any JSON
+    escape spelling of it — names are decoded before comparing)."""
     depth = 1  # we are inside the root object
     in_str = False
     esc = False
@@ -222,7 +240,7 @@ def _has_toplevel_features_key(tail: str) -> bool:
                     j = i + 1
                     while j < n and tail[j] in " \t\r\n":
                         j += 1
-                    if j < n and tail[j] == ":" and name == "features":
+                    if j < n and tail[j] == ":" and _name_is_features(name):
                         return True
                 name_start = -1
         elif c == '"':

@@ -383,10 +383,17 @@ class EnvelopeJoiner:
         #    cover_bbox below)
         bad = np.isnan(minx) | np.isnan(miny) | np.isnan(maxx) | np.isnan(maxy)
         wrap = ~bad & (minx > maxx)
-        x0 = np.clip(np.floor((minx + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
-        x1 = np.clip(np.floor((maxx + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
-        y0 = np.clip(np.floor((miny + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
-        y1 = np.clip(np.floor((maxy + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+        # NaN rows are masked out via counts=0 below, but floor(NaN)
+        # .astype(int64) is an undefined cast + a RuntimeWarning per
+        # batch — zero the bad bounds before the cast
+        sx0 = np.where(bad, 0.0, minx)
+        sx1 = np.where(bad, 0.0, maxx)
+        sy0 = np.where(bad, 0.0, miny)
+        sy1 = np.where(bad, 0.0, maxy)
+        x0 = np.clip(np.floor((sx0 + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+        x1 = np.clip(np.floor((sx1 + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+        y0 = np.clip(np.floor((sy0 + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+        y1 = np.clip(np.floor((sy1 + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
         counts = np.where(bad | wrap, 0, (x1 - x0 + 1) * (y1 - y0 + 1))
 
         # 2. flat (probe, cell) expansion: one arange over the total

@@ -218,6 +218,12 @@ def _parse_giant_collection(rows, base, doc: str) -> bool:
                 mobj, merr, mraised, mrec = parse_text_recovering(text)
                 if mobj is None or not isinstance(mobj.value, FeatureCollection):
                     return rollback()
+                # the splitter spliced "features": [] — a NON-empty list
+                # here means a shadowing duplicate key survived (in any
+                # escape spelling) and json.loads of the original doc
+                # would keep THAT array, not the one we split: bail
+                if mobj.value.features:
+                    return rollback()
                 meta_seen = True
                 any_rec = any_rec or mrec
                 meta_bbox = list(mobj.bbox) if mobj.bbox is not None else None

@@ -63,10 +63,14 @@ def elastic_concurrency(reserve: int = 2, lo: int = 2) -> int:
 def ray_session_token():
     """Opaque token identifying the CURRENT Ray session — memo keys for
     ObjectRefs must include it, or a shutdown/re-init in the same
-    process serves dangling refs from the dead session."""
+    process serves dangling refs from the dead session. Node id alone
+    is NOT enough (a driver reconnecting to the same external cluster
+    keeps the node id but owns none of the old refs) — include the
+    job id, which changes per driver connection."""
     import ray
 
     try:
-        return ray.get_runtime_context().get_node_id()
+        ctx = ray.get_runtime_context()
+        return (ctx.get_job_id(), ctx.get_node_id())
     except Exception:
         return None

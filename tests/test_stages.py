@@ -520,6 +520,46 @@ def test_giant_collection_duplicate_features_key_falls_back():
     assert len(feats) == 1
 
 
+def test_giant_collection_escaped_duplicate_features_key(monkeypatch):
+    """A shadowing duplicate spelled with a JSON escape
+    ("\\u0066eatures") decodes to the same key — json.loads keeps the
+    LAST array, so the splitter must bail (member names are decoded
+    before comparing) and the parse path must match whole-doc rows."""
+    import json
+
+    import pyarrow as pa
+
+    from ocaml_geojson_ray.core.stream_split import (
+        NotACollection,
+        split_collection_text,
+    )
+    from ocaml_geojson_ray.stages import parse_stage
+
+    f1 = '{"type":"Feature","geometry":{"type":"Point","coordinates":[1,2]},"properties":{"v":1}}'
+    f2 = '{"type":"Feature","geometry":{"type":"Point","coordinates":[3,4]},"properties":{"v":2}}'
+    dup = ('{"type":"FeatureCollection","features":[%s],"\\u0066eatures":[%s]}'
+           % (f1, f2))
+    assert len(json.loads(dup)["features"]) == 1  # last (escaped) wins
+    try:
+        split_collection_text(dup)
+        raise AssertionError("escaped duplicate features key must not split")
+    except NotACollection:
+        pass
+
+    def parse(d):
+        batch = pa.table({
+            "url": ["u"], "warc_ts": pa.array([0], pa.timestamp("us")),
+            "lang": ["en"], "cand_idx": pa.array([0], pa.int32()),
+            "cand_text": [d],
+        })
+        return parse_stage.parse_candidates_batch(batch)
+
+    whole = parse(dup)
+    monkeypatch.setattr(parse_stage, "GIANT_DOC_BYTES", 10)
+    split = parse(dup)
+    assert split.equals(whole)
+
+
 def test_giant_collection_recovered_flag_is_per_document(monkeypatch):
     """recovered marks the DOCUMENT (whole-doc semantics): a bad escape
     in one feature marks every emitted row on both paths."""
