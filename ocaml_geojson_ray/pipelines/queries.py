@@ -1526,7 +1526,7 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     min_grams = counts.min("n_grams")
 
     ncpu = int(ray.cluster_resources().get("CPU", 4))
-    np_ = max(2, min(8, ncpu // 4))
+    np_ = max(2, ncpu // 4)
 
     # co-occurring pairs via SELF-JOIN on gram, then PARTIAL pair
     # counts per join partition and one vectorized final combine.

@@ -22,6 +22,137 @@ import struct
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# splitmix64-style avalanche (public-domain constants); uint64
+# wraparound is the intended arithmetic — suppress numpy's scalar
+# overflow warning
+def _mix64(x: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15))
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+_POLY_P = np.uint64(0x100000001B3)  # FNV-1a odd multiplier
+
+
+def _hash_string_array(sa: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """→ (uint64 hash, byte length) per element of a StringArray.
+
+    Fully vectorized over the array's raw UTF-8 value buffer: a
+    positional polynomial Σ (byte_i + 1)·P^i per segment (add.reduceat)
+    xor'd with the length, then a splitmix64 finalizer. Any
+    well-distributed 64-bit hash is a valid MinHash basis (candidate
+    recall is set by the band/row parameters and every pair is
+    Jaccard-verified downstream) — this replaces the round-2 per-word
+    Python md5 loop that was the compute wall of the slowest query."""
+    n = len(sa)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    off_dt = np.int64 if pa.types.is_large_string(sa.type) else np.int32
+    bufs = sa.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dt)[
+        sa.offset : sa.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    seg = data[offs[0] : offs[-1]].astype(np.uint64)
+    offs0 = offs - offs[0]
+    lengths = np.diff(offs0)
+    maxlen = int(lengths.max())
+    with np.errstate(over="ignore"):
+        if maxlen:
+            pows = np.empty(maxlen, dtype=np.uint64)
+            pows[0] = 1
+            if maxlen > 1:
+                np.multiply.accumulate(
+                    np.full(maxlen - 1, _POLY_P, dtype=np.uint64), out=pows[1:]
+                )
+            pos = np.arange(len(seg), dtype=np.int64) - np.repeat(
+                offs0[:-1], lengths
+            )
+            terms = (seg + np.uint64(1)) * pows[pos]
+            # reduceat quirks: a start equal to len(terms) (trailing
+            # empty word) raises, and start==next start (interior empty
+            # word) returns terms[start]. Pad ONE zero term (identity
+            # for the last real segment) so every start is in range,
+            # then zero the empty rows.
+            terms = np.concatenate([terms, np.zeros(1, dtype=np.uint64)])
+            sums = np.add.reduceat(terms, offs0[:-1])
+            sums = np.where(lengths == 0, np.uint64(0), sums)
+        else:
+            sums = np.zeros(n, dtype=np.uint64)
+        h = _mix64(
+            sums ^ (lengths.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        )
+    return h, lengths
+
+
+def _shingles_batch(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """→ (flat shingle hashes uint64 across all docs, per-doc shingle
+    counts int64). Whole pipeline is Arrow/numpy kernels: whitespace
+    split (C), dictionary-encode-free direct hash of the flat word
+    array, then ONE rolling-window mix over the concatenated word
+    hashes with doc-boundary masking — no per-word or per-doc Python.
+
+    Per-doc semantics match the scalar definition: docs with ≥ k words
+    emit one shingle per window; docs with 1..k-1 words emit one
+    combined shingle; empty/whitespace-only docs emit none."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    words = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts))
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    woffs = np.asarray(words.offsets).astype(np.int64)
+    flat = words.values
+    wh, wlen = _hash_string_array(flat)
+    cnt = np.diff(woffs)
+    # a whitespace-only/empty text trims+splits to one '' token — that
+    # doc has NO words (mirrors str.split())
+    if len(flat):
+        empty_tok = wlen == 0
+        first_tok = np.minimum(woffs[:-1], len(flat) - 1)
+        cnt = np.where((cnt == 1) & empty_tok[first_tok], 0, cnt)
+    sizes = np.where(cnt == 0, 0, np.where(cnt >= k, cnt - k + 1, 1))
+    total = int(sizes.sum())
+    out = np.zeros(total, dtype=np.uint64)
+    out_offs = np.concatenate([[0], np.cumsum(sizes)])
+    N = len(wh)
+
+    # long docs: one rolling pass over the ENTIRE flat hash array, then
+    # gather only the windows that do not cross a doc boundary
+    if N >= k:
+        acc = wh[: N - k + 1].copy()
+        with np.errstate(over="ignore"):
+            for j in range(1, k):
+                acc = _mix64(acc ^ np.uint64(j)) ^ wh[j : j + len(acc)]
+        acc = _mix64(acc)
+        long_docs = np.flatnonzero(cnt >= k)
+        if len(long_docs):
+            nwin = sizes[long_docs]
+            rep = np.repeat(long_docs, nwin)
+            local = np.arange(int(nwin.sum()), dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(nwin)[:-1]]), nwin
+            )
+            src = woffs[rep] + local
+            dst = out_offs[rep] + local
+            out[dst] = acc[src]
+
+    # short docs (1..k-1 words): one combined shingle each, vectorized
+    # per length class
+    for L in range(1, k):
+        sel = np.flatnonzero(cnt == L)
+        if not len(sel):
+            continue
+        v = wh[woffs[sel]]
+        with np.errstate(over="ignore"):
+            for j in range(1, L):
+                v = _mix64(v ^ np.uint64(j)) ^ wh[woffs[sel] + j]
+        out[out_offs[sel]] = _mix64(v)
+    return out, sizes.astype(np.int64)
 
 
 def md5_column(batch: pa.Table, text_col: str = "text",
@@ -65,51 +196,13 @@ class MinHasher:
         self.shingle = shingle
         self.text_col = text_col
 
-    _memo: dict = {}  # word -> hash, bounded, per worker process
-    _MEMO_MAX = 1 << 20
-
-    # splitmix64-style avalanche (public-domain constants); uint64
-    # wraparound is the intended arithmetic — suppress numpy's scalar
-    # overflow warning
-    @staticmethod
-    def _mix64(x: np.ndarray) -> np.ndarray:
-        with np.errstate(over="ignore"):
-            x = (x + np.uint64(0x9E3779B97F4A7C15))
-            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-            return x ^ (x >> np.uint64(31))
+    _mix64 = staticmethod(_mix64)
 
     def shingle_hashes(self, text: str) -> np.ndarray:
-        """Shingle hash = avalanche-mixed combination of the k word
-        hashes (rolling window, fully vectorized) — one md5 per DISTINCT
-        WORD (memoized), not one per shingle. Any well-distributed
-        64-bit shingle hash is a valid MinHash basis; candidate recall
-        is set by the band/row parameters, and every emitted pair is
-        Jaccard-verified exactly downstream."""
-        words = text.split()
-        if not words:
-            return np.empty(0, dtype=np.uint64)
-        memo = self._memo
-        wh = np.empty(len(words), dtype=np.uint64)
-        for i, w in enumerate(words):
-            h = memo.get(w)
-            if h is None:
-                h = struct.unpack(
-                    "<Q", hashlib.md5(w.encode("utf-8")).digest()[:8]
-                )[0]
-                if len(memo) < self._MEMO_MAX:
-                    memo[w] = h
-            wh[i] = h
-        k = self.shingle
-        if len(words) < k:
-            out = wh[0]
-            for j in range(1, len(words)):
-                out = self._mix64(out ^ np.uint64(j)) ^ wh[j]
-            return np.asarray([self._mix64(np.uint64(out))], dtype=np.uint64)
-        acc = wh[: len(words) - k + 1].copy()
-        for j in range(1, k):
-            acc = self._mix64(acc ^ np.uint64(j)) ^ wh[j : j + len(acc)]
-        return self._mix64(acc)
+        """Single-doc view of the batched kernel (kept for tests and
+        ``signature``) — see ``_shingles_batch``."""
+        flat, _sizes = _shingles_batch(pa.array([text]), self.shingle)
+        return flat
 
     def signature(self, text: str) -> np.ndarray:
         sh = self.shingle_hashes(text)
@@ -124,14 +217,15 @@ class MinHasher:
     _CHUNK_SHINGLES = 400_000
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """Signatures computed BATCHED across documents: one permuted
-        (H, ΣS) product per chunk with per-doc minimum.reduceat, not a
-        tiny einsum per doc."""
-        texts = batch[self.text_col].to_pylist()
-        shingles = [self.shingle_hashes(t) for t in texts]
-        sizes = np.fromiter((len(s) for s in shingles), dtype=np.int64,
-                            count=len(shingles))
-        sigs = np.zeros((len(texts), self.num_hashes), dtype=np.int64)
+        """Signatures computed BATCHED across documents: shingle hashes
+        for the whole batch from ONE vectorized pass (_shingles_batch),
+        then one permuted (H, ΣS) product per chunk with per-doc
+        minimum.reduceat — no per-doc Python anywhere."""
+        flat_sh, sizes = _shingles_batch(batch[self.text_col], self.shingle)
+        ndocs = len(sizes)
+        sigs = np.zeros((ndocs, self.num_hashes), dtype=np.int64)
+        x_all = (flat_sh % np.uint64(_MERSENNE)).astype(np.int64)
+        doc_offs = np.concatenate([[0], np.cumsum(sizes)])
         nz = np.flatnonzero(sizes > 0)
         i = 0
         while i < len(nz):
@@ -143,15 +237,15 @@ class MinHasher:
                 tot += int(sizes[nz[j]])
                 j += 1
             sel = nz[i:j]
-            x = np.concatenate([shingles[d] for d in sel])
-            x = (x % np.uint64(_MERSENNE)).astype(np.int64)
+            # zero-size docs between sel entries contribute no elements,
+            # so the flat range covering sel is contiguous
+            x = x_all[doc_offs[sel[0]] : doc_offs[sel[-1] + 1]]
             vals = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
-            offs = np.concatenate([[0], np.cumsum(sizes[sel])[:-1]])
+            offs = doc_offs[sel] - doc_offs[sel[0]]
             sigs[sel] = np.minimum.reduceat(vals, offs, axis=1).T
             i = j
         return batch.append_column(
-            "minhash", pa.array([row.tolist() for row in sigs],
-                                pa.list_(pa.int64())),
+            "minhash", pa.array(sigs.tolist(), pa.list_(pa.int64())),
         )
 
 
@@ -196,42 +290,118 @@ def minhash_bands_batch(batch: pa.Table, bands: int = 16, rows: int = 8,
     )
 
 
+def _empty_pairs():
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table(
+        {
+            "a_id": pa.array([], pa.int64()),
+            "b_id": pa.array([], pa.int64()),
+            "n_shared_bands": pa.array([], pa.int64()),
+        }
+    ))
+
+
+def _pairs_from_bands_batch(b: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """One funneled bands table → distinct (a_id, b_id, n_shared_bands).
+
+    Vectorized bucket grouping (lexsort + reduceat); only buckets with
+    ≥2 members (rare — LSH buckets are overwhelmingly singletons) loop
+    in Python, each emitting its within-bucket pairs as array ops."""
+    bid = b["band_id"].to_numpy()
+    bh = b["band_hash"].to_numpy()
+    ids = b[id_col].to_numpy()
+    order = np.lexsort((ids, bh, bid))
+    bid, bh, ids = bid[order], bh[order], ids[order]
+    out_a, out_b = [], []
+    if len(bid):
+        neq = np.concatenate([[True], (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])])
+        starts = np.flatnonzero(neq)
+        sizes = np.diff(np.concatenate([starts, [len(bid)]]))
+        for s, sz in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+            grp = ids[s : s + sz]
+            ii, jj = np.triu_indices(sz, k=1)
+            out_a.append(grp[ii])
+            out_b.append(grp[jj])
+    if not out_a:
+        return pa.table({
+            "a_id": pa.array([], pa.int64()),
+            "b_id": pa.array([], pa.int64()),
+            "n_shared_bands": pa.array([], pa.int64()),
+        })
+    a = np.concatenate(out_a)
+    bb = np.concatenate(out_b)
+    a, bb = np.minimum(a, bb), np.maximum(a, bb)
+    # distinct + shared-band count, both key columns kept (no packed key)
+    order = np.lexsort((bb, a))
+    a, bb = a[order], bb[order]
+    neq = np.concatenate([[True], (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])])
+    starts = np.flatnonzero(neq)
+    cnt = np.diff(np.concatenate([starts, [len(a)]]))
+    return pa.table({
+        "a_id": pa.array(a[starts], pa.int64()),
+        "b_id": pa.array(bb[starts], pa.int64()),
+        "n_shared_bands": pa.array(cnt.astype(np.int64), pa.int64()),
+    })
+
+
+# bands-table funnel threshold for the single-task pairing plan: 3 int64
+# columns → 2M rows ≈ 48 MB on one worker. Above it, the distributed
+# self-join plan runs (same output).
+SMALL_BANDS_ROWS = 2_000_000
+
+
 def minhash_lsh_candidates(ds, bands: int = 16, rows: int = 8,
                            num_hashes: int = 128, id_col: str = "doc_id",
-                           text_col: str = "text"):
+                           text_col: str = "text",
+                           small_bands_rows: int = SMALL_BANDS_ROWS):
     """documents → candidate near-dup pairs (a_id < b_id, deduped).
 
-    shingle→minhash (actor pool) → band explode → groupby(band,hash)
-    → pairs within buckets.
-    """
-    import pandas as pd
+    shingle→minhash (vectorized batch kernel) → band explode → bucket
+    pairing. Two physical plans for the pairing, chosen by the band
+    table's measured size (mirroring the spatial join's broadcast vs
+    partitioned dispatch):
 
+    - small (≤ ``small_bands_rows``): funnel the 3-int-column band
+      table to ONE task and emit pairs vectorized — no join actors,
+      no extra exchange beyond the funnel.
+    - large: distributed self-join on (band_id, band_hash) + distinct
+      groupby — the 100-TB shape (never all-pairs, no driver state).
+    """
     # instance-based hasher → stateless elastic tasks (the coefficient
     # draw is cheap; an actor pool here pinned the fused chain width)
     sigs = ds.map_batches(
         MinHasher(num_hashes=num_hashes, text_col=text_col),
         batch_format="pyarrow",
     )
-    # bands table is consumed twice (count pass + pairing pass) and is
-    # small (3 int columns) → materialize once instead of recomputing
-    # the signatures per consumer
+    # bands table is consumed twice (count + pairing) and is small
+    # (3 int columns) → materialize once instead of recomputing the
+    # signatures per consumer
     bands_ds = sigs.select_columns([id_col, "minhash"]).map_batches(
         minhash_bands_batch,
         batch_format="pyarrow",
         fn_kwargs={"bands": bands, "rows": rows, "id_col": id_col},
     ).materialize()
 
-    # Co-occurring pairs via ONE self-join on the bucket key (a < b
-    # drops the singleton self-pairs): round 1's four-exchange plan
-    # (count → hot filter → semi-join → per-bucket map_groups) paid
-    # ~2 s of all-to-all fixed cost per exchange; this is two.
+    if bands_ds.count() <= small_bands_rows:
+        return bands_ds.repartition(1).map_batches(
+            _pairs_from_bands_batch, batch_format="pyarrow",
+            fn_kwargs={"id_col": id_col},
+        )
+
+    # Distributed plan: co-occurring pairs via ONE self-join on the
+    # bucket key (a < b drops the singleton self-pairs): round 1's
+    # four-exchange plan (count → hot filter → semi-join → per-bucket
+    # map_groups) paid ~2 s of all-to-all fixed cost per exchange.
     # Join aggregators are ACTORS (~1 CPU + startup each): K beyond
-    # ncpu/2 stalls (memory ray-data-pitfalls-observed) — cap at 8.
+    # ncpu/2 stalls (memory ray-data-pitfalls-observed) — partitions
+    # scale with the CLUSTER at ncpu/4 (no constant cap: a 100-node
+    # cluster gets a proportionally wider join).
     import ray
     from ray.data.aggregate import Count
 
     ncpu = int(ray.cluster_resources().get("CPU", 4))
-    np_ = max(2, min(8, ncpu // 4))
+    np_ = max(2, ncpu // 4)
     bands_a = bands_ds.map_batches(
         lambda b: b.rename_columns(["band_id", "band_hash", "a_id"]),
         batch_format="pyarrow",
@@ -245,15 +415,7 @@ def minhash_lsh_candidates(ds, bands: int = 16, rows: int = 8,
         num_partitions=np_,
     ).filter(expr="a_id < b_id").materialize()
     if pairs.count() == 0:
-        import ray.data as rd
-
-        return rd.from_arrow(pa.table(
-            {
-                "a_id": pa.array([], pa.int64()),
-                "b_id": pa.array([], pa.int64()),
-                "n_shared_bands": pa.array([], pa.int64()),
-            }
-        ))
+        return _empty_pairs()
     # candidate pairs can repeat across bands → distinct
     return pairs.groupby(["a_id", "b_id"]).aggregate(
         Count(alias_name="n_shared_bands")
@@ -275,19 +437,73 @@ def jaccard_ngrams(a: str, b: str, n: int = 3) -> float:
     return inter / (len(ga) + len(gb) - inter)
 
 
+# pair-table threshold for the broadcast verify plan: below it the
+# candidate doc ids (≤ 2 × pairs) are broadcast as a filter and the
+# matching texts are shipped once via ray.put — the standard semi-join
+# pushdown. Above it, the join-back plan runs (same output).
+SMALL_VERIFY_PAIRS = 200_000
+
+
 def verify_pairs_distributed(pairs, docs, id_col: str = "doc_id",
                              text_col: str = "text", n: int = 3,
-                             threshold: float = 0.8):
-    """Exact n-gram Jaccard verification with NO whole-corpus broadcast:
-    candidate pairs hash-join back to the documents table twice (on
-    a_id, then b_id) to pick up the two texts, then a per-pair kernel
-    filters by the threshold. Both joins shuffle only the candidate
-    pairs + the matched doc rows — at 100 TB the pair set is orders of
-    magnitude smaller than the corpus."""
+                             threshold: float = 0.8,
+                             small_pairs: int = SMALL_VERIFY_PAIRS):
+    """Exact n-gram Jaccard verification with NO whole-corpus broadcast.
+
+    Plan dispatch on the measured candidate-pair count:
+
+    - small (≤ ``small_pairs``): semi-join pushdown — the candidate
+      doc-id array is broadcast (ray.put once), docs filter map-side
+      by np.isin (no exchange), and only the MATCHED texts (bounded by
+      2 × pairs) ship to the pair verifier. Zero join operators.
+    - large: candidate pairs hash-join back to the documents table
+      twice (on a_id, then b_id) to pick up the two texts. Both joins
+      shuffle only the candidate pairs + matched doc rows — at 100 TB
+      the pair set is orders of magnitude smaller than the corpus.
+    """
     import ray
 
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        schema = pairs.schema()
+        cols = {name: pa.array([], typ)
+                for name, typ in zip(schema.names, schema.types)}
+        cols["jaccard"] = pa.array([], pa.float64())
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table(cols))
+
+    if n_pairs <= small_pairs:
+        # pairs is materialized — read its blocks directly (no extra
+        # executor run for a column select)
+        idtabs = [ray.get(r) for r in pairs.to_arrow_refs()]
+        allids = np.unique(np.concatenate(
+            [np.concatenate([t["a_id"].to_numpy(zero_copy_only=False),
+                             t["b_id"].to_numpy(zero_copy_only=False)])
+             for t in idtabs if len(t)]
+        ))
+        ids_ref = ray.put(allids)
+
+        def keep_candidates(b: pa.Table) -> pa.Table:
+            want = ray.get(ids_ref)  # numpy: plasma-shared, zero-copy
+            keys = b[id_col].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(np.isin(keys, want)))
+
+        cand_docs = docs.map_batches(
+            keep_candidates, batch_format="pyarrow"
+        ).select_columns([id_col, text_col]).take_all()
+        texts_ref = ray.put({r[id_col]: r[text_col] for r in cand_docs})
+        return pairs.map_batches(
+            _verify_with_broadcast_texts,
+            fn_kwargs={"texts_ref": texts_ref, "n": n,
+                       "threshold": threshold},
+            batch_format="pyarrow",
+        )
+
+    # cluster-scaled join width under the ncpu/2 aggregator stall guard
     ncpu = int(ray.cluster_resources().get("CPU", 4))
-    np_ = max(2, min(8, ncpu // 4))
+    np_ = max(2, ncpu // 4)
 
     def rename_for(side: str):
         def fn(b: pa.Table) -> pa.Table:
@@ -313,6 +529,32 @@ def verify_pairs_distributed(pairs, docs, id_col: str = "doc_id",
         return out.filter(pa.array([x >= threshold for x in jac]))
 
     return j.map_batches(verify, batch_format="pyarrow")
+
+
+# per-worker-process cache of the broadcast id→text lookup (one entry,
+# keyed by ref — same amortization pattern as spatial/join._INDEX_CACHE)
+_TEXTS_CACHE: dict = {}
+
+
+def _verify_with_broadcast_texts(batch: pa.Table, texts_ref=None,
+                                 n: int = 3,
+                                 threshold: float = 0.8) -> pa.Table:
+    """Stateless-task form of PairVerifier: resolves the broadcast
+    lookup once per worker process (elastic, no pool startup, and the
+    dict is NOT pickled into every task like an instance field)."""
+    import ray
+
+    key = texts_ref.hex() if hasattr(texts_ref, "hex") else id(texts_ref)
+    texts = _TEXTS_CACHE.get(key)
+    if texts is None:
+        texts = ray.get(texts_ref)
+        _TEXTS_CACHE.clear()
+        _TEXTS_CACHE[key] = texts
+    v = PairVerifier.__new__(PairVerifier)
+    v.texts = texts
+    v.n = n
+    v.threshold = threshold
+    return v(batch)
 
 
 class PairVerifier:

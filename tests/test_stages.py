@@ -77,6 +77,48 @@ def test_minhash_lsh_finds_neardups(ray_session):
     assert all(p in {(0, 1)} for p in pairs)
 
 
+def test_minhash_plans_agree(ray_session):
+    """The single-task pairing plan and the distributed self-join plan
+    (and the broadcast vs join-back verify plans) produce IDENTICAL
+    pair tables — forced via the size thresholds."""
+    from ocaml_geojson_ray.stages.dedup import (
+        minhash_lsh_candidates,
+        verify_pairs_distributed,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    texts = [base, base.replace("sigma", "SIGMA"),
+             base.replace("beta", "BETA").replace("tau", "TAU"),
+             "totally different content with none of those words at all "
+             "just filler tokens making up a separate document body"]
+    ds = _docs_ds(ray_session, texts)
+
+    def pairset(dset):
+        return sorted(
+            (r["a_id"], r["b_id"], r["n_shared_bands"])
+            for r in dset.take_all()
+        )
+
+    small = minhash_lsh_candidates(ds, bands=32, rows=4)
+    large = minhash_lsh_candidates(ds, bands=32, rows=4,
+                                   small_bands_rows=0)
+    ps, pl = pairset(small), pairset(large)
+    assert ps == pl and len(ps) >= 3  # the three near-dup pairs found
+
+    def verified(pairs_ds, small_pairs):
+        out = verify_pairs_distributed(
+            pairs_ds, ds, threshold=0.5, small_pairs=small_pairs)
+        return sorted(
+            (r["a_id"], r["b_id"], round(r["jaccard"], 9))
+            for r in out.take_all()
+        )
+
+    vb = verified(minhash_lsh_candidates(ds, bands=32, rows=4), 10**6)
+    vj = verified(minhash_lsh_candidates(ds, bands=32, rows=4), 0)
+    assert vb == vj and len(vb) >= 3
+
+
 def test_simhash_dedup(ray_session):
     from ocaml_geojson_ray.stages.dedup import simhash_dedup
 
