@@ -565,61 +565,118 @@ class CellEncoder:
         )
 
 
+def explode_poly_cells(batch: pa.Table, res: int = DEFAULT_JOIN_RES) -> pa.Table:
+    """Polygon layer → flat (cell, poly_id) coverage rows, VECTORIZED
+    across the batch (same flat-range expansion as PolygonIndex) — the
+    ring geometry stays OUT of this table, so the cell shuffle moves
+    two int64 columns instead of per-(polygon × cell) ring copies.
+    Antimeridian-wrapping bboxes (minx > maxx, rare) fall back to
+    cover_bbox per row."""
+    n = len(batch)
+    if n == 0:
+        return pa.table({
+            "cell": pa.array([], pa.int64()),
+            "poly_id": pa.array([], pa.int64()),
+        })
+    nres = 1 << res
+    pid = batch["poly_id"].to_numpy(zero_copy_only=False)
+    minx = batch["minx"].to_numpy(zero_copy_only=False)
+    miny = batch["miny"].to_numpy(zero_copy_only=False)
+    maxx = batch["maxx"].to_numpy(zero_copy_only=False)
+    maxy = batch["maxy"].to_numpy(zero_copy_only=False)
+    wrap = minx > maxx
+    x0 = np.clip(np.floor((minx + 180.0) / 360.0 * nres), 0, nres - 1).astype(np.int64)
+    x1 = np.clip(np.floor((maxx + 180.0) / 360.0 * nres), 0, nres - 1).astype(np.int64)
+    y0 = np.clip(np.floor((miny + 90.0) / 180.0 * nres), 0, nres - 1).astype(np.int64)
+    y1 = np.clip(np.floor((maxy + 90.0) / 180.0 * nres), 0, nres - 1).astype(np.int64)
+    counts = np.where(wrap, 0, (x1 - x0 + 1) * (y1 - y0 + 1))
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rep = np.repeat(np.arange(n, dtype=np.int64), counts)
+    local = np.arange(int(counts.sum()), dtype=np.int64) - starts[rep]
+    ny = y1[rep] - y0[rep] + 1
+    cells = C.pack_cell(res, x0[rep] + local // ny, y0[rep] + local % ny)
+    out_pid = pid[rep]
+    if wrap.any():
+        extra_p, extra_c = [], []
+        for i in np.flatnonzero(wrap):
+            cc = C.cover_bbox(minx[i], miny[i], maxx[i], maxy[i], res)
+            extra_p.append(np.full(len(cc), pid[i], dtype=np.int64))
+            extra_c.append(cc)
+        out_pid = np.concatenate([out_pid] + extra_p)
+        cells = np.concatenate([cells] + extra_c)
+    return pa.table({
+        "cell": pa.array(cells, pa.int64()),
+        "poly_id": pa.array(out_pid, pa.int64()),
+    })
+
+
 def cell_partitioned_join(points_ds, polys_ds, res: int = DEFAULT_JOIN_RES):
-    """Both-sides-large plan: explode polygons over covering cells,
-    hash-join on `cell`, then PIP-refine. Uses Dataset.join (Ray ≥2.46
-    hash shuffle join) — the documented partitioning key is `cell`.
+    """Both-sides-large plan (N5 fallback), rings-out-of-shuffle:
+
+    1. points get their (single) cell key; polygons explode to
+       (cell, poly_id) coverage pairs ONLY — vectorized, no geometry.
+    2. hash-join on ``cell`` → candidate (point × poly_id) rows. A
+       point lives in exactly one cell at res, so a candidate pair can
+       arise from only one cell — the partitioned analog of the
+       reference-point dedup rule, no post-shuffle distinct needed.
+    3. the ring table (ONE serialized ring set per polygon, not per
+       covering cell) joins back by ``poly_id``; the PIP refinement
+       groups each batch by polygon and tests vectorized.
+
+    Shuffle volume: points once + 2 int64 coverage columns + one ring
+    copy per polygon — the round-2 plan shipped rings duplicated per
+    covering cell AND re-serialized them per row in Python.
     """
+    import ray
     import ray.data  # noqa: F401
 
-    def explode_polys(batch: pa.Table) -> pa.Table:
-        rows = batch.to_pylist()
-        out = {"cell": [], "poly_id": [], "rings_json": []}
+    def rings_table(batch: pa.Table) -> pa.Table:
         import json as _json
 
-        for r in rows:
-            for cell in C.cover_bbox(r["minx"], r["miny"], r["maxx"], r["maxy"], res):
-                out["cell"].append(int(cell))
-                out["poly_id"].append(r["poly_id"])
-                out["rings_json"].append(_json.dumps(r["rings"]))
-        return pa.table(
-            {
-                "cell": pa.array(out["cell"], pa.int64()),
-                "poly_id": pa.array(out["poly_id"], pa.int64()),
-                "rings_json": pa.array(out["rings_json"], pa.string()),
-            }
-        )
-
-    import ray
+        # one JSON serialization per POLYGON (a join-safe scalar column;
+        # nested list<list<list<f64>>> through the hash join would also
+        # work but costs more to shuffle than the compact text)
+        rows = batch.to_pylist()
+        return pa.table({
+            "poly_id": pa.array([r["poly_id"] for r in rows], pa.int64()),
+            "rings_json": pa.array([_json.dumps(r["rings"]) for r in rows],
+                                   pa.string()),
+        })
 
     pts = points_ds.map_batches(add_cell_column, batch_format="pyarrow",
                                 fn_kwargs={"res": res})
-    pl = polys_ds.map_batches(explode_polys, batch_format="pyarrow")
+    pl = polys_ds.map_batches(explode_poly_cells, batch_format="pyarrow",
+                              fn_kwargs={"res": res})
     # partitions sized to the cluster: the hash-join aggregators reserve
     # CPU per partition, and a count larger than the session's CPUs
     # stalls the operator forever (observed: num_partitions=64 on a
     # 4-CPU session → Join backpressured at 8 reserved CPUs, 0 tasks)
     ncpu = int(ray.cluster_resources().get("CPU", 4))
-    joined = pts.join(pl, join_type="inner", on=("cell",),
-                      num_partitions=max(2, ncpu // 2))
+    np_ = max(2, ncpu // 2)
+    cands = pts.join(pl, join_type="inner", on=("cell",),
+                     num_partitions=np_)
+    rings = polys_ds.map_batches(rings_table, batch_format="pyarrow")
+    joined = cands.join(rings, join_type="inner", on=("poly_id",),
+                        num_partitions=np_)
 
     def refine(batch: pa.Table) -> pa.Table:
         import json as _json
 
         lng = batch["lng"].to_numpy(zero_copy_only=False)
         lat = batch["lat"].to_numpy(zero_copy_only=False)
+        pids = batch["poly_id"].to_numpy(zero_copy_only=False)
         keep = np.zeros(len(batch), dtype=bool)
-        rings_col = batch["rings_json"].to_pylist()
-        # group candidate rows by polygon so each PIP is one vectorized
-        # call over that polygon's points (parse each ring set once)
-        by_poly: dict = {}
-        pids = batch["poly_id"].to_pylist()
-        for i, pid in enumerate(pids):
-            by_poly.setdefault(pid, []).append(i)
-        for pid, idxs in by_poly.items():
-            rings = _json.loads(rings_col[idxs[0]])
-            ii = np.asarray(idxs, dtype=np.int64)
-            keep[ii] = P.points_in_polygon(lng[ii], lat[ii], rings)
+        # group candidate rows by polygon (vectorized argsort, not a
+        # per-row dict loop) so each ring set parses ONCE per batch and
+        # each PIP call is one vectorized pass over that polygon's rows
+        order = np.argsort(pids, kind="stable")
+        bounds = np.flatnonzero(np.diff(pids[order])) + 1
+        rings_col = batch["rings_json"]
+        for grp in np.split(order, bounds):
+            if not len(grp):
+                continue
+            rings = _json.loads(rings_col[grp[0]].as_py())
+            keep[grp] = P.points_in_polygon(lng[grp], lat[grp], rings)
         return batch.filter(pa.array(keep)).drop_columns(["rings_json"])
 
     return joined.map_batches(refine, batch_format="pyarrow")
