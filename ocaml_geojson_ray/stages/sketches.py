@@ -17,9 +17,30 @@ import struct
 import numpy as np
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public-domain constants); uint64
+    wraparound is the intended arithmetic."""
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15))
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
 def _hash64(values) -> np.ndarray:
-    """Stable 64-bit hashes for arbitrary values (md5-based; not
-    PYTHONHASHSEED-dependent)."""
+    """Stable 64-bit hashes (not PYTHONHASHSEED-dependent). Integer
+    inputs — list OR numpy array, so adds and probes hash identically —
+    take the VECTORIZED splitmix64 path; anything else falls back to a
+    per-value md5 (strings/bytes are rare sketch keys here)."""
+    if not isinstance(values, np.ndarray):
+        try:
+            arr = np.asarray(values)
+        except Exception:
+            arr = None
+    else:
+        arr = values
+    if arr is not None and arr.dtype.kind in "iu":
+        return _mix64(arr.astype(np.int64).view(np.uint64))
     out = np.empty(len(values), dtype=np.uint64)
     for i, v in enumerate(values):
         b = repr(v).encode("utf-8") if not isinstance(v, bytes) else v
