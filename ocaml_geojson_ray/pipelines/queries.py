@@ -1852,12 +1852,28 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 
 
 def q_ivf_ann(sf_dir: str):
+    """IVF ANN — rows-only, but SELF-CHECKING (VERDICT r2 #7, the
+    q_hll_distinct_users pattern): per-query recall@k against the
+    exact brute-force top-k is asserted ≥ 0.5 inside the query, so a
+    recall regression fails loudly at the driver gate, not just in
+    tests (tests/test_stages.py pins the same floor)."""
     import ray.data as rd
 
-    from ..stages.ann import ivf_topk
+    from ..stages.ann import brute_force_topk, ivf_topk
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ivf_topk(ds, _ann_queries(sf_dir), k=ANN_K)
+    queries = _ann_queries(sf_dir)
+    approx_rows = ivf_topk(ds, queries, k=ANN_K).take_all()
+    got: dict = {}
+    for r in approx_rows:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    want: dict = {}
+    for r in brute_force_topk(ds, queries, k=ANN_K).take_all():
+        want.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for q, e in want.items():
+        rec = len(e & got.get(q, set())) / len(e)
+        assert rec >= 0.5, f"IVF recall@{ANN_K} for query {q}: {rec:.2f}"
+    return rd.from_items(approx_rows)
 
 
 def q_extract_invariant(sf_dir: str):
