@@ -1079,12 +1079,17 @@ def q_hll_distinct_users(sf_dir: str):
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
-    approx = hll_distinct(ds, ["event_type"], "user_id").to_pandas()
-    # exact reference computed distributed: per-batch DISTINCT pairs
-    # (arrow group_by, C speed), then one tiny combine — not a driver
-    # pandas load, and not Ray's per-group Python aggregate either
+    # ONE scan of events: per-batch DISTINCT (event_type, user_id)
+    # pairs (arrow group_by, C speed), materialized small — BOTH the
+    # sketch and the exact self-check read it. HLL over the distinct
+    # pairs is register-identical to HLL over the raw rows (adds are
+    # idempotent), so this fusion removes the second full scan the
+    # round-2 version paid (the 1.19 → 1.37 s bench drift).
     def distinct_pairs(b: pa.Table) -> pa.Table:
         return b.group_by(["event_type", "user_id"]).aggregate([])
+
+    pairs = ds.map_batches(distinct_pairs, batch_format="pyarrow").materialize()
+    approx = hll_distinct(pairs, ["event_type"], "user_id").to_pandas()
 
     def count_distinct(b: pa.Table) -> pa.Table:
         d = b.group_by(["event_type", "user_id"]).aggregate([])
@@ -1092,8 +1097,7 @@ def q_hll_distinct_users(sf_dir: str):
             .rename_columns(["event_type", "exact_distinct"])
 
     exact_df = (
-        ds.map_batches(distinct_pairs, batch_format="pyarrow")
-        .repartition(1)
+        pairs.repartition(1)
         .map_batches(count_distinct, batch_format="pyarrow")
         .to_pandas()
     )
