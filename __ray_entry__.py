@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Spatial (N4-N7, N9, N11, N12)
         "cell_assign_counts": Q.q_cell_assign_counts,
         "tile_assign_counts": Q.q_tile_assign_counts,
+        "hex_cell_counts": Q.q_hex_cell_counts,
         "spatial_join_rect": Q.q_spatial_join_rect,
         "knn_rect": Q.q_knn_rect,
         "knn_points": Q.q_knn_points,
@@ -89,6 +90,7 @@ def oracle_sql() -> dict[str, str]:
         "geojson_linestring_verdicts": Q.SQL_LINESTRING_VERDICTS,
         "cell_assign_counts": Q.SQL_CELL_ASSIGN,
         "tile_assign_counts": Q.SQL_TILE_ASSIGN,
+        "hex_cell_counts": Q.SQL_HEX_CELL_COUNTS,
         "spatial_join_rect": Q.SQL_SPATIAL_JOIN_RECT,
         "knn_rect": Q.SQL_KNN_RECT,
         "knn_points": Q.SQL_KNN_POINTS,

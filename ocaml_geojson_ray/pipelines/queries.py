@@ -267,6 +267,52 @@ FROM pts GROUP BY cell
 """
 
 
+HEX_RES = 6
+
+
+def q_hex_cell_counts(sf_dir: str):
+    """Hexagonal cell assignment (the H3-shaped third encoder,
+    spatial/hexcells.py) + pre-aggregated count per hex — SQL-checked
+    BIT-FOR-BIT: the axial transform, floor(x+0.5) cube rounding and
+    the (res, q, r) packing are plain double/int arithmetic mirrored
+    in the oracle in the same operation order."""
+    from ..spatial.hexcells import hex_cell_counts_batch
+    from ..util import grouped_sum_combine
+
+    def encode_and_partial(batch: pa.Table) -> pa.Table:
+        batch = derive_lineitem_points_batch(batch)
+        return hex_cell_counts_batch(batch, res=HEX_RES)
+
+    ds = _read_split(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"])
+    partial = ds.map_batches(encode_and_partial, batch_format="pyarrow")
+    return grouped_sum_combine(partial, ["hex_cell"], "partial_count", "n_points")
+
+
+SQL_HEX_CELL_COUNTS = f"""
+WITH pts AS ({POINTS_SQL}),
+ax AS (SELECT
+    (sqrt(3)/3.0 * lng - lat/3.0) / (180.0/{1 << HEX_RES}.0) AS x,
+    (2.0 * lat/3.0) / (180.0/{1 << HEX_RES}.0) AS z
+  FROM pts),
+rnd AS (SELECT x, z, -x - z AS y,
+    floor(x + 0.5) AS rx, floor(-x - z + 0.5) AS ry, floor(z + 0.5) AS rz
+  FROM ax),
+fx AS (SELECT rx, ry, rz,
+    abs(rx - x) AS dx, abs(ry - y) AS dy, abs(rz - z) AS dz
+  FROM rnd),
+qr AS (SELECT
+    CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS q,
+    CASE WHEN (NOT (dx > dy AND dx > dz)) AND (NOT (dy > dz))
+         THEN -rx - ry ELSE rz END AS r
+  FROM fx)
+SELECT ({HEX_RES}::BIGINT << 58)
+     | ((CAST(q AS BIGINT) + 268435456) << 29)
+     |  (CAST(r AS BIGINT) + 268435456) AS hex_cell,
+       count(*) AS n_points
+FROM qr GROUP BY hex_cell
+"""
+
+
 def q_tile_assign_counts(sf_dir: str):
     """Slippy-tile assignment (N7) + per-tile counts at z=8."""
     from ray.data.aggregate import Sum

@@ -311,3 +311,97 @@ def test_polygon_index_matches_naive_construction():
         d = np.sqrt(((pts - idx.centers[i]) ** 2).sum(axis=1)).max()
         assert d <= idx.radius[i] + 1e-12
         assert np.allclose(idx.centers[i], pts.mean(axis=0), rtol=0, atol=1e-9)
+
+
+# -- hex cells (H3-shaped third encoder) ------------------------------------
+
+def test_hex_roundtrip_center():
+    """cell → center → cell is the identity (the center is by
+    construction the nearest hex center to itself)."""
+    import numpy as np
+
+    from ocaml_geojson_ray.spatial import hexcells as H
+
+    rng = np.random.default_rng(7)
+    lng = rng.uniform(-179, 179, 500)
+    lat = rng.uniform(-89, 89, 500)
+    for res in (3, 6, 9):
+        cells = H.hex_latlng_to_cell(lng, lat, res)
+        clng, clat = H.hex_cell_center(cells)
+        again = H.hex_latlng_to_cell(clng, clat, res)
+        assert np.array_equal(cells, again)
+        assert np.all(H.hex_cell_res(cells) == res)
+
+
+def test_hex_assignment_is_nearest_center():
+    """every point is assigned to the hex whose center is nearest in
+    the projected plane (the defining property of cube rounding) —
+    checked against the centers of the assigned cell's 1-disk."""
+    import numpy as np
+
+    from ocaml_geojson_ray.spatial import hexcells as H
+
+    rng = np.random.default_rng(11)
+    lng = rng.uniform(-170, 170, 200)
+    lat = rng.uniform(-80, 80, 200)
+    res = 5
+    cells = H.hex_latlng_to_cell(lng, lat, res)
+    for i in range(len(lng)):
+        own_lng, own_lat = H.hex_cell_center(np.asarray([cells[i]]))
+        d_own = (own_lng[0] - lng[i]) ** 2 + (own_lat[0] - lat[i]) ** 2
+        for nb in H.hex_ring(int(cells[i]), 1):
+            nlng, nlat = H.hex_cell_center(np.asarray([nb]))
+            d_nb = (nlng[0] - lng[i]) ** 2 + (nlat[0] - lat[i]) ** 2
+            assert d_own <= d_nb + 1e-9
+
+
+def test_hex_ring_properties():
+    """|ring(c,k)| = 6k, ring members at hex distance exactly k, and
+    ring symmetry: b in ring(a,k) <=> a in ring(b,k)."""
+    import numpy as np
+
+    from ocaml_geojson_ray.spatial import hexcells as H
+
+    c = int(H.hex_latlng_to_cell(np.asarray([12.3]), np.asarray([45.6]), 6)[0])
+    assert list(H.hex_ring(c, 0)) == [c]
+    for k in (1, 2, 5):
+        ring = H.hex_ring(c, k)
+        assert len(ring) == 6 * k
+        assert np.all(H.hex_distance(ring, np.full(len(ring), c)) == k)
+        for b in ring[:6]:
+            assert c in H.hex_ring(int(b), k)
+    disk = H.hex_disk(c, 3)
+    assert len(disk) == 1 + 3 * 3 * (3 + 1)
+    assert np.all(H.hex_distance(disk, np.full(len(disk), c)) <= 3)
+
+
+def test_hex_parent_center_containment():
+    """parent(cell) at res-1 contains the cell's center (by
+    construction); parent of parent's children's centers is stable."""
+    import numpy as np
+
+    from ocaml_geojson_ray.spatial import hexcells as H
+
+    rng = np.random.default_rng(3)
+    lng = rng.uniform(-170, 170, 300)
+    lat = rng.uniform(-80, 80, 300)
+    cells = H.hex_latlng_to_cell(lng, lat, 8)
+    parents = H.hex_cell_to_parent(cells, 5)
+    assert np.all(H.hex_cell_res(parents) == 5)
+    clng, clat = H.hex_cell_center(cells)
+    assert np.array_equal(parents, H.hex_latlng_to_cell(clng, clat, 5))
+    # idempotent at equal res
+    assert np.array_equal(H.hex_cell_to_parent(cells, 8), cells)
+
+
+def test_hex_qr_pack_roundtrip():
+    import numpy as np
+
+    from ocaml_geojson_ray.spatial import hexcells as H
+
+    rng = np.random.default_rng(5)
+    q = rng.integers(-100000, 100000, 200)
+    r = rng.integers(-100000, 100000, 200)
+    cells = H.hex_pack(7, q, r)
+    q2, r2 = H.hex_cell_qr(cells)
+    assert np.array_equal(q, q2) and np.array_equal(r, r2)
