@@ -1845,13 +1845,35 @@ def q_embedding_neardups(sf_dir: str):
     copies (plant_neardup_batch) give the path true positives; found
     pairs are verified ⊆ the exact kernel's pairs in
     tests/test_stages.py."""
+    import pyarrow.parquet as pq
     import ray.data as rd
 
     from ..stages.dedup import embedding_neardup_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     aug = ds.map_batches(plant_neardup_batch, batch_format="pyarrow")
-    return embedding_neardup_pairs(aug, threshold=0.9)
+    found = embedding_neardup_pairs(aug, threshold=0.9).take_all()
+    # SELF-CHECK (round 3, the ivf_ann pattern): recall on the KNOWN
+    # planted positives — scale-safe (needs only the planted id list,
+    # never an all-pairs pass). 12 hyperplanes give each ~0.995-cosine
+    # planted pair a ≈0.68 single-bucket collision probability, so a
+    # 0.5 floor fails loudly on a broken bucketing while tolerating
+    # the expected LSH misses (precision is exact by construction —
+    # within-bucket cosine is recomputed, not estimated).
+    planted = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    )["vec_id"].to_numpy()
+    planted = planted[planted % 20 == 0]
+    if len(planted):
+        got = {(r["a_id"], r["b_id"]) for r in found}
+        hits = sum(
+            1 for p in planted
+            if (int(p), int(p) + NEARDUP_PLANT_OFFSET) in got
+            or (int(p) + NEARDUP_PLANT_OFFSET, int(p)) in got
+        )
+        rec = hits / len(planted)
+        assert rec >= 0.5, f"planted near-dup recall {rec:.2f}"
+    return rd.from_items(found)
 
 
 def q_embedding_neardups_exact(sf_dir: str):
