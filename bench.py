@@ -158,6 +158,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         queries[name] = round(time.time() - t, 3)
 
     timed("cell_assign_counts", Q.q_cell_assign_counts)
+    timed("hex_cell_counts", Q.q_hex_cell_counts)
     timed("tile_assign_counts", Q.q_tile_assign_counts)
     timed("spatial_join_rect", Q.q_spatial_join_rect)
     timed("envelope_join", Q.q_envelope_join)

@@ -23,11 +23,32 @@ _GEOJSON_SCRIPT_RE = re.compile(
     r'<script type="application/geo\+json">(.*?)</script>', re.S
 )
 
+# html.unescape is a multi-thousand-entity regex sub with a Python
+# callback (~25 µs per block) — the dominant extract cost. When every
+# '&' in a block is one of the five html.escape outputs, five chained
+# C-level str.replace calls are EQUIVALENT to unescape's single pass
+# (&amp; last, so no replacement output is re-processed — both are
+# single-pass left-to-right); any other '&' falls back to the real
+# unescape.
+_SIMPLE_ENT_GUARD = re.compile(r"&(?!(?:amp|lt|gt|quot|#x27);)")
+
+
+def _unescape_block(m: str) -> str:
+    if "&" not in m:
+        return m
+    if _SIMPLE_ENT_GUARD.search(m):
+        return html_mod.unescape(m)
+    return (
+        m.replace("&lt;", "<").replace("&gt;", ">")
+        .replace("&quot;", '"').replace("&#x27;", "'")
+        .replace("&amp;", "&")
+    )
+
 
 def extract_text_from_html(html: bytes) -> str:
     """Recover the text channel from page html (N1, byte-identical)."""
     s = html.decode("utf-8", errors="replace")
-    return "\n".join(html_mod.unescape(m) for m in _P_RE.findall(s))
+    return "\n".join(_unescape_block(m) for m in _P_RE.findall(s))
 
 
 def extract_script_geojson(html: bytes) -> list[str]:
@@ -43,14 +64,19 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
     (list<string>). The html column is dropped afterwards — downstream
     stages only carry the text channel (column pruning at the earliest
     point the bytes are no longer needed).
+
+    Hot-path notes: each page decodes ONCE (the two channel scans
+    share the decoded string), and ``html.unescape`` — a multi-pattern
+    regex substitution — only runs on <p> blocks that contain '&'
+    (identity otherwise, by definition of HTML entity escaping).
     """
     htmls = batch["html"]
     texts = []
     scripts = []
     for buf in htmls:
-        b = buf.as_py()
-        texts.append(extract_text_from_html(b))
-        scripts.append(extract_script_geojson(b))
+        s = buf.as_py().decode("utf-8", errors="replace")
+        texts.append("\n".join(_unescape_block(m) for m in _P_RE.findall(s)))
+        scripts.append(_GEOJSON_SCRIPT_RE.findall(s))
     out = batch.drop_columns(["html"])
     out = out.append_column("extracted_text", pa.array(texts, pa.string()))
     out = out.append_column(
