@@ -144,3 +144,21 @@ def test_stream_split_agrees_with_json_loads(features, extra):
     want_meta = dict(doc_obj)
     want_meta["features"] = []
     assert json.loads(meta) == want_meta
+
+
+_ENT_TOKENS = st.sampled_from(
+    ["&amp;", "&lt;", "&gt;", "&quot;", "&#x27;", "&", "&x;", "a", " ",
+     "&#38;", "&#39;", "&amp", ";", "&Aacute;", "&unknown;", "text"]
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.lists(_ENT_TOKENS, max_size=12).map("".join))
+def test_fast_unescape_equals_html_unescape(s):
+    """extract._unescape_block must be byte-equivalent to html.unescape
+    on any input (the guarded fast path may never diverge)."""
+    import html
+
+    from ocaml_geojson_ray.stages.extract import _unescape_block
+
+    assert _unescape_block(s) == html.unescape(s)
