@@ -231,8 +231,19 @@ def main():
             root="/tmp/ogr_data")
         generate_polygon_layer(sf_of(sf_dir), root="/tmp/ogr_data")
         ray.shutdown()
-        r_lo = run_child(lo, ("--scaling-child",))
-        r_hi = run_child(hi, ("--scaling-child",))
+        # Host tenancy drifts on ~minutes timescales (BASELINE.md
+        # hardware note: a squeezed child can mis-read one LEVEL while
+        # the other is normal). Interleave the levels twice — lo, hi,
+        # lo, hi — and take the best throughput PER LEVEL: a transient
+        # squeeze then costs one child, not the ratio. All runs are
+        # reported so the noise band stays visible.
+        rounds = int(os.environ.get("GRAFT_SCALE_ROUNDS", "2"))
+        runs_lo, runs_hi = [], []
+        for _ in range(rounds):
+            runs_lo.append(run_child(lo, ("--scaling-child",)))
+            runs_hi.append(run_child(hi, ("--scaling-child",)))
+        r_lo = max(runs_lo, key=lambda r: r["pages_per_sec"])
+        r_hi = max(runs_hi, key=lambda r: r["pages_per_sec"])
         tp_lo = r_lo["pages_per_sec"]
         tp_hi = r_hi["pages_per_sec"]
         eff = (tp_hi / tp_lo) / (hi / lo)
@@ -244,6 +255,8 @@ def main():
             "cpus_lo": lo, "cpus_hi": hi,
             "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
             "pages_per_sec_lo": tp_lo, "pages_per_sec_hi": tp_hi,
+            "all_runs_lo": [r["pages_per_sec"] for r in runs_lo],
+            "all_runs_hi": [r["pages_per_sec"] for r in runs_hi],
             "n_pages": r_lo["n_pages"],
         }))
         return
