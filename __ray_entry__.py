@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardups": Q.q_embedding_neardups,
         "ivf_ann": Q.q_ivf_ann,
         "multimodal_features": Q.q_multimodal_features,
+        "multimodal_audio": Q.q_multimodal_audio,
         "s2_cell_counts": Q.q_s2_cell_counts,
         "pages_geom_dedup": Q.q_pages_geom_dedup,
         "extract_invariant": Q.q_extract_invariant,

@@ -2029,20 +2029,61 @@ def q_s2_cell_counts(sf_dir: str):
 
 
 def q_multimodal_features(sf_dir: str):
-    """Multimodal plumbing: synthetic media table → actor-pool decode
-    (deterministic fake) → per-channel features."""
+    """Multimodal pipeline with a REAL decode kernel (round 3): the
+    synthetic media table carries valid 24-bit .bmp payloads
+    (from-scratch codec, stages/codecs.py), the actor-pool stage
+    decodes them for real and extracts per-channel mean/std features.
+    Self-check: a sample of rows is verified against features computed
+    directly from the planted ground-truth pixels (synth_pixels), so a
+    broken decoder fails loudly at the driver gate. Compressed codecs
+    remain honestly stubbed (errors-as-data in DecodeImage)."""
     import ray.data as rd
 
-    from ..stages.multimodal import DecodeImage, synth_media_batch
+    from ..stages.multimodal import DecodeImage, synth_bmp_media_batch, synth_pixels
 
-    media = rd.range(256).map_batches(synth_media_batch, batch_format="pyarrow")
-    return media.map_batches(
+    media = rd.range(256).map_batches(synth_bmp_media_batch, batch_format="pyarrow")
+    out = media.map_batches(
         DecodeImage,
-        fn_constructor_kwargs={"fake": True},
         batch_format="pyarrow",
         batch_size=64,
         concurrency=(1, 2),
-    )
+    ).materialize()
+    rows = out.take(8)
+    for r in rows:
+        assert r["decode_error"] is None, r["decode_error"]
+        img = synth_pixels(r["media_id"])
+        want = np.concatenate([img.mean(axis=(0, 1)), img.std(axis=(0, 1))])
+        assert np.allclose(r["image_features"], want, rtol=0, atol=1e-12), \
+            r["media_id"]
+    return out
+
+
+def q_multimodal_audio(sf_dir: str):
+    """Audio modality with the REAL PCM16 WAV decode kernel (round 3):
+    synthetic tone payloads → actor-pool AudioFeatures → RMS/ZCR/
+    spectral-centroid. Self-check: every row decodes cleanly, and a
+    sample's features equal direct computation on the decoded samples."""
+    import ray.data as rd
+
+    from ..stages.codecs import decode_wav
+    from ..stages.multimodal import AudioFeatures, synth_wav_media_batch
+
+    media = rd.range(128).map_batches(synth_wav_media_batch,
+                                      batch_format="pyarrow").materialize()
+    out = media.map_batches(
+        AudioFeatures,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 2),
+    ).materialize()
+    rows = out.take(4)
+    payload_by_id = {r["media_id"]: r["payload"] for r in media.take(4)}
+    for r in rows:
+        assert r["decode_error"] is None, r["decode_error"]
+        if r["media_id"] in payload_by_id:
+            x, _ = decode_wav(payload_by_id[r["media_id"]])
+            assert r["audio_features"] == AudioFeatures._features(x)
+    return out
 
 
 def _pages_for(sf_dir: str):

@@ -199,14 +199,89 @@ def test_ivf_recall(ray_session):
 def test_multimodal_stub_and_fake(ray_session):
     from ocaml_geojson_ray.stages.multimodal import DecodeImage, synth_media_batch
 
-    with pytest.raises(NotImplementedError):
-        DecodeImage()
     t = synth_media_batch(pa.table({"id": pa.array([1, 2], pa.int64())}))
+    # compressed/unknown mimes stay stubbed: errors-as-data, no raise
+    stub = DecodeImage()(t)
+    assert all(e is not None for e in stub["decode_error"].to_pylist())
+    assert all(f is None for f in stub["image_features"].to_pylist())
     out = DecodeImage(fake=True)(t)
     assert "payload" not in out.column_names  # bytes dropped ASAP
     f1 = out["image_features"].to_pylist()
     out2 = DecodeImage(fake=True)(t)
     assert f1 == out2["image_features"].to_pylist()  # deterministic
+
+
+def test_codecs_roundtrip_bitexact():
+    """From-scratch BMP/WAV codecs round-trip exactly (incl. the
+    padded-row widths and stereo WAV)."""
+    import numpy as np
+
+    from ocaml_geojson_ray.stages.codecs import (
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(42)
+    for h, w in ((5, 7), (16, 16), (3, 1), (10, 2)):  # odd widths → padding
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img), (h, w)
+    x = rng.uniform(-0.99, 0.99, 777)
+    y, rate = decode_wav(encode_wav(x, 8000))
+    assert rate == 8000 and len(y) == 777
+    # PCM16 quantization: exact to 1/32768
+    assert np.abs(y - x).max() <= 1.0 / 32768.0
+    stereo = rng.uniform(-0.9, 0.9, (100, 2))
+    y2, _ = decode_wav(encode_wav(stereo, 16000))
+    assert y2.shape == (100, 2)
+    with pytest.raises(ValueError):
+        decode_bmp(b"nope")
+    with pytest.raises(ValueError):
+        decode_wav(b"nope")
+
+
+def test_real_bmp_decode_features(ray_session):
+    """The real BMP decode path: planted pixels → encode_bmp payload →
+    DecodeImage (no fake flag) → features equal direct computation."""
+    import numpy as np
+
+    from ocaml_geojson_ray.stages.multimodal import (
+        DecodeImage,
+        synth_bmp_media_batch,
+        synth_pixels,
+    )
+
+    t = synth_bmp_media_batch(pa.table({"id": pa.array([3, 4, 5], pa.int64())}))
+    out = DecodeImage()(t)
+    assert all(e is None for e in out["decode_error"].to_pylist())
+    for mid, feat in zip(out["media_id"].to_pylist(),
+                         out["image_features"].to_pylist()):
+        img = synth_pixels(mid)
+        want = np.concatenate([img.mean(axis=(0, 1)), img.std(axis=(0, 1))])
+        assert np.allclose(feat, want, rtol=0, atol=1e-12)
+
+
+def test_real_wav_decode_features(ray_session):
+    """The real WAV decode path: encoded tone → AudioFeatures (no fake
+    flag) → RMS/ZCR/centroid equal direct computation on the decoded
+    samples."""
+    import numpy as np
+
+    from ocaml_geojson_ray.stages.codecs import decode_wav
+    from ocaml_geojson_ray.stages.multimodal import (
+        AudioFeatures,
+        synth_wav_media_batch,
+    )
+
+    t = synth_wav_media_batch(pa.table({"id": pa.array([1, 2], pa.int64())}))
+    out = AudioFeatures()(t)
+    assert all(e is None for e in out["decode_error"].to_pylist())
+    x, _ = decode_wav(t["payload"][0].as_py())
+    want = AudioFeatures._features(x)
+    assert out["audio_features"].to_pylist()[0] == want
+    # a genuine tone: RMS near 0.5/sqrt(2), ZCR positive
+    assert 0.2 < want[0] < 0.6 and want[1] > 0.0
 
 
 def test_salted_sum_equals_plain(ray_session):
@@ -479,9 +554,10 @@ def test_multimodal_audio_and_resize_and_frames(ray_session):
         synth_media_batch,
     )
 
-    with pytest.raises(NotImplementedError):
-        AudioFeatures()
     t = synth_media_batch(pa.table({"id": pa.array([1, 2, 3], pa.int64())}))
+    # unknown mime + no fake → errors-as-data stub rows
+    stub = AudioFeatures()(t)
+    assert all(e is not None for e in stub["decode_error"].to_pylist())
 
     a1 = AudioFeatures(fake=True)(t)
     assert "payload" not in a1.column_names
