@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardups": Q.q_minhash_neardups,
         "ngram_jaccard_pairs": Q.q_ngram_jaccard_pairs,
         "simhash_dedup": Q.q_simhash_dedup,
+        "top_words": Q.q_top_words,
+        "segment_price_quantiles": Q.q_segment_price_quantiles,
         "embedding_neardups": Q.q_embedding_neardups,
         "ivf_ann": Q.q_ivf_ann,
         "multimodal_features": Q.q_multimodal_features,
@@ -122,6 +124,8 @@ def oracle_sql() -> dict[str, str]:
         "rolling_fingerprints": Q.SQL_ROLLING_FINGERPRINTS,
         "simhash_dedup": Q.SQL_SIMHASH_DEDUP,
         "minhash_neardups": Q.SQL_MINHASH_NEARDUPS,
+        "top_words": Q.SQL_TOP_WORDS,
+        "segment_price_quantiles": Q.SQL_SEGMENT_PRICE_QUANTILES,
         "langid_distribution": Q._sql_langid(),
         "quality_scores": Q._sql_quality(),
     }

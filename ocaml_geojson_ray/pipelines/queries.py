@@ -1765,6 +1765,132 @@ WHERE i.inter::DOUBLE / (na.n_grams + nb.n_grams - i.inter) >= 0.5
 """
 
 
+def q_top_words(sf_dir: str):
+    """Vocabulary heavy hitters (round 3): exact top-10 words by
+    corpus frequency — two-phase (per-batch vectorized token counts →
+    word-key groupby → global sort/limit), SQL-checked with the
+    definitional `[ \\t\\n\\r\\f\\v]+` tokenizer shared with the ngram
+    family. A Misra-Gries sketch (stages/sketches.py) runs alongside
+    and its DETERMINISTIC guarantee is asserted in-query: every word
+    with true count > N/k must survive in the k-counter summary —
+    never flaky, unlike a top-k-overlap check."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.sketches import MisraGries
+    from ..util import grouped_sum_combine
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def token_counts(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.cast(b["text"], pa.string()), pattern="[ \t\n\r\f\v]+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values.drop_null()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        enc = flat.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        counts = np.bincount(idx, minlength=len(enc.dictionary))
+        return pa.table({
+            "word": enc.dictionary,
+            "partial": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    partial = ds.map_batches(token_counts, batch_format="pyarrow").materialize()
+    # vocab-bounded key set → the vectorized funnel combine
+    counts = grouped_sum_combine(partial, ["word"], "partial", "n").materialize()
+
+    # Misra-Gries over the SAME partials (weighted adds) + guarantee check
+    k = 64
+    mg = MisraGries(k)
+    for ref in partial.to_arrow_refs():
+        t = ray.get(ref)
+        mg.add_weighted(t["word"].to_pylist(), t["partial"].to_pylist())
+    surv = set(mg.survivors())
+    for ref in counts.to_arrow_refs():
+        t = ray.get(ref)
+        for w, n in zip(t["word"].to_pylist(), t["n"].to_pylist()):
+            if n > mg.total / k:
+                assert w in surv, f"MG guarantee violated for {w!r} ({n})"
+
+    return counts.sort(["n", "word"], descending=[True, False]).limit(10)
+
+
+SQL_TOP_WORDS = r"""
+WITH w AS (SELECT unnest(
+        list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'), x -> x <> '')
+      ) AS word FROM documents)
+SELECT word, count(*) AS n FROM w GROUP BY word
+ORDER BY n DESC, word LIMIT 10
+"""
+
+
+def q_segment_price_quantiles(sf_dir: str):
+    """Grouped EXACT quantiles at scale (round 3): per-priority
+    p25/median/p95 of order totals via the two-phase HISTOGRAM plan —
+    map-side partial counts on the (priority, cents) pair key (prices
+    are exact cents, so the value domain is a bounded grid), pair-key
+    groupby, then the quantile picked from each group's sorted
+    histogram (histogram size ≤ price-grid size regardless of row
+    count — no raw-row funnel, no global sort). Selection rule matches
+    DuckDB quantile_disc: sorted[max(0, ceil(q·n) − 1)]."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.round(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "cents": pa.array(cents, pa.int64()),
+        })
+        return t.group_by(["o_orderpriority", "cents"]).aggregate(
+            [("cents", "count")]
+        ).rename_columns(["o_orderpriority", "cents", "partial"])
+
+    hist = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["o_orderpriority", "cents"]
+    ).aggregate(Sum("partial", alias_name="cnt"))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents")
+        c = g["cnt"].to_numpy()
+        cents = g["cents"].to_numpy()
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+
+        def at(q):
+            idx = max(0, int(np.ceil(q * n)) - 1)
+            return cents[np.searchsorted(cum, idx + 1)] / 100.0
+
+        return pd.DataFrame({
+            "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+            "p25": [at(0.25)],
+            "median": [at(0.5)],
+            "p95": [at(0.95)],
+        })
+
+    return hist.groupby("o_orderpriority").map_groups(pick, batch_format="pandas")
+
+
+SQL_SEGMENT_PRICE_QUANTILES = """
+SELECT o_orderpriority,
+       quantile_disc(o_totalprice, 0.25) AS p25,
+       quantile_disc(o_totalprice, 0.5)  AS median,
+       quantile_disc(o_totalprice, 0.95) AS p95
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def q_simhash_dedup(sf_dir: str):
     """SimHash buckets — SQL-checked: the oracle rebuilds the 64-bit
     word hash (little-endian first 8 md5 bytes via byte-reversed hex

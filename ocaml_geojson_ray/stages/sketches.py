@@ -125,6 +125,56 @@ class BloomFilter:
         return self
 
 
+class MisraGries:
+    """Heavy-hitters summary with k counters (mergeable).
+
+    Deterministic guarantee (the self-check the query asserts): every
+    item with true count > N/k SURVIVES in the summary, and each
+    stored count underestimates the true count by at most the total
+    decrement. Updates are WEIGHTED — a batch feeds its exact per-item
+    partial counts (np.unique), not one call per occurrence — so the
+    per-batch cost is O(distinct items in batch · log k), not O(rows).
+    """
+
+    def __init__(self, k: int = 64):
+        self.k = k
+        self.counts: dict = {}
+        self.total = 0
+
+    def add_weighted(self, items, weights) -> "MisraGries":
+        c = self.counts
+        for item, w in zip(items, weights):
+            w = int(w)
+            self.total += w
+            if item in c:
+                c[item] += w
+            elif len(c) < self.k:
+                c[item] = w
+            else:
+                # decrement all by the min needed to evict at least one
+                dec = min(w, min(c.values()))
+                for key in list(c):
+                    c[key] -= dec
+                    if c[key] <= 0:
+                        del c[key]
+                if w > dec:
+                    c[item] = w - dec
+        return self
+
+    def add_many(self, values) -> "MisraGries":
+        uniq, cnt = np.unique(np.asarray(values), return_counts=True)
+        return self.add_weighted(uniq.tolist(), cnt.tolist())
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        self.add_weighted(list(other.counts.keys()),
+                          list(other.counts.values()))
+        self.total += other.total - sum(other.counts.values())
+        return self
+
+    def survivors(self) -> dict:
+        return dict(self.counts)
+
+
 def hll_distinct(ds, key_cols, value_col: str, p: int = 12):
     """Approximate distinct values of ``value_col`` per key group:
     one HLL per (key, batch) serialized to bytes, merged per key in a

@@ -726,3 +726,48 @@ def test_verify_pairs_distributed(ray_session):
     # jaccard of 3-gram sets: {abc,bcd,cde} vs {abc,bcd,cdz} -> 2/4
     assert abs(out["jaccard"].iloc[0] - 0.5) < 1e-12
     assert "n_shared_bands" in out.columns  # pair metadata carried through
+
+
+def test_misra_gries_guarantee():
+    """Deterministic MG guarantee: every item with true count > N/k
+    survives, stored counts never exceed true counts, and merge
+    preserves the property."""
+    import numpy as np
+
+    from ocaml_geojson_ray.stages.sketches import MisraGries
+
+    rng = np.random.default_rng(9)
+    # zipf-ish stream with a few genuine heavy hitters
+    stream = np.concatenate([
+        np.repeat(np.arange(5), 500),            # heavy
+        rng.integers(100, 5000, size=8000),      # tail
+    ])
+    rng.shuffle(stream)
+    k = 16
+    mg = MisraGries(k)
+    # feed in chunks (weighted adds, like per-batch partials)
+    for chunk in np.array_split(stream, 7):
+        u, c = np.unique(chunk, return_counts=True)
+        mg.add_weighted(u.tolist(), c.tolist())
+    true = {int(u): int(c) for u, c in
+            zip(*np.unique(stream, return_counts=True))}
+    N = len(stream)
+    assert mg.total == N
+    surv = mg.survivors()
+    for item, cnt in true.items():
+        if cnt > N / k:
+            assert item in surv, item
+    for item, stored in surv.items():
+        assert stored <= true[int(item)]
+
+    # merge two halves == guarantee still holds on the union
+    a, b = MisraGries(k), MisraGries(k)
+    half = len(stream) // 2
+    for sketch, part in ((a, stream[:half]), (b, stream[half:])):
+        u, c = np.unique(part, return_counts=True)
+        sketch.add_weighted(u.tolist(), c.tolist())
+    a.merge(b)
+    assert a.total == N
+    for item, cnt in true.items():
+        if cnt > N / k:
+            assert item in a.survivors(), item
