@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_rect": Q.q_knn_rect,
         "knn_points": Q.q_knn_points,
         "hot_cells": Q.q_hot_cells,
+        "polygon_measures": Q.q_polygon_measures,
         # Relational breadth
         "pricing_summary": Q.q_pricing_summary,
         "top_orders": Q.q_top_orders,
@@ -51,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "envelope_join": Q.q_envelope_join,
         "sample_langs": Q.q_sample_langs,
         "top_user_per_type": Q.q_top_user_per_type,
+        "hash_sample_orders": Q.q_hash_sample_orders,
         # Text / dedup / fingerprints (N8 + training-data ops)
         "semi_join_segment": Q.q_semi_join_segment,
         "anti_join_segment": Q.q_anti_join_segment,
@@ -98,6 +100,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_rect": Q.SQL_KNN_RECT,
         "knn_points": Q.SQL_KNN_POINTS,
         "hot_cells": Q.SQL_HOT_CELLS,
+        "polygon_measures": Q.SQL_POLYGON_MEASURES,
         "pricing_summary": Q.SQL_PRICING_SUMMARY,
         "top_orders": Q.SQL_TOP_ORDERS,
         "segment_order_stats": Q.SQL_SEGMENT_ORDER_STATS,
@@ -110,6 +113,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_user_order": Q.SQL_ASOF_USER_ORDER,
         "envelope_join": Q.SQL_ENVELOPE_JOIN,
         "top_user_per_type": Q.SQL_TOP_USER_PER_TYPE,
+        "hash_sample_orders": Q.SQL_HASH_SAMPLE_ORDERS,
         "semi_join_segment": Q.SQL_SEMI_JOIN_SEGMENT,
         "anti_join_segment": Q.SQL_ANTI_JOIN_SEGMENT,
         "exact_dedup": Q.SQL_EXACT_DEDUP,

@@ -959,6 +959,101 @@ SQL_DISTINCT_LANGS = (
 )
 
 
+def q_polygon_measures(sf_dir: str):
+    """Vectorized geometry measures (round 3, spatial/measures.py):
+    shoelace area + cyclic perimeter over the rect polygon layer —
+    SQL-checked BIT-FOR-BIT. Parity design: the per-vertex cross/edge
+    terms are summed as an EXPLICIT left-associative elementwise chain
+    (each ``+`` a separate ufunc call → defined scalar semantics that
+    SQL's left-associative ``+`` mirrors exactly); np.add.reduceat —
+    the general ragged kernel in spatial/measures.py — uses SIMD
+    partial sums whose order is implementation-defined (measured: a
+    4-term segment is neither left-assoc nor pairwise), so the general
+    kernel is instead tied to the oracle by a 1e-9 in-query assert."""
+    import ray.data as rd
+
+    from ..spatial.measures import ring_areas, ring_perimeters
+
+    def measure(batch: pa.Table) -> pa.Table:
+        pk = batch["p_partkey"].to_numpy()
+        ps = batch["p_size"].to_numpy().astype(np.int64)
+        minx = ((pk * 7919) % 34000) / 100.0 - 170.0
+        miny = ((pk * 104729) % 16000) / 100.0 - 80.0
+        maxx = minx + (ps % 10 + 1) / 2.0
+        maxy = miny + (pk % 7 + 1) / 2.0
+        # vertices v0..v3 (closing vertex dropped): explicit 4-term
+        # left-assoc chains, elementwise-vectorized
+        area = 0.5 * np.abs(
+            (minx * miny - maxx * miny) + (maxx * maxy - maxx * miny)
+            + (maxx * maxy - minx * maxy) + (minx * miny - minx * maxy)
+        )
+        perim = (
+            np.sqrt((maxx - minx) * (maxx - minx) + (miny - miny) * (miny - miny))
+            + np.sqrt((maxx - maxx) * (maxx - maxx) + (maxy - miny) * (maxy - miny))
+            + np.sqrt((minx - maxx) * (minx - maxx) + (maxy - maxy) * (maxy - maxy))
+            + np.sqrt((minx - minx) * (minx - minx) + (miny - maxy) * (miny - maxy))
+        )
+        # tie the general ragged kernel to the oracle values
+        rings = [
+            np.array(
+                [[minx[i], miny[i]], [maxx[i], miny[i]],
+                 [maxx[i], maxy[i]], [minx[i], maxy[i]],
+                 [minx[i], miny[i]]]
+            )
+            for i in range(len(pk))
+        ]
+        assert np.allclose(ring_areas(rings), area, rtol=0, atol=1e-9)
+        assert np.allclose(ring_perimeters(rings), perim, rtol=0, atol=1e-9)
+        return pa.table({
+            "poly_id": pa.array(pk.astype(np.int64), pa.int64()),
+            "area": pa.array(area, pa.float64()),
+            "perimeter": pa.array(perim, pa.float64()),
+        })
+
+    ds = _read_split(sf_dir, "part", ["p_partkey", "p_size"])
+    return ds.map_batches(measure, batch_format="pyarrow")
+
+
+SQL_POLYGON_MEASURES = f"""
+WITH r AS ({RECTS_SQL})
+SELECT poly_id,
+  0.5 * abs((minx*miny - maxx*miny) + (maxx*maxy - maxx*miny)
+          + (maxx*maxy - minx*maxy) + (minx*miny - minx*maxy)) AS area,
+  sqrt((maxx-minx)*(maxx-minx) + (miny-miny)*(miny-miny))
+  + sqrt((maxx-maxx)*(maxx-maxx) + (maxy-miny)*(maxy-miny))
+  + sqrt((minx-maxx)*(minx-maxx) + (maxy-maxy)*(maxy-maxy))
+  + sqrt((minx-minx)*(minx-minx) + (miny-maxy)*(miny-maxy)) AS perimeter
+FROM r
+"""
+
+
+def q_hash_sample_orders(sf_dir: str):
+    """DETERMINISTIC sampling (round 3): the production-stable variant
+    of random sampling — a row is kept iff a key-derived value lands
+    under the rate ((o_orderkey * 7919) % 100 < 10, the repo's derived-
+    input arithmetic family). Unlike ds.random_sample, the selection is
+    reproducible across runs/clusters and SQL-checkable; the pattern is
+    how large pipelines pin eval/holdout splits."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def keep(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((k * 7919) % 100 < 10))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_HASH_SAMPLE_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE (o_orderkey * 7919) % 100 < 10
+"""
+
+
 def q_top_user_per_type(sf_dir: str):
     """Per-group top-k, TWO-PHASE (VERDICT r2 #4): event_type has ~5
     distinct values, so a raw-row groupby(event_type) funnels the whole

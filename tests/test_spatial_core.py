@@ -405,3 +405,39 @@ def test_hex_qr_pack_roundtrip():
     cells = H.hex_pack(7, q, r)
     q2, r2 = H.hex_cell_qr(cells)
     assert np.array_equal(q, q2) and np.array_equal(r, r2)
+
+
+# -- geometry measures ------------------------------------------------------
+
+def test_measures_kernels():
+    import numpy as np
+
+    from ocaml_geojson_ray.spatial.measures import (
+        polygon_area,
+        ring_areas,
+        ring_centroids,
+        ring_perimeters,
+    )
+
+    sq = [[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]]       # closed square
+    tri = [[0, 0], [4, 0], [0, 3]]                      # open triangle
+    hole = [[0.5, 0.5], [1.5, 0.5], [1.5, 1.5], [0.5, 1.5]]
+    a = ring_areas([sq, tri, hole])
+    assert np.allclose(a, [4.0, 6.0, 1.0])
+    # winding-insensitive
+    assert np.allclose(ring_areas([sq[::-1]]), [4.0])
+    p = ring_perimeters([sq, tri])
+    assert np.allclose(p, [8.0, 4 + 3 + 5.0])
+    c = ring_centroids([sq, tri])
+    assert np.allclose(c[0], [1.0, 1.0])
+    assert np.allclose(c[1], [4 / 3, 1.0])
+    # degenerate: zero-area ring falls back to vertex mean
+    line = [[1, 1], [3, 1]]
+    assert np.allclose(ring_centroids([line]), [[2.0, 1.0]])
+    # polygon with hole
+    assert np.allclose(polygon_area([[sq, hole]]), [3.0])
+    # ragged batch consistency vs singles
+    batch = ring_areas([sq, tri, hole, sq[::-1], line])
+    singles = np.concatenate([ring_areas([r]) for r in
+                              (sq, tri, hole, sq[::-1], line)])
+    assert np.allclose(batch, singles)
