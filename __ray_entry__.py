@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_order_stats": Q.q_segment_order_stats,
         "nation_region": Q.q_nation_region,
         "events_window": Q.q_events_window,
+        "watermark_window": Q.q_watermark_window,
         "session_windows": Q.q_session_windows,
         "sliding_windows": Q.q_sliding_windows,
         "distinct_langs": Q.q_distinct_langs,
@@ -106,6 +107,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_order_stats": Q.SQL_SEGMENT_ORDER_STATS,
         "nation_region": Q.SQL_NATION_REGION,
         "events_window": Q.SQL_EVENTS_WINDOW,
+        "watermark_window": Q.SQL_WATERMARK_WINDOW,
         "session_windows": Q.SQL_SESSION_WINDOWS,
         "sliding_windows": Q.SQL_SLIDING_WINDOWS,
         "distinct_langs": Q.SQL_DISTINCT_LANGS,

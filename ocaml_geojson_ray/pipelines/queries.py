@@ -744,6 +744,73 @@ FROM events GROUP BY event_type, hr
 """
 
 
+def q_watermark_window(sf_dir: str):
+    """Event-time tumbling window WITH WATERMARK / late-data handling
+    (round 3): each event's arrival time is its event time plus a
+    deterministic transport delay; an event is LATE (excluded from the
+    window aggregate, counted separately) iff it arrives after the
+    window's end + 120 s allowed lateness — the standard streaming
+    semantics, restated as a batch predicate so it is SQL-checkable.
+    Aggregation is the two-phase cents pattern (exact, order-free)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    WIN_US = 600_000_000          # 10-minute tumbling window
+    LATE_US = 120_000_000         # allowed lateness
+
+    def derive(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.int64()).to_numpy()
+        eid = b["event_id"].to_numpy()
+        win = ts // WIN_US
+        arrival = ts + ((eid * 7919) % 600) * 1_000_000
+        on_time = arrival <= (win + 1) * WIN_US + LATE_US
+        cents = np.round(b["value"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        t = pa.table({
+            "event_type": b["event_type"],
+            "win": pa.array(win, pa.int64()),
+            "on": pa.array(on_time.astype(np.int64), pa.int64()),
+            "late": pa.array((~on_time).astype(np.int64), pa.int64()),
+            "on_cents": pa.array(np.where(on_time, cents, 0), pa.int64()),
+        })
+        return t.group_by(["event_type", "win"]).aggregate(
+            [("on", "sum"), ("late", "sum"), ("on_cents", "sum")]
+        ).rename_columns(["event_type", "win", "on", "late", "on_cents"])
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type", "value"]
+    )
+    agg = ds.map_batches(derive, batch_format="pyarrow").groupby(
+        ["event_type", "win"]
+    ).aggregate(
+        Sum("on", alias_name="n_on_time"),
+        Sum("late", alias_name="n_late"),
+        Sum("on_cents", alias_name="cents"),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        v = np.round(b["cents"].to_numpy() / 100.0, 2)
+        out = b.drop_columns(["cents"])
+        return out.append_column("sum_value", pa.array(v, pa.float64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_WATERMARK_WINDOW = """
+WITH d AS (
+  SELECT event_type, value,
+         epoch_us(ts) // 600000000 AS win,
+         epoch_us(ts) + ((event_id * 7919) % 600) * 1000000 AS arrival_us
+  FROM events)
+SELECT event_type, win::BIGINT AS win,
+  count(*) FILTER (WHERE arrival_us <= (win+1)*600000000 + 120000000) AS n_on_time,
+  count(*) FILTER (WHERE arrival_us >  (win+1)*600000000 + 120000000) AS n_late,
+  round(coalesce(sum(value) FILTER (
+    WHERE arrival_us <= (win+1)*600000000 + 120000000), 0), 2) AS sum_value
+FROM d GROUP BY event_type, win
+"""
+
+
 def q_session_windows(sf_dir: str):
     """Session windows per user (30-min gap) via groupby.map_groups
     over the ordered group (stages/windows.py)."""
