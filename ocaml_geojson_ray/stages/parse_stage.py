@@ -67,25 +67,15 @@ PARSED_SCHEMA = pa.schema(
 
 
 def _envelope(g: Geometry):
-    """(minx, miny, maxx, maxy) over all positions, or None if empty."""
-    minx = miny = math.inf
-    maxx = maxy = -math.inf
+    """(minx, miny, maxx, maxy) over all positions, or None if empty.
 
-    def visit(coords, depth_unknown=True):
-        nonlocal minx, miny, maxx, maxy
-        if not coords:
-            return
-        if isinstance(coords[0], (int, float)):
-            x, y = coords[0], coords[1]
-            minx = min(minx, x)
-            maxx = max(maxx, x)
-            miny = min(miny, y)
-            maxy = max(maxy, y)
-        else:
-            for c in coords:
-                visit(c)
-
+    The parser guarantees uniform nesting per geometry type, so the
+    nest is flattened level-by-level (list comps, C-speed) and the
+    extremes come from builtin min/max over the position lists — the
+    round-2 per-element recursion was ~15% of the parse stage."""
     if g.type == "GeometryCollection":
+        minx = miny = math.inf
+        maxx = maxy = -math.inf
         for c in g.geometries or []:
             e = _envelope(c)
             if e:
@@ -93,11 +83,20 @@ def _envelope(g: Geometry):
                 miny = min(miny, e[1])
                 maxx = max(maxx, e[2])
                 maxy = max(maxy, e[3])
-    else:
-        visit(g.coordinates)
-    if minx is math.inf:
+        return None if minx is math.inf else (minx, miny, maxx, maxy)
+    level = g.coordinates
+    if not level:
         return None
-    return (minx, miny, maxx, maxy)
+    if isinstance(level[0], (int, float)):  # Point: one position
+        return (level[0], level[1], level[0], level[1])
+    # flatten to the position level
+    while level and level[0] and not isinstance(level[0][0], (int, float)):
+        level = [p for sub in level for p in sub]
+    if not level:
+        return None
+    xs = [p[0] for p in level]
+    ys = [p[1] for p in level]
+    return (min(xs), min(ys), max(xs), max(ys))
 
 
 class _Rows:

@@ -63,7 +63,8 @@ def test_rows_only_queries_run(contract, ray_session):
     oracles = contract.oracle_sql()
     # simhash/langid/quality graduated to full SQL oracles in round 2;
     # minhash_neardups in round 3 (equality with the exact ngram twin)
-    for name in ("multimodal_features", "ivf_ann", "embedding_neardups"):
+    for name in ("multimodal_features", "multimodal_audio", "ivf_ann",
+                 "embedding_neardups"):
         assert name in qs and name not in oracles
         df = to_pandas(qs[name](SF))
         assert len(df) > 0, name
