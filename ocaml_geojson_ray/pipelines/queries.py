@@ -1965,12 +1965,36 @@ def q_top_words(sf_dir: str):
     # vocab-bounded key set → the vectorized funnel combine
     counts = grouped_sum_combine(partial, ["word"], "partial", "n").materialize()
 
-    # Misra-Gries over the SAME partials (weighted adds) + guarantee check
+    # Misra-Gries DISTRIBUTED (the hll_distinct shape): one k-counter
+    # sketch per batch of partials (map side), then the tiny sketch
+    # rows funnel to one merge task — the driver never touches raw
+    # partials, and the funnel moves k entries per block, not vocab.
     k = 64
-    mg = MisraGries(k)
-    for ref in partial.to_arrow_refs():
-        t = ray.get(ref)
-        mg.add_weighted(t["word"].to_pylist(), t["partial"].to_pylist())
+
+    def sketch_batch(b: pa.Table) -> pa.Table:
+        import pickle
+
+        m = MisraGries(k)
+        m.add_weighted(b["word"].to_pylist(), b["partial"].to_pylist())
+        return pa.table({"sketch": pa.array([pickle.dumps(m)], pa.binary())})
+
+    def merge_sketches(b: pa.Table) -> pa.Table:
+        import pickle
+
+        m = MisraGries(k)
+        for blob in b["sketch"].to_pylist():
+            m.merge(pickle.loads(blob))
+        return pa.table({"sketch": pa.array([pickle.dumps(m)], pa.binary())})
+
+    merged = (
+        partial.map_batches(sketch_batch, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge_sketches, batch_format="pyarrow")
+        .take_all()
+    )
+    import pickle
+
+    mg = pickle.loads(merged[0]["sketch"])
     surv = set(mg.survivors())
     for ref in counts.to_arrow_refs():
         t = ray.get(ref)
