@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_langs": Q.q_sample_langs,
         "top_user_per_type": Q.q_top_user_per_type,
         "hash_sample_orders": Q.q_hash_sample_orders,
+        "event_type_pivot": Q.q_event_type_pivot,
         # Text / dedup / fingerprints (N8 + training-data ops)
         "semi_join_segment": Q.q_semi_join_segment,
         "anti_join_segment": Q.q_anti_join_segment,
@@ -116,6 +117,7 @@ def oracle_sql() -> dict[str, str]:
         "envelope_join": Q.SQL_ENVELOPE_JOIN,
         "top_user_per_type": Q.SQL_TOP_USER_PER_TYPE,
         "hash_sample_orders": Q.SQL_HASH_SAMPLE_ORDERS,
+        "event_type_pivot": Q.SQL_EVENT_TYPE_PIVOT,
         "semi_join_segment": Q.SQL_SEMI_JOIN_SEGMENT,
         "anti_join_segment": Q.SQL_ANTI_JOIN_SEGMENT,
         "exact_dedup": Q.SQL_EXACT_DEDUP,

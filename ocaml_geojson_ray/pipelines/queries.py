@@ -1094,6 +1094,64 @@ FROM r
 """
 
 
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_event_type_pivot(sf_dir: str):
+    """Pivot / crosstab (round 3): one row per user with one count
+    column per event_type — the wide-format reshape every analytics
+    pipeline needs. Two-phase: per-batch partial counts on the
+    (user_id, event_type) pair key (arrow group_by) → pair-key groupby
+    → per-user widening over the tiny sums table (n_types rows per
+    group). The type domain is discovered from the data and asserted
+    against the oracle's static column list, so a generator drift
+    fails loudly instead of silently miscounting."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.group_by(["user_id", "event_type"]).aggregate(
+            [("event_type", "count")]
+        )
+        return t.rename_columns(["user_id", "event_type", "partial"])
+
+    sums = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["user_id", "event_type"]
+    ).aggregate(Sum("partial", alias_name="n")).materialize()
+
+    seen = set()
+    import ray as _ray
+
+    for ref in sums.to_arrow_refs():
+        seen.update(_ray.get(ref)["event_type"].to_pylist())
+    assert seen <= set(_PIVOT_TYPES), f"unexpected event types: {seen}"
+
+    def widen(g: pd.DataFrame) -> pd.DataFrame:
+        by_type = dict(zip(g["event_type"], g["n"]))
+        row = {"user_id": [g["user_id"].iloc[0]]}
+        for t in _PIVOT_TYPES:
+            row[f"n_{t}"] = [int(by_type.get(t, 0))]
+        return pd.DataFrame(row)
+
+    return sums.groupby("user_id").map_groups(widen, batch_format="pandas")
+
+
+SQL_EVENT_TYPE_PIVOT = """
+SELECT user_id,
+  count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+  count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+  count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+  count(*) FILTER (WHERE event_type = 'view')     AS n_view
+FROM events GROUP BY user_id
+"""
+
+
 def q_hash_sample_orders(sf_dir: str):
     """DETERMINISTIC sampling (round 3): the production-stable variant
     of random sampling — a row is kept iff a key-derived value lands
