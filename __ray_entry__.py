@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_user_per_type": Q.q_top_user_per_type,
         "hash_sample_orders": Q.q_hash_sample_orders,
         "event_type_pivot": Q.q_event_type_pivot,
+        "customer_order_outer": Q.q_customer_order_outer,
         # Text / dedup / fingerprints (N8 + training-data ops)
         "semi_join_segment": Q.q_semi_join_segment,
         "anti_join_segment": Q.q_anti_join_segment,
@@ -118,6 +119,7 @@ def oracle_sql() -> dict[str, str]:
         "top_user_per_type": Q.SQL_TOP_USER_PER_TYPE,
         "hash_sample_orders": Q.SQL_HASH_SAMPLE_ORDERS,
         "event_type_pivot": Q.SQL_EVENT_TYPE_PIVOT,
+        "customer_order_outer": Q.SQL_CUSTOMER_ORDER_OUTER,
         "semi_join_segment": Q.SQL_SEMI_JOIN_SEGMENT,
         "anti_join_segment": Q.SQL_ANTI_JOIN_SEGMENT,
         "exact_dedup": Q.SQL_EXACT_DEDUP,

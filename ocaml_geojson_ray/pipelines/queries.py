@@ -1094,6 +1094,66 @@ FROM r
 """
 
 
+def q_customer_order_outer(sf_dir: str):
+    """LEFT OUTER join (round 3 — the one join type the suite lacked):
+    every customer with their order count + total spend, customers with
+    NO orders kept with zeros. Shape: pre-aggregate orders per custkey
+    (map-side cents partials → pair groupby), then Dataset.join
+    left_outer from the customer side — the aggregate, not raw orders,
+    flows through the join."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.round(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table({
+            "c_custkey": b["o_custkey"],
+            "one": pa.array(np.ones(len(b), dtype=np.int64), pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+        return t.group_by(["c_custkey"]).aggregate(
+            [("one", "sum"), ("cents", "sum")]
+        ).rename_columns(["c_custkey", "n", "cents"])
+
+    agg = orders.map_batches(partial, batch_format="pyarrow").groupby(
+        "c_custkey"
+    ).aggregate(Sum("n", alias_name="n_orders"),
+                Sum("cents", alias_name="cents"))
+
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    j = cust.join(agg, join_type="left_outer", on=("c_custkey",),
+                  num_partitions=max(2, ncpu // 4))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = pc.fill_null(b["n_orders"], 0).cast(pa.int64())
+        cents = pc.fill_null(b["cents"], 0).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_custkey": b["c_custkey"],
+            "n_orders": n,
+            "total_spent": pa.array(np.round(cents / 100.0, 2), pa.float64()),
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_CUSTOMER_ORDER_OUTER = """
+SELECT c.c_custkey,
+       count(o.o_custkey) AS n_orders,
+       round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spent
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+"""
+
+
 _PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
