@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardups": Q.q_minhash_neardups,
         "ngram_jaccard_pairs": Q.q_ngram_jaccard_pairs,
         "simhash_dedup": Q.q_simhash_dedup,
+        "dedup_clusters": Q.q_dedup_clusters,
+        "dedup_survivors": Q.q_dedup_survivors,
         "top_words": Q.q_top_words,
         "segment_price_quantiles": Q.q_segment_price_quantiles,
         "embedding_neardups": Q.q_embedding_neardups,
@@ -134,6 +136,8 @@ def oracle_sql() -> dict[str, str]:
         "rolling_fingerprints": Q.SQL_ROLLING_FINGERPRINTS,
         "simhash_dedup": Q.SQL_SIMHASH_DEDUP,
         "minhash_neardups": Q.SQL_MINHASH_NEARDUPS,
+        "dedup_clusters": Q.SQL_DEDUP_CLUSTERS,
+        "dedup_survivors": Q.SQL_DEDUP_SURVIVORS,
         "top_words": Q.SQL_TOP_WORDS,
         "segment_price_quantiles": Q.SQL_SEGMENT_PRICE_QUANTILES,
         "langid_distribution": Q._sql_langid(),

@@ -2625,3 +2625,96 @@ def q_pages_tile_topk(sf_dir: str):
         lambda b: b.filter(b["ok"]), batch_format="pyarrow"
     )
     return densest_tiles(ok_feats, zooms=(6,), top=20)
+
+
+# ==========================================================================
+# Dedup clusters: connected components over near-dup pairs (round 3)
+# ==========================================================================
+
+def q_dedup_clusters(sf_dir: str):
+    """The dedup-family capstone: transitive closure of the exact
+    n-gram Jaccard near-dup pairs via distributed connected components
+    (stages/cc.py — hash-to-min label propagation, adaptive funnel vs
+    per-round join/groupby plans). Output: every paired doc labeled
+    with the MIN doc_id of its duplicate cluster + the cluster size.
+    SQL-checked against a recursive-CTE reachability oracle over the
+    same pair CTEs as ngram_jaccard_pairs."""
+    from ..stages.cc import dedup_clusters
+
+    return dedup_clusters(q_ngram_jaccard_pairs(sf_dir))
+
+
+# The pair CTEs are shared with ngram_jaccard_pairs; reachability is a
+# recursive CTE (src reaches node), component label = min reached node.
+_CC_CTES = _NGRAM_PAIRS_CTES.replace("WITH w", "WITH RECURSIVE w", 1) + r"""
+, p AS (SELECT i.a_id, i.b_id
+        FROM i JOIN n na ON i.a_id = na.doc_id
+               JOIN n nb ON i.b_id = nb.doc_id
+        WHERE i.inter::DOUBLE / (na.n_grams + nb.n_grams - i.inter) >= 0.5),
+e AS (SELECT a_id AS u, b_id AS v FROM p
+      UNION SELECT b_id, a_id FROM p),
+reach(src, node) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM e)
+    UNION
+    SELECT r.src, e.v FROM reach r JOIN e ON e.u = r.node
+),
+comp AS (SELECT src AS doc_id, min(node) AS cluster_id
+         FROM reach GROUP BY src)
+"""
+
+SQL_DEDUP_CLUSTERS = _CC_CTES + """
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
+"""
+
+
+def q_dedup_survivors(sf_dir: str):
+    """Corpus AFTER near-dedup: drop every non-canonical cluster
+    member (doc_id ≠ cluster_id), keep canonicals + unpaired docs;
+    per-lang survivor count + total chars. The dropped set is o(corpus)
+    by construction (it IS the duplicates), so it broadcasts as a
+    sorted int64 array probed with np.isin per batch; the
+    bloom-prefiltered anti-join (q_anti_join_segment) is the plan when
+    a dropped set ever outgrows a broadcast."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.cc import dedup_clusters
+
+    comp = dedup_clusters(q_ngram_jaccard_pairs(sf_dir), with_sizes=False)
+
+    def non_canonical(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(b["doc_id"], b["cluster_id"])
+        return b.filter(keep).select(["doc_id"])
+
+    dropped = comp.map_batches(non_canonical, batch_format="pyarrow")
+    drop_ids = np.sort(np.concatenate(
+        [b["doc_id"].to_numpy() for b in
+         dropped.iter_batches(batch_format="pyarrow")] or
+        [np.empty(0, np.int64)]))
+    drop_ref = ray.put(drop_ids)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+
+    def survivors(b: pa.Table) -> pa.Table:
+        dead = ray.get(drop_ref)  # plasma-local after first batch
+        ids = b["doc_id"].to_numpy()
+        return b.filter(pa.array(~np.isin(ids, dead)))
+
+    surv = ds.map_batches(survivors, batch_format="pyarrow")
+    return surv.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"),
+    )
+
+
+SQL_DEDUP_SURVIVORS = _CC_CTES + """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+GROUP BY lang
+"""

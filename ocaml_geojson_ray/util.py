@@ -44,6 +44,33 @@ def grouped_sum_combine(partial_ds, key_cols, val_col: str, alias: str):
         combine, batch_format="pyarrow")
 
 
+def drop_empty_blocks(ds):
+    """Materialize ``ds`` and drop zero-row blocks — METADATA-only, no
+    block is fetched to the driver.
+
+    Why: Ray's hash-join finalize emits an empty block with an EMPTY
+    SCHEMA for a key-skewed partition that received no rows. Those
+    degenerate blocks BYPASS map_batches UDFs (empty blocks skip the
+    fn) and poison any later pyarrow hash join with "No match or
+    multiple matches for key field ..." once they reach a join
+    aggregator. Any dataset that flows out of a join and INTO another
+    join must pass through here (measured on a single-key join with
+    num_partitions=2: one partition real, one schemaless)."""
+    import ray.data as rd
+
+    mat = ds.materialize()
+    refs, dropped = [], 0
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in zip(bundle.block_refs, bundle.metadata):
+            if meta.num_rows:
+                refs.append(ref)
+            else:
+                dropped += 1
+    if not dropped or not refs:
+        return mat
+    return rd.from_arrow_refs(refs)
+
+
 def elastic_concurrency(reserve: int = 2, lo: int = 2) -> int:
     """Fixed actor-pool width derived from the cluster, not a hard cap.
 
