@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_langs": Q.q_distinct_langs,
         "union_sources": Q.q_union_sources,
         "asof_user_order": Q.q_asof_user_order,
+        "interval_join_orders": Q.q_interval_join_orders,
         "envelope_join": Q.q_envelope_join,
         "sample_langs": Q.q_sample_langs,
         "top_user_per_type": Q.q_top_user_per_type,
@@ -79,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": Q.q_dedup_clusters,
         "dedup_survivors": Q.q_dedup_survivors,
         "top_words": Q.q_top_words,
+        "tfidf_top_terms": Q.q_tfidf_top_terms,
         "segment_price_quantiles": Q.q_segment_price_quantiles,
         "embedding_neardups": Q.q_embedding_neardups,
         "ivf_ann": Q.q_ivf_ann,
@@ -117,6 +119,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_langs": Q.SQL_DISTINCT_LANGS,
         "union_sources": Q.SQL_UNION_SOURCES,
         "asof_user_order": Q.SQL_ASOF_USER_ORDER,
+        "interval_join_orders": Q.SQL_INTERVAL_JOIN_ORDERS,
         "envelope_join": Q.SQL_ENVELOPE_JOIN,
         "top_user_per_type": Q.SQL_TOP_USER_PER_TYPE,
         "hash_sample_orders": Q.SQL_HASH_SAMPLE_ORDERS,
@@ -139,6 +142,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": Q.SQL_DEDUP_CLUSTERS,
         "dedup_survivors": Q.SQL_DEDUP_SURVIVORS,
         "top_words": Q.SQL_TOP_WORDS,
+        "tfidf_top_terms": Q.SQL_TFIDF_TOP_TERMS,
         "segment_price_quantiles": Q.SQL_SEGMENT_PRICE_QUANTILES,
         "langid_distribution": Q._sql_langid(),
         "quality_scores": Q._sql_quality(),

@@ -956,6 +956,93 @@ ASOF LEFT JOIN orders o
 """
 
 
+def q_interval_join_orders(sf_dir: str):
+    """Interval (range) join — bucketed-candidate plan: each order
+    opens a deterministic 1-day active window inside the events' time
+    range (start derived from the order key, house derived-input
+    style: the raw tables' time ranges don't overlap); for every
+    event landing in a window of its user, count the active orders
+    and sum their price. Physical shape: time is bucketed at the
+    WINDOW WIDTH, so an interval covers ≤ 2 buckets and an event
+    exactly 1 — orders emit one row per covered bucket, ONE hash join
+    on (user_id, bucket) yields candidates with no duplicates (an
+    order covers a bucket at most once), then the exact range filter
+    and a per-event groupby. Never a cross join, never a per-user
+    broadcast; skew bounds are the per-(user,bucket) row counts.
+    Prices aggregate as int64 CENTS (exact, order-independent)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    W = 86400 * 1_000_000           # window = bucket width = 1 day, µs
+    T0 = 1704067200 * 1_000_000     # epoch_us(2024-01-01), events range
+    SPREAD = 29 * 86400             # starts spread over 29 days, secs
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def ev_bucket(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.int64()).to_numpy()
+        return pa.table({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "ts_us": pa.array(ts, pa.int64()),
+            "bucket": pa.array(ts // W, pa.int64()),
+        })
+
+    def ord_buckets(b: pa.Table) -> pa.Table:
+        ok_ = b["o_orderkey"].to_numpy()
+        start = T0 + ((ok_ * 7919) % SPREAD) * 1_000_000
+        cust = b["o_custkey"].to_numpy() % 150
+        cents = np.round(b["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        b0 = start // W
+        b1 = (start + W - 1) // W  # window end is exclusive
+        second = b1 != b0
+        return pa.table({
+            "user_id": pa.array(np.concatenate([cust, cust[second]]), pa.int64()),
+            "bucket": pa.array(np.concatenate([b0, b1[second]]), pa.int64()),
+            "start_us": pa.array(np.concatenate([start, start[second]]), pa.int64()),
+            "cents": pa.array(np.concatenate([cents, cents[second]]), pa.int64()),
+        })
+
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    cand = events.map_batches(ev_bucket, batch_format="pyarrow").join(
+        orders.map_batches(ord_buckets, batch_format="pyarrow"),
+        join_type="inner", on=("user_id", "bucket"),
+        num_partitions=max(2, ncpu // 4))
+
+    def in_window(b: pa.Table) -> pa.Table:
+        ts = b["ts_us"].to_numpy()
+        st = b["start_us"].to_numpy()
+        keep = (st <= ts) & (ts < st + W)
+        return b.select(["event_id", "cents"]).filter(pa.array(keep))
+
+    return cand.map_batches(in_window, batch_format="pyarrow") \
+        .groupby("event_id").aggregate(
+            Count(alias_name="n_active_orders"),
+            Sum("cents", alias_name="active_total_cents"))
+
+
+SQL_INTERVAL_JOIN_ORDERS = """
+WITH win AS (
+  SELECT o_custkey % 150 AS user_id,
+         1704067200000000 + ((o_orderkey * 7919) % 2505600) * 1000000
+           AS start_us,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders)
+SELECT e.event_id, count(*) AS n_active_orders,
+       CAST(sum(w.cents) AS BIGINT) AS active_total_cents
+FROM events e JOIN win w
+  ON e.user_id = w.user_id
+ AND w.start_us <= epoch_us(e.ts)
+ AND epoch_us(e.ts) < w.start_us + 86400000000
+GROUP BY e.event_id
+"""
+
+
 def q_union_sources(sf_dir: str):
     """Set op: union of two disjoint slices reassembles the table
     (Dataset.union), proven by per-lang counts matching the whole."""
@@ -2042,6 +2129,147 @@ SELECT i.a_id, i.b_id,
        round(i.inter::DOUBLE / (na.n_grams + nb.n_grams - i.inter), 6) AS jaccard
 FROM i JOIN n na ON i.a_id = na.doc_id JOIN n nb ON i.b_id = nb.doc_id
 WHERE i.inter::DOUBLE / (na.n_grams + nb.n_grams - i.inter) >= 0.5
+"""
+
+
+def _topk_terms_per_doc(b: pa.Table, k: int = 3) -> pa.Table:
+    """Vectorized per-doc top-k by (score DESC, term ASC): lexsort,
+    group starts, positional rank. Safe to re-apply (top-k of a union
+    is within the union of per-fragment top-ks)."""
+    if len(b) == 0:
+        return pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+            "rank": pa.array([], pa.int64()),
+        })
+    doc = b["doc_id"].to_numpy()
+    term = np.asarray(b["term"].to_pylist(), dtype=object)
+    tf = b["tf"].to_numpy()
+    df = b["df"].to_numpy()
+    score = b["score"].to_numpy()
+    order = np.lexsort((term, -score, doc))
+    doc, term, tf, df, score = (
+        doc[order], term[order], tf[order], df[order], score[order])
+    starts = np.flatnonzero(np.concatenate([[True], doc[1:] != doc[:-1]]))
+    grp = np.cumsum(np.concatenate([[0], (doc[1:] != doc[:-1]).astype(np.int64)]))
+    rank = np.arange(len(doc)) - starts[grp] + 1
+    keep = rank <= k
+    return pa.table({
+        "doc_id": pa.array(doc[keep], pa.int64()),
+        "term": pa.array(term[keep].tolist(), pa.string()),
+        "tf": pa.array(tf[keep], pa.int64()),
+        "df": pa.array(df[keep], pa.int64()),
+        "score": pa.array(score[keep], pa.float64()),
+        "rank": pa.array(rank[keep], pa.int64()),
+    })
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Corpus-wide term weighting (TF-IDF shape): per-doc top-3 terms
+    by tf × rarity. Rarity rank uses score = tf/df — ONE IEEE divide,
+    bitwise-identical in DuckDB (ln() is libm-implementation-defined,
+    so the classic tf·ln(N/df) is reported by ORDER only in textbooks
+    that never hash-compare engines; the rational keeps the oracle
+    exact). Physical shape: one pass computes per-(doc,term) tf
+    VECTORIZED (Arrow regex split → flat token array with doc index →
+    one np.unique over packed keys); document frequency is
+    vocab-bounded so partial df counts funnel through
+    grouped_sum_combine and broadcast back via ray.put (never a
+    corpus-wide join); per-doc top-3 is computed inside the batch with
+    a final re-top-3 combine so block splits can't cut a doc's terms
+    (top-k of a union ⊆ union of per-fragment top-ks)."""
+    import ray
+    import ray.data as rd
+
+    from ..util import grouped_sum_combine
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def tf_counts(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.cast(b["text"], pa.string()), pattern="[ \t\n\r\f\v]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy()
+        flat = toks.flatten()
+        didx = np.repeat(np.arange(len(b)), np.diff(offs))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        didx = didx[keep]
+        enc = flat.filter(pa.array(keep)).dictionary_encode()
+        widx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = len(enc.dictionary)
+        key = didx.astype(np.int64) * v + widx
+        uk, cnt = np.unique(key, return_counts=True)
+        doc_ids = b["doc_id"].to_numpy()
+        return pa.table({
+            "doc_id": pa.array(doc_ids[uk // v], pa.int64()),
+            "term": enc.dictionary.take(pa.array(uk % v)),
+            "tf": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    tf = ds.map_batches(tf_counts, batch_format="pyarrow").materialize()
+
+    # df: one partial (term, 1) per tf row per batch → vocab-bounded
+    # funnel combine → broadcast once
+    def df_partial(b: pa.Table) -> pa.Table:
+        enc = b["term"].combine_chunks().dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(idx, minlength=len(enc.dictionary))
+        return pa.table({
+            "term": enc.dictionary,
+            "partial": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    df_tbl = grouped_sum_combine(
+        tf.map_batches(df_partial, batch_format="pyarrow"),
+        ["term"], "partial", "df").materialize()
+    dft = pa.concat_tables(
+        ray.get(df_tbl.to_arrow_refs())).combine_chunks()
+    terms_sorted = np.asarray(dft["term"].to_pylist(), dtype=object)
+    dfs = dft["df"].to_numpy()
+    o = np.argsort(terms_sorted)
+    df_ref = ray.put((terms_sorted[o], dfs[o]))
+
+    def attach_and_topk(b: pa.Table) -> pa.Table:
+        ts, dv = ray.get(df_ref)
+        term = np.asarray(b["term"].to_pylist(), dtype=object)
+        pos = np.searchsorted(ts, term)
+        df = dv[pos]
+        tf_ = b["tf"].to_numpy()
+        score = tf_.astype(np.float64) / df
+        full = pa.table({
+            "doc_id": b["doc_id"],
+            "term": b["term"],
+            "tf": b["tf"],
+            "df": pa.array(df.astype(np.int64), pa.int64()),
+            "score": pa.array(score, pa.float64()),
+        })
+        return _topk_terms_per_doc(full)
+
+    return (
+        tf.map_batches(attach_and_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(_topk_terms_per_doc, batch_format="pyarrow")
+    )
+
+
+SQL_TFIDF_TOP_TERMS = r"""
+WITH w AS (SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'), x -> x <> '') AS ws
+       FROM documents),
+t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(tf.tf AS DOUBLE) / df.df AS score
+      FROM tf JOIN df USING (term)),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM s)
+SELECT doc_id, term, tf, df, score, rank FROM r WHERE rank <= 3
 """
 
 
