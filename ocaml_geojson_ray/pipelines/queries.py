@@ -313,6 +313,74 @@ FROM qr GROUP BY hex_cell
 """
 
 
+GEOHASH_P = 4  # 20 bits: nlng = nlat = 10
+
+
+def q_geohash_cell_counts(sf_dir: str):
+    """Geohash assignment (the 4th cell-index standard,
+    spatial/geohash.py) + per-cell counts at precision 4 — SQL-checked
+    BIT-FOR-BIT: direct quantization + bit interleave is plain
+    floor/shift arithmetic, mirrored in the oracle with a
+    generate_series bit spread and substr over the base-32 alphabet.
+    Shuffle key is the 20-bit interleaved INT (8 bytes); the base-32
+    string is attached after the combine (presentation only)."""
+    from ..spatial.geohash import geohash_interleave, interleaved_to_hash
+    from ..util import grouped_sum_combine
+
+    nbits = 5 * GEOHASH_P
+    nax = nbits // 2  # p even → nlng == nlat
+
+    def assign_partial(batch: pa.Table) -> pa.Table:
+        batch = derive_lineitem_points_batch(batch)
+        lng = batch["lng"].to_numpy()
+        lat = batch["lat"].to_numpy()
+        ix = np.clip(np.floor((lng + 180.0) / 360.0 * (1 << nax)),
+                     0, (1 << nax) - 1).astype(np.int64)
+        iy = np.clip(np.floor((lat + 90.0) / 180.0 * (1 << nax)),
+                     0, (1 << nax) - 1).astype(np.int64)
+        iv = geohash_interleave(ix, iy, GEOHASH_P)
+        u, c = np.unique(iv, return_counts=True)
+        return pa.table({
+            "iv": pa.array(u, pa.int64()),
+            "partial": pa.array(c.astype(np.int64), pa.int64()),
+        })
+
+    ds = _read_split(sf_dir, "lineitem",
+                     ["l_orderkey", "l_linenumber", "l_partkey"])
+    partial = ds.map_batches(assign_partial, batch_format="pyarrow")
+    counts = grouped_sum_combine(partial, ["iv"], "partial", "n_points")
+
+    def attach_hash(b: pa.Table) -> pa.Table:
+        gh = interleaved_to_hash(b["iv"].to_numpy(), GEOHASH_P)
+        return pa.table({
+            "geohash": pa.array(gh.tolist(), pa.string()),
+            "n_points": b["n_points"],
+        })
+
+    return counts.map_batches(attach_hash, batch_format="pyarrow")
+
+
+SQL_GEOHASH_CELL_COUNTS = f"""
+WITH pts AS ({POINTS_SQL}),
+q AS (SELECT
+    CAST(least(floor((lng + 180.0) / 360.0 * {1 << 10}), {(1 << 10) - 1}) AS BIGINT) AS ix,
+    CAST(least(floor((lat + 90.0) / 180.0 * {1 << 10}), {(1 << 10) - 1}) AS BIGINT) AS iy
+  FROM pts),
+g AS (SELECT ix, iy,
+    (SELECT CAST(sum(((CASE WHEN s % 2 = 0
+              THEN (ix >> (9 - s // 2)) ELSE (iy >> (9 - (s - 1) // 2)) END) & 1)
+            * (CAST(1 AS BIGINT) << (19 - s))) AS BIGINT)
+     FROM generate_series(0, 19) t(s)) AS iv
+  FROM q),
+h AS (SELECT iv,
+    (SELECT string_agg(substr('0123456789bcdefghjkmnpqrstuvwxyz',
+        CAST(((iv >> (5 * (3 - k))) & 31) AS INT) + 1, 1), '' ORDER BY k)
+     FROM generate_series(0, 3) t(k)) AS geohash
+  FROM g)
+SELECT geohash, count(*) AS n_points FROM h GROUP BY geohash
+"""
+
+
 def q_tile_assign_counts(sf_dir: str):
     """Slippy-tile assignment (N7) + per-tile counts at z=8."""
     from ray.data.aggregate import Sum
