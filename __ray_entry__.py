@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_segment": Q.q_semi_join_segment,
         "anti_join_segment": Q.q_anti_join_segment,
         "hll_distinct_users": Q.q_hll_distinct_users,
+        "quantile_sketch_prices": Q.q_quantile_sketch_prices,
         "exact_dedup": Q.q_exact_dedup,
         "token_stats": Q.q_token_stats,
         "word_shape_stats": Q.q_word_shape_stats,

@@ -2491,6 +2491,67 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_quantile_sketch_prices(sf_dir: str):
+    """Mergeable-quantile sketch path (KLL, stages/sketches.py): one
+    seeded sketch per batch of l_extendedprice, sketch rows funnel to
+    one merge task (~k·log(n/k) doubles each, independent of input
+    size — the 100-TB quantile pattern; the exact bounded-grid
+    histogram plan is segment_price_quantiles). Rows-only, but
+    SELF-CHECKING (the hll/ivf pattern): a second distributed pass
+    computes each estimate's EXACT rank, and |rank/N − q| must be
+    ≤ 0.02 (k=200 ⇒ typical error ≪ 1%), so a broken sketch fails
+    loudly at the driver gate."""
+    import pickle
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.sketches import KLL
+
+    ds = _read_split(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def sketch_batch(b: pa.Table) -> pa.Table:
+        s = KLL(200).add_batch(b["l_extendedprice"].to_numpy())
+        return pa.table({"sketch": pa.array([pickle.dumps(s)], pa.binary())})
+
+    def merge_sketches(b: pa.Table) -> pa.Table:
+        m = KLL(200)
+        for blob in b["sketch"].to_pylist():
+            m.merge(pickle.loads(blob))
+        return pa.table({"sketch": pa.array([pickle.dumps(m)], pa.binary())})
+
+    merged = (
+        ds.map_batches(sketch_batch, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge_sketches, batch_format="pyarrow")
+        .take_all()
+    )
+    sk = pickle.loads(merged[0]["sketch"])
+    qs = np.array([0.5, 0.9, 0.99])
+    est = sk.quantiles(qs)
+
+    def rank_partial(b: pa.Table) -> pa.Table:
+        x = b["l_extendedprice"].to_numpy()
+        le = (x[:, None] <= est[None, :]).sum(axis=0).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "le50": pa.array(le[:1], pa.int64()),
+            "le90": pa.array(le[1:2], pa.int64()),
+            "le99": pa.array(le[2:3], pa.int64()),
+        })
+
+    row = ds.map_batches(rank_partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("le50", alias_name="le50"),
+        Sum("le90", alias_name="le90"), Sum("le99", alias_name="le99"))
+    n = row["n"]
+    errs = np.abs(np.array([row["le50"], row["le90"], row["le99"]]) / n - qs)
+    assert (errs <= 0.02).all(), f"KLL rank error {errs} exceeds bound"
+    return pa.table({
+        "quantile": pa.array(qs, pa.float64()),
+        "estimate": pa.array(np.round(est, 6), pa.float64()),
+        "rank_err": pa.array(np.round(errs, 6), pa.float64()),
+    })
+
+
 def q_simhash_dedup(sf_dir: str):
     """SimHash buckets — SQL-checked: the oracle rebuilds the 64-bit
     word hash (little-endian first 8 md5 bytes via byte-reversed hex

