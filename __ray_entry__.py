@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_assign_counts": Q.q_tile_assign_counts,
         "hex_cell_counts": Q.q_hex_cell_counts,
         "geohash_cell_counts": Q.q_geohash_cell_counts,
+        "zorder_partition_bounds": Q.q_zorder_partition_bounds,
         "spatial_join_rect": Q.q_spatial_join_rect,
         "knn_rect": Q.q_knn_rect,
         "knn_points": Q.q_knn_points,
@@ -106,6 +107,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_assign_counts": Q.SQL_TILE_ASSIGN,
         "hex_cell_counts": Q.SQL_HEX_CELL_COUNTS,
         "geohash_cell_counts": Q.SQL_GEOHASH_CELL_COUNTS,
+        "zorder_partition_bounds": Q.SQL_ZORDER_PARTITION_BOUNDS,
         "spatial_join_rect": Q.SQL_SPATIAL_JOIN_RECT,
         "knn_rect": Q.SQL_KNN_RECT,
         "knn_points": Q.SQL_KNN_POINTS,

@@ -381,6 +381,95 @@ SELECT geohash, count(*) AS n_points FROM h GROUP BY geohash
 """
 
 
+ZORDER_TILES = 16
+
+
+def q_zorder_partition_bounds(sf_dir: str):
+    """Space-filling-curve RANGE PARTITIONING — how a 100-TB spatial
+    table is laid out for locality-preserving partitioned writes:
+    points keyed by their 20-bit Z-order (bit-interleave) value, split
+    into 16 equal-count key ranges, per-range count + key bounds.
+
+    Physical shape: NO global sort. The key space is bounded (2^20),
+    so per-batch partial counts funnel through grouped_sum_combine
+    into one ~n_distinct-row histogram, and the equal-count split is
+    computed exactly from the cumulative histogram in that same task
+    (the segment_price_quantiles bounded-grid trick applied to
+    partitioning). Equal-count semantics mirror DuckDB ntile():
+    first (n mod T) tiles take the extra row; per-tile (count, min,
+    max) is deterministic even when one key value straddles a
+    boundary, because the straddling rows carry the same key."""
+    from ..util import grouped_sum_combine
+
+    nax = 10
+
+    def assign_partial(batch: pa.Table) -> pa.Table:
+        from ..spatial.geohash import geohash_interleave
+
+        batch = derive_lineitem_points_batch(batch)
+        lng = batch["lng"].to_numpy()
+        lat = batch["lat"].to_numpy()
+        ix = np.clip(np.floor((lng + 180.0) / 360.0 * (1 << nax)),
+                     0, (1 << nax) - 1).astype(np.int64)
+        iy = np.clip(np.floor((lat + 90.0) / 180.0 * (1 << nax)),
+                     0, (1 << nax) - 1).astype(np.int64)
+        iv = geohash_interleave(ix, iy, 4)
+        u, c = np.unique(iv, return_counts=True)
+        return pa.table({
+            "key": pa.array(u, pa.int64()),
+            "partial": pa.array(c.astype(np.int64), pa.int64()),
+        })
+
+    ds = _read_split(sf_dir, "lineitem",
+                     ["l_orderkey", "l_linenumber", "l_partkey"])
+    hist = grouped_sum_combine(
+        ds.map_batches(assign_partial, batch_format="pyarrow"),
+        ["key"], "partial", "n")
+
+    def ntile_bounds(b: pa.Table) -> pa.Table:
+        keys = b["key"].to_numpy()
+        cnt = b["n"].to_numpy()
+        order = np.argsort(keys)
+        keys, cnt = keys[order], cnt[order]
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        t = ZORDER_TILES
+        sizes = np.full(t, n // t, dtype=np.int64)
+        sizes[: n % t] += 1
+        ends = np.cumsum(sizes)          # 1-based end rank per tile
+        starts = ends - sizes            # 0-based start rank
+        # key at 0-based rank r = first key whose cum exceeds r
+        min_key = keys[np.searchsorted(cum, starts, side="right")]
+        max_key = keys[np.searchsorted(cum, ends - 1, side="right")]
+        return pa.table({
+            "tile": pa.array(np.arange(1, t + 1), pa.int64()),
+            "n_points": pa.array(sizes, pa.int64()),
+            "min_key": pa.array(min_key, pa.int64()),
+            "max_key": pa.array(max_key, pa.int64()),
+        })
+
+    return hist.map_batches(ntile_bounds, batch_format="pyarrow")
+
+
+SQL_ZORDER_PARTITION_BOUNDS = f"""
+WITH pts AS ({POINTS_SQL}),
+q AS (SELECT
+    CAST(least(floor((lng + 180.0) / 360.0 * {1 << 10}), {(1 << 10) - 1}) AS BIGINT) AS ix,
+    CAST(least(floor((lat + 90.0) / 180.0 * {1 << 10}), {(1 << 10) - 1}) AS BIGINT) AS iy
+  FROM pts),
+g AS (SELECT
+    (SELECT CAST(sum(((CASE WHEN s % 2 = 0
+              THEN (ix >> (9 - s // 2)) ELSE (iy >> (9 - (s - 1) // 2)) END) & 1)
+            * (CAST(1 AS BIGINT) << (19 - s))) AS BIGINT)
+     FROM generate_series(0, 19) t(s)) AS key
+  FROM q),
+t AS (SELECT key, ntile({ZORDER_TILES}) OVER (ORDER BY key) AS tile FROM g)
+SELECT tile, count(*) AS n_points,
+       min(key) AS min_key, max(key) AS max_key
+FROM t GROUP BY tile
+"""
+
+
 def q_tile_assign_counts(sf_dir: str):
     """Slippy-tile assignment (N7) + per-tile counts at z=8."""
     from ray.data.aggregate import Sum
