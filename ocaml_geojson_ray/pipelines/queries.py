@@ -118,18 +118,23 @@ SUPPLIER_POINTS_SQL = (
 
 
 def _read_split(sf_dir: str, table: str, columns):
-    """read_parquet + no-shuffle block split. The sf test tables are ONE
-    file with ONE row group, so a plain read yields a single block and
-    every fused map stage downstream runs as one serial task. A real
-    100 TB table arrives as thousands of files/row-groups — the split
-    only compensates for the single-file test input."""
+    """read_parquet forced to ≥ 2·ncpu blocks. The sf test tables are
+    ONE file with ONE row group, so an unsplit read would run every
+    fused map stage downstream as one serial task. ``override_num_blocks``
+    makes the READ emit the split directly — the earlier
+    ``.repartition(n, shuffle=False)`` did the same split as a separate
+    all-to-all pass costing ~2 s at sf0.1 (measured; it also barriers
+    the stream). A real 100 TB table arrives as thousands of
+    files/row-groups — the override only compensates for the
+    single-file test input."""
     import ray
     import ray.data as rd
 
     ncpu = int(ray.cluster_resources().get("CPU", 4))
     return rd.read_parquet(
-        f"{sf_dir}/{table}.parquet", columns=list(columns)
-    ).repartition(max(8, 2 * ncpu), shuffle=False)
+        f"{sf_dir}/{table}.parquet", columns=list(columns),
+        override_num_blocks=max(8, 2 * ncpu),
+    )
 
 
 def lineitem_points(sf_dir: str):
@@ -1079,15 +1084,23 @@ def q_asof_user_order(sf_dir: str):
     hash shuffle on user_id, vectorized merge-asof per group — neither
     table is read on the driver or broadcast; oracle is DuckDB's native
     ASOF LEFT JOIN."""
+    import ray
     import ray.data as rd
 
     from ..stages.asof import asof_join_latest
 
+    # Few, right-sized blocks: the sort-backed shuffle pays per input
+    # block (see asof.py coalesce note) and the tagged rows are tiny —
+    # 64 auto-split blocks per side cost 3 s of pure push overhead at
+    # sf0.1 vs 0.2 s at 8 blocks
+    nb = max(4, int(ray.cluster_resources().get("CPU", 4)) // 4)
     events = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"],
+        override_num_blocks=nb,
     )
     orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"],
+        override_num_blocks=nb,
     )
     out = asof_join_latest(events, orders, left_key="user_id", left_ts="ts",
                            right_key="o_custkey", right_ts="o_orderdate",
