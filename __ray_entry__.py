@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygon_measures": Q.q_polygon_measures,
         # Relational breadth
         "pricing_summary": Q.q_pricing_summary,
+        "pricing_cube": Q.q_pricing_cube,
         "top_orders": Q.q_top_orders,
         "segment_order_stats": Q.q_segment_order_stats,
         "nation_region": Q.q_nation_region,
@@ -114,6 +115,7 @@ def oracle_sql() -> dict[str, str]:
         "hot_cells": Q.SQL_HOT_CELLS,
         "polygon_measures": Q.SQL_POLYGON_MEASURES,
         "pricing_summary": Q.SQL_PRICING_SUMMARY,
+        "pricing_cube": Q.SQL_PRICING_CUBE,
         "top_orders": Q.SQL_TOP_ORDERS,
         "segment_order_stats": Q.SQL_SEGMENT_ORDER_STATS,
         "nation_region": Q.SQL_NATION_REGION,

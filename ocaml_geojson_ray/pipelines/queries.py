@@ -758,6 +758,61 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_pricing_cube(sf_dir: str):
+    """Grouping sets (CUBE) over (l_returnflag, l_linestatus) in ONE
+    input pass: each batch reduces to per-PAIR partials (dictionary-
+    encoded composite key + bincount — C speed), then the three
+    rolled-up sets are derived from those ≤6 pair rows map-side, so
+    the groupby sees 4 tiny grouping-set partials per block instead of
+    raw rows. Rolled-up keys use the '*' marker (coalesce'd in the
+    oracle — the fixture columns are never NULL, so CUBE's NULL is
+    unambiguous). Prices aggregate as exact int64 cents."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_split(sf_dir, "lineitem",
+                     ["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(b["l_returnflag"], pa.string()),
+            pc.cast(b["l_linestatus"], pa.string()), "\x1f")
+        enc = key.combine_chunks().dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        cents = np.round(b["l_extendedprice"].to_numpy() * 100.0)
+        k = len(enc.dictionary)
+        n = np.bincount(idx, minlength=k).astype(np.int64)
+        # float64 bincount sums stay integer-exact: per-batch cents
+        # total ≪ 2^53
+        csum = np.bincount(idx, weights=cents, minlength=k).astype(np.int64)
+        pairs = [s.split("\x1f") for s in enc.dictionary.to_pylist()]
+        rf = np.asarray([p[0] for p in pairs], dtype=object)
+        ls = np.asarray([p[1] for p in pairs], dtype=object)
+        star = np.asarray(["*"] * k, dtype=object)
+        return pa.table({
+            "rflag": pa.array(np.concatenate([rf, rf, star, star]).tolist(),
+                              pa.string()),
+            "lstatus": pa.array(np.concatenate([ls, star, ls, star]).tolist(),
+                                pa.string()),
+            "n": pa.array(np.tile(n, 4), pa.int64()),
+            "cents": pa.array(np.tile(csum, 4), pa.int64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["rflag", "lstatus"]).aggregate(
+            Sum("n", alias_name="n_rows"),
+            Sum("cents", alias_name="price_cents"))
+
+
+SQL_PRICING_CUBE = """
+SELECT coalesce(l_returnflag, '*') AS rflag,
+       coalesce(l_linestatus, '*') AS lstatus,
+       count(*) AS n_rows,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
 def q_top_orders(sf_dir: str):
     """Global sort + top-k (N11)."""
     import ray.data as rd
@@ -976,11 +1031,16 @@ FROM d GROUP BY event_type, win
 def q_session_windows(sf_dir: str):
     """Session windows per user (30-min gap) via groupby.map_groups
     over the ordered group (stages/windows.py)."""
+    import ray
     import ray.data as rd
 
     from ..stages.windows import session_windows
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    # few blocks: the groupby is sort-backed and pays per input block
+    # (see stages/asof.py coalesce note)
+    nb = max(4, int(ray.cluster_resources().get("CPU", 4)) // 4)
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"], override_num_blocks=nb)
     return session_windows(ds, "user_id", "ts", gap_s=1800)
 
 

@@ -82,6 +82,30 @@ def geohash_interleave(ix, iy, precision: int) -> np.ndarray:
     return iv
 
 
+def geohash_neighbors(h: str) -> list[str]:
+    """The up-to-8 adjacent cells at the same precision (grid_ring
+    k=1 for the geohash grid): decode → center → shift one cell size →
+    re-encode. Longitude wraps across the antimeridian; rows beyond a
+    pole drop out — the same edge rules as cells.grid_ring."""
+    minlng, minlat, maxlng, maxlat = geohash_decode_bounds(h)
+    w = maxlng - minlng
+    hh = maxlat - minlat
+    cx = (minlng + maxlng) / 2.0
+    cy = (minlat + maxlat) / 2.0
+    out = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            y = cy + dy * hh
+            if not -90.0 <= y <= 90.0:
+                continue
+            x = cx + dx * w
+            x = ((x + 180.0) % 360.0) - 180.0
+            out.append(geohash_encode([x], [y], len(h))[0])
+    return sorted(set(out))
+
+
 _DECODE = {c: i for i, c in enumerate(ALPHABET)}
 
 

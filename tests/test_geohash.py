@@ -50,6 +50,39 @@ def test_prefix_property():
         prev = cur
 
 
+def test_neighbors_symmetric_and_adjacent():
+    from ocaml_geojson_ray.spatial.geohash import geohash_neighbors
+
+    for h in ("u4pru", "ezs42", "s0000", "7zzzz"):
+        ns = geohash_neighbors(h)
+        assert 3 <= len(ns) <= 8 and h not in ns
+        for n in ns:
+            assert len(n) == len(h)
+            assert h in geohash_neighbors(n)  # symmetry
+            # boxes touch: gap between bounds is zero in one axis
+            a = geohash_decode_bounds(h)
+            b = geohash_decode_bounds(n)
+            lng_gap = max(a[0], b[0]) - min(a[2], b[2])
+            lat_gap = max(a[1], b[1]) - min(a[3], b[3])
+            assert lng_gap <= 1e-9 or abs(lng_gap - (-360 + (a[2]-a[0]) + (b[2]-b[0]))) < 1
+            assert lat_gap <= 1e-9
+
+
+def test_neighbors_pole_and_antimeridian():
+    from ocaml_geojson_ray.spatial.geohash import geohash_neighbors
+
+    # north-pole cell: the northern row drops out
+    top = geohash_encode([0.0], [89.99], 4)[0]
+    ns = geohash_neighbors(top)
+    assert len(ns) == 5
+    # antimeridian cell: west neighbors wrap to lng≈+180
+    west_edge = geohash_encode([-179.99], [0.0], 4)[0]
+    ns2 = geohash_neighbors(west_edge)
+    assert len(ns2) == 8
+    wrapped = geohash_encode([179.99], [0.0], 4)[0]
+    assert wrapped in ns2
+
+
 def test_neighbors_share_prefix_statistically():
     # points inside one high-precision cell encode identically
     h = geohash_encode([12.345678], [45.678901], 8)[0]
