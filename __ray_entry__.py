@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_points": Q.q_knn_points,
         "hot_cells": Q.q_hot_cells,
         "polygon_measures": Q.q_polygon_measures,
+        "simplify_polygons": Q.q_simplify_polygons,
         # Relational breadth
         "pricing_summary": Q.q_pricing_summary,
         "pricing_cube": Q.q_pricing_cube,

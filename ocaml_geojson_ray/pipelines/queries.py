@@ -1430,6 +1430,48 @@ FROM r
 """
 
 
+def q_simplify_polygons(sf_dir: str):
+    """Douglas-Peucker polygon simplification (spatial/simplify.py) —
+    the pre-serving geometry-reduction stage of a tiling pipeline.
+    Input: deterministic wiggly star polygons derived from part keys
+    (24-31 vertices; the rect layer is 5-vertex and would be a no-op).
+    Rows-only, but SELF-CHECKING in the worker: every polygon asserts
+    the DP guarantee (max deviation of dropped vertices ≤ tol via the
+    brute-force verification kernel) and the ≥3-vertex ring invariant,
+    so a broken simplifier fails the query loudly. Embarrassingly
+    parallel: stateless map_batches, bounded per-feature loop with
+    vectorized inner kernels (the measures.polygon_area convention)."""
+    from ..spatial.simplify import max_deviation, simplify_ring
+
+    TOL = 0.1
+
+    def fn(b: pa.Table) -> pa.Table:
+        pk = b["p_partkey"].to_numpy()
+        n_before = (24 + pk % 8).astype(np.int64)
+        out_after = np.empty(len(pk), dtype=np.int64)
+        out_dev = np.empty(len(pk), dtype=np.float64)
+        for i in range(len(pk)):
+            nv = int(n_before[i])
+            k = np.arange(nv)
+            ang = 2.0 * np.pi * k / nv
+            r = 1.0 + 0.2 * (((int(pk[i]) * 7919 + k * 104729) % 100) / 100.0)
+            ring = np.column_stack([r * np.cos(ang), r * np.sin(ang)])
+            kept = simplify_ring(ring, TOL)
+            dev = max_deviation(ring, kept)
+            assert dev <= TOL + 1e-12 and len(kept) >= 3, (pk[i], dev)
+            out_after[i] = len(kept)
+            out_dev[i] = dev
+        return pa.table({
+            "poly_id": pa.array(pk, pa.int64()),
+            "n_before": pa.array(n_before, pa.int64()),
+            "n_after": pa.array(out_after, pa.int64()),
+            "max_dev": pa.array(np.round(out_dev, 6), pa.float64()),
+        })
+
+    ds = _read_split(sf_dir, "part", ["p_partkey"])
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def q_customer_order_outer(sf_dir: str):
     """LEFT OUTER join (round 3 — the one join type the suite lacked):
     every customer with their order count + total spend, customers with
