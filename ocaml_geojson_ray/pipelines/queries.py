@@ -1203,92 +1203,89 @@ ASOF LEFT JOIN orders o
 
 
 def q_interval_join_orders(sf_dir: str):
-    """Interval (range) join — bucketed-candidate plan: each order
-    opens a deterministic 1-day active window inside the events' time
-    range (start derived from the order key, house derived-input
-    style: the raw tables' time ranges don't overlap); for every
-    event landing in a window of its user, count the active orders
-    and sum their price. Physical shape: time is bucketed at the
-    WINDOW WIDTH, so an interval covers ≤ 2 buckets and an event
-    exactly 1 — orders emit one row per covered bucket, ONE hash join
-    on (user_id, bucket) yields candidates with no duplicates (an
-    order covers a bucket at most once), then the exact range filter
-    and a per-event groupby. Never a cross join, never a per-user
-    broadcast; skew bounds are the per-(user,bucket) row counts.
-    Prices aggregate as int64 CENTS (exact, order-independent)."""
+    """Interval (range) join: each order opens a deterministic 1-day
+    active window inside the events' time range (start derived from
+    the order key, house derived-input style: the raw tables' time
+    ranges don't overlap); for every event landing in ≥1 window of
+    its user, count the active orders and sum their price.
+
+    Physical plan — union + ONE key shuffle + per-group RANGE SCAN
+    (the asof.py shape): an interval containing ts is exactly a start
+    in (ts−W, ts], so within each user group a sort of the starts +
+    prefix-summed cents answers every event with two searchsorteds —
+    candidate pairs are NEVER materialized. (The first cut was the
+    bucketed candidate join — (user, bucket) hash join + range filter
+    — which expanded to ~70 rows/event at sf0.1 and collapsed under
+    host contention: 3.4 s normal, 14 s squeezed. The range-scan plan
+    moves one row per input row, period. The bucketed join remains
+    the right plan when per-key volumes skew beyond one group's
+    memory.) Prices aggregate as int64 CENTS; the range compare is
+    pure int64 — no float boundary risk."""
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
-    W = 86400 * 1_000_000           # window = bucket width = 1 day, µs
+    W = 86400 * 1_000_000           # window width = 1 day, µs
     T0 = 1704067200 * 1_000_000     # epoch_us(2024-01-01), events range
     SPREAD = 29 * 86400             # starts spread over 29 days, secs
 
+    # few blocks: sort-backed groupby pays per input block (asof rule)
+    nb = max(4, int(ray.cluster_resources().get("CPU", 4)) // 4)
     events = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"],
+        override_num_blocks=nb)
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        override_num_blocks=nb)
 
-    def ev_bucket(b: pa.Table) -> pa.Table:
+    def tag_events(b: pa.Table) -> pa.Table:
         ts = b["ts"].cast(pa.int64()).to_numpy()
         return pa.table({
-            "event_id": b["event_id"],
-            "user_id": b["user_id"],
+            "k": b["user_id"].cast(pa.int64()),
             "ts_us": pa.array(ts, pa.int64()),
-            "bucket": pa.array(ts // W, pa.int64()),
+            "row_id": b["event_id"].cast(pa.int64()),
+            "cents": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+            "is_event": pa.array(np.ones(len(b), np.int8)),
         })
 
-    def ord_buckets(b: pa.Table) -> pa.Table:
+    def tag_windows(b: pa.Table) -> pa.Table:
         ok_ = b["o_orderkey"].to_numpy()
         start = T0 + ((ok_ * 7919) % SPREAD) * 1_000_000
-        cust = b["o_custkey"].to_numpy() % 150
         cents = np.round(b["o_totalprice"].to_numpy() * 100).astype(np.int64)
-        b0 = start // W
-        b1 = (start + W - 1) // W  # window end is exclusive
-        second = b1 != b0
         return pa.table({
-            "user_id": pa.array(np.concatenate([cust, cust[second]]), pa.int64()),
-            "bucket": pa.array(np.concatenate([b0, b1[second]]), pa.int64()),
-            "start_us": pa.array(np.concatenate([start, start[second]]), pa.int64()),
-            "cents": pa.array(np.concatenate([cents, cents[second]]), pa.int64()),
+            "k": pa.array(b["o_custkey"].to_numpy() % 150, pa.int64()),
+            "ts_us": pa.array(start, pa.int64()),
+            "row_id": pa.array(np.full(len(b), -1, np.int64), pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+            "is_event": pa.array(np.zeros(len(b), np.int8)),
         })
 
-    ncpu = int(ray.cluster_resources().get("CPU", 4))
-    cand = events.map_batches(ev_bucket, batch_format="pyarrow").join(
-        orders.map_batches(ord_buckets, batch_format="pyarrow"),
-        join_type="inner", on=("user_id", "bucket"),
-        num_partitions=max(2, ncpu // 4))
+    both = events.map_batches(tag_events, batch_format="pyarrow").union(
+        orders.map_batches(tag_windows, batch_format="pyarrow"))
+    both = both.repartition(nb, shuffle=False)
 
-    def in_window_partial(b: pa.Table) -> pa.Table:
-        # range filter + MAP-SIDE partial aggregate per event: the
-        # candidate join output is ~70× the event count at sf0.1, so
-        # collapsing it to one row per (block, event) before the
-        # groupby shrinks the shuffle and the per-group input
-        ts = b["ts_us"].to_numpy()
-        st = b["start_us"].to_numpy()
-        keep = (st <= ts) & (ts < st + W)
-        ev = b["event_id"].to_numpy()[keep]
-        cents = b["cents"].to_numpy()[keep]
-        order = np.argsort(ev, kind="stable")
-        ev, cents = ev[order], cents[order]
-        starts = np.flatnonzero(
-            np.concatenate([[True], ev[1:] != ev[:-1]])) if len(ev) else \
-            np.empty(0, np.int64)
-        n = np.diff(np.concatenate([starts, [len(ev)]])) if len(ev) else \
-            np.empty(0, np.int64)
-        csum = np.add.reduceat(cents, starts) if len(ev) else \
-            np.empty(0, np.int64)
+    def scan(g: pa.Table) -> pa.Table:
+        is_ev = g["is_event"].to_numpy(zero_copy_only=False) == 1
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        ev_ts = ts[is_ev]
+        ev_id = g["row_id"].to_numpy(zero_copy_only=False)[is_ev]
+        starts = ts[~is_ev]
+        cents = g["cents"].to_numpy(zero_copy_only=False)[~is_ev]
+        order = np.argsort(starts, kind="stable")
+        starts = starts[order]
+        pref = np.concatenate([[0], np.cumsum(cents[order])])
+        lo = np.searchsorted(starts, ev_ts - W, side="right")
+        hi = np.searchsorted(starts, ev_ts, side="right")
+        n = (hi - lo).astype(np.int64)
+        keep = n > 0  # inner-join semantics, mirrors the SQL
         return pa.table({
-            "event_id": pa.array(ev[starts] if len(ev) else ev, pa.int64()),
-            "n": pa.array(n.astype(np.int64), pa.int64()),
-            "cents": pa.array(csum.astype(np.int64), pa.int64()),
+            "event_id": pa.array(ev_id[keep], pa.int64()),
+            "n_active_orders": pa.array(n[keep], pa.int64()),
+            "active_total_cents": pa.array(
+                (pref[hi] - pref[lo])[keep], pa.int64()),
         })
 
-    return cand.map_batches(in_window_partial, batch_format="pyarrow") \
-        .groupby("event_id").aggregate(
-            Sum("n", alias_name="n_active_orders"),
-            Sum("cents", alias_name="active_total_cents"))
+    return both.groupby("k").map_groups(scan, batch_format="pyarrow")
 
 
 SQL_INTERVAL_JOIN_ORDERS = """
