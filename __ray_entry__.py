@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_rect": Q.q_knn_rect,
         "knn_points": Q.q_knn_points,
         "hot_cells": Q.q_hot_cells,
+        "hotspot_clusters": Q.q_hotspot_clusters,
         "polygon_measures": Q.q_polygon_measures,
         "simplify_polygons": Q.q_simplify_polygons,
         # Relational breadth
@@ -114,6 +115,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_rect": Q.SQL_KNN_RECT,
         "knn_points": Q.SQL_KNN_POINTS,
         "hot_cells": Q.SQL_HOT_CELLS,
+        "hotspot_clusters": Q.SQL_HOTSPOT_CLUSTERS,
         "polygon_measures": Q.SQL_POLYGON_MEASURES,
         "pricing_summary": Q.SQL_PRICING_SUMMARY,
         "pricing_cube": Q.SQL_PRICING_CUBE,

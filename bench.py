@@ -178,6 +178,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("geohash_cell_counts", Q.q_geohash_cell_counts)
     timed("zorder_partition_bounds", Q.q_zorder_partition_bounds)
     timed("dedup_clusters", Q.q_dedup_clusters)
+    timed("hotspot_clusters", Q.q_hotspot_clusters)
+    timed("pricing_cube", Q.q_pricing_cube)
     timed("quantile_sketch_prices", Q.q_quantile_sketch_prices)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),

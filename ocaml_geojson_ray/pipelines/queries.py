@@ -318,6 +318,128 @@ FROM qr GROUP BY hex_cell
 """
 
 
+HOTSPOT_N = 128   # res-7 quad grid
+HOTSPOT_T = 8     # core-cell threshold (sparse at sf0.01 → small
+                  # components, so the recursive-CTE oracle stays cheap)
+
+
+def q_hotspot_clusters(sf_dir: str):
+    """Grid-density spatial clustering (DBSCAN-flavored, over cells
+    instead of raw points — the standard scale adaptation): cells with
+    ≥ T points are CORE; core cells adjacent in the 8-neighborhood
+    (longitude wraps at the antimeridian, latitude doesn't) form
+    clusters via connected components; output one row per cluster
+    (min-cell-id label, cell count, total points).
+
+    Physical shape: per-batch partial cell counts → bounded-key funnel
+    combine (the grid is 128², o(input) by construction) → core mask,
+    vectorized neighbor-edge generation (8 shifted searchsorted
+    probes) and the numpy CC kernel (stages/cc.components_local) all
+    inside that single combine task. SQL-checked: counts, the modular
+    adjacency and the reachability closure are all integer arithmetic
+    a recursive CTE reproduces exactly."""
+    from ..stages.cc import components_local
+    from ..util import grouped_sum_combine
+
+    n = HOTSPOT_N
+
+    def assign_partial(batch: pa.Table) -> pa.Table:
+        batch = derive_lineitem_points_batch(batch)
+        lng = batch["lng"].to_numpy()
+        lat = batch["lat"].to_numpy()
+        ix = np.clip(np.floor((lng + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+        iy = np.clip(np.floor((lat + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+        key = ix * n + iy
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({
+            "key": pa.array(u, pa.int64()),
+            "partial": pa.array(c.astype(np.int64), pa.int64()),
+        })
+
+    ds = _read_split(sf_dir, "lineitem",
+                     ["l_orderkey", "l_linenumber", "l_partkey"])
+    hist = grouped_sum_combine(
+        ds.map_batches(assign_partial, batch_format="pyarrow"),
+        ["key"], "partial", "cnt")
+
+    def cluster(b: pa.Table) -> pa.Table:
+        key = b["key"].to_numpy()
+        cnt = b["cnt"].to_numpy()
+        core = cnt >= HOTSPOT_T
+        ids = np.sort(key[core])
+        counts = cnt[core][np.argsort(key[core])]
+        if len(ids) == 0:
+            return pa.table({
+                "cluster_id": pa.array([], pa.int64()),
+                "n_cells": pa.array([], pa.int64()),
+                "total_points": pa.array([], pa.int64()),
+            })
+        ix, iy = ids // n, ids % n
+        us, vs = [ids], [ids]  # self-edges keep singleton cores
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                ny = iy + dy
+                ok = (ny >= 0) & (ny < n)
+                nid = ((ix[ok] + dx) % n) * n + ny[ok]
+                pos = np.searchsorted(ids, nid)
+                pos_ok = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == nid)
+                us.append(ids[ok][pos_ok])
+                vs.append(nid[pos_ok])
+        nodes, labels = components_local(
+            np.concatenate(us), np.concatenate(vs))
+        # nodes == ids (sorted); aggregate per label
+        ul, inv = np.unique(labels, return_inverse=True)
+        n_cells = np.bincount(inv)
+        tot = np.bincount(inv, weights=counts).astype(np.int64)
+        return pa.table({
+            "cluster_id": pa.array(ul, pa.int64()),
+            "n_cells": pa.array(n_cells.astype(np.int64), pa.int64()),
+            "total_points": pa.array(tot, pa.int64()),
+        })
+
+    import ray
+
+    out = hist.map_batches(cluster, batch_format="pyarrow")
+    # collect the (grid-bounded, tiny) result as a TYPED table: Ray
+    # strips the schema from empty output blocks, and a legitimately
+    # empty result (sparse sf) must still present its columns to the
+    # driver's compare
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_columns]
+    if tables:
+        return pa.concat_tables(tables)
+    return pa.table({
+        "cluster_id": pa.array([], pa.int64()),
+        "n_cells": pa.array([], pa.int64()),
+        "total_points": pa.array([], pa.int64()),
+    })
+
+
+SQL_HOTSPOT_CLUSTERS = f"""
+WITH RECURSIVE pts AS ({POINTS_SQL}),
+c AS (SELECT CAST(least(floor((lng + 180.0) / 360.0 * {HOTSPOT_N}), {HOTSPOT_N - 1}) AS BIGINT) AS ix,
+             CAST(least(floor((lat + 90.0) / 180.0 * {HOTSPOT_N}), {HOTSPOT_N - 1}) AS BIGINT) AS iy,
+             count(*) AS cnt
+      FROM pts GROUP BY ix, iy),
+core AS (SELECT ix, iy, cnt, ix * {HOTSPOT_N} + iy AS id
+         FROM c WHERE cnt >= {HOTSPOT_T}),
+e AS (SELECT a.id AS u, b.id AS v FROM core a JOIN core b
+      ON (((a.ix - b.ix) % {HOTSPOT_N}) + {HOTSPOT_N}) % {HOTSPOT_N}
+           IN (0, 1, {HOTSPOT_N - 1})
+     AND abs(a.iy - b.iy) <= 1),
+reach(src, node) AS (
+    SELECT id, id FROM core
+    UNION
+    SELECT r.src, e.v FROM reach r JOIN e ON e.u = r.node
+),
+comp AS (SELECT src AS id, min(node) AS cluster_id FROM reach GROUP BY src)
+SELECT cluster_id, count(*) AS n_cells,
+       CAST(sum(core.cnt) AS BIGINT) AS total_points
+FROM comp JOIN core USING (id) GROUP BY cluster_id
+"""
+
+
 GEOHASH_P = 4  # 20 bits: nlng = nlat = 10
 
 
