@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann": Q.q_ivf_ann,
         "multimodal_features": Q.q_multimodal_features,
         "multimodal_audio": Q.q_multimodal_audio,
+        "multimodal_video": Q.q_multimodal_video,
         "s2_cell_counts": Q.q_s2_cell_counts,
         "pages_geom_dedup": Q.q_pages_geom_dedup,
         "extract_invariant": Q.q_extract_invariant,
@@ -111,6 +112,7 @@ def oracle_sql() -> dict[str, str]:
         "hex_cell_counts": Q.SQL_HEX_CELL_COUNTS,
         "geohash_cell_counts": Q.SQL_GEOHASH_CELL_COUNTS,
         "zorder_partition_bounds": Q.SQL_ZORDER_PARTITION_BOUNDS,
+        "multimodal_video": Q.SQL_MULTIMODAL_VIDEO,
         "spatial_join_rect": Q.SQL_SPATIAL_JOIN_RECT,
         "knn_rect": Q.SQL_KNN_RECT,
         "knn_points": Q.SQL_KNN_POINTS,

@@ -3238,6 +3238,42 @@ def q_multimodal_audio(sf_dir: str):
     return out
 
 
+def q_multimodal_video(sf_dir: str):
+    """Video modality: frame-sampling plumbing (every-10th-frame index
+    explosion per media row — the schema/layout a real decoder slots
+    into; stages/multimodal.frame_sample_batch). The multimodal
+    family's first HARD oracle: the index arithmetic is exactly
+    mirrorable in SQL (generate_series), so the plumbing itself is
+    value-checked, not just row-counted."""
+    import ray.data as rd
+
+    from ..stages.multimodal import frame_sample_batch
+
+    def synth(b: pa.Table) -> pa.Table:
+        mid = b["id"].to_numpy()
+        return pa.table({
+            "media_id": pa.array(mid, pa.int64()),
+            "n_frames": pa.array(30 + (mid * 7919) % 270, pa.int64()),
+        })
+
+    media = rd.range(512).map_batches(synth, batch_format="pyarrow")
+    frames = media.map_batches(frame_sample_batch, batch_format="pyarrow")
+    return frames.map_batches(
+        lambda b: pa.table({
+            "media_id": b["media_id"],
+            "frame_idx": b["frame_idx"].cast(pa.int64()),
+        }), batch_format="pyarrow")
+
+
+SQL_MULTIMODAL_VIDEO = """
+WITH m AS (SELECT i AS media_id, 30 + (i * 7919) % 270 AS n_frames
+           FROM generate_series(0, 511) t(i))
+SELECT media_id,
+       unnest(generate_series(0, n_frames - 1, 10)) AS frame_idx
+FROM m
+"""
+
+
 def _pages_for(sf_dir: str):
     """Deterministic pages table derived from the sf (cached in /tmp)."""
     from ..sources.pages import materialize_pages_parquet
