@@ -144,10 +144,11 @@ def _distributed_components(edges_ds, num_partitions: int, max_rounds: int = 64)
         return pa.table({"u": pa.array(u, pa.int64()),
                          "lab": pa.array(u, pa.int64())})
 
-    labels = (
+    from ..util import drop_empty_blocks
+
+    labels = drop_empty_blocks(
         sym.map_batches(init_labels, batch_format="pyarrow")
         .groupby("u").aggregate(agg.Min("lab", alias_name="lab"))
-        .materialize()
     )
     prev_sum = labels.sum("lab")
 
@@ -163,10 +164,9 @@ def _distributed_components(edges_ds, num_partitions: int, max_rounds: int = 64)
         cand = hop.map_batches(
             lambda b: pa.table({"u": b["u"], "lab": b["lab_v"]}),
             batch_format="pyarrow").union(labels)
-        labels = (
+        labels = drop_empty_blocks(
             cand.map_batches(_partial_min("u", "lab"), batch_format="pyarrow")
             .groupby("u").aggregate(agg.Min("lab", alias_name="lab"))
-            .materialize()
         )
         # pointer jump: lab''(u) = lab(lab(u)). Every label value IS a
         # node (labels start as node ids and only take mins of node
@@ -176,8 +176,6 @@ def _distributed_components(edges_ds, num_partitions: int, max_rounds: int = 64)
             batch_format="pyarrow")
         jump = labels.join(lab_of_lab, join_type="inner", on=("lab",),
                            num_partitions=num_partitions)
-        from ..util import drop_empty_blocks
-
         # jump output feeds next round's hop join — sanitize (metadata
         # scan on an already-needed materialize, see util)
         labels = drop_empty_blocks(jump.map_batches(
@@ -190,11 +188,7 @@ def _distributed_components(edges_ds, num_partitions: int, max_rounds: int = 64)
     else:
         raise RuntimeError("connected components did not converge")
 
-    from ..util import drop_empty_blocks
-
-    # the last jump join can leave schemaless empty blocks that would
-    # poison the caller's sizes join — strip them (metadata-only)
-    return drop_empty_blocks(labels).map_batches(
+    return labels.map_batches(
         lambda b: b.rename_columns(["doc_id", "cluster_id"]),
         batch_format="pyarrow")
 
