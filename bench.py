@@ -179,6 +179,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("zorder_partition_bounds", Q.q_zorder_partition_bounds)
     timed("dedup_clusters", Q.q_dedup_clusters)
     timed("hotspot_clusters", Q.q_hotspot_clusters)
+    timed("corpus_prep", Q.q_corpus_prep)
     timed("pricing_cube", Q.q_pricing_cube)
     timed("quantile_sketch_prices", Q.q_quantile_sketch_prices)
     timed("pages_tile_topk", lambda d: densest_tiles(

@@ -3238,6 +3238,112 @@ def q_multimodal_audio(sf_dir: str):
     return out
 
 
+def q_corpus_prep(sf_dir: str):
+    """END-TO-END training-data prep — the LLM-pipeline stages CHAINED
+    and SQL-checked as one flow: per-doc stats (quality score, content
+    md5, whitespace token count) in ONE fused pass → quality filter
+    (≥ 0.5; scores are 6-dp-rounded identically on both sides, so the
+    threshold compare is exact) → EXACT dedup (groupby content_md5,
+    min-aggregates — duplicate texts have identical stats, so min is
+    'the keeper's row'; the lang of a cross-lang duplicate is the
+    lexicographic min, a documented rule the oracle mirrors) →
+    NEAR-DUP cluster dedup (drop non-canonical members of the LSH
+    cluster closure, broadcast o(corpus) dropped set) → per-lang
+    survivor stats. Quality aggregates as exact int64 MICRO-units
+    (float sums are order-dependent; int sums aren't)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min, Sum
+
+    from ..stages.cc import dedup_clusters
+    from ..stages.dedup import md5_column
+    from ..stages.textstats import QualityScore
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+
+    quality = QualityScore()
+
+    def stats(b: pa.Table) -> pa.Table:
+        b = quality(b)
+        b = md5_column(b)
+        toks = pc.split_pattern_regex(
+            pc.cast(b["text"], pa.string()), pattern="[ \t\n\r\f\v]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy()
+        flat = toks.flatten()
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        didx = np.repeat(np.arange(len(b)), np.diff(offs))
+        n_tokens = np.bincount(didx[nonempty], minlength=len(b))
+        qv = b["quality"].to_numpy()
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "lang": b["lang"],
+            "content_md5": b["content_md5"],
+            "n_tokens": pa.array(n_tokens.astype(np.int64), pa.int64()),
+            "quality": b["quality"],
+            "q_micros": pa.array(np.round(qv * 1_000_000).astype(np.int64),
+                                 pa.int64()),
+        })
+
+    filt = ds.map_batches(stats, batch_format="pyarrow").filter(
+        lambda row: row["quality"] >= 0.5)
+
+    ex = filt.groupby("content_md5").aggregate(
+        Min("doc_id", alias_name="doc_id"),
+        Min("lang", alias_name="lang"),
+        Min("n_tokens", alias_name="n_tokens"),
+        Min("q_micros", alias_name="q_micros"),
+    )
+
+    comp = dedup_clusters(_neardup_pairs(sf_dir), with_sizes=False)
+    dropped = comp.map_batches(
+        lambda b: b.filter(pc.not_equal(b["doc_id"], b["cluster_id"]))
+                   .select(["doc_id"]),
+        batch_format="pyarrow")
+    drop_ids = np.sort(np.concatenate(
+        [b["doc_id"].to_numpy() for b in
+         dropped.iter_batches(batch_format="pyarrow")] or
+        [np.empty(0, np.int64)]))
+    drop_ref = ray.put(drop_ids)
+
+    def survivors(b: pa.Table) -> pa.Table:
+        dead = ray.get(drop_ref)
+        return b.filter(pa.array(~np.isin(b["doc_id"].to_numpy(), dead)))
+
+    surv = ex.map_batches(survivors, batch_format="pyarrow")
+    return surv.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_tokens", alias_name="total_tokens"),
+        Sum("q_micros", alias_name="quality_micros"),
+    )
+
+
+def _sql_corpus_prep() -> str:
+    # the cc closure CTEs + the quality query as a nested-WITH CTE
+    return _CC_CTES + r""",
+q AS (""" + _sql_quality() + r"""),
+stats AS (
+  SELECT d.doc_id, d.lang, md5(d.text) AS content_md5,
+         len(list_filter(string_split_regex(d.text, '[ \t\n\r\f\v]+'),
+                         x -> x <> '')) AS n_tokens,
+         q.quality,
+         CAST(round(q.quality * 1000000) AS BIGINT) AS q_micros
+  FROM documents d JOIN q USING (doc_id)),
+filt AS (SELECT * FROM stats WHERE quality >= 0.5),
+ex AS (SELECT min(doc_id) AS doc_id, min(lang) AS lang,
+              min(n_tokens) AS n_tokens, min(q_micros) AS q_micros
+       FROM filt GROUP BY content_md5),
+surv AS (SELECT * FROM ex WHERE doc_id NOT IN
+         (SELECT doc_id FROM comp WHERE doc_id <> cluster_id))
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(q_micros) AS BIGINT) AS quality_micros
+FROM surv GROUP BY lang
+"""
+
+
 def q_multimodal_video(sf_dir: str):
     """Video modality: frame-sampling plumbing (every-10th-frame index
     explosion per media row — the schema/layout a real decoder slots
