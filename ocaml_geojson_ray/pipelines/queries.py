@@ -3287,8 +3287,9 @@ def q_corpus_prep(sf_dir: str):
                                  pa.int64()),
         })
 
-    filt = ds.map_batches(stats, batch_format="pyarrow").filter(
-        lambda row: row["quality"] >= 0.5)
+    filt = ds.map_batches(stats, batch_format="pyarrow").map_batches(
+        lambda b: b.filter(pc.greater_equal(b["quality"], 0.5)),
+        batch_format="pyarrow")
 
     ex = filt.groupby("content_md5").aggregate(
         Min("doc_id", alias_name="doc_id"),
