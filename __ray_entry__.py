@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": Q.q_dedup_clusters,
         "dedup_survivors": Q.q_dedup_survivors,
         "corpus_prep": Q.q_corpus_prep,
+        "train_split_stats": Q.q_train_split_stats,
+        "kmeans_embeddings": Q.q_kmeans_embeddings,
         "top_words": Q.q_top_words,
         "tfidf_top_terms": Q.q_tfidf_top_terms,
         "segment_price_quantiles": Q.q_segment_price_quantiles,
@@ -155,6 +157,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": Q.SQL_DEDUP_CLUSTERS,
         "dedup_survivors": Q.SQL_DEDUP_SURVIVORS,
         "corpus_prep": Q._sql_corpus_prep(),
+        "train_split_stats": Q.SQL_TRAIN_SPLIT_STATS,
         "top_words": Q.SQL_TOP_WORDS,
         "tfidf_top_terms": Q.SQL_TFIDF_TOP_TERMS,
         "segment_price_quantiles": Q.SQL_SEGMENT_PRICE_QUANTILES,

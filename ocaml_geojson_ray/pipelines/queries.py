@@ -3238,6 +3238,80 @@ def q_multimodal_audio(sf_dir: str):
     return out
 
 
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed k-means over the embedding column (Lloyd's,
+    stages/kmeans.py): centroids broadcast per iteration, matmul
+    distance kernel, per-centroid partials funneled — nothing
+    corpus-sized moves. Rows-only, but SELF-CHECKING on Lloyd's
+    invariant: per-iteration inertia must be NON-INCREASING (a
+    deterministic guarantee of the algorithm, not a tolerance), so a
+    broken assignment or update step fails loudly."""
+    import ray.data as rd
+
+    from ..stages.kmeans import kmeans_assign_sizes, kmeans_fit
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    centroids, inertias = kmeans_fit(ds, k=16, iters=4)
+    for a, b in zip(inertias, inertias[1:]):
+        assert b <= a + 1e-6, f"Lloyd's inertia increased: {inertias}"
+    return kmeans_assign_sizes(ds, centroids)
+
+
+def q_train_split_stats(sf_dir: str):
+    """Deterministic stratified train/val/test split (the stable
+    eval-split pattern at corpus scale): bucket = first 8 hex digits
+    of md5(doc_id) mod 100 → train <80, val <90, test otherwise; the
+    doc's key decides its split FOREVER regardless of corpus growth
+    (the property random sampling lacks). Output: per-(lang, split)
+    counts. Embarrassingly parallel + one bounded-key combine;
+    SQL-checked (the md5-hex parse mirrors rolling_fingerprints')."""
+    import ray.data as rd
+
+    from ..util import grouped_sum_combine
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = b["doc_id"].to_pylist()
+        buckets = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+             for i in ids), dtype=np.int64, count=len(ids))
+        split = np.where(buckets < 80, "train",
+                         np.where(buckets < 90, "val", "test"))
+        lang = np.asarray(b["lang"].to_pylist(), dtype=object)
+        key = np.asarray([l + "\x1f" + s for l, s in zip(lang, split)],
+                         dtype=object)
+        uk, cnt = np.unique(key, return_counts=True)
+        pairs = [s.split("\x1f") for s in uk.tolist()]
+        return pa.table({
+            "lang": pa.array([p[0] for p in pairs], pa.string()),
+            "split": pa.array([p[1] for p in pairs], pa.string()),
+            "partial": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    return grouped_sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "split"], "partial", "n_docs")
+
+
+SQL_TRAIN_SPLIT_STATS = """
+WITH b AS (
+  SELECT lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+           AS bucket
+  FROM documents)
+SELECT lang,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM b GROUP BY lang, split
+"""
+
+
 def q_corpus_prep(sf_dir: str):
     """END-TO-END training-data prep — the LLM-pipeline stages CHAINED
     and SQL-checked as one flow: per-doc stats (quality score, content

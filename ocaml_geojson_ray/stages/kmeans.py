@@ -1,0 +1,125 @@
+"""Distributed k-means (Lloyd's algorithm) over an embedding column.
+
+The clustering step of a training-data pipeline (and the proper
+version of the IVF coarse quantizer in ann.py, which uses a one-shot
+driver sample): centroids are o(input) and broadcast ONCE per
+iteration (`ray.put`); each batch computes assignments with one
+matmul-based distance kernel and reduces to per-centroid partial
+(vector-sum, count, inertia) — k·dim floats per block — which funnel
+to a tiny combine; the driver only averages k vectors. Nothing
+corpus-sized leaves the workers; iterations are O(iters) passes over
+a streaming Dataset.
+
+Determinism: init is the first k rows in vec_id order (a fixed,
+documented seed set); argmin ties break to the lowest centroid index.
+Lloyd's guarantee — inertia is non-increasing per iteration — is the
+self-check hook (asserted by the query and pinned in tests).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _dists_sq(v: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """(n,k) squared euclidean distances via the expansion trick —
+    one matmul instead of an (n,k,d) broadcast."""
+    # ||v-c||² = ||v||² - 2 v·c + ||c||²
+    vv = (v * v).sum(axis=1, keepdims=True)
+    cc = (c * c).sum(axis=1)
+    d = vv - 2.0 * (v @ c.T) + cc[None, :]
+    np.maximum(d, 0.0, out=d)  # numerical floor
+    return d
+
+
+def kmeans_fit(ds, vec_col: str = "embedding", k: int = 16,
+               iters: int = 5):
+    """→ (centroids (k,d), inertia_per_iter list). ``ds`` must have a
+    fixed-length list<float> column; it is scanned ``iters`` times."""
+    import ray
+
+    first = ds.take(k)
+    centroids = np.asarray([r[vec_col] for r in first], dtype=np.float64)
+    inertias = []
+
+    for _ in range(iters):
+        ref = ray.put(centroids)
+
+        def partial(b: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            v = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
+            d = _dists_sq(v, c)
+            a = d.argmin(axis=1)
+            kk, dim = c.shape
+            sums = np.zeros((kk, dim), np.float64)
+            np.add.at(sums, a, v)
+            cnt = np.bincount(a, minlength=kk).astype(np.int64)
+            inert = float(d[np.arange(len(v)), a].sum())
+            return pa.table({
+                "cid": pa.array(np.arange(kk), pa.int64()),
+                "vsum": pa.array(sums.tolist(),
+                                 pa.list_(pa.float64())),
+                "cnt": pa.array(cnt, pa.int64()),
+                "inertia": pa.array(np.full(kk, inert / kk), pa.float64()),
+            })
+
+        def combine(b: pa.Table) -> pa.Table:
+            cid = b["cid"].to_numpy()
+            cnt = b["cnt"].to_numpy()
+            vs = np.asarray(b["vsum"].to_pylist(), dtype=np.float64)
+            inert = b["inertia"].to_numpy()
+            kk = int(cid.max()) + 1 if len(cid) else 0
+            sums = np.zeros((kk, vs.shape[1]), np.float64)
+            np.add.at(sums, cid, vs)
+            counts = np.zeros(kk, np.int64)
+            np.add.at(counts, cid, cnt)
+            return pa.table({
+                "cid": pa.array(np.arange(kk), pa.int64()),
+                "vsum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+                "cnt": pa.array(counts, pa.int64()),
+                "inertia": pa.array(
+                    np.full(kk, float(inert.sum()) / max(kk, 1)),
+                    pa.float64()),
+            })
+
+        rows = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(combine, batch_format="pyarrow")
+            .take_all()
+        )
+        counts = np.array([r["cnt"] for r in rows], dtype=np.float64)
+        sums = np.asarray([r["vsum"] for r in rows], dtype=np.float64)
+        inertias.append(float(sum(r["inertia"] for r in rows)))
+        nonempty = counts > 0
+        centroids = centroids.copy()
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+
+    return centroids, inertias
+
+
+def kmeans_assign_sizes(ds, centroids: np.ndarray,
+                        vec_col: str = "embedding"):
+    """Final per-cluster sizes: broadcast centroids, per-batch partial
+    counts, tiny combine → Dataset(cluster_id, size)."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    ref = ray.put(centroids)
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        v = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
+        a = _dists_sq(v, c).argmin(axis=1)
+        cnt = np.bincount(a, minlength=len(c))
+        nz = cnt > 0
+        return pa.table({
+            "cluster_id": pa.array(np.flatnonzero(nz), pa.int64()),
+            "partial": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+        })
+
+    return grouped_sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["cluster_id"], "partial", "size")

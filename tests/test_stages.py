@@ -803,3 +803,29 @@ def test_kll_deterministic_given_seed():
     b = KLL(128, seed=7).add_batch(data)
     assert a.quantile(0.5) == b.quantile(0.5)
     assert all(np.array_equal(x, y) for x, y in zip(a.levels, b.levels))
+
+
+def test_kmeans_inertia_monotone_and_partition(ray_session):
+    import ray.data as rd
+
+    from ocaml_geojson_ray.stages.kmeans import kmeans_assign_sizes, kmeans_fit
+
+    rng = np.random.default_rng(23)
+    # three well-separated blobs
+    blobs = np.concatenate([
+        rng.normal(0, 0.1, (60, 8)),
+        rng.normal(5, 0.1, (60, 8)),
+        rng.normal(-5, 0.1, (60, 8)),
+    ])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(180), pa.int64()),
+        "embedding": pa.array(blobs.tolist(), pa.list_(pa.float64())),
+    }))
+    cents, inertias = kmeans_fit(ds, k=3, iters=5)
+    for a, b in zip(inertias, inertias[1:]):
+        assert b <= a + 1e-9
+    # converged centroids sit on the blob means
+    means = sorted(round(float(c[0])) for c in cents)
+    assert means == [-5, 0, 5]
+    sizes = kmeans_assign_sizes(ds, cents).to_pandas()
+    assert sorted(sizes["size"].tolist()) == [60, 60, 60]
