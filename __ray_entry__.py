@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": Q.q_events_window,
         "watermark_window": Q.q_watermark_window,
         "session_windows": Q.q_session_windows,
+        "cohort_retention": Q.q_cohort_retention,
         "sliding_windows": Q.q_sliding_windows,
         "distinct_langs": Q.q_distinct_langs,
         "union_sources": Q.q_union_sources,
@@ -130,6 +131,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window": Q.SQL_EVENTS_WINDOW,
         "watermark_window": Q.SQL_WATERMARK_WINDOW,
         "session_windows": Q.SQL_SESSION_WINDOWS,
+        "cohort_retention": Q.SQL_COHORT_RETENTION,
         "sliding_windows": Q.SQL_SLIDING_WINDOWS,
         "distinct_langs": Q.SQL_DISTINCT_LANGS,
         "union_sources": Q.SQL_UNION_SOURCES,

@@ -1427,6 +1427,89 @@ GROUP BY e.event_id
 """
 
 
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention (the classic product-analytics matrix): cohort
+    = a user's FIRST event day; for each (cohort_day, day_offset),
+    the number of cohort users active that day. Physical shape: pass 1
+    pre-aggregates to distinct (user, day) pairs map-side, then
+    groupby(user) yields first days; the per-user first-day table is
+    o(users) and broadcasts (ray.put) — pass 2 re-scans the distinct
+    pairs, attaches the cohort via a sorted lookup, and funnels
+    bounded-key (cohort, offset) partial counts. Two passes, one tiny
+    groupby, no corpus-sized shuffle. SQL-checked (min() OVER user +
+    date arithmetic, all integer days)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from ..util import grouped_sum_combine
+
+    DAY = 86400 * 1_000_000
+
+    nb = max(4, int(ray.cluster_resources().get("CPU", 4)) // 4)
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"],
+                         override_num_blocks=nb)
+
+    def user_days(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy()
+        d = b["ts"].cast(pa.int64()).to_numpy() // DAY
+        # packed 1-D key (user < 2^31, day < 2^32): ~10× np.unique(axis=1)
+        uk = np.unique(u * (1 << 32) + d)
+        return pa.table({
+            "user_id": pa.array(uk >> 32, pa.int64()),
+            "day": pa.array(uk & ((1 << 32) - 1), pa.int64()),
+        })
+
+    from ray.data.aggregate import Count
+
+    # per-batch unique is a PARTIAL dedup only — one groupby makes the
+    # (user, day) pairs globally distinct (o(users × active days) keys)
+    pairs = (
+        ds.map_batches(user_days, batch_format="pyarrow")
+        .groupby(["user_id", "day"]).aggregate(Count(alias_name="_c"))
+        .map_batches(lambda b: b.select(["user_id", "day"]),
+                     batch_format="pyarrow")
+        .materialize()
+    )
+    firsts = pairs.groupby("user_id").aggregate(
+        Min("day", alias_name="first_day")).materialize()
+    ft = pa.concat_tables(ray.get(firsts.to_arrow_refs()))
+    fu = ft["user_id"].to_numpy()
+    fd = ft["first_day"].to_numpy()
+    order = np.argsort(fu)
+    first_ref = ray.put((fu[order], fd[order]))
+
+    def offsets(b: pa.Table) -> pa.Table:
+        users_sorted, first_days = ray.get(first_ref)
+        u = b["user_id"].to_numpy()
+        d = b["day"].to_numpy()
+        cohort = first_days[np.searchsorted(users_sorted, u)]
+        off = d - cohort  # ≥ 0 by construction
+        uk, cnt = np.unique(cohort * (1 << 32) + off, return_counts=True)
+        return pa.table({
+            "cohort_day": pa.array(uk >> 32, pa.int64()),
+            "day_offset": pa.array(uk & ((1 << 32) - 1), pa.int64()),
+            "partial": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    return grouped_sum_combine(
+        pairs.map_batches(offsets, batch_format="pyarrow"),
+        ["cohort_day", "day_offset"], "partial", "n_users")
+
+
+SQL_COHORT_RETENTION = """
+WITH ud AS (SELECT DISTINCT user_id,
+                   epoch_us(ts) // 86400000000 AS day FROM events),
+f AS (SELECT user_id, day,
+             min(day) OVER (PARTITION BY user_id) AS cohort_day
+      FROM ud)
+SELECT cohort_day, day - cohort_day AS day_offset,
+       count(*) AS n_users
+FROM f GROUP BY cohort_day, day_offset
+"""
+
+
 def q_union_sources(sf_dir: str):
     """Set op: union of two disjoint slices reassembles the table
     (Dataset.union), proven by per-lang counts matching the whole."""
