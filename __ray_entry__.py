@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "watermark_window": Q.q_watermark_window,
         "session_windows": Q.q_session_windows,
         "cohort_retention": Q.q_cohort_retention,
+        "funnel_steps": Q.q_funnel_steps,
         "sliding_windows": Q.q_sliding_windows,
         "distinct_langs": Q.q_distinct_langs,
         "union_sources": Q.q_union_sources,
@@ -132,6 +133,7 @@ def oracle_sql() -> dict[str, str]:
         "watermark_window": Q.SQL_WATERMARK_WINDOW,
         "session_windows": Q.SQL_SESSION_WINDOWS,
         "cohort_retention": Q.SQL_COHORT_RETENTION,
+        "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "sliding_windows": Q.SQL_SLIDING_WINDOWS,
         "distinct_langs": Q.SQL_DISTINCT_LANGS,
         "union_sources": Q.SQL_UNION_SOURCES,

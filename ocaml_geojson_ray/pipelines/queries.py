@@ -1510,6 +1510,86 @@ FROM f GROUP BY cohort_day, day_offset
 """
 
 
+def q_funnel_steps(sf_dir: str):
+    """Ordered-sequence funnel (view → click → purchase, strictly
+    increasing timestamps): n_users reaching each step, where step k's
+    anchor is the EARLIEST qualifying event after the step-(k−1)
+    anchor (the standard greedy rule — earliest-anchor maximizes
+    downstream matches, so it equals 'exists an increasing
+    subsequence'). Physical shape: one column-pruned scan per step;
+    the funnel-relevant events shuffle ONCE on user_id (pre-filtered
+    to the step types map-side) and each user group resolves its three
+    anchors with vectorized mask/min scans; per-group step flags
+    reduce through a global Sum. One sort-backed shuffle total (the
+    first cut ran one groupby per step — 3× the shuffle machinery for
+    the same answer). SQL-checked."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    nb = max(4, int(ray.cluster_resources().get("CPU", 4)) // 4)
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"],
+                         override_num_blocks=nb)
+
+    def pre(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"],
+                        value_set=pa.array(["view", "click", "purchase"]))
+        t = b.filter(keep)
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts_us": t["ts"].cast(pa.int64()),
+            "event_type": t["event_type"],
+        })
+
+    def funnel(g: pa.Table) -> pa.Table:
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        views = ts[et == "view"]
+        s1 = s2 = s3 = 0
+        if len(views):
+            s1 = 1
+            t1 = views.min()
+            clicks = ts[(et == "click") & (ts > t1)]
+            if len(clicks):
+                s2 = 1
+                t2 = clicks.min()
+                if ((et == "purchase") & (ts > t2)).any():
+                    s3 = 1
+        return pa.table({
+            "s1": pa.array([s1], pa.int64()),
+            "s2": pa.array([s2], pa.int64()),
+            "s3": pa.array([s3], pa.int64()),
+        })
+
+    flags = ds.map_batches(pre, batch_format="pyarrow") \
+        .groupby("user_id").map_groups(funnel, batch_format="pyarrow")
+    row = flags.aggregate(Sum("s1", alias_name="s1"),
+                          Sum("s2", alias_name="s2"),
+                          Sum("s3", alias_name="s3"))
+    return pa.table({
+        "step": pa.array([1, 2, 3], pa.int64()),
+        "n_users": pa.array([row["s1"], row["s2"], row["s3"]], pa.int64()),
+    })
+
+
+SQL_FUNNEL_STEPS = """
+WITH t1 AS (SELECT user_id, min(ts) AS ts1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (SELECT e.user_id, min(e.ts) AS ts2 FROM events e
+       JOIN t1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > t1.ts1
+       GROUP BY e.user_id),
+t3 AS (SELECT e.user_id, min(e.ts) AS ts3 FROM events e
+       JOIN t2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+       GROUP BY e.user_id)
+SELECT CAST(1 AS BIGINT) AS step, (SELECT count(*) FROM t1) AS n_users
+UNION ALL SELECT 2, (SELECT count(*) FROM t2)
+UNION ALL SELECT 3, (SELECT count(*) FROM t3)
+"""
+
+
 def q_union_sources(sf_dir: str):
     """Set op: union of two disjoint slices reassembles the table
     (Dataset.union), proven by per-lang counts matching the whole."""
