@@ -284,18 +284,23 @@ class AudioFeatures:
 
 def frame_sample_batch(batch: pa.Table, every: int = 10) -> pa.Table:
     """Video frame-sampling plumbing: one row per sampled frame index
-    (the decode itself would live in an actor like DecodeImage)."""
-    ids = batch["media_id"].to_pylist()
-    n_frames = batch["n_frames"].to_pylist() if "n_frames" in batch.column_names \
-        else [30] * len(batch)
-    out_id, out_frame = [], []
-    for mid, nf in zip(ids, n_frames):
-        for f in range(0, int(nf), every):
-            out_id.append(mid)
-            out_frame.append(f)
+    (the decode itself would live in an actor like DecodeImage).
+    Vectorized ragged explode: per-row sample counts → np.repeat ids +
+    a reset-at-boundary cumulative index (no per-frame Python)."""
+    ids = np.asarray(batch["media_id"].to_pylist(), dtype=np.int64)
+    if "n_frames" in batch.column_names:
+        nf = batch["n_frames"].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        nf = np.full(len(batch), 30, dtype=np.int64)
+    counts = np.maximum(0, -(-nf // every))  # ceil(nf / every)
+    out_id = np.repeat(ids, counts)
+    idx = np.arange(counts.sum(), dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    within = idx - np.repeat(starts, counts)
     return pa.table(
         {
             "media_id": pa.array(out_id, pa.int64()),
-            "frame_idx": pa.array(out_frame, pa.int32()),
+            "frame_idx": pa.array((within * every).astype(np.int32),
+                                  pa.int32()),
         }
     )
