@@ -2552,36 +2552,34 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def grams_batch(b: pa.Table) -> pa.Table:
-        import hashlib
-        import struct
+        # the MinHash pipeline's fully vectorized shingle kernel
+        # (Arrow whitespace split + flat polynomial hash + rolling
+        # window mix — dedup._shingles_batch, same definitional
+        # tokenizer as the SQL oracle); the 64-bit shingle hash is the
+        # int64 gram key — engine-internal only (the oracle joins gram
+        # STRINGS), distinctness w.h.p. (collision odds ~|grams|²/2⁶⁴,
+        # the same budget the previous md5 key carried). Distinct
+        # (doc, gram) pairs via one lexsort-unique — no per-gram
+        # Python, no memo dict.
+        from ..stages.dedup import _shingles_batch
 
-        from ..stages.dedup import ngram_tokens
-
-        ids = b["doc_id"].to_pylist()
-        texts = b["text"].to_pylist()
-        out_id, out_g = [], []
-        memo: dict = {}
-        for d, t in zip(ids, texts):
-            # explicit ASCII-class tokenizer — definitional parity with
-            # the SQL oracle's string_split_regex (see dedup.ngram_tokens)
-            words = ngram_tokens(t)
-            if len(words) < 3:
-                grams = {" ".join(words)} if words else set()
-            else:
-                grams = {" ".join(words[i:i + 3]) for i in range(len(words) - 2)}
-            for g in grams:
-                # int64 gram key: an 8-byte join/shuffle key instead of
-                # a ~20-byte string (collision odds ~|grams|²/2⁶⁴)
-                h = memo.get(g)
-                if h is None:
-                    h = struct.unpack(
-                        "<q", hashlib.md5(g.encode("utf-8")).digest()[:8])[0]
-                    memo[g] = h
-                out_id.append(d)
-                out_g.append(h)
+        texts = pc.cast(b["text"], pa.string()).combine_chunks()
+        flat, sizes = _shingles_batch(texts, 3)
+        didx = np.repeat(np.arange(len(b)), sizes)
+        g = flat.view(np.int64)
+        if len(didx):
+            order = np.lexsort((g, didx))
+            d, h = didx[order], g[order]
+            keep = np.concatenate(
+                [[True], (d[1:] != d[:-1]) | (h[1:] != h[:-1])])
+            d, h = d[keep], h[keep]
+        else:
+            d = np.empty(0, np.int64)
+            h = np.empty(0, np.int64)
+        ids = b["doc_id"].to_numpy()
         return pa.table({
-            "doc_id": pa.array(out_id, pa.int64()),
-            "gram": pa.array(out_g, pa.int64()),
+            "doc_id": pa.array(ids[d], pa.int64()),
+            "gram": pa.array(h, pa.int64()),
         })
 
     grams = ds.map_batches(grams_batch, batch_format="pyarrow").materialize()
