@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": Q.q_tfidf_top_terms,
         "segment_price_quantiles": Q.q_segment_price_quantiles,
         "embedding_neardups": Q.q_embedding_neardups,
+        "embedding_clusters": Q.q_embedding_clusters,
         "ivf_ann": Q.q_ivf_ann,
         "multimodal_features": Q.q_multimodal_features,
         "multimodal_audio": Q.q_multimodal_audio,

@@ -3189,6 +3189,35 @@ def q_embedding_neardups(sf_dir: str):
     return rd.from_items(found)
 
 
+def q_embedding_clusters(sf_dir: str):
+    """CC clustering over the EMBEDDING near-dup pairs — the same
+    capstone composition as dedup_clusters, over the other pair family
+    (shows the closure operator is family-agnostic). Rows-only with a
+    planted-truth self-check: every found planted pair (vec_id,
+    vec_id + offset) must land in the SAME cluster — transitivity is
+    exactly what the closure adds, so this checks the composition, not
+    just the parts."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.cc import dedup_clusters
+    from ..stages.dedup import embedding_neardup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    aug = ds.map_batches(plant_neardup_batch, batch_format="pyarrow")
+    pairs = embedding_neardup_pairs(aug, threshold=0.9)
+    out = dedup_clusters(pairs).materialize()
+    label = {r["doc_id"]: r["cluster_id"] for r in out.take_all()}
+    found = pairs.take_all()
+    for r in found:
+        assert label[r["a_id"]] == label[r["b_id"]], \
+            (r["a_id"], r["b_id"])
+    return out.map_batches(
+        lambda b: b.rename_columns(["vec_id", "cluster_id", "cluster_size"]),
+        batch_format="pyarrow")
+
+
 def q_embedding_neardups_exact(sf_dir: str):
     """Exact blocked all-pairs cosine ≥ 0.4: the comparison matrix is
     broadcast once; each batch computes its row-block against all
