@@ -201,12 +201,23 @@ def dedup_clusters(pairs_ds, a_col: str = "a_id", b_col: str = "b_id",
     on the measured edge count (see module docstring)."""
     import ray
 
+    import ray.data as rd
+
     edges = pairs_ds.map_batches(
         lambda b, a=a_col, bb=b_col: pa.table(
             {"u": b[a].cast(pa.int64()), "v": b[bb].cast(pa.int64())}),
         batch_format="pyarrow").materialize()
 
-    if edges.count() <= funnel_rows:
+    n_edges = edges.count()
+    if n_edges == 0:
+        # typed empty: Ray strips schemas from empty blocks (they
+        # bypass map UDFs), so build the empty result directly
+        cols = {"doc_id": pa.array([], pa.int64()),
+                "cluster_id": pa.array([], pa.int64())}
+        if with_sizes:
+            cols["cluster_size"] = pa.array([], pa.int64())
+        return rd.from_arrow(pa.table(cols))
+    if n_edges <= funnel_rows:
         return _funnel_components(edges, with_sizes=with_sizes)
 
     ncpu = int(ray.cluster_resources().get("CPU", 4))
