@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": Q.q_session_windows,
         "cohort_retention": Q.q_cohort_retention,
         "funnel_steps": Q.q_funnel_steps,
+        "running_totals": Q.q_running_totals,
         "sliding_windows": Q.q_sliding_windows,
         "distinct_langs": Q.q_distinct_langs,
         "union_sources": Q.q_union_sources,
@@ -135,6 +136,7 @@ def oracle_sql() -> dict[str, str]:
         "session_windows": Q.SQL_SESSION_WINDOWS,
         "cohort_retention": Q.SQL_COHORT_RETENTION,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
+        "running_totals": Q.SQL_RUNNING_TOTALS,
         "sliding_windows": Q.SQL_SLIDING_WINDOWS,
         "distinct_langs": Q.SQL_DISTINCT_LANGS,
         "union_sources": Q.SQL_UNION_SOURCES,

@@ -1427,6 +1427,56 @@ GROUP BY e.event_id
 """
 
 
+def q_running_totals(sf_dir: str):
+    """Per-user running total (the canonical ordered window function,
+    sum() OVER (PARTITION BY user ORDER BY ts)): ONE key shuffle, each
+    group sorts by (ts, event_id) — the explicit secondary key makes
+    tied timestamps deterministic on both sides — and cumsums exact
+    int64 cents. Same physical contract as session windows (per-user
+    volume bounds the group)."""
+    import ray
+    import ray.data as rd
+
+    nb = max(4, int(ray.cluster_resources().get("CPU", 4)) // 4)
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"],
+                         override_num_blocks=nb)
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+            "cents": pa.array(
+                np.round(b["value"].to_numpy(zero_copy_only=False) * 100)
+                .astype(np.int64), pa.int64()),
+        })
+
+    def scan(g: pa.Table) -> pa.Table:
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        run = np.cumsum(cents[order])
+        return pa.table({
+            "event_id": pa.array(eid[order], pa.int64()),
+            "running_cents": pa.array(run.astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(pre, batch_format="pyarrow") \
+        .groupby("user_id").map_groups(scan, batch_format="pyarrow")
+
+
+SQL_RUNNING_TOTALS = """
+SELECT event_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS running_cents
+FROM events
+"""
+
+
 def q_cohort_retention(sf_dir: str):
     """Cohort retention (the classic product-analytics matrix): cohort
     = a user's FIRST event day; for each (cohort_day, day_offset),
