@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Relational breadth
         "pricing_summary": Q.q_pricing_summary,
         "pricing_cube": Q.q_pricing_cube,
+        "revenue_per_nation": Q.q_revenue_per_nation,
         "top_orders": Q.q_top_orders,
         "segment_order_stats": Q.q_segment_order_stats,
         "nation_region": Q.q_nation_region,
@@ -128,6 +129,7 @@ def oracle_sql() -> dict[str, str]:
         "polygon_measures": Q.SQL_POLYGON_MEASURES,
         "pricing_summary": Q.SQL_PRICING_SUMMARY,
         "pricing_cube": Q.SQL_PRICING_CUBE,
+        "revenue_per_nation": Q.SQL_REVENUE_PER_NATION,
         "top_orders": Q.SQL_TOP_ORDERS,
         "segment_order_stats": Q.SQL_SEGMENT_ORDER_STATS,
         "nation_region": Q.SQL_NATION_REGION,

@@ -951,6 +951,91 @@ FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
 """
 
 
+def q_revenue_per_nation(sf_dir: str):
+    """TPC-H-Q5-shaped star join: lineitem ⋈ orders ⋈ customer ⋈
+    nation → discounted revenue per nation. Physical plan by side
+    SIZE: the one genuinely-large join (lineitem ⋈ orders on orderkey)
+    is a hash shuffle; customer and nation are dimension tables —
+    broadcast ONCE as sorted int arrays and probed with searchsorted
+    inside the same batch kernel (a shuffle join for a 25-row nation
+    table would be machinery for its own sake; SCALE.md broadcast
+    rule). Revenue in int64 MICRO-cents: price·(1−disc) on the cent
+    grid × discount grid (2 decimals) is exact in 10^-4 cents, so the
+    sum is order-independent and the oracle derivation identical."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    nb = max(4, ncpu // 4)
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        override_num_blocks=nb)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        override_num_blocks=nb)
+
+    def li_pre(b: pa.Table) -> pa.Table:
+        price_c = np.round(b["l_extendedprice"].to_numpy() * 100)
+        disc_c = np.round(b["l_discount"].to_numpy() * 100)
+        micro = (price_c * (100 - disc_c)).astype(np.int64) * 100
+        return pa.table({
+            "o_orderkey": b["l_orderkey"],
+            "rev_micro": pa.array(micro, pa.int64()),
+        })
+
+    j = li.map_batches(li_pre, batch_format="pyarrow").join(
+        orders, join_type="inner", on=("o_orderkey",),
+        num_partitions=max(2, ncpu // 4))
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust["c_custkey"].to_numpy()
+    cn = cust["c_nationkey"].to_numpy()
+    o = np.argsort(ck)
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nk = nat["n_nationkey"].to_numpy()
+    nn = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+    no = np.argsort(nk)
+    dim_ref = ray.put((ck[o], cn[o], nk[no], nn[no]))
+
+    def attach_partial(b: pa.Table) -> pa.Table:
+        ck_s, cn_s, nk_s, nn_s = ray.get(dim_ref)
+        cust_k = b["o_custkey"].to_numpy()
+        nkey = cn_s[np.searchsorted(ck_s, cust_k)]
+        nidx = np.searchsorted(nk_s, nkey)
+        rev = b["rev_micro"].to_numpy()
+        sums = np.zeros(len(nk_s), np.int64)
+        np.add.at(sums, nidx, rev)
+        nz = sums != 0
+        return pa.table({
+            "n_name": pa.array(nn_s[nz].tolist(), pa.string()),
+            "partial": pa.array(sums[nz], pa.int64()),
+        })
+
+    from ..util import grouped_sum_combine
+
+    return grouped_sum_combine(
+        j.map_batches(attach_partial, batch_format="pyarrow"),
+        ["n_name"], "partial", "revenue_micro")
+
+
+SQL_REVENUE_PER_NATION = """
+SELECT n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                * 100) AS BIGINT) AS revenue_micro
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
 def q_top_orders(sf_dir: str):
     """Global sort + top-k (N11)."""
     import ray.data as rd
