@@ -182,6 +182,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("corpus_prep", Q.q_corpus_prep)
     timed("cohort_retention", Q.q_cohort_retention)
     timed("funnel_steps", Q.q_funnel_steps)
+    timed("running_totals", Q.q_running_totals)
+    timed("revenue_per_nation", Q.q_revenue_per_nation)
     timed("pricing_cube", Q.q_pricing_cube)
     timed("quantile_sketch_prices", Q.q_quantile_sketch_prices)
     timed("pages_tile_topk", lambda d: densest_tiles(
