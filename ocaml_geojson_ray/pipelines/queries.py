@@ -3697,16 +3697,31 @@ def q_corpus_prep(sf_dir: str):
         Min("q_micros", alias_name="q_micros"),
     )
 
-    comp = dedup_clusters(_neardup_pairs(sf_dir), with_sizes=False)
-    dropped = comp.map_batches(
-        lambda b: b.filter(pc.not_equal(b["doc_id"], b["cluster_id"]))
-                   .select(["doc_id"]),
-        batch_format="pyarrow")
-    drop_ids = np.sort(np.concatenate(
-        [b["doc_id"].to_numpy() for b in
-         dropped.iter_batches(batch_format="pyarrow")] or
-        [np.empty(0, np.int64)]))
-    drop_ref = ray.put(drop_ids)
+    # The near-dup closure (LSH → verify → CC) and the stats/exact-
+    # dedup arm are INDEPENDENT until the final survivor filter — run
+    # the closure on a thread so its driver-side barriers (LSH joins,
+    # CC rounds) overlap the stats scan + md5 groupby instead of
+    # serializing after them (measured ~1.5 s of the chain's wall).
+    import threading
+
+    drop_box: dict = {}
+
+    def compute_dropped():
+        comp = dedup_clusters(_neardup_pairs(sf_dir), with_sizes=False)
+        dropped = comp.map_batches(
+            lambda b: b.filter(pc.not_equal(b["doc_id"], b["cluster_id"]))
+                       .select(["doc_id"]),
+            batch_format="pyarrow")
+        drop_box["ids"] = np.sort(np.concatenate(
+            [b["doc_id"].to_numpy() for b in
+             dropped.iter_batches(batch_format="pyarrow")] or
+            [np.empty(0, np.int64)]))
+
+    th = threading.Thread(target=compute_dropped)
+    th.start()
+    ex = ex.materialize()
+    th.join()
+    drop_ref = ray.put(drop_box["ids"])
 
     def survivors(b: pa.Table) -> pa.Table:
         dead = ray.get(drop_ref)
