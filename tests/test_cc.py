@@ -137,3 +137,29 @@ def test_empty_pairs_typed_output(ray_session):
     # quirk), so downstream-visible schema is the contract here
     assert out.schema().names == ["doc_id", "cluster_id", "cluster_size"]
     assert out.count() == 0
+
+
+def test_plans_agree_on_real_neardup_pairs(ray_session):
+    """Funnel vs distributed closure over the REAL LSH pair pipeline
+    (sf0.001 documents) — the synthetic-graph equality, re-pinned on
+    production-shaped input."""
+    import ray.data as rd
+
+    from ocaml_geojson_ray.stages.dedup import (
+        minhash_lsh_candidates,
+        verify_pairs_distributed,
+    )
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    pairs = verify_pairs_distributed(
+        minhash_lsh_candidates(ds, bands=32, rows=4), ds,
+        threshold=0.5).materialize()
+    assert pairs.count() > 0
+    funnel = dedup_clusters(pairs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    dist = dedup_clusters(pairs, funnel_rows=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert funnel[["doc_id", "cluster_id"]].equals(
+        dist[["doc_id", "cluster_id"]])
+    assert funnel["cluster_size"].tolist() == dist["cluster_size"].tolist()
