@@ -90,6 +90,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": Q.q_dedup_clusters,
         "dedup_survivors": Q.q_dedup_survivors,
         "corpus_prep": Q.q_corpus_prep,
+        "decontaminate": Q.q_decontaminate,
+        "pii_redaction": Q.q_pii_redaction,
+        "repetition_stats": Q.q_repetition_stats,
         "train_split_stats": Q.q_train_split_stats,
         "kmeans_embeddings": Q.q_kmeans_embeddings,
         "top_words": Q.q_top_words,
@@ -166,6 +169,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": Q.SQL_DEDUP_CLUSTERS,
         "dedup_survivors": Q.SQL_DEDUP_SURVIVORS,
         "corpus_prep": Q._sql_corpus_prep(),
+        "decontaminate": Q.SQL_DECONTAMINATE,
+        "pii_redaction": Q.SQL_PII_REDACTION,
+        "repetition_stats": Q.SQL_REPETITION_STATS,
         "train_split_stats": Q.SQL_TRAIN_SPLIT_STATS,
         "top_words": Q.SQL_TOP_WORDS,
         "tfidf_top_terms": Q.SQL_TFIDF_TOP_TERMS,

@@ -4016,3 +4016,125 @@ FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
 GROUP BY lang
 """
+
+
+# -- corpus curation (decontamination / PII / repetition) -------------------
+
+# Decontamination gram size and eval-slice rule, shared by engine and
+# oracle. k=8 word-grams is the Lee-et-al-style window; the eval slice
+# is every 7th doc (a synthetic stand-in for a benchmark suite).
+DECON_K = 8
+DECON_MOD = 7
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: for every TRAIN doc, the number of
+    distinct word-8-grams it shares with the EVAL slice
+    (doc_id % 7 == 0); only contaminated docs are emitted. The eval
+    gram set is broadcast once (ray.put) — a benchmark suite is MBs by
+    construction — and membership is one np.isin per batch; the gram
+    kernel is the MinHash shingle pass (stages/curation.py). No
+    shuffle anywhere: read → eval-gram scan → flag scan."""
+    import ray
+
+    from ..stages.curation import contamination_counts, eval_gram_batches
+
+    ds = _read_split(sf_dir, "documents", ["doc_id", "text"])
+    ev_parts = [
+        b["gram"].to_numpy()
+        for b in eval_gram_batches(ds, DECON_K, DECON_MOD)
+        .iter_batches(batch_format="pyarrow")
+    ]
+    ev = np.unique(np.concatenate(ev_parts)) if ev_parts else \
+        np.empty(0, np.int64)
+    ev_ref = ray.put(ev)
+    return contamination_counts(ds, ev_ref, DECON_K, DECON_MOD)
+
+
+SQL_DECONTAMINATE = r"""
+WITH w AS (SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'), x -> x <> '') AS ws
+       FROM documents),
+gl AS (SELECT doc_id, CASE WHEN len(ws) >= 8
+         THEN [array_to_string(ws[i:i+7], ' ') for i in generate_series(1, len(ws)-7)]
+         WHEN len(ws) >= 1 THEN [array_to_string(ws, ' ')]
+         ELSE [] END AS grams FROM w),
+g AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, unnest(grams) AS gram FROM gl)),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0)
+SELECT g.doc_id, count(*) AS n_shared
+FROM g JOIN ev USING (gram)
+WHERE g.doc_id % 7 <> 0
+GROUP BY g.doc_id
+"""
+
+
+def q_pii_redaction(sf_dir: str):
+    """PII scrub over deterministically PLANTED emails/phones (the
+    synthetic corpus has none; the planting derivation is mirrored
+    verbatim in the oracle's aug CTE, so what is compared is the
+    redaction itself). Vectorized Arrow RE2 count+replace kernels —
+    the same regex engine DuckDB uses, so match semantics are
+    definitionally identical. Stateless map, no shuffle."""
+    from ..stages.curation import redact_pii
+
+    ds = _read_split(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return ds.map_batches(redact_pii, batch_format="pyarrow")
+
+
+SQL_PII_REDACTION = r"""
+WITH aug AS (SELECT doc_id, lang,
+         text
+         || CASE WHEN doc_id % 7 = 0
+              THEN ' contact user' || doc_id || '@example.com now'
+              ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+              THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' soon'
+              ELSE '' END AS t
+       FROM documents),
+red AS (SELECT doc_id, lang,
+         len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::BIGINT AS n_email,
+         regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS r1
+       FROM aug),
+red2 AS (SELECT doc_id, lang, n_email,
+         len(regexp_extract_all(r1, '\b555-[0-9]{4}\b'))::BIGINT AS n_phone,
+         regexp_replace(r1, '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS r2
+       FROM red)
+SELECT doc_id, lang, n_email, n_phone, len(r2)::BIGINT AS red_len
+FROM red2 WHERE n_email + n_phone > 0
+"""
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition metrics per doc (duplicate-word
+    fraction, top-2-gram fraction, flag at the documented thresholds).
+    One vectorized pass (lexsort + reduceat over flat hash arrays), no
+    shuffle; fractions rounded to 6 before the threshold compare on
+    BOTH sides."""
+    from ..stages.curation import repetition_stats
+
+    ds = _read_split(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(repetition_stats, batch_format="pyarrow")
+
+
+SQL_REPETITION_STATS = r"""
+WITH w AS (SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'), x -> x <> '') AS ws
+       FROM documents WHERE len(list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'), x -> x <> '')) >= 1),
+tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+st AS (SELECT doc_id, count(*) AS n_tokens,
+              count(DISTINCT word) AS n_distinct FROM tok GROUP BY doc_id),
+g2l AS (SELECT doc_id, CASE WHEN len(ws) >= 2
+         THEN [array_to_string(ws[i:i+1], ' ') for i in generate_series(1, len(ws)-1)]
+         ELSE [array_to_string(ws, ' ')] END AS grams FROM w),
+g2 AS (SELECT doc_id, gram, count(*) AS c
+       FROM (SELECT doc_id, unnest(grams) AS gram FROM g2l) GROUP BY doc_id, gram),
+m AS (SELECT doc_id, max(c) AS max_2gram FROM g2 GROUP BY doc_id),
+j AS (SELECT st.doc_id, st.n_tokens, st.n_distinct,
+             round(1.0 - st.n_distinct::DOUBLE / st.n_tokens, 6) AS dup_word_frac,
+             m.max_2gram,
+             round(2.0 * m.max_2gram / st.n_tokens, 6) AS top2_frac
+      FROM st JOIN m ON st.doc_id = m.doc_id)
+SELECT doc_id, n_tokens, n_distinct, dup_word_frac, max_2gram, top2_frac,
+       (dup_word_frac >= 0.3 OR top2_frac >= 0.2) AS flagged
+FROM j
+"""

@@ -1,0 +1,239 @@
+"""Corpus-curation stages for training-data pipelines: benchmark
+decontamination (Lee et al.-style n-gram overlap against an eval set),
+PII redaction (vectorized RE2 kernels — the same regex engine DuckDB
+uses, so oracle parity is definitional), and Gopher-style repetition
+statistics (duplicate-word / top-2-gram fractions).
+
+Scale notes (100 TB framing):
+- Decontamination broadcasts the EVAL gram set, not the corpus: a
+  benchmark suite is MBs by construction (the thing you decontaminate
+  against is a fixed eval set, not another corpus slice), so
+  ``ray.put`` once + ``np.isin`` per batch is the standard plan. If
+  the eval side ever grows corpus-sized, flip to the inverted-index
+  join plan (queries.q_ngram_jaccard_pairs shape) — same gram kernel.
+- PII redaction is a stateless vectorized map (Arrow RE2 kernels run
+  in C++ over the whole column); no actor state needed, no shuffle.
+- Repetition stats are one pass, no shuffle: per-doc token/2-gram
+  multiplicities from lexsort + reduceat over flat hash arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .dedup import _hash_string_array, _shingles_batch
+
+# PII patterns shared by the engine (Arrow/RE2) and the DuckDB oracle
+# (also RE2). ASCII classes only — \b is RE2's ASCII word boundary in
+# both. Keep these in sync with queries.SQL_PII_REDACTION.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+def distinct_doc_grams(batch: pa.Table, k: int,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> tuple[np.ndarray, np.ndarray]:
+    """→ (doc row index int64, distinct gram hash int64) for a batch:
+    the MinHash shingle kernel (one vectorized pass) followed by one
+    lexsort-unique for per-doc distinctness. Same per-doc semantics as
+    the SQL gl CTE: >=k words → windows, 1..k-1 words → one combined
+    gram, empty → none."""
+    texts = pc.cast(batch[text_col], pa.string())
+    flat, sizes = _shingles_batch(texts, k)
+    didx = np.repeat(np.arange(len(batch)), sizes)
+    g = flat.view(np.int64)
+    if len(didx):
+        order = np.lexsort((g, didx))
+        d, h = didx[order], g[order]
+        keep = np.concatenate([[True], (d[1:] != d[:-1]) | (h[1:] != h[:-1])])
+        return d[keep], h[keep]
+    return np.empty(0, np.int64), np.empty(0, np.int64)
+
+
+def eval_gram_batches(ds, k: int, modulus: int,
+                      id_col: str = "doc_id", text_col: str = "text"):
+    """Distinct gram hashes of the eval slice (doc_id % modulus == 0)
+    as a Dataset of one-column batches (per-batch np.unique bounds the
+    driver transfer when the caller collects)."""
+    def fn(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy()
+        sub = b.filter(pa.array(ids % modulus == 0))
+        _, h = distinct_doc_grams(sub, k, id_col, text_col)
+        return pa.table({"gram": pa.array(np.unique(h), pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def contamination_counts(ds, eval_grams_ref, k: int, modulus: int,
+                         id_col: str = "doc_id", text_col: str = "text"):
+    """Per TRAIN doc (doc_id % modulus != 0): count of distinct k-grams
+    shared with the broadcast eval gram set; only contaminated docs
+    (count > 0) are emitted. One streaming pass, no shuffle."""
+    import ray
+
+    def fn(b: pa.Table) -> pa.Table:
+        ev = ray.get(eval_grams_ref)  # per-process cache via Ray's
+        # in-process object store (ray.get of a put ref is zero-copy
+        # for numpy); nothing re-ships per batch
+        ids = b[id_col].to_numpy()
+        sub = b.filter(pa.array(ids % modulus != 0))
+        d, h = distinct_doc_grams(sub, k, id_col, text_col)
+        hit = np.isin(h, ev)
+        if len(d):
+            starts = np.flatnonzero(
+                np.concatenate([[True], d[1:] != d[:-1]]))
+            cnt = np.add.reduceat(
+                np.concatenate([hit.astype(np.int64), [0]]), starts)[
+                : len(starts)]
+            docs = d[starts]
+        else:
+            cnt = np.empty(0, np.int64)
+            docs = np.empty(0, np.int64)
+        keep = cnt > 0
+        sub_ids = sub[id_col].to_numpy()
+        return pa.table({
+            "doc_id": pa.array(sub_ids[docs[keep]], pa.int64()),
+            "n_shared": pa.array(cnt[keep], pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def plant_pii(batch: pa.Table, id_col: str = "doc_id",
+              text_col: str = "text") -> pa.ChunkedArray:
+    """Deterministic PII augmentation (the synthetic corpus carries no
+    real PII): doc_id % 7 == 0 gets an email appended, % 11 == 0 a
+    phone; % 77 == 0 gets both. Mirrored verbatim by the oracle's aug
+    CTE — the derivation is part of the query definition on BOTH
+    sides, so redaction correctness is what's actually compared."""
+    ids = batch[id_col]
+    text = pc.cast(batch[text_col], pa.string())
+    ids_str = pc.cast(ids, pa.string())
+    n = len(batch)
+    # " contact user<id>@example.com now" / " call 555-<dddd> soon"
+    email_sfx = pc.binary_join_element_wise(
+        pa.array([" contact user"] * n), ids_str,
+        pa.array(["@example.com now"] * n), "")
+    pd4 = pc.ascii_lpad(
+        pa.array((ids.to_numpy() % 10000).astype(str)), 4, "0")
+    phone_sfx = pc.binary_join_element_wise(
+        pa.array([" call 555-"] * n), pd4,
+        pa.array([" soon"] * n), "")
+    ids_np = ids.to_numpy()
+    em = pa.array(ids_np % 7 == 0)
+    ph = pa.array(ids_np % 11 == 0)
+    return pc.binary_join_element_wise(
+        text,
+        pc.if_else(em, email_sfx, ""),
+        pc.if_else(ph, phone_sfx, ""),
+        "")
+
+
+def redact_pii(batch: pa.Table, id_col: str = "doc_id",
+               text_col: str = "text", lang_col: str = "lang") -> pa.Table:
+    """Vectorized PII redaction over the planted column: RE2 count +
+    replace kernels (C++, whole-column), output only docs that had PII.
+    Columns: doc_id, lang, n_email, n_phone, red_len (length of the
+    fully redacted text)."""
+    aug = plant_pii(batch, id_col, text_col)
+    n_email = pc.count_substring_regex(aug, EMAIL_RE)
+    red = pc.replace_substring_regex(aug, EMAIL_RE, "<EMAIL>")
+    n_phone = pc.count_substring_regex(red, PHONE_RE)
+    red = pc.replace_substring_regex(red, PHONE_RE, "<PHONE>")
+    total = pc.add(n_email, n_phone)
+    keep = pc.greater(total, 0)
+    t = pa.table({
+        "doc_id": pc.cast(batch[id_col], pa.int64()),
+        "lang": pc.cast(batch[lang_col], pa.string()),
+        "n_email": pc.cast(n_email, pa.int64()),
+        "n_phone": pc.cast(n_phone, pa.int64()),
+        "red_len": pc.cast(pc.utf8_length(red), pa.int64()),
+    })
+    return t.filter(keep)
+
+
+def repetition_stats(batch: pa.Table, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     dup_threshold: float = 0.3,
+                     top2_threshold: float = 0.2) -> pa.Table:
+    """Gopher-style per-doc repetition metrics, one vectorized pass:
+    n_tokens, n_distinct (distinct words), dup_word_frac =
+    round(1 - n_distinct/n_tokens, 6), max_2gram (highest 2-gram
+    multiplicity), top2_frac = round(2*max_2gram/n_tokens, 6), and
+    flagged = dup_word_frac >= dup_threshold OR top2_frac >=
+    top2_threshold (thresholds compared on the ROUNDED values so the
+    oracle's comparison is bit-identical). Docs with zero tokens are
+    dropped (no meaningful fractions). Word/2-gram identity is by
+    64-bit hash — same w.h.p. collision budget as the dedup family."""
+    texts = pc.cast(batch[text_col], pa.string()).combine_chunks()
+    texts = pc.fill_null(texts, "")
+    words = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts))
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    woffs = np.asarray(words.offsets).astype(np.int64)
+    flat = words.values
+    wh, wlen = _hash_string_array(flat)
+    cnt = np.diff(woffs)
+    if len(flat):
+        empty_tok = wlen == 0
+        first_tok = np.minimum(woffs[:-1], len(flat) - 1)
+        cnt = np.where((cnt == 1) & empty_tok[first_tok], 0, cnt)
+
+    n = len(batch)
+    didx = np.repeat(np.arange(n), cnt)
+    h = _gather_words(wh, woffs, cnt).view(np.int64)
+
+    # distinct words per doc
+    n_distinct = np.zeros(n, dtype=np.int64)
+    if len(didx):
+        order = np.lexsort((h, didx))
+        d, hh = didx[order], h[order]
+        uniq = np.concatenate([[True], (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])])
+        np.add.at(n_distinct, d[uniq], 1)
+
+    # 2-gram max multiplicity per doc (shingle kernel, k=2, NOT distinct)
+    g2, sizes2 = _shingles_batch(texts, 2)
+    d2 = np.repeat(np.arange(n), sizes2)
+    max2 = np.zeros(n, dtype=np.int64)
+    if len(d2):
+        g2v = g2.view(np.int64)
+        order = np.lexsort((g2v, d2))
+        dd, gg = d2[order], g2v[order]
+        run_start = np.concatenate(
+            [[True], (dd[1:] != dd[:-1]) | (gg[1:] != gg[:-1])])
+        starts = np.flatnonzero(run_start)
+        runlen = np.diff(np.concatenate([starts, [len(dd)]]))
+        rd = dd[starts]
+        np.maximum.at(max2, rd, runlen)
+
+    tokens = cnt.astype(np.int64)
+    keep = tokens > 0
+    tk = tokens[keep].astype(np.float64)
+    dup = np.round(1.0 - n_distinct[keep] / tk, 6)
+    top2 = np.round(2.0 * max2[keep] / tk, 6)
+    flagged = (dup >= dup_threshold) | (top2 >= top2_threshold)
+    ids = pc.cast(batch[id_col], pa.int64()).to_numpy()
+    return pa.table({
+        "doc_id": pa.array(ids[keep], pa.int64()),
+        "n_tokens": pa.array(tokens[keep], pa.int64()),
+        "n_distinct": pa.array(n_distinct[keep], pa.int64()),
+        "dup_word_frac": pa.array(dup, pa.float64()),
+        "max_2gram": pa.array(max2[keep], pa.int64()),
+        "top2_frac": pa.array(top2, pa.float64()),
+        "flagged": pa.array(flagged),
+    })
+
+
+def _gather_words(wh: np.ndarray, woffs: np.ndarray,
+                  cnt: np.ndarray) -> np.ndarray:
+    """Flat word hashes restricted to the first cnt[i] slots of each
+    doc's word range (cnt may be zeroed for empty-token docs)."""
+    total = int(cnt.sum())
+    if not total:
+        return np.empty(0, np.uint64)
+    rep = np.repeat(np.arange(len(cnt)), cnt)
+    local = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt)
+    return wh[woffs[rep] + local]

@@ -829,3 +829,85 @@ def test_kmeans_inertia_monotone_and_partition(ray_session):
     assert means == [-5, 0, 5]
     sizes = kmeans_assign_sizes(ds, cents).to_pandas()
     assert sorted(sizes["size"].tolist()) == [60, 60, 60]
+
+
+def test_curation_repetition_stats_hand_computed():
+    from ocaml_geojson_ray.stages.curation import repetition_stats
+
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": [
+            "a a a a",          # 4 tokens, 1 distinct, max 2-gram "a a" x3
+            "w x y z",          # all distinct, every 2-gram unique
+            "   ",              # whitespace-only -> dropped
+            "solo",             # 1 token; 2-gram kernel emits combined gram
+        ],
+    })
+    out = repetition_stats(batch)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert set(rows) == {1, 2, 4}
+    r1 = rows[1]
+    assert (r1["n_tokens"], r1["n_distinct"], r1["max_2gram"]) == (4, 1, 3)
+    assert r1["dup_word_frac"] == 0.75 and r1["flagged"]
+    r2 = rows[2]
+    assert (r2["n_distinct"], r2["max_2gram"]) == (4, 1)
+    assert r2["dup_word_frac"] == 0.0 and r2["top2_frac"] == 0.5
+    r4 = rows[4]
+    assert (r4["n_tokens"], r4["n_distinct"]) == (1, 1)
+
+
+def test_curation_pii_redaction_plants_and_redacts():
+    from ocaml_geojson_ray.stages.curation import redact_pii
+
+    batch = pa.table({
+        "doc_id": pa.array([77, 7, 11, 5], pa.int64()),
+        "lang": ["en"] * 4,
+        "text": ["base text"] * 4,
+    })
+    out = {r["doc_id"]: r for r in redact_pii(batch).to_pylist()}
+    assert set(out) == {77, 7, 11}          # 5 has no planted PII
+    assert (out[77]["n_email"], out[77]["n_phone"]) == (1, 1)
+    assert (out[7]["n_email"], out[7]["n_phone"]) == (1, 0)
+    assert (out[11]["n_email"], out[11]["n_phone"]) == (0, 1)
+    # redacted length: "base text" + " contact <EMAIL> now" etc.
+    assert out[7]["red_len"] == len("base text contact <EMAIL> now")
+    assert out[11]["red_len"] == len("base text call <PHONE> soon")
+
+
+def test_curation_decontamination_counts(ray_session):
+    import ray
+    import ray.data as rd
+
+    from ocaml_geojson_ray.stages.curation import (
+        contamination_counts, eval_gram_batches)
+
+    k, mod = 3, 7
+    eval_text = "one two three four five"          # doc 0 (eval: 0 % 7 == 0)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": [
+            eval_text,
+            "zz one two three yy",   # shares gram "one two three"
+            "totally different words here",
+            "three four five and more trailing",  # shares "three four five"
+        ],
+    }))
+    parts = [b["gram"].to_numpy() for b in
+             eval_gram_batches(ds, k, mod).iter_batches(batch_format="pyarrow")]
+    ev = np.unique(np.concatenate(parts))
+    assert len(ev) == 3                      # 5 words -> 3 trigrams
+    out = contamination_counts(ds, ray.put(ev), k, mod)
+    rows = {r["doc_id"]: r["n_shared"] for r in out.take_all()}
+    assert rows == {1: 1, 3: 1}
+
+    # short doc (< k words) uses the combined-gram rule on both sides
+    ds2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": ["tiny doc", "tiny doc"],
+    }))
+    parts2 = [b["gram"].to_numpy() for b in
+              eval_gram_batches(ds2, k, mod).iter_batches(batch_format="pyarrow")]
+    ev2 = np.unique(np.concatenate(parts2))
+    rows2 = {r["doc_id"]: r["n_shared"]
+             for r in contamination_counts(ds2, ray.put(ev2), k, mod).take_all()}
+    assert rows2 == {1: 1}
