@@ -186,6 +186,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("revenue_per_nation", Q.q_revenue_per_nation)
     timed("pricing_cube", Q.q_pricing_cube)
     timed("quantile_sketch_prices", Q.q_quantile_sketch_prices)
+    timed("decontaminate", Q.q_decontaminate)
+    timed("pii_redaction", Q.q_pii_redaction)
+    timed("repetition_stats", Q.q_repetition_stats)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
