@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": Q.q_decontaminate,
         "pii_redaction": Q.q_pii_redaction,
         "repetition_stats": Q.q_repetition_stats,
+        "span_dedup": Q.q_span_dedup,
         "train_split_stats": Q.q_train_split_stats,
         "kmeans_embeddings": Q.q_kmeans_embeddings,
         "top_words": Q.q_top_words,
@@ -172,6 +173,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": Q.SQL_DECONTAMINATE,
         "pii_redaction": Q.SQL_PII_REDACTION,
         "repetition_stats": Q.SQL_REPETITION_STATS,
+        "span_dedup": Q.SQL_SPAN_DEDUP,
         "train_split_stats": Q.SQL_TRAIN_SPLIT_STATS,
         "top_words": Q.SQL_TOP_WORDS,
         "tfidf_top_terms": Q.SQL_TFIDF_TOP_TERMS,

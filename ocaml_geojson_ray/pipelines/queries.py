@@ -4138,3 +4138,43 @@ SELECT doc_id, n_tokens, n_distinct, dup_word_frac, max_2gram, top2_frac,
        (dup_word_frac >= 0.3 OR top2_frac >= 0.2) AS flagged
 FROM j
 """
+
+
+def q_span_dedup(sf_dir: str):
+    """C4-style span-level exact dedup accounting (6th dedup family
+    member, at sub-document granularity): every doc that loses at
+    least one fixed-width word span (W=15, trailing partial span
+    included) to global keep-first dedup, with its span counts.
+    Winner of a span content = smallest (doc_id, span_idx). Plans and
+    scale notes in stages/dedup.py:span_dedup_stats (funnel plan at
+    this scale; groupby+join plan above 2M span rows — equality
+    pinned in tests)."""
+    from ..stages.dedup import span_dedup_stats
+
+    ds = _read_split(sf_dir, "documents", ["doc_id", "text"])
+    return span_dedup_stats(ds)
+
+
+SQL_SPAN_DEDUP = r"""
+WITH w AS (SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'), x -> x <> '') AS ws
+       FROM documents),
+spl AS (SELECT doc_id,
+         [{'span_idx': i - 1,
+           'span': array_to_string(ws[(i-1)*15+1 : i*15], ' ')}
+          for i in generate_series(1, (len(ws) + 14) // 15)] AS sps
+        FROM w WHERE len(ws) >= 1),
+sp AS (SELECT doc_id, u.span_idx AS span_idx, u.span AS span
+       FROM (SELECT doc_id, unnest(sps) AS u FROM spl)),
+win AS (SELECT span, min(doc_id * 1048576 + span_idx) AS wp
+        FROM sp GROUP BY span),
+per AS (SELECT sp.doc_id,
+          count(*)::BIGINT AS n_spans,
+          sum(CASE WHEN sp.doc_id * 1048576 + sp.span_idx = win.wp
+              THEN 0 ELSE 1 END)::BIGINT AS dup_spans
+        FROM sp JOIN win ON sp.span = win.span
+        GROUP BY sp.doc_id)
+SELECT doc_id, n_spans, dup_spans,
+       (n_spans - dup_spans)::BIGINT AS kept_spans
+FROM per WHERE dup_spans > 0
+"""

@@ -911,3 +911,40 @@ def test_curation_decontamination_counts(ray_session):
     rows2 = {r["doc_id"]: r["n_shared"]
              for r in contamination_counts(ds2, ray.put(ev2), k, mod).take_all()}
     assert rows2 == {1: 1}
+
+
+def test_span_dedup_hand_computed():
+    from ocaml_geojson_ray.stages.dedup import (
+        _span_rows_batch, _span_stats_table)
+
+    b = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": [
+            "a b c d e f",      # spans [a b c][d e f] — all winners
+            "a b c x y",        # [a b c] dup of doc1, [x y] kept
+            "a b c a b c d",    # both [a b c] dup, [d] kept
+            "   ",              # no spans
+        ],
+    })
+    rows = _span_rows_batch(b, span_w=3)
+    st = {r["doc_id"]: r for r in _span_stats_table(
+        rows["span_hash"].to_numpy(), rows["packed"].to_numpy(),
+        rows["cnt"].to_numpy(), rows["doc_id"].to_numpy()).to_pylist()}
+    assert set(st) == {2, 3}
+    assert (st[2]["n_spans"], st[2]["dup_spans"], st[2]["kept_spans"]) == (2, 1, 1)
+    assert (st[3]["n_spans"], st[3]["dup_spans"], st[3]["kept_spans"]) == (3, 2, 1)
+
+
+def test_span_dedup_plans_equal(ray_session):
+    import ray.data as rd
+
+    from ocaml_geojson_ray.stages.dedup import span_dedup_stats
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    funnel = sorted(span_dedup_stats(ds).take_all(),
+                    key=lambda r: r["doc_id"])
+    dist = sorted(span_dedup_stats(ds, small_rows=0).take_all(),
+                  key=lambda r: r["doc_id"])
+    assert funnel == dist
+    assert len(funnel) > 0
