@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redaction": Q.q_pii_redaction,
         "repetition_stats": Q.q_repetition_stats,
         "span_dedup": Q.q_span_dedup,
+        "url_domain_stats": Q.q_url_domain_stats,
         "train_split_stats": Q.q_train_split_stats,
         "kmeans_embeddings": Q.q_kmeans_embeddings,
         "top_words": Q.q_top_words,
@@ -174,6 +175,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redaction": Q.SQL_PII_REDACTION,
         "repetition_stats": Q.SQL_REPETITION_STATS,
         "span_dedup": Q.SQL_SPAN_DEDUP,
+        "url_domain_stats": Q.SQL_URL_DOMAIN_STATS,
         "train_split_stats": Q.SQL_TRAIN_SPLIT_STATS,
         "top_words": Q.SQL_TOP_WORDS,
         "tfidf_top_terms": Q.SQL_TFIDF_TOP_TERMS,

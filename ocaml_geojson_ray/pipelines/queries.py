@@ -4178,3 +4178,42 @@ SELECT doc_id, n_spans, dup_spans,
        (n_spans - dup_spans)::BIGINT AS kept_spans
 FROM per WHERE dup_spans > 0
 """
+
+
+def q_url_domain_stats(sf_dir: str):
+    """Webtext URL/domain analysis over deterministically PLANTED URLs
+    (corpus has none; planting mirrored in the oracle's aug CTE):
+    scheme-anchored RE2 domain extraction (vectorized
+    pc.extract_regex), per-batch partial counts, bounded-key funnel
+    combine (≤25 domains by construction — the cell-counts pattern).
+    No shuffle beyond the funnel."""
+    from ..stages.curation import domain_partials
+    from ..util import grouped_sum_combine
+
+    ds = _read_split(sf_dir, "documents", ["doc_id", "text"])
+    partials = ds.map_batches(domain_partials, batch_format="pyarrow")
+    return grouped_sum_combine(
+        partials, ["domain", "tld"], "n", "n_urls")
+
+
+SQL_URL_DOMAIN_STATS = r"""
+WITH aug AS (SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+              THEN ' see https://site' || (doc_id % 20)::VARCHAR
+                   || '.example.com/p/' || doc_id::VARCHAR || ' ok'
+              ELSE '' END
+         || CASE WHEN doc_id % 9 = 0
+              THEN ' via http://mirror' || (doc_id % 5)::VARCHAR
+                   || '.example.org/q/' || doc_id::VARCHAR || ' end'
+              ELSE '' END AS t
+       FROM documents),
+d AS (SELECT regexp_extract(t, 'https://([a-z0-9.-]+)', 1) AS domain
+      FROM aug WHERE regexp_extract(t, 'https://([a-z0-9.-]+)', 1) <> ''
+      UNION ALL
+      SELECT regexp_extract(t, 'http://([a-z0-9.-]+)', 1) AS domain
+      FROM aug WHERE regexp_extract(t, 'http://([a-z0-9.-]+)', 1) <> '')
+SELECT domain, regexp_extract(domain, '\.([a-z]+)$', 1) AS tld,
+       count(*)::BIGINT AS n_urls
+FROM d GROUP BY domain
+"""

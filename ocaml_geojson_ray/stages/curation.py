@@ -237,3 +237,78 @@ def _gather_words(wh: np.ndarray, woffs: np.ndarray,
     local = np.arange(total, dtype=np.int64) - np.repeat(
         np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt)
     return wh[woffs[rep] + local]
+
+
+# URL planting + domain extraction (webtext URL/domain ops). The
+# synthetic corpus carries no URLs, so — like the PII stage — URLs are
+# deterministically planted from doc_id and the planting derivation is
+# mirrored verbatim in the oracle's aug CTE; what is actually compared
+# is the extraction + per-domain aggregation. One URL per scheme per
+# doc by construction, which is what lets the extraction stay on the
+# vectorized single-match RE2 kernel (pc.extract_regex); a general
+# multi-URL corpus would switch to count_substring_regex +
+# split-based explode with the same downstream aggregation.
+HTTPS_DOMAIN_RE = r"https://(?P<h>[a-z0-9.-]+)"
+HTTP_DOMAIN_RE = r"http://(?P<h>[a-z0-9.-]+)"
+
+
+def plant_urls(batch: pa.Table, id_col: str = "doc_id",
+               text_col: str = "text") -> pa.ChunkedArray:
+    """doc_id % 3 == 0 gets an https URL appended, % 9 == 0
+    additionally an http mirror URL (so some docs carry two)."""
+    ids = batch[id_col]
+    text = pc.cast(batch[text_col], pa.string())
+    ids_str = pc.cast(ids, pa.string())
+    ids_np = ids.to_numpy()
+    n = len(batch)
+    site = pc.cast(pa.array(ids_np % 20), pa.string())
+    mirror = pc.cast(pa.array(ids_np % 5), pa.string())
+    https_sfx = pc.binary_join_element_wise(
+        pa.array([" see https://site"] * n), site,
+        pa.array([".example.com/p/"] * n), ids_str,
+        pa.array([" ok"] * n), "")
+    http_sfx = pc.binary_join_element_wise(
+        pa.array([" via http://mirror"] * n), mirror,
+        pa.array([".example.org/q/"] * n), ids_str,
+        pa.array([" end"] * n), "")
+    em = pa.array(ids_np % 3 == 0)
+    ph = pa.array(ids_np % 9 == 0)
+    return pc.binary_join_element_wise(
+        text,
+        pc.if_else(em, https_sfx, ""),
+        pc.if_else(ph, http_sfx, ""),
+        "")
+
+
+def domain_partials(batch: pa.Table, id_col: str = "doc_id",
+                    text_col: str = "text") -> pa.Table:
+    """→ per-batch partial (domain, tld, n_urls) counts from the two
+    scheme-anchored RE2 extraction kernels. Bounded key space (the
+    planting yields ≤25 domains) → the final combine is the funnel."""
+    aug = plant_urls(batch, id_col, text_col)
+    if isinstance(aug, pa.ChunkedArray):
+        aug = aug.combine_chunks()
+    doms = []
+    for pat in (HTTPS_DOMAIN_RE, HTTP_DOMAIN_RE):
+        ex = pc.extract_regex(aug, pat)
+        h = pc.struct_field(ex, "h").drop_null()
+        if len(h):
+            doms.append(h)
+    if not doms:
+        return pa.table({"domain": pa.array([], pa.string()),
+                         "tld": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    flat = pa.concat_arrays([d.combine_chunks() if
+                             isinstance(d, pa.ChunkedArray) else d
+                             for d in doms])
+    enc = flat.dictionary_encode()
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    counts = np.bincount(idx, minlength=len(enc.dictionary))
+    dom = enc.dictionary
+    tld = pc.struct_field(
+        pc.extract_regex(dom, r"\.(?P<t>[a-z]+)$"), "t")
+    return pa.table({
+        "domain": dom,
+        "tld": tld,
+        "n": pa.array(counts.astype(np.int64), pa.int64()),
+    })

@@ -948,3 +948,21 @@ def test_span_dedup_plans_equal(ray_session):
                   key=lambda r: r["doc_id"])
     assert funnel == dist
     assert len(funnel) > 0
+
+
+def test_curation_url_domain_partials():
+    from ocaml_geojson_ray.stages.curation import domain_partials
+
+    b = pa.table({
+        "doc_id": pa.array([9, 3, 1], pa.int64()),
+        "text": ["t"] * 3,
+    })
+    # doc 9: https site9.example.com + http mirror4.example.org
+    # doc 3: https site3.example.com only; doc 1: none
+    out = {(r["domain"], r["tld"]): r["n"]
+           for r in domain_partials(b).to_pylist()}
+    assert out == {
+        ("site9.example.com", "com"): 1,
+        ("site3.example.com", "com"): 1,
+        ("mirror4.example.org", "org"): 1,
+    }
