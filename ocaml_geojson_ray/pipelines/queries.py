@@ -4217,3 +4217,32 @@ SELECT domain, regexp_extract(domain, '\.([a-z]+)$', 1) AS tld,
        count(*)::BIGINT AS n_urls
 FROM d GROUP BY domain
 """
+
+
+def q_shard_packing(sf_dir: str):
+    """Training-shard token packing: the GLOBAL ordered scan
+    (sum() OVER (ORDER BY doc_id), no partition key) — docs packed
+    into consecutive 4096-token shards by exclusive prefix sum;
+    per-shard doc/token stats. Physical plans (two-phase range scan /
+    funnel) in stages/curation.py:shard_packing."""
+    from ..stages.curation import shard_packing
+
+    ds = _read_split(sf_dir, "documents", ["doc_id", "text"])
+    return shard_packing(ds)
+
+
+SQL_SHARD_PACKING = r"""
+WITH w AS (SELECT doc_id,
+        len(list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'),
+                        x -> x <> ''))::BIGINT AS n
+      FROM documents),
+c AS (SELECT doc_id, n,
+        (sum(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n)::BIGINT
+          AS cum_excl
+      FROM w)
+SELECT (cum_excl // 4096)::BIGINT AS shard_id,
+       count(*)::BIGINT AS n_docs,
+       sum(n)::BIGINT AS shard_tokens
+FROM c GROUP BY 1
+"""

@@ -312,3 +312,146 @@ def domain_partials(batch: pa.Table, id_col: str = "doc_id",
         "tld": tld,
         "n": pa.array(counts.astype(np.int64), pa.int64()),
     })
+
+
+def ascii_token_counts(texts) -> np.ndarray:
+    """Definitional token count per doc: ASCII-class split
+    (string_split_regex parity) with empty tokens dropped. int64."""
+    texts = pc.fill_null(pc.cast(texts, pa.string()), "")
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.utf8_trim(texts, " \t\n\r\f\v")
+    words = pc.split_pattern_regex(texts, pattern="[ \t\n\r\f\v]+")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    cnt = np.diff(np.asarray(words.offsets).astype(np.int64))
+    # after the ASCII trim, only a fully-empty doc yields the single
+    # '' token
+    empty = pc.equal(texts, "").to_numpy(zero_copy_only=False)
+    return np.where(empty, 0, cnt).astype(np.int64)
+
+
+def shard_packing(ds, shard_tokens: int = 4096, range_w: int = 4096,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  small_rows: int = 2_000_000):
+    """Token-budget shard packing: assign docs (in doc_id order) to
+    consecutive training shards of ``shard_tokens`` tokens via the
+    GLOBAL exclusive prefix sum shard_id = cum_excl // shard_tokens,
+    and return per-shard (shard_id, n_docs, shard_tokens) stats.
+
+    This is the engine's global ordered-scan operator (sum() OVER
+    (ORDER BY key) with no partition key). Distributed plan — the
+    textbook two-phase scan, but over the KEY RANGE rather than block
+    order so it is deterministic under any partitioning:
+
+      1. per-batch (range = doc_id // range_w, Σ n) partials →
+         bounded-key funnel → driver computes the tiny exclusive
+         per-range offset table (n_docs / range_w entries; a k-way
+         tree combine is the growth path, as grouped_sum_combine
+         documents);
+      2. groupby(range) — each range wholly in one task — in-group
+         sort by doc_id, cumsum + range offset, shard assignment,
+         in-group shard partials;
+      3. bounded-key funnel sums the per-range shard partials (a
+         shard can straddle a range boundary).
+
+    Small plan (token table ≤ ``small_rows`` rows): funnel the
+    2-int-column token table to one task and scan vectorized.
+    Plans pinned equal in tests."""
+    import ray
+
+    def tok(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(b[id_col], pa.int64()),
+            "n": pa.array(ascii_token_counts(b[text_col]), pa.int64()),
+        })
+
+    toks = ds.map_batches(tok, batch_format="pyarrow").materialize()
+
+    def shard_agg(doc_ids, n, cum_excl) -> pa.Table:
+        shard = cum_excl // shard_tokens
+        first = np.flatnonzero(
+            np.concatenate([[True], shard[1:] != shard[:-1]]))
+        return pa.table({
+            "shard_id": pa.array(shard[first], pa.int64()),
+            "n_docs": pa.array(
+                np.diff(np.concatenate([first, [len(shard)]])), pa.int64()),
+            "shard_tokens": pa.array(
+                np.add.reduceat(n, first) if len(n) else
+                np.empty(0, np.int64), pa.int64()),
+        })
+
+    if toks.count() <= small_rows:
+        def full_scan(b: pa.Table) -> pa.Table:
+            d = b["doc_id"].to_numpy()
+            n = b["n"].to_numpy()
+            order = np.argsort(d, kind="stable")
+            d, n = d[order], n[order]
+            cum_excl = np.cumsum(n) - n
+            return shard_agg(d, n, cum_excl)
+
+        return toks.repartition(1).map_batches(
+            full_scan, batch_format="pyarrow")
+
+    from ..util import grouped_sum_combine
+
+    def range_partial(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy()
+        n = b["n"].to_numpy()
+        rng = d // range_w
+        order = np.argsort(rng, kind="stable")
+        rs = rng[order]
+        first = np.flatnonzero(
+            np.concatenate([[True], rs[1:] != rs[:-1]]))
+        return pa.table({
+            "rng": pa.array(rs[first], pa.int64()),
+            "n": pa.array(np.add.reduceat(n[order], first), pa.int64()),
+        })
+
+    totals = grouped_sum_combine(
+        toks.map_batches(range_partial, batch_format="pyarrow"),
+        ["rng"], "n", "rsum").take_all()
+    rngs = np.array([t["rng"] for t in totals], dtype=np.int64)
+    sums = np.array([t["rsum"] for t in totals], dtype=np.int64)
+    order = np.argsort(rngs)
+    rngs, sums = rngs[order], sums[order]
+    offsets = np.cumsum(sums) - sums
+    off_ref = ray.put((rngs, offsets))
+
+    def add_rng(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "rng", pa.array(b["doc_id"].to_numpy() // range_w, pa.int64()))
+
+    def scan_range(g: pa.Table) -> pa.Table:
+        rngs_, offsets_ = ray.get(off_ref)
+        d = g["doc_id"].to_numpy()
+        n = g["n"].to_numpy()
+        order_ = np.argsort(d, kind="stable")
+        d, n = d[order_], n[order_]
+        base = offsets_[np.searchsorted(rngs_, d[0] // range_w)]
+        cum_excl = base + np.cumsum(n) - n
+        return shard_agg(d, n, cum_excl)
+
+    per = toks.map_batches(add_rng, batch_format="pyarrow") \
+        .groupby("rng").map_groups(scan_range, batch_format="pyarrow")
+
+    def shard_combine(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.schema([
+                ("shard_id", pa.int64()), ("n_docs", pa.int64()),
+                ("shard_tokens", pa.int64())]).empty_table()
+        s = b["shard_id"].to_numpy()
+        order_ = np.argsort(s, kind="stable")
+        ss = s[order_]
+        first = np.flatnonzero(
+            np.concatenate([[True], ss[1:] != ss[:-1]]))
+        return pa.table({
+            "shard_id": pa.array(ss[first], pa.int64()),
+            "n_docs": pa.array(np.add.reduceat(
+                b["n_docs"].to_numpy()[order_], first), pa.int64()),
+            "shard_tokens": pa.array(np.add.reduceat(
+                b["shard_tokens"].to_numpy()[order_], first), pa.int64()),
+        })
+
+    return per.repartition(1).map_batches(
+        shard_combine, batch_format="pyarrow")
