@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup": Q.q_span_dedup,
         "url_domain_stats": Q.q_url_domain_stats,
         "shard_packing": Q.q_shard_packing,
+        "source_quota": Q.q_source_quota,
         "train_split_stats": Q.q_train_split_stats,
         "kmeans_embeddings": Q.q_kmeans_embeddings,
         "top_words": Q.q_top_words,
@@ -178,6 +179,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": Q.SQL_SPAN_DEDUP,
         "url_domain_stats": Q.SQL_URL_DOMAIN_STATS,
         "shard_packing": Q.SQL_SHARD_PACKING,
+        "source_quota": Q.SQL_SOURCE_QUOTA,
         "train_split_stats": Q.SQL_TRAIN_SPLIT_STATS,
         "top_words": Q.SQL_TOP_WORDS,
         "tfidf_top_terms": Q.SQL_TFIDF_TOP_TERMS,

@@ -189,6 +189,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("decontaminate", Q.q_decontaminate)
     timed("pii_redaction", Q.q_pii_redaction)
     timed("repetition_stats", Q.q_repetition_stats)
+    timed("span_dedup", Q.q_span_dedup)
+    timed("url_domain_stats", Q.q_url_domain_stats)
+    timed("shard_packing", Q.q_shard_packing)
+    timed("source_quota", Q.q_source_quota)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

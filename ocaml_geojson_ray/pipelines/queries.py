@@ -4246,3 +4246,58 @@ SELECT (cum_excl // 4096)::BIGINT AS shard_id,
        sum(n)::BIGINT AS shard_tokens
 FROM c GROUP BY 1
 """
+
+
+def q_source_quota(sf_dir: str):
+    """Per-source quota capping (C4-style cap-pages-per-site): keep
+    the 30 smallest-doc_id docs per source with their rank — the
+    ranked-window operator (row_number() OVER (PARTITION BY source
+    ORDER BY doc_id)). Physical shape: per-batch partial top-K per
+    source (lexsort + run-limited take, bounded 20 sources × K rows
+    out per batch) → funnel → final rank assignment. No raw-row
+    shuffle: the exchange carries ≤ sources × K rows per batch."""
+    ds = _read_split(sf_dir, "documents", ["doc_id", "source"])
+    K = 30
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        src = b["source"].to_numpy(zero_copy_only=False)
+        d = b["doc_id"].to_numpy()
+        order = np.lexsort((d, src))
+        s_, d_ = src[order], d[order]
+        first = np.concatenate([[True], s_[1:] != s_[:-1]])
+        run_id = np.cumsum(first) - 1
+        starts = np.flatnonzero(first)
+        pos = np.arange(len(d_)) - starts[run_id]
+        keep = pos < K
+        return pa.table({
+            "doc_id": pa.array(d_[keep], pa.int64()),
+            "source": pa.array(s_[keep], pa.string()),
+        })
+
+    def final_rank(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.schema([
+                ("doc_id", pa.int64()), ("source", pa.string()),
+                ("rk", pa.int64())]).empty_table()
+        t = partial_topk(b)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        first = np.concatenate([[True], src[1:] != src[:-1]])
+        starts = np.flatnonzero(first)
+        rk = np.arange(len(src)) - starts[np.cumsum(first) - 1] + 1
+        return t.append_column("rk", pa.array(rk, pa.int64()))
+
+    # batch_size=None: the funnel block may exceed the 1024-row default
+    # batch split (n_blocks x sources*K rows) and rank needs it whole.
+    return ds.map_batches(partial_topk, batch_format="pyarrow") \
+        .repartition(1).map_batches(final_rank, batch_format="pyarrow",
+                                    batch_size=None)
+
+
+SQL_SOURCE_QUOTA = """
+SELECT doc_id, source, rk FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+              AS BIGINT) AS rk
+  FROM documents)
+WHERE rk <= 30
+"""
