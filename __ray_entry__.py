@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": Q.q_cohort_retention,
         "funnel_steps": Q.q_funnel_steps,
         "running_totals": Q.q_running_totals,
+        "event_gaps": Q.q_event_gaps,
         "sliding_windows": Q.q_sliding_windows,
         "distinct_langs": Q.q_distinct_langs,
         "union_sources": Q.q_union_sources,
@@ -146,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": Q.SQL_COHORT_RETENTION,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "running_totals": Q.SQL_RUNNING_TOTALS,
+        "event_gaps": Q.SQL_EVENT_GAPS,
         "sliding_windows": Q.SQL_SLIDING_WINDOWS,
         "distinct_langs": Q.SQL_DISTINCT_LANGS,
         "union_sources": Q.SQL_UNION_SOURCES,

@@ -193,6 +193,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("url_domain_stats", Q.q_url_domain_stats)
     timed("shard_packing", Q.q_shard_packing)
     timed("source_quota", Q.q_source_quota)
+    timed("event_gaps", Q.q_event_gaps)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

@@ -4301,3 +4301,68 @@ SELECT doc_id, source, rk FROM (
   FROM documents)
 WHERE rk <= 30
 """
+
+
+def q_event_gaps(sf_dir: str):
+    """Per-user inter-event gap stats — the lag() window operator
+    (gap = ts - lag(ts) OVER (PARTITION BY user ORDER BY ts,
+    event_id)), reduced per user to count/max/sum/avg. Physical
+    shape: same contract as running_totals — ONE key shuffle, each
+    group lexsorts by (ts, event_id) (deterministic tie-break on both
+    sides) and diffs int64 epoch-microseconds. avg is the single
+    divide of two exact ints (float-parity rule). Single-event users
+    have no gaps and emit nothing."""
+    import ray
+    import ray.data as rd
+
+    nb = max(4, int(ray.cluster_resources().get("CPU", 4)) // 4)
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"],
+                         override_num_blocks=nb)
+
+    schema = pa.schema([
+        ("user_id", pa.int64()), ("n_gaps", pa.int64()),
+        ("max_gap_us", pa.int64()), ("sum_gap_us", pa.int64()),
+        ("avg_gap_us", pa.float64()),
+    ])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+        })
+
+    def gaps(g: pa.Table) -> pa.Table:
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        d = np.diff(ts[np.lexsort((eid, ts))])
+        if len(d) == 0:
+            return schema.empty_table()
+        s = int(d.sum())
+        return pa.table({
+            "user_id": g["user_id"][:1],
+            "n_gaps": pa.array([len(d)], pa.int64()),
+            "max_gap_us": pa.array([int(d.max())], pa.int64()),
+            "sum_gap_us": pa.array([s], pa.int64()),
+            "avg_gap_us": pa.array([float(s) / len(d)], pa.float64()),
+        })
+
+    return ds.map_batches(pre, batch_format="pyarrow") \
+        .groupby("user_id").map_groups(gaps, batch_format="pyarrow")
+
+
+SQL_EVENT_GAPS = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT user_id,
+       CAST(count(gap) AS BIGINT) AS n_gaps,
+       CAST(max(gap) AS BIGINT) AS max_gap_us,
+       CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+       CAST(sum(gap) AS DOUBLE) / count(gap) AS avg_gap_us
+FROM g GROUP BY user_id
+HAVING count(gap) > 0
+"""
