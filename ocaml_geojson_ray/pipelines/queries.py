@@ -1005,9 +1005,14 @@ def q_revenue_per_nation(sf_dir: str):
     def attach_partial(b: pa.Table) -> pa.Table:
         ck_s, cn_s, nk_s, nn_s = ray.get(dim_ref)
         cust_k = b["o_custkey"].to_numpy()
-        nkey = cn_s[np.searchsorted(ck_s, cust_k)]
+        # guarded probe: a custkey absent from customer DROPS (inner-
+        # join semantics, matching the oracle) instead of silently
+        # hitting a neighbor slot or running off the end
+        idx = np.minimum(np.searchsorted(ck_s, cust_k), len(ck_s) - 1)
+        hit = ck_s[idx] == cust_k
+        nkey = cn_s[idx[hit]]
         nidx = np.searchsorted(nk_s, nkey)
-        rev = b["rev_micro"].to_numpy()
+        rev = b["rev_micro"].to_numpy()[hit]
         sums = np.zeros(len(nk_s), np.int64)
         np.add.at(sums, nidx, rev)
         nz = sums != 0
@@ -1978,13 +1983,14 @@ _PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
 def q_event_type_pivot(sf_dir: str):
     """Pivot / crosstab (round 3): one row per user with one count
     column per event_type — the wide-format reshape every analytics
-    pipeline needs. Two-phase: per-batch partial counts on the
-    (user_id, event_type) pair key (arrow group_by) → pair-key groupby
-    → per-user widening over the tiny sums table (n_types rows per
-    group). The type domain is discovered from the data and asserted
-    against the oracle's static column list, so a generator drift
-    fails loudly instead of silently miscounting."""
-    import pandas as pd
+    pipeline needs. The type domain is STATIC (the oracle's column
+    list), so the pivot happens map-side: each batch maps event_type →
+    column index against the sorted domain (an unknown type fails
+    loudly INSIDE the batch fn — no driver scan of a user-cardinality
+    column) and emits one already-wide partial row per distinct user
+    (packed user×type key unique + scatter into an (n_users, n_types)
+    matrix). One groupby(user_id) then sums the 5 count columns — no
+    per-user Python, no pandas, one key shuffle of pre-widened rows."""
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -1992,31 +1998,29 @@ def q_event_type_pivot(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
     )
 
-    def partial(b: pa.Table) -> pa.Table:
-        t = b.group_by(["user_id", "event_type"]).aggregate(
-            [("event_type", "count")]
-        )
-        return t.rename_columns(["user_id", "event_type", "partial"])
+    ntypes = len(_PIVOT_TYPES)
 
-    sums = ds.map_batches(partial, batch_format="pyarrow").groupby(
-        ["user_id", "event_type"]
-    ).aggregate(Sum("partial", alias_name="n")).materialize()
+    def partial_wide(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        ti_a = pc.index_in(b["event_type"], value_set=pa.array(_PIVOT_TYPES))
+        if ti_a.null_count:
+            bad = sorted(set(
+                pc.filter(b["event_type"], pc.is_null(ti_a)).to_pylist()))
+            raise ValueError(f"unexpected event types: {bad}")
+        ti = ti_a.to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, counts = np.unique(u * ntypes + ti, return_counts=True)
+        users, tcol = uk // ntypes, uk % ntypes
+        uu = np.unique(users)
+        mat = np.zeros((len(uu), ntypes), dtype=np.int64)
+        mat[np.searchsorted(uu, users), tcol] = counts
+        cols = {"user_id": pa.array(uu, pa.int64())}
+        for j, t in enumerate(_PIVOT_TYPES):
+            cols[f"n_{t}"] = pa.array(mat[:, j], pa.int64())
+        return pa.table(cols)
 
-    seen = set()
-    import ray as _ray
-
-    for ref in sums.to_arrow_refs():
-        seen.update(_ray.get(ref)["event_type"].to_pylist())
-    assert seen <= set(_PIVOT_TYPES), f"unexpected event types: {seen}"
-
-    def widen(g: pd.DataFrame) -> pd.DataFrame:
-        by_type = dict(zip(g["event_type"], g["n"]))
-        row = {"user_id": [g["user_id"].iloc[0]]}
-        for t in _PIVOT_TYPES:
-            row[f"n_{t}"] = [int(by_type.get(t, 0))]
-        return pd.DataFrame(row)
-
-    return sums.groupby("user_id").map_groups(widen, batch_format="pandas")
+    return ds.map_batches(partial_wide, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(
+            *[Sum(f"n_{t}", alias_name=f"n_{t}") for t in _PIVOT_TYPES])
 
 
 SQL_EVENT_TYPE_PIVOT = """

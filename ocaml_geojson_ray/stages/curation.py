@@ -169,7 +169,12 @@ def repetition_stats(batch: pa.Table, id_col: str = "doc_id",
     64-bit hash — same w.h.p. collision budget as the dedup family."""
     texts = pc.cast(batch[text_col], pa.string()).combine_chunks()
     texts = pc.fill_null(texts, "")
-    words = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts))
+    # definitional ASCII-class tokenizer (identical to the oracle's
+    # string_split_regex class and to ascii_token_counts/_span_rows_batch)
+    # — NOT utf8_split_whitespace, whose Unicode class would diverge on
+    # non-ASCII whitespace
+    texts = pc.utf8_trim(texts, " \t\n\r\f\v")
+    words = pc.split_pattern_regex(texts, pattern="[ \t\n\r\f\v]+")
     if isinstance(words, pa.ChunkedArray):
         words = words.combine_chunks()
     woffs = np.asarray(words.offsets).astype(np.int64)
@@ -193,8 +198,9 @@ def repetition_stats(batch: pa.Table, id_col: str = "doc_id",
         uniq = np.concatenate([[True], (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])])
         np.add.at(n_distinct, d[uniq], 1)
 
-    # 2-gram max multiplicity per doc (shingle kernel, k=2, NOT distinct)
-    g2, sizes2 = _shingles_batch(texts, 2)
+    # 2-gram max multiplicity per doc (shingle kernel, k=2, NOT
+    # distinct; ASCII tokenizer for definitional oracle parity)
+    g2, sizes2 = _shingles_batch(texts, 2, tokenizer="ascii")
     d2 = np.repeat(np.arange(n), sizes2)
     max2 = np.zeros(n, dtype=np.int64)
     if len(d2):

@@ -90,7 +90,8 @@ def _hash_string_array(sa: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return h, lengths
 
 
-def _shingles_batch(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+def _shingles_batch(texts, k: int,
+                    tokenizer: str = "unicode") -> tuple[np.ndarray, np.ndarray]:
     """→ (flat shingle hashes uint64 across all docs, per-doc shingle
     counts int64). Whole pipeline is Arrow/numpy kernels: whitespace
     split (C), dictionary-encode-free direct hash of the flat word
@@ -99,11 +100,20 @@ def _shingles_batch(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
 
     Per-doc semantics match the scalar definition: docs with ≥ k words
     emit one shingle per window; docs with 1..k-1 words emit one
-    combined shingle; empty/whitespace-only docs emit none."""
+    combined shingle; empty/whitespace-only docs emit none.
+
+    ``tokenizer``: "unicode" (utf8_split_whitespace — the minhash/ngram
+    dedup family) or "ascii" (the definitional [ \\t\\n\\r\\f\\v]+ class
+    used wherever a DuckDB string_split_regex oracle must match
+    bit-for-bit, e.g. repetition_stats)."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     texts = pc.fill_null(texts, "")
-    words = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts))
+    if tokenizer == "ascii":
+        words = pc.split_pattern_regex(
+            pc.utf8_trim(texts, " \t\n\r\f\v"), pattern="[ \t\n\r\f\v]+")
+    else:
+        words = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts))
     if isinstance(words, pa.ChunkedArray):
         words = words.combine_chunks()
     woffs = np.asarray(words.offsets).astype(np.int64)

@@ -34,13 +34,31 @@ def _dists_sq(v: np.ndarray, c: np.ndarray) -> np.ndarray:
 
 
 def kmeans_fit(ds, vec_col: str = "embedding", k: int = 16,
-               iters: int = 5):
+               iters: int = 5, id_col: str = "vec_id"):
     """→ (centroids (k,d), inertia_per_iter list). ``ds`` must have a
-    fixed-length list<float> column; it is scanned ``iters`` times."""
+    fixed-length list<float> column; it is scanned ``iters`` times.
+
+    Init is the k rows with the SMALLEST ``id_col`` values — enforced
+    by a distributed partial min-k scan (each block surfaces its own
+    k id-smallest rows; the driver merges ≤ n_blocks·k rows), so the
+    seed is deterministic regardless of block/file order. Pass
+    ``id_col=None`` to fall back to the first k rows in dataset order
+    (cheaper, order-dependent)."""
     import ray
 
-    first = ds.take(k)
-    centroids = np.asarray([r[vec_col] for r in first], dtype=np.float64)
+    if id_col is None:
+        first = ds.take(k)
+        seed = [r[vec_col] for r in first]
+    else:
+        def blk_topk(b: pa.Table) -> pa.Table:
+            ids = b[id_col].to_numpy(zero_copy_only=False)
+            keep = np.sort(np.argsort(ids, kind="stable")[:k])
+            return b.select([id_col, vec_col]).take(pa.array(keep))
+
+        cand = ds.map_batches(blk_topk, batch_format="pyarrow").take_all()
+        cand.sort(key=lambda r: r[id_col])
+        seed = [r[vec_col] for r in cand[:k]]
+    centroids = np.asarray(seed, dtype=np.float64)
     inertias = []
 
     for _ in range(iters):

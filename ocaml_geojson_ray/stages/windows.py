@@ -4,14 +4,14 @@
 Ray Data has no watermarks; the contract here is batch event-time
 windowing: partition by key, order by ts WITHIN each group
 (``groupby(key).map_groups`` gives us the whole group; sorting inside
-is cheap), window with pandas. Documented ordering assumption: results
-depend only on (key, ts) pairs, never on block order.
+is cheap), window with numpy over zero-copy Arrow groups. Documented
+ordering assumption: results depend only on (key, ts) pairs, never on
+block order.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 
 
 def tumbling(ds, key: str, ts_col: str, width_s: int, agg_col: str):
@@ -37,24 +37,40 @@ def session_windows(ds, key: str, ts_col: str, gap_s: int):
     → one row per (key, session_id) with n_events, start/end ts (µs).
     SQL-mirrorable: cumulative sum of gap-break markers over
     lag(ts) per key.
+
+    Physical shape (same contract as running_totals / event_gaps):
+    ONE key shuffle, then each group is a zero-copy Arrow table —
+    np.sort + diff finds the breaks, and per-session count/min/max
+    fall out of the break indices directly (ts is sorted, so a
+    session's start/end ARE its boundary elements; no inner groupby,
+    no pandas). Session stats are invariant to tie order among equal
+    timestamps, so a plain sort is deterministic enough.
     """
+    import pyarrow as pa
+
     gap_us = gap_s * 1_000_000
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
-        ts = g[ts_col].astype("int64").to_numpy()
-        brk = np.zeros(len(ts), dtype=np.int64)
-        if len(ts) > 1:
-            brk[1:] = (np.diff(ts) > gap_us).astype(np.int64)
-        sid = brk.cumsum()
-        out = pd.DataFrame({key: g[key].to_numpy(), "session_id": sid, "ts": ts})
-        res = out.groupby("session_id").agg(
-            n_events=("ts", "size"), start_us=("ts", "min"), end_us=("ts", "max")
-        ).reset_index()
-        res[key] = g[key].iloc[0]
-        return res[[key, "session_id", "n_events", "start_us", "end_us"]]
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({key: b[key], "ts_us": b[ts_col].cast(pa.int64())})
 
-    return ds.groupby(key).map_groups(sessions, batch_format="pandas")
+    def sessions(g: pa.Table) -> pa.Table:
+        ts = np.sort(g["ts_us"].to_numpy(zero_copy_only=False))
+        brk = np.empty(len(ts), dtype=bool)
+        brk[0] = True
+        brk[1:] = np.diff(ts) > gap_us
+        starts = np.flatnonzero(brk)
+        bounds = np.append(starts, len(ts))
+        n = len(starts)
+        return pa.table({
+            key: pa.array(np.full(n, g[key][0].as_py()), g.schema.field(key).type),
+            "session_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "n_events": pa.array(np.diff(bounds), pa.int64()),
+            "start_us": pa.array(ts[starts], pa.int64()),
+            "end_us": pa.array(ts[bounds[1:] - 1], pa.int64()),
+        })
+
+    return ds.map_batches(pre, batch_format="pyarrow") \
+        .groupby(key).map_groups(sessions, batch_format="pyarrow")
 
 
 def sliding(ds, key: str, ts_col: str, width_s: int, slide_s: int, agg_col: str):

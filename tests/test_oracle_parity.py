@@ -62,13 +62,25 @@ def _rows_only():
     return sorted(set(E.queries()) - set(E.oracle_sql()))
 
 
+# Rows-only queries the sf0.001 fixture GUARANTEES produce rows (the
+# corpus plants image/audio payloads, ≥64 embeddings, and near-dup
+# pairs by construction) — pinned non-empty so a regression can't
+# silently return an empty frame. The rest may be legitimately empty
+# at tiny sf (emptiness is data there).
+_NONEMPTY_ROWS_ONLY = {
+    "multimodal_features", "multimodal_audio", "ivf_ann",
+    "embedding_neardups",
+}
+
+
 @pytest.mark.parametrize("name", _rows_only())
 def test_rows_only_queries_run(name, contract, ray_session):
     """EVERY rows-only entry must run at sf0.001 (the driver runs the
     whole registry; self-checking queries assert their invariants
-    inside this call). Genuinely-empty-at-tiny-sf results are allowed
-    — emptiness is data, a raise is a bug."""
+    inside this call). Queries whose fixture guarantees output are
+    additionally pinned non-empty via _NONEMPTY_ROWS_ONLY."""
     from scripts.check_oracle import to_pandas
 
     df = to_pandas(contract.queries()[name](SF))
-    assert len(df) >= 0, name
+    if name in _NONEMPTY_ROWS_ONLY:
+        assert len(df) > 0, f"{name}: fixture-guaranteed rows came back empty"
