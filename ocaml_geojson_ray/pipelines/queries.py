@@ -21,6 +21,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..util import split_read
+
 
 # -- derived inputs ---------------------------------------------------------
 
@@ -126,15 +128,15 @@ def _read_split(sf_dir: str, table: str, columns):
     all-to-all pass costing ~2 s at sf0.1 (measured; it also barriers
     the stream). A real 100 TB table arrives as thousands of
     files/row-groups — the override only compensates for the
-    single-file test input."""
+    single-file test input. Goes through util.split_read, which also
+    widens the read task's streaming-generator buffer — without that,
+    the single split task trickles blocks ~2 per scheduler wakeup and
+    downstream stages run ~4-wide (the r3 perf-drift root cause)."""
     import ray
-    import ray.data as rd
 
     ncpu = int(ray.cluster_resources().get("CPU", 4))
-    return rd.read_parquet(
-        f"{sf_dir}/{table}.parquet", columns=list(columns),
-        override_num_blocks=max(8, 2 * ncpu),
-    )
+    return split_read(f"{sf_dir}/{table}.parquet", columns,
+                      max(8, 2 * ncpu))
 
 
 def lineitem_points(sf_dir: str):
@@ -969,13 +971,8 @@ def q_revenue_per_nation(sf_dir: str):
     ncpu = int(ray.cluster_resources().get("CPU", 4))
     nb = max(4, ncpu // 4)
 
-    li = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_extendedprice", "l_discount"],
-        override_num_blocks=nb)
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
-        override_num_blocks=nb)
+    li = split_read(f"{sf_dir}/lineitem.parquet", ["l_orderkey", "l_extendedprice", "l_discount"], nb)
+    orders = split_read(f"{sf_dir}/orders.parquet", ["o_orderkey", "o_custkey"], nb)
 
     def li_pre(b: pa.Table) -> pa.Table:
         price_c = np.round(b["l_extendedprice"].to_numpy() * 100)
@@ -1267,8 +1264,7 @@ def q_session_windows(sf_dir: str):
     # few blocks: the groupby is sort-backed and pays per input block
     # (see stages/asof.py coalesce note)
     nb = max(4, int(ray.cluster_resources().get("CPU", 4)) // 4)
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "ts"], override_num_blocks=nb)
+    ds = split_read(f"{sf_dir}/events.parquet", ["user_id", "ts"], nb)
     return session_windows(ds, "user_id", "ts", gap_s=1800)
 
 
@@ -1382,14 +1378,8 @@ def q_asof_user_order(sf_dir: str):
     # 64 auto-split blocks per side cost 3 s of pure push overhead at
     # sf0.1 vs 0.2 s at 8 blocks
     nb = max(4, int(ray.cluster_resources().get("CPU", 4)) // 4)
-    events = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"],
-        override_num_blocks=nb,
-    )
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"],
-        override_num_blocks=nb,
-    )
+    events = split_read(f"{sf_dir}/events.parquet", ["event_id", "user_id", "ts"], nb)
+    orders = split_read(f"{sf_dir}/orders.parquet", ["o_custkey", "o_orderdate"], nb)
     out = asof_join_latest(events, orders, left_key="user_id", left_ts="ts",
                            right_key="o_custkey", right_ts="o_orderdate",
                            left_id="event_id")
@@ -1442,13 +1432,8 @@ def q_interval_join_orders(sf_dir: str):
 
     # few blocks: sort-backed groupby pays per input block (asof rule)
     nb = max(4, int(ray.cluster_resources().get("CPU", 4)) // 4)
-    events = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"],
-        override_num_blocks=nb)
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_totalprice"],
-        override_num_blocks=nb)
+    events = split_read(f"{sf_dir}/events.parquet", ["event_id", "user_id", "ts"], nb)
+    orders = split_read(f"{sf_dir}/orders.parquet", ["o_orderkey", "o_custkey", "o_totalprice"], nb)
 
     def tag_events(b: pa.Table) -> pa.Table:
         ts = b["ts"].cast(pa.int64()).to_numpy()
@@ -1528,9 +1513,7 @@ def q_running_totals(sf_dir: str):
     import ray.data as rd
 
     nb = max(4, int(ray.cluster_resources().get("CPU", 4)) // 4)
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["event_id", "user_id", "ts", "value"],
-                         override_num_blocks=nb)
+    ds = split_read(f"{sf_dir}/events.parquet", ["event_id", "user_id", "ts", "value"], nb)
 
     def pre(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -1587,9 +1570,7 @@ def q_cohort_retention(sf_dir: str):
     DAY = 86400 * 1_000_000
 
     nb = max(4, int(ray.cluster_resources().get("CPU", 4)) // 4)
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "ts"],
-                         override_num_blocks=nb)
+    ds = split_read(f"{sf_dir}/events.parquet", ["user_id", "ts"], nb)
 
     def user_days(b: pa.Table) -> pa.Table:
         u = b["user_id"].to_numpy()
@@ -1668,9 +1649,7 @@ def q_funnel_steps(sf_dir: str):
     from ray.data.aggregate import Sum
 
     nb = max(4, int(ray.cluster_resources().get("CPU", 4)) // 4)
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "ts", "event_type"],
-                         override_num_blocks=nb)
+    ds = split_read(f"{sf_dir}/events.parquet", ["user_id", "ts", "event_type"], nb)
 
     def pre(b: pa.Table) -> pa.Table:
         keep = pc.is_in(b["event_type"],
@@ -1989,14 +1968,19 @@ def q_event_type_pivot(sf_dir: str):
     loudly INSIDE the batch fn — no driver scan of a user-cardinality
     column) and emits one already-wide partial row per distinct user
     (packed user×type key unique + scatter into an (n_users, n_types)
-    matrix). One groupby(user_id) then sums the 5 count columns — no
-    per-user Python, no pandas, one key shuffle of pre-widened rows."""
+    matrix). The combine is size-adaptive (the dedup.py small_pairs
+    precedent): below ``small_partials`` rows the partials funnel to
+    one task and reduce with argsort+reduceat over the 5 columns
+    (measured 0.44 s vs 3.97 s for the groupby machinery at sf0.1/32);
+    above it, the scale plan is one groupby(user_id) key shuffle of
+    the pre-widened rows. No per-user Python, no pandas either way."""
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
-    )
+    small_partials = 2_000_000
+    nb = 64
+    ds = split_read(f"{sf_dir}/events.parquet",
+                    ["user_id", "event_type"], nb)
 
     ntypes = len(_PIVOT_TYPES)
 
@@ -2018,9 +2002,25 @@ def q_event_type_pivot(sf_dir: str):
             cols[f"n_{t}"] = pa.array(mat[:, j], pa.int64())
         return pa.table(cols)
 
-    return ds.map_batches(partial_wide, batch_format="pyarrow") \
-        .groupby("user_id").aggregate(
+    parts = ds.map_batches(partial_wide, batch_format="pyarrow").materialize()
+    if parts.count() > small_partials:
+        return parts.groupby("user_id").aggregate(
             *[Sum(f"n_{t}", alias_name=f"n_{t}") for t in _PIVOT_TYPES])
+
+    def combine(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        us = u[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], us[1:] != us[:-1]]))
+        cols = {"user_id": pa.array(us[starts], pa.int64())}
+        for t in _PIVOT_TYPES:
+            v = b[f"n_{t}"].to_numpy(zero_copy_only=False)[order]
+            cols[f"n_{t}"] = pa.array(np.add.reduceat(v, starts), pa.int64())
+        return pa.table(cols)
+
+    return parts.repartition(1).map_batches(
+        combine, batch_format="pyarrow", batch_size=None)
 
 
 SQL_EVENT_TYPE_PIVOT = """
@@ -4320,9 +4320,7 @@ def q_event_gaps(sf_dir: str):
     import ray.data as rd
 
     nb = max(4, int(ray.cluster_resources().get("CPU", 4)) // 4)
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["event_id", "user_id", "ts"],
-                         override_num_blocks=nb)
+    ds = split_read(f"{sf_dir}/events.parquet", ["event_id", "user_id", "ts"], nb)
 
     schema = pa.schema([
         ("user_id", pa.int64()), ("n_gaps", pa.int64()),

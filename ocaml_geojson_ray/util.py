@@ -44,6 +44,34 @@ def grouped_sum_combine(partial_ds, key_cols, val_col: str, alias: str):
         combine, batch_format="pyarrow")
 
 
+def split_read(path, columns, nblocks: int):
+    """``read_parquet(override_num_blocks=nblocks)`` plus a streaming-
+    generator buffer wide enough to actually DELIVER the split.
+
+    Why: the sf test tables are ONE file with ONE row group, so the
+    split read is a SINGLE task whose streaming generator emits
+    ``nblocks`` blocks — but the generator's default buffer is 2
+    blocks (DataContext._max_num_blocks_in_streaming_gen_buffer), so
+    input blocks reach the executor ~2 per scheduler wakeup and every
+    downstream fused stage collapses to ~4 concurrent tasks regardless
+    of cluster width (measured at sf0.1/32: broadcast spatial join
+    2.1 s at buffer 2 vs 0.55 s at buffer = split width; the r2→r3
+    spatial_join_rect / knn_points 2–2.5× drift was exactly this).
+    Raising the buffer restores what `.repartition(n, shuffle=False)`
+    gave (every split available at once) without its extra all-to-all
+    pass. The buffer is only ever RAISED, capped at 64 blocks — a
+    multi-file production read emits ~1 block per task and never
+    fills even the default buffer, so this is purely the single-file
+    test-input compensation."""
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    ctx._max_num_blocks_in_streaming_gen_buffer = max(
+        ctx._max_num_blocks_in_streaming_gen_buffer, min(int(nblocks), 64))
+    return rd.read_parquet(path, columns=list(columns),
+                           override_num_blocks=nblocks)
+
+
 def drop_empty_blocks(ds):
     """Materialize ``ds`` and drop zero-row blocks — METADATA-only, no
     block is fetched to the driver.
