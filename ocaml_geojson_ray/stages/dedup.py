@@ -667,16 +667,84 @@ def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
 
 # -- embedding cosine near-dup --------------------------------------------
 
+def _neardup_leaf_pairs(ids: np.ndarray, vn: np.ndarray,
+                        threshold: float, chunk: int = 1024):
+    """Exact all-pairs cosine over ONE leaf, matmul CHUNKED to
+    O(chunk·b) memory (a leaf of identical vectors has inherently
+    O(b²) OUTPUT, but the sim matrix never materializes whole).
+    → (a_idx, b_idx, cos) index arrays into ids."""
+    outs_a, outs_b, outs_c = [], [], []
+    n = len(ids)
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        sim = vn[s:e] @ vn.T  # (chunk, n)
+        # upper triangle only: global col index > global row index
+        ai, bi = np.where(sim >= threshold)
+        keep = bi > (ai + s)
+        ai, bi = ai[keep] + s, bi[keep]
+        outs_a.append(ai)
+        outs_b.append(bi)
+        outs_c.append(sim[ai - s, bi])
+    return (np.concatenate(outs_a) if outs_a else np.empty(0, np.int64),
+            np.concatenate(outs_b) if outs_b else np.empty(0, np.int64),
+            np.concatenate(outs_c) if outs_c else np.empty(0, np.float64))
+
+
+def split_oversized_bucket(vn: np.ndarray, cap: int, seed: int,
+                           max_depth: int = 40):
+    """Recursively split a hot LSH bucket until every leaf is ≤ cap
+    rows (the spatial/skew.py split-hot-cells move done locally — the
+    group already sits on one worker, so no extra shuffle). Each level
+    projects onto a fresh random direction and splits at the MEDIAN
+    projection (`> med` vs `<= med`), so the strict side is always
+    ≤ n/2 — a sign-at-zero split can be arbitrarily lopsided and
+    stalls at a depth cap (measured: 125-row leaves at cap 64).
+    Equal projections stay together, so an exact-duplicate clique is
+    NEVER torn apart; a leaf that is all ties (identical vectors)
+    cannot split and is returned oversized — the caller handles it
+    with the chunked-matmul kernel. → list of index arrays into vn."""
+    leaves, work = [], [(np.arange(len(vn)), 0)]
+    while work:
+        idx, depth = work.pop()
+        if len(idx) <= cap or depth >= max_depth:
+            leaves.append(idx)
+            continue
+        r = np.random.default_rng((seed, depth, len(idx)))
+        plane = r.standard_normal(vn.shape[1])
+        proj = vn[idx] @ plane
+        med = np.median(proj)
+        side = proj > med
+        left, right = idx[~side], idx[side]
+        if not len(left) or not len(right):  # all-ties mass
+            leaves.append(idx)
+            continue
+        work.append((left, depth + 1))
+        work.append((right, depth + 1))
+    return leaves
+
+
 def embedding_neardup_pairs(ds, id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             threshold: float = 0.95, planes: int = 12,
-                            seed: int = 99):
+                            seed: int = 99, bucket_cap: int = 512):
     """Near-dup pairs by cosine ≥ threshold: random-hyperplane sign
     bucket (LSH) → within-bucket exact cosine. One shuffle on the
-    bucket key."""
-    import pandas as pd
+    bucket key.
 
-    rng = np.random.default_rng(seed)
+    Hot buckets (near-duplicate-heavy corpora produce exactly these)
+    are NOT processed O(b²): a group wider than ``bucket_cap`` is
+    recursively re-split on fresh random directions at the median
+    projection down to ≤ cap leaves (split_oversized_bucket), pairs
+    are emitted per leaf, and one VERIFIED pair set over the leaf
+    representatives (first row of each leaf, all-pairs over ≤ b/cap
+    reps) stitches leaves back together — so a near-dup mega-cluster
+    diced across leaves still comes out CONNECTED for downstream
+    clustering, every emitted pair genuinely has cos ≥ threshold, and
+    per-bucket work is O(b·cap + (b/cap)²) instead of O(b²). The
+    recall trade is that only a subset of a mega-clique's pairs is
+    emitted (connectivity-complete, not pair-complete). Leaves that
+    cannot split (identical vectors) use the chunked matmul kernel so
+    memory stays O(cap·b) even when the OUTPUT is inherently O(b²)."""
     planes_mat = None  # built lazily once dims are known
 
     def bucketize(batch: pa.Table) -> pa.Table:
@@ -695,26 +763,47 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id",
             }
         )
 
-    def within_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].to_numpy()
-        vecs = np.asarray(g[vec_col].tolist(), dtype=np.float64)
+    empty = pa.schema([("a_id", pa.int64()), ("b_id", pa.int64()),
+                       ("cosine", pa.float64())])
+
+    def within_bucket(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        vecs = np.asarray(g[vec_col].to_pylist(), dtype=np.float64)
         norm = np.linalg.norm(vecs, axis=1, keepdims=True)
         norm[norm == 0] = 1.0
         vn = vecs / norm
-        sim = vn @ vn.T
-        ai, bi = np.where(np.triu(sim >= threshold, k=1))
-        return pd.DataFrame(
-            {
-                "a_id": ids[ai],
-                "b_id": ids[bi],
-                "cosine": np.round(sim[ai, bi], 6),
-            }
-        )
+        if len(ids) <= bucket_cap:
+            leaves = [np.arange(len(ids))]
+        else:
+            leaves = split_oversized_bucket(vn, bucket_cap, seed)
+        cols_a, cols_b, cols_c = [], [], []
+        for leaf in leaves:
+            ai, bi, cs = _neardup_leaf_pairs(ids[leaf], vn[leaf], threshold)
+            cols_a.append(ids[leaf][ai])
+            cols_b.append(ids[leaf][bi])
+            cols_c.append(cs)
+        if len(leaves) > 1:
+            # stitch: verified all-pairs over one representative per
+            # leaf (pairs span leaves, so they can't duplicate a
+            # within-leaf pair)
+            reps = np.array([leaf[0] for leaf in leaves])
+            ai, bi, cs = _neardup_leaf_pairs(ids[reps], vn[reps], threshold)
+            cols_a.append(ids[reps][ai])
+            cols_b.append(ids[reps][bi])
+            cols_c.append(cs)
+        if not cols_a:
+            return empty.empty_table()
+        return pa.table({
+            "a_id": pa.array(np.concatenate(cols_a), pa.int64()),
+            "b_id": pa.array(np.concatenate(cols_b), pa.int64()),
+            "cosine": pa.array(
+                np.round(np.concatenate(cols_c), 6), pa.float64()),
+        })
 
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(within_bucket, batch_format="pandas")
+        .map_groups(within_bucket, batch_format="pyarrow")
     )
 
 

@@ -148,6 +148,74 @@ def test_embedding_neardups(ray_session):
     assert (10, 11) in pairs and len(pairs) == 1
 
 
+def test_hot_bucket_split_bounds_leaf_width():
+    """A hot LSH bucket (spread vectors) splits to ≤ cap leaves; an
+    identical-vector mass is honestly unsplittable (single leaf) and
+    the chunked leaf kernel still returns every pair without an O(b²)
+    sim matrix."""
+    from ocaml_geojson_ray.stages.dedup import (
+        _neardup_leaf_pairs, split_oversized_bucket)
+
+    rng = np.random.default_rng(7)
+    # spread cloud: every leaf must come back under the cap
+    vn = rng.standard_normal((5000, 16))
+    vn /= np.linalg.norm(vn, axis=1, keepdims=True)
+    leaves = split_oversized_bucket(vn, cap=64, seed=99)
+    assert sum(len(l) for l in leaves) == 5000
+    assert max(len(l) for l in leaves) <= 64
+    assert len(np.unique(np.concatenate(leaves))) == 5000  # partition
+
+    # identical mass: cannot split — one oversized leaf, handled by
+    # the chunked kernel (all n(n-1)/2 pairs, chunk << n)
+    n = 500
+    same = np.tile(vn[0], (n, 1))
+    leaves = split_oversized_bucket(same, cap=64, seed=99)
+    assert len(leaves) == 1 and len(leaves[0]) == n
+    ai, bi, cs = _neardup_leaf_pairs(
+        np.arange(n), same, threshold=0.95, chunk=64)
+    assert len(ai) == n * (n - 1) // 2
+    assert np.all(bi > ai) and np.allclose(cs, 1.0)
+
+
+def test_embedding_neardups_hot_bucket_recall(ray_session):
+    """End-to-end: a bucket far over the cap still surfaces planted
+    near-identical pairs after recursive splitting (identical vectors
+    always land in the same leaf)."""
+    import ray.data as rd
+
+    from ocaml_geojson_ray.stages.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(16)
+    # 1200 near-copies of one vector -> one mega-bucket
+    vecs = base + rng.standard_normal((1200, 16)) * 1e-6
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(1200), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+    }))
+    got = embedding_neardup_pairs(ds, threshold=0.95,
+                                  bucket_cap=128).take_all()
+    # bounded work: a pair-complete clique would be 719,400 pairs; the
+    # capped plan emits within-leaf pairs + rep stitches only
+    assert 0 < len(got) < 200_000
+    # connectivity-complete: the whole planted cluster must come out
+    # as ONE component through the emitted pairs
+    parent = list(range(1200))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in got:
+        assert r["cosine"] >= 0.95  # every emitted pair is genuine
+        a, b = find(int(r["a_id"])), find(int(r["b_id"]))
+        if a != b:
+            parent[a] = b
+    assert len({find(i) for i in range(1200)}) == 1
+
+
 def test_brute_force_topk_exact(ray_session):
     import ray.data as rd
 
