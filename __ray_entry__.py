@@ -127,6 +127,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_assign_counts": Q.SQL_TILE_ASSIGN,
         "hex_cell_counts": Q.SQL_HEX_CELL_COUNTS,
         "geohash_cell_counts": Q.SQL_GEOHASH_CELL_COUNTS,
+        "s2_cell_counts": Q.SQL_S2_CELL_COUNTS,
         "zorder_partition_bounds": Q.SQL_ZORDER_PARTITION_BOUNDS,
         "multimodal_video": Q.SQL_MULTIMODAL_VIDEO,
         "spatial_join_rect": Q.SQL_SPATIAL_JOIN_RECT,

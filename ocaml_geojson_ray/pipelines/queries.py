@@ -3495,8 +3495,13 @@ def q_pages_geom_dedup(sf_dir: str):
 
 def q_s2_cell_counts(sf_dir: str):
     """S2-style cube-face cell assignment (the fallback encoder, N4)
-    via the CellEncoder actor pool — rows-only (the face/uv trig isn't
-    worth mirroring in SQL; correctness is pinned by unit tests)."""
+    via the CellEncoder stage — SQL-CHECKED since round 4 through the
+    oracle-parity encoder variant (cells.s2_latlng_to_cell_parity):
+    the trig outputs are quantized ONCE with floor(x·10⁷ + 0.5), after
+    which face selection, the single IEEE divide, and the floor
+    quantization are bit-identical in numpy and DuckDB (raw-libm
+    comparisons are NOT — the 0.01° corpus grid contains razor angles
+    like lng = ±45° where |x| == |y| to the ulp)."""
     import ray.data as rd
     from ray.data.aggregate import Count
 
@@ -3504,9 +3509,44 @@ def q_s2_cell_counts(sf_dir: str):
 
     ds = _read_split(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"]).map_batches(derive_lineitem_points_batch, batch_format="pyarrow")
     enc = ds.map_batches(
-        CellEncoder(res=6, s2_level=6), batch_format="pyarrow"
+        CellEncoder(res=6, s2_level=6, s2_parity=True),
+        batch_format="pyarrow"
     )
     return enc.groupby("s2_cell").aggregate(Count(alias_name="n_points"))
+
+
+SQL_S2_CELL_COUNTS = f"""
+WITH pts AS ({POINTS_SQL}),
+q AS (SELECT
+  floor(cos(radians(lat)) * cos(radians(lng)) * 1e7 + 0.5) AS qx,
+  floor(cos(radians(lat)) * sin(radians(lng)) * 1e7 + 0.5) AS qy,
+  floor(sin(radians(lat)) * 1e7 + 0.5) AS qz
+ FROM pts),
+f AS (SELECT qx, qy, qz,
+  CASE WHEN abs(qx) >= abs(qy) AND abs(qx) >= abs(qz)
+       THEN CASE WHEN qx >= 0 THEN 0 ELSE 3 END
+       WHEN abs(qy) >= abs(qz)
+       THEN CASE WHEN qy >= 0 THEN 1 ELSE 4 END
+       ELSE CASE WHEN qz >= 0 THEN 2 ELSE 5 END END AS face
+ FROM q),
+uv AS (SELECT face,
+  (CASE WHEN face IN (0, 3) THEN qy
+        WHEN face IN (1, 4) THEN -qx ELSE qx END)
+  / (CASE WHEN face IN (0, 3) THEN abs(qx)
+          WHEN face IN (1, 4) THEN abs(qy) ELSE abs(qz) END) AS u,
+  (CASE WHEN face IN (2, 5) THEN qy ELSE qz END)
+  / (CASE WHEN face IN (0, 3) THEN abs(qx)
+          WHEN face IN (1, 4) THEN abs(qy) ELSE abs(qz) END) AS v
+ FROM f),
+cells AS (SELECT
+  CAST(face AS BIGINT) * 1152921504606846976
+  + CAST(least(greatest(floor((u + 1.0) / 2.0 * 64), 0), 63) AS BIGINT)
+    * 1073741824
+  + CAST(least(greatest(floor((v + 1.0) / 2.0 * 64), 0), 63) AS BIGINT)
+    AS s2_cell
+ FROM uv)
+SELECT s2_cell, count(*) AS n_points FROM cells GROUP BY s2_cell
+"""
 
 
 def q_multimodal_features(sf_dir: str):

@@ -191,6 +191,47 @@ def s2_latlng_to_cell(lng, lat, level: int):
     return (face << np.int64(60)) | (i << np.int64(30)) | j
 
 
+def s2_latlng_to_cell_parity(lng, lat, level: int):
+    """Oracle-parity variant of ``s2_latlng_to_cell`` — same cube-face
+    quadtree, but engine-portable to the last bit.
+
+    Why a variant: the plain encoder's face choice and (u, v) divides
+    consume raw libm sin/cos outputs, and numpy's vectorized trig may
+    differ from DuckDB's by 1 ulp — enough to flip a floor() at a cell
+    boundary and break a value-hash oracle (the corpus's 0.01° grid
+    really does contain razor angles like lng = ±45°, where
+    |x| == |y| to the ulp). The fix quantizes x, y, z ONCE with
+    qx = floor(x·10⁷ + 0.5) — floor/multiply/add are IEEE-exact in
+    both engines, so after this single step every comparison, the one
+    divide (IEEE-identical), and the final floor are bit-equal by
+    construction; a 1-ulp libm disagreement now only matters in the
+    ~10⁻⁹-wide band where x·10⁷ + 0.5 straddles an integer. Face sign
+    tests use qx/qy/qz (not raw x) so both engines decide from the
+    same numbers. Same packing as the plain encoder; cells differ from
+    it only within ~10⁻⁷ of cell/face boundaries."""
+    if not 0 <= level <= 29:
+        raise ValueError("level out of range")
+    lngr = np.radians(np.asarray(lng, dtype=np.float64))
+    latr = np.radians(np.asarray(lat, dtype=np.float64))
+    S = 1e7
+    qx = np.floor(np.cos(latr) * np.cos(lngr) * S + 0.5)
+    qy = np.floor(np.cos(latr) * np.sin(lngr) * S + 0.5)
+    qz = np.floor(np.sin(latr) * S + 0.5)
+    ax, ay, az = np.abs(qx), np.abs(qy), np.abs(qz)
+    face = np.where(
+        (ax >= ay) & (ax >= az),
+        np.where(qx >= 0, 0, 3),
+        np.where(ay >= az, np.where(qy >= 0, 1, 4), np.where(qz >= 0, 2, 5)),
+    ).astype(np.int64)
+    major = np.choose(face, [ax, ay, az, ax, ay, az])
+    u = np.choose(face, [qy, -qx, qx, qy, -qx, qx]) / major
+    v = np.choose(face, [qz, qz, qy, qz, qz, qy]) / major
+    n = 1 << level
+    i = np.clip(np.floor((u + 1.0) / 2.0 * n), 0, n - 1).astype(np.int64)
+    j = np.clip(np.floor((v + 1.0) / 2.0 * n), 0, n - 1).astype(np.int64)
+    return (face << np.int64(60)) | (i << np.int64(30)) | j
+
+
 def s2_cell_to_parent(cell, parent_level: int, level: int):
     """Coarsen an s2-style cell (caller tracks levels; the packing has
     no level field — it trades that for 30-bit axes)."""

@@ -540,11 +540,16 @@ class CellEncoder:
     scale tables once per actor, encodes quad + s2 cells per batch."""
 
     def __init__(self, res: int = DEFAULT_JOIN_RES, s2_level: int = 11,
-                 lng_col: str = "lng", lat_col: str = "lat"):
+                 lng_col: str = "lng", lat_col: str = "lat",
+                 s2_parity: bool = False):
         self.res = res
         self.s2_level = s2_level
         self.lng_col = lng_col
         self.lat_col = lat_col
+        # oracle-parity s2 variant (bit-portable across engines; see
+        # cells.s2_latlng_to_cell_parity) — used by SQL-checked queries
+        self.s2_fn = (C.s2_latlng_to_cell_parity if s2_parity
+                      else C.s2_latlng_to_cell)
         # "model load" analog: fixed tables derived once
         self.nq = 1 << res
         self.ns = 1 << s2_level
@@ -556,7 +561,7 @@ class CellEncoder:
         safe_lng = np.where(ok, lng, 0.0)
         safe_lat = np.where(ok, lat, 0.0)
         quad = C.latlng_to_cell(safe_lng, safe_lat, self.res)
-        s2 = C.s2_latlng_to_cell(safe_lng, safe_lat, self.s2_level)
+        s2 = self.s2_fn(safe_lng, safe_lat, self.s2_level)
         batch = batch.append_column(
             "cell", pa.array(np.where(ok, quad, -1), pa.int64())
         )
