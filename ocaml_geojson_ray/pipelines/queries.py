@@ -2099,16 +2099,19 @@ def q_top_user_per_type(sf_dir: str):
         ["event_type", "user_id"]
     ).aggregate(Sum("cents", alias_name="cents"))
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["value"] = (g["cents"] / 100.0).round(2)
-        g = g.sort_values(["value", "user_id"],
-                          ascending=[False, True]).head(3)
-        g = g.reset_index(drop=True)
-        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["event_type", "rnk", "user_id", "value"]]
+    def topk(g: pa.Table) -> pa.Table:
+        vals = np.round(
+            g["cents"].to_numpy(zero_copy_only=False) / 100.0, 2)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((uid, -vals))[:3]
+        return pa.table({
+            "event_type": g["event_type"].take(pa.array(order)),
+            "rnk": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            "user_id": pa.array(uid[order], pa.int64()),
+            "value": pa.array(vals[order], pa.float64()),
+        })
 
-    return sums.groupby("event_type").map_groups(topk, batch_format="pandas")
+    return sums.groupby("event_type").map_groups(topk, batch_format="pyarrow")
 
 
 SQL_TOP_USER_PER_TYPE = """
@@ -3126,10 +3129,10 @@ def q_segment_price_quantiles(sf_dir: str):
         ["o_orderpriority", "cents"]
     ).aggregate(Sum("partial", alias_name="cnt"))
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("cents")
-        c = g["cnt"].to_numpy()
-        cents = g["cents"].to_numpy()
+    def pick(g: pa.Table) -> pa.Table:
+        order = np.argsort(g["cents"].to_numpy(zero_copy_only=False))
+        cents = g["cents"].to_numpy(zero_copy_only=False)[order]
+        c = g["cnt"].to_numpy(zero_copy_only=False)[order]
         cum = np.cumsum(c)
         n = int(cum[-1])
 
@@ -3137,14 +3140,14 @@ def q_segment_price_quantiles(sf_dir: str):
             idx = max(0, int(np.ceil(q * n)) - 1)
             return cents[np.searchsorted(cum, idx + 1)] / 100.0
 
-        return pd.DataFrame({
-            "o_orderpriority": [g["o_orderpriority"].iloc[0]],
-            "p25": [at(0.25)],
-            "median": [at(0.5)],
-            "p95": [at(0.95)],
+        return pa.table({
+            "o_orderpriority": g["o_orderpriority"][:1],
+            "p25": pa.array([at(0.25)], pa.float64()),
+            "median": pa.array([at(0.5)], pa.float64()),
+            "p95": pa.array([at(0.95)], pa.float64()),
         })
 
-    return hist.groupby("o_orderpriority").map_groups(pick, batch_format="pandas")
+    return hist.groupby("o_orderpriority").map_groups(pick, batch_format="pyarrow")
 
 
 SQL_SEGMENT_PRICE_QUANTILES = """

@@ -393,7 +393,6 @@ def knn_points_stream(target_ds, query_ids, query_lng, query_lat,
     dense answer bitwise); uncertified queries re-run dense in a second
     streaming pass. Pick R ≈ sqrt(E·area/(π·N)) for E≈40 expected
     in-radius targets."""
-    import pandas as pd
     import ray
 
     ref = ray.put((
@@ -402,15 +401,16 @@ def knn_points_stream(target_ds, query_ids, query_lng, query_lat,
         np.asarray(query_lat, dtype=np.float64),
     ))
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        d2 = group["d2"].to_numpy()
-        nid = group["neighbor_id"].to_numpy()
+    def merge(group: pa.Table) -> pa.Table:
+        d2 = group["d2"].to_numpy(zero_copy_only=False)
+        nid = group["neighbor_id"].to_numpy(zero_copy_only=False)
         order = np.lexsort((nid, d2))[:k]
-        return pd.DataFrame({
-            query_col: group[query_col].to_numpy()[order],
-            "knn_rank": np.arange(len(order), dtype=np.int32),
-            "neighbor_id": nid[order],
-            "distance_deg": np.sqrt(d2[order]),
+        return pa.table({
+            query_col: group[query_col].take(pa.array(order)),
+            "knn_rank": pa.array(np.arange(len(order), dtype=np.int32),
+                                 pa.int32()),
+            "neighbor_id": pa.array(nid[order]),
+            "distance_deg": pa.array(np.sqrt(d2[order]), pa.float64()),
         })
 
     def run(prune, only=None):
@@ -418,7 +418,7 @@ def knn_points_stream(target_ds, query_ids, query_lng, query_lat,
             PointKnnPartial(ref, k, query_col, prune, only),
             batch_format="pyarrow",
         )
-        return partial.groupby(query_col).map_groups(merge, batch_format="pandas")
+        return partial.groupby(query_col).map_groups(merge, batch_format="pyarrow")
 
     if prune_radius is None:
         return run(None)

@@ -72,8 +72,9 @@ def brute_force_topk(ds, queries: dict, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      concurrency=None):
     """→ exact global top-k rows per query: partial top-k per batch,
-    then one tiny per-query merge (groupby over ~Q×k×nblocks rows)."""
-    import pandas as pd
+    then one tiny per-query merge (groupby over ~Q×k×nblocks rows;
+    pyarrow groups — bounded here, but per-group pandas is the pattern
+    an unbounded-key stage must never copy)."""
     import ray
 
     ref = ray.put(queries)
@@ -82,13 +83,15 @@ def brute_force_topk(ds, queries: dict, k: int = 10,
         batch_format="pyarrow",
     )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(len(g), dtype=np.int64)
-        return g
+    def merge(g: pa.Table) -> pa.Table:
+        cos = g["cosine"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -cos))[:k]
+        g = g.take(pa.array(order))
+        return g.append_column(
+            "rank", pa.array(np.arange(len(order)), pa.int64()))
 
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
 
 
 def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10,
@@ -116,7 +119,6 @@ def ivf_topk(ds, queries: dict, k: int = 10, n_centroids: int = 16,
     """IVF ANN: bucket by nearest centroid (ONE shuffle on the bucket
     key), probe only ``nprobe`` buckets per query. Approximate — recall
     measured against brute force in tests."""
-    import pandas as pd
     import ray
 
     sample = np.asarray(
@@ -142,33 +144,44 @@ def ivf_topk(ds, queries: dict, k: int = 10, n_centroids: int = 16,
         b = (vecs @ c.T).argmax(axis=1).astype(np.int64)
         return batch.append_column("bucket", pa.array(b, pa.int64()))
 
-    def probe_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    probe_schema = pa.schema([("query_id", pa.int64()),
+                              (id_col, pa.int64()),
+                              ("cosine", pa.float64())])
+
+    def probe_bucket(g: pa.Table) -> pa.Table:
         qids_, qmat_, bq = ray.get(bq_ref)
-        b = int(g["bucket"].iloc[0])
+        b = int(g["bucket"][0].as_py())
         probing = bq.get(b, [])
         if not probing:
-            return pd.DataFrame({"query_id": [], id_col: [], "cosine": []})
-        ids = g[id_col].to_numpy()
-        vecs = _normalize(np.asarray(g[vec_col].tolist(), dtype=np.float64))
-        sim = qmat_[probing] @ vecs.T
-        out = []
-        for row, qi in enumerate(probing):
-            kk = min(k, sim.shape[1])
-            top = np.argpartition(-sim[row], kk - 1)[:kk]
-            for c in top:
-                out.append((int(qids_[qi]), int(ids[c]), round(float(sim[row, c]), 6)))
-        return pd.DataFrame(out, columns=["query_id", id_col, "cosine"])
+            return probe_schema.empty_table()
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        vecs = _normalize(np.asarray(g[vec_col].to_pylist(), dtype=np.float64))
+        sim = qmat_[probing] @ vecs.T  # (n_probing, b)
+        kk = min(k, sim.shape[1])
+        # vectorized per-bucket top-k across ALL probing queries at once
+        top = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]  # (n_probing, kk)
+        rows = np.repeat(np.asarray(probing), kk)
+        cols = top.ravel()
+        return pa.table({
+            "query_id": pa.array(qids_[rows].astype(np.int64), pa.int64()),
+            id_col: pa.array(ids[cols], pa.int64()),
+            "cosine": pa.array(
+                np.round(sim[np.repeat(np.arange(len(probing)), kk), cols], 6),
+                pa.float64()),
+        })
 
     partials = (
         ds.map_batches(assign_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(probe_bucket, batch_format="pandas")
+        .map_groups(probe_bucket, batch_format="pyarrow")
     )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(len(g), dtype=np.int64)
-        return g
+    def merge(g: pa.Table) -> pa.Table:
+        cos = g["cosine"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -cos))[:k]
+        g = g.take(pa.array(order))
+        return g.append_column(
+            "rank", pa.array(np.arange(len(order)), pa.int64()))
 
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")

@@ -260,7 +260,6 @@ def hll_distinct(ds, key_cols, value_col: str, p: int = 12):
     """Approximate distinct values of ``value_col`` per key group:
     one HLL per (key, batch) serialized to bytes, merged per key in a
     tiny map_groups — the shuffle carries sketches, never raw values."""
-    import pandas as pd
     import pyarrow as pa
 
     key_cols = list(key_cols)
@@ -281,16 +280,16 @@ def hll_distinct(ds, key_cols, value_col: str, p: int = 12):
             }
         )
 
-    def merge_sketches(g: pd.DataFrame) -> pd.DataFrame:
+    def merge_sketches(g: pa.Table) -> pa.Table:
         h = HyperLogLog(p)
-        for b in g["sketch"]:
+        for b in g["sketch"].to_pylist():
             h.merge(HyperLogLog.from_bytes(b, p))
-        out = {k: [g[k].iloc[0]] for k in key_cols}
-        out["approx_distinct"] = [round(h.estimate())]
-        return pd.DataFrame(out)
+        out = {k: g[k][:1] for k in key_cols}
+        out["approx_distinct"] = pa.array([round(h.estimate())], pa.int64())
+        return pa.table(out)
 
     return (
         ds.map_batches(sketch_batch, batch_format="pyarrow")
         .groupby(key_cols)
-        .map_groups(merge_sketches, batch_format="pandas")
+        .map_groups(merge_sketches, batch_format="pyarrow")
     )
