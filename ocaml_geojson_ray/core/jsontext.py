@@ -189,12 +189,23 @@ def loads_json_recovering(text: str | bytes):
         raise orig from None
 
 
-def decode_transport(data: bytes) -> str:
-    """UTF transport decode with BOM sniffing and U+FFFD replacement.
+# valid UTF-8 FIRST bytes (uutfe.ml's utf_8_len table, nonzero rows):
+# ASCII, C2-DF, E0-EF, F0-F4
+_UTF8_STARTER = bytearray(256)
+for _b in list(range(0x80)) + list(range(0xC2, 0xF5)):
+    _UTF8_STARTER[_b] = 1
 
-    Reference: uutfe.ml:948-980 guesses UTF-8/16BE/16LE from the BOM /
-    first bytes and replaces malformed sequences with U+FFFD
-    (uutfe.ml:35).
+
+def decode_transport(data: bytes) -> str:
+    """UTF transport decode with BOM sniffing, BOM-less UTF-16
+    guessing, and U+FFFD replacement.
+
+    Reference: uutfe.ml:414-430 (r_encoding) guesses from ≤3 bytes:
+    the three BOMs; then ``00 p`` → UTF-16BE and ``p 00`` → UTF-16LE
+    (an ASCII-leading BOM-less UTF-16 text — every JSON doc starts
+    ASCII); then any valid UTF-8 first byte → UTF-8; any other 2-byte
+    prefix → UTF-16BE. Malformed sequences become U+FFFD (uutfe.ml:35)
+    rather than failing.
     """
     if data[:3] == b"\xef\xbb\xbf":
         return data[3:].decode("utf-8", errors="replace")
@@ -202,7 +213,39 @@ def decode_transport(data: bytes) -> str:
         return data[2:].decode("utf-16-be", errors="replace")
     if data[:2] == b"\xff\xfe":
         return data[2:].decode("utf-16-le", errors="replace")
+    if len(data) >= 2:
+        if data[0] == 0 and data[1] > 0:
+            return data.decode("utf-16-be", errors="replace")
+        if data[0] > 0 and data[1] == 0:
+            return data.decode("utf-16-le", errors="replace")
+        if not _UTF8_STARTER[data[0]]:
+            return data.decode("utf-16-be", errors="replace")
     return data.decode("utf-8", errors="replace")
+
+
+_ENCODINGS = {
+    "utf-8": ("utf-8", b"\xef\xbb\xbf"),
+    "utf-16-be": ("utf-16-be", b"\xfe\xff"),
+    "utf-16-le": ("utf-16-le", b"\xff\xfe"),
+}
+
+
+def encode_transport(text: str, encoding: str = "utf-8",
+                     bom: bool = False) -> bytes:
+    """UTF transport encode — the encoder side of uutfe (the reference
+    can EMIT UTF-16, not just read it: uutfe.ml:1040+ encode_utf_8 /
+    encode_utf_16be / encode_utf_16le emit scalar values byte-by-byte;
+    UTF-16 supplementary planes as surrogate pairs, which is exactly
+    the standard codec behavior). As in Uutf, the encoder never writes
+    a BOM on its own — ``bom=True`` prepends the mark explicitly, and
+    ``decode_transport`` round-trips all six (encoding × bom) forms.
+    """
+    try:
+        codec, mark = _ENCODINGS[encoding]
+    except KeyError:
+        raise ValueError(f"unsupported transport encoding: {encoding!r}")
+    out = text.encode(codec)
+    return mark + out if bom else out
 
 
 _ESCAPE_MAP = {}

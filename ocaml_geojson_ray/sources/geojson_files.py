@@ -57,20 +57,31 @@ def read_geojson_lines(paths):
     return ds.map_batches(rename, batch_format="pyarrow")
 
 
-def write_geojson(ds, out_dir: str, doc_col: str = "cand_text") -> None:
+def write_geojson(ds, out_dir: str, doc_col: str = "cand_text",
+                  encoding: str = "utf-8", bom: bool = False) -> None:
     """Serialize the document column back to newline-delimited GeoJSON
-    text files (canonical minified bytes), one part per block."""
+    text files (canonical minified bytes), one part per block.
+
+    ``encoding``/``bom`` select the transport encoding (S6 encoder
+    side, uutfe parity: utf-8 / utf-16-be / utf-16-le via
+    jsontext.encode_transport; the BOM — written once per file — is
+    opt-in, matching the reference encoder which never emits one on
+    its own). ``read_geojson_files`` round-trips every combination."""
     import os
     import uuid
+
+    from ..core.jsontext import encode_transport
 
     os.makedirs(out_dir, exist_ok=True)
 
     def write_block(batch: pa.Table) -> pa.Table:
         name = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.geojsonl")
-        with open(name, "w", encoding="utf-8") as fh:
+        with open(name, "wb") as fh:
+            first = True
             for d in batch[doc_col].to_pylist():
-                fh.write(d)
-                fh.write("\n")
+                fh.write(encode_transport(d + "\n", encoding,
+                                          bom=bom and first))
+                first = False
         return pa.table({"file": pa.array([name]), "rows": pa.array([len(batch)])})
 
     # consume: one manifest row per written part

@@ -51,6 +51,48 @@ def test_lines_roundtrip_write(ray_session, tmp_path, docs_ds):
     )
 
 
+def test_encode_transport_goldens():
+    """Encoder side of uutfe (uutfe.ml:1040+): UTF-16 byte-exact
+    goldens incl. a surrogate pair, BOM opt-in, and decode round-trip
+    of all six (encoding × bom) forms."""
+    from ocaml_geojson_ray.core.jsontext import (
+        decode_transport, encode_transport)
+
+    s = '{"name":"café \U0001f600"}'
+    # golden bytes: é = 00E9, 😀 = surrogate pair D83D DE00
+    le = encode_transport(s, "utf-16-le")
+    assert le[:2] == b'{\x00' and b"\xe9\x00" in le
+    assert b"\x3d\xd8\x00\xde" in le  # LE surrogate pair
+    be = encode_transport(s, "utf-16-be")
+    assert be[:2] == b'\x00{' and b"\xd8\x3d\xde\x00" in be
+    assert encode_transport(s, "utf-16-le", bom=True)[:2] == b"\xff\xfe"
+    assert encode_transport(s, "utf-16-be", bom=True)[:2] == b"\xfe\xff"
+    assert encode_transport(s, "utf-8", bom=True)[:3] == b"\xef\xbb\xbf"
+    for enc in ("utf-8", "utf-16-be", "utf-16-le"):
+        for bom in (False, True):
+            assert decode_transport(encode_transport(s, enc, bom)) == s
+    with pytest.raises(ValueError):
+        encode_transport(s, "latin-1")
+
+
+def test_write_geojson_utf16_roundtrip(ray_session, tmp_path, docs_ds):
+    """S6 encoder parity at the sink: UTF-16LE + BOM output files read
+    back byte-for-text-identical through the S4 transport decoder."""
+    from ocaml_geojson_ray.sources.geojson_files import (
+        read_geojson_files, write_geojson)
+
+    out = tmp_path / "out16"
+    manifest = write_geojson(docs_ds, str(out), encoding="utf-16-le",
+                             bom=True)
+    assert sum(r["rows"] for r in manifest.take_all()) == 2
+    # every part decodes via BOM sniffing; lines reassemble the docs
+    got = []
+    for r in read_geojson_files(str(out)).take_all():
+        got.extend(x for x in r["cand_text"].split("\n") if x)
+    assert sorted(got) == sorted(
+        r["cand_text"] for r in docs_ds.take_all())
+
+
 def test_map_props_stage(ray_session, docs_ds):
     from ocaml_geojson_ray.stages.rewrite import MapProps
 
