@@ -59,15 +59,21 @@ def rect_polygons_index_ref(sf_dir: str, res: int):
     key = (sf_dir, res, ray_session_token())
     ref = _RECT_INDEX_MEMO.get(key)
     if ref is None:
-        ref = ray.put(PolygonIndex(rect_polygons_rows(sf_dir), res))
+        # array-native index build (no per-row dicts/rings; equality
+        # with the generic constructor is pinned in tests)
+        pk, ps, minx, miny, maxx, maxy = rect_polygons_arrays(sf_dir)
+        idx = PolygonIndex.from_rect_arrays(
+            pk, [f"part_{int(k)}" for k in pk], minx, miny, maxx, maxy, res)
+        ref = ray.put(idx)
         _RECT_INDEX_MEMO.clear()  # refs from older sessions are dead
         _RECT_INDEX_MEMO[key] = ref
     return ref
 
 
-def rect_polygons_rows(sf_dir: str):
-    """part keys → deterministic axis-aligned rectangle polygons
-    (generic polygons to the engine; BETWEEN-joinable for the oracle)."""
+def rect_polygons_arrays(sf_dir: str):
+    """part keys → deterministic rectangle bounds as plain arrays
+    (pk, ps, minx, miny, maxx, maxy) — the shared derivation for both
+    the dict-rows form and the array-native index fast path."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"])
@@ -77,8 +83,13 @@ def rect_polygons_rows(sf_dir: str):
     miny = ((pk * 104729) % 16000) / 100.0 - 80.0
     w = (ps % 10 + 1) / 2.0
     h = (pk % 7 + 1) / 2.0
-    maxx = minx + w
-    maxy = miny + h
+    return pk, ps, minx, miny, minx + w, miny + h
+
+
+def rect_polygons_rows(sf_dir: str):
+    """part keys → deterministic axis-aligned rectangle polygons
+    (generic polygons to the engine; BETWEEN-joinable for the oracle)."""
+    pk, ps, minx, miny, maxx, maxy = rect_polygons_arrays(sf_dir)
     rows = []
     for i in range(len(pk)):
         ring = [

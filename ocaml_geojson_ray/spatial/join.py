@@ -30,10 +30,22 @@ DEFAULT_JOIN_RES = 9  # ~0.7° cells; polygon layer radii are 0.01°-2°
 
 
 class PolygonIndex:
-    """Driver-built, broadcast-once index of the polygon layer."""
+    """Driver-built, broadcast-once index of the polygon layer.
 
-    __slots__ = ("res", "cell_to_polys", "rings", "poly_ids", "names",
-                 "bbox", "centers", "radius", "is_rect", "rect_bounds")
+    Ring storage is FLAT — one (total_pts, 2) float64 array plus ring/
+    polygon offset arrays — so the ray.put/worker-get path serializes
+    three big numpy buffers instead of ~n_polys small ones (measured:
+    20k-rect layer pickle 0.35 s → ~0.03 s, and the per-worker
+    deserialize shrinks the same way; at a 10⁶-polygon layer this is
+    the difference between seconds and minutes of driver/actor time).
+    ``rings`` / ``bbox`` are lazily-built cached views for the PIP and
+    kNN consumers; the caches never travel through the object store
+    (__getstate__ drops them)."""
+
+    __slots__ = ("res", "cell_to_polys", "poly_ids", "names",
+                 "centers", "radius", "is_rect", "rect_bounds",
+                 "flat", "ring_offs", "poly_offs", "bbox_arr",
+                 "_rings_cache", "_bbox_cache")
 
     def __init__(self, rows, res: int = DEFAULT_JOIN_RES):
         """rows: iterable of dicts with poly_id, name, rings, minx..maxy
@@ -42,19 +54,37 @@ class PolygonIndex:
         Construction is VECTORIZED across polygons (cell coverage, cell
         grouping, centers/radii, rect detection) — per-polygon
         cover_bbox calls cost ~115 µs each, i.e. ~2 min of driver time
-        for a 10^6-polygon layer."""
+        for a 10^6-polygon layer. For pure-rectangle layers prefer the
+        fully-array ``from_rect_arrays`` fast path."""
         rows = list(rows)
         n = len(rows)
         self.res = res
         self.poly_ids = np.fromiter(
             (r["poly_id"] for r in rows), dtype=np.int64, count=n)
         self.names = [r["name"] for r in rows]
-        self.rings = [
-            [np.asarray(ring, dtype=np.float64) for ring in r["rings"]]
-            for r in rows
-        ]
-        self.bbox = [(r["minx"], r["miny"], r["maxx"], r["maxy"]) for r in rows]
-        bb = np.asarray(self.bbox, dtype=np.float64) if n else np.zeros((0, 4))
+        ring_list = [np.asarray(ring, dtype=np.float64)
+                     for r in rows for ring in r["rings"]]
+        ring_sizes = np.fromiter((len(rg) for rg in ring_list),
+                                 dtype=np.int64, count=len(ring_list))
+        self.flat = (np.concatenate(ring_list, axis=0) if ring_list
+                     else np.zeros((0, 2)))
+        self.ring_offs = np.concatenate([[0], np.cumsum(ring_sizes)])
+        nrings = np.fromiter((len(r["rings"]) for r in rows),
+                             dtype=np.int64, count=n)
+        self.poly_offs = np.concatenate([[0], np.cumsum(nrings)])
+        self.bbox_arr = (np.asarray(
+            [(r["minx"], r["miny"], r["maxx"], r["maxy"]) for r in rows],
+            dtype=np.float64) if n else np.zeros((0, 4)))
+        self._rings_cache = None
+        self._bbox_cache = None
+        self._finish_from_bbox()
+
+    def _finish_from_bbox(self):
+        """Shared tail of construction: cell coverage, centers/radii,
+        rect detection — all from the flat arrays + bbox_arr."""
+        n = len(self.poly_ids)
+        res = self.res
+        bb = self.bbox_arr
 
         # -- covering cells, flat-expanded over ALL polygons -----------
         nres = 1 << res
@@ -94,16 +124,15 @@ class PolygonIndex:
             self.cell_to_polys = {}
 
         # -- per-polygon center + enclosing radius (kNN lower bounds),
-        #    one concatenated point array + reduceat ---------------------
+        #    reduceat straight over the flat point array ------------------
         if n:
-            pts_per_poly = [np.concatenate(r) for r in self.rings]
-            sizes = np.fromiter((len(p) for p in pts_per_poly),
-                                dtype=np.int64, count=n)
-            allp = np.concatenate(pts_per_poly)
-            offs = np.concatenate([[0], np.cumsum(sizes)[:-1]])
-            sums = np.add.reduceat(allp, offs, axis=0)
+            offs = self.ring_offs[self.poly_offs[:-1]]
+            sizes = (self.ring_offs[self.poly_offs[1:]]
+                     - self.ring_offs[self.poly_offs[:-1]])
+            sums = np.add.reduceat(self.flat, offs, axis=0)
             self.centers = sums / sizes[:, None]
-            d2 = ((allp - np.repeat(self.centers, sizes, axis=0)) ** 2).sum(axis=1)
+            d2 = ((self.flat - np.repeat(self.centers, sizes, axis=0)) ** 2
+                  ).sum(axis=1)
             self.radius = np.sqrt(np.maximum.reduceat(d2, offs))
         else:
             self.centers = np.zeros((0, 2))
@@ -114,14 +143,22 @@ class PolygonIndex:
         # (see spatial/pip.py), so the join evaluates all their
         # candidates in one vectorized expression instead of a
         # per-polygon PIP loop. Candidates (single 5-point closed ring)
-        # are stacked and tested in one pass.
+        # are gathered from the flat array and tested in one pass.
         self.is_rect = np.zeros(n, dtype=bool)
         self.rect_bounds = np.zeros((n, 4), dtype=np.float64)
-        cand = [i for i, rings in enumerate(self.rings)
-                if len(rings) == 1 and rings[0].shape == (5, 2)]
-        if cand:
-            ci = np.asarray(cand, dtype=np.int64)
-            stack = np.stack([self.rings[i][0] for i in cand])  # (m, 5, 2)
+        one_ring = (self.poly_offs[1:] - self.poly_offs[:-1]) == 1
+        if n:
+            sizes_p = (self.ring_offs[self.poly_offs[1:]]
+                       - self.ring_offs[self.poly_offs[:-1]])
+            cand_mask = one_ring & (sizes_p == 5)
+        else:
+            cand_mask = np.zeros(0, dtype=bool)
+        if cand_mask.any():
+            ci = np.flatnonzero(cand_mask)
+            starts = self.ring_offs[self.poly_offs[ci]]
+            stack = self.flat[(starts[:, None]
+                               + np.arange(5)[None, :]).ravel()]
+            stack = stack.reshape(len(ci), 5, 2)
             closed = (stack[:, 0] == stack[:, 4]).all(axis=1)
             xs_min = stack[:, :4, 0].min(axis=1)
             xs_max = stack[:, :4, 0].max(axis=1)
@@ -129,16 +166,18 @@ class PolygonIndex:
             ys_max = stack[:, :4, 1].max(axis=1)
             # exactly the 4 distinct bbox corners, each appearing once:
             # every x/y is one of the two extremes, extremes differ, and
-            # the 4 corner points are pairwise distinct
+            # each (min/max × min/max) corner appears exactly once
             x_ok = ((stack[:, :4, 0] == xs_min[:, None])
                     | (stack[:, :4, 0] == xs_max[:, None])).all(axis=1)
             y_ok = ((stack[:, :4, 1] == ys_min[:, None])
                     | (stack[:, :4, 1] == ys_max[:, None])).all(axis=1)
             nondeg = (xs_min != xs_max) & (ys_min != ys_max)
-            distinct = np.asarray([
-                len({(float(x), float(y)) for x, y in s[:4]}) == 4
-                for s in stack
-            ])
+            distinct = np.ones(len(ci), dtype=bool)
+            for xe, ye in ((xs_min, ys_min), (xs_min, ys_max),
+                           (xs_max, ys_min), (xs_max, ys_max)):
+                hits = ((stack[:, :4, 0] == xe[:, None])
+                        & (stack[:, :4, 1] == ye[:, None])).sum(axis=1)
+                distinct &= hits == 1
             ok = closed & x_ok & y_ok & nondeg & distinct
             sel = ci[ok]
             self.is_rect[sel] = True
@@ -146,6 +185,69 @@ class PolygonIndex:
             self.rect_bounds[sel, 1] = ys_min[ok]
             self.rect_bounds[sel, 2] = xs_max[ok]
             self.rect_bounds[sel, 3] = ys_max[ok]
+
+    # -- lazy per-polygon ring views (rebuilt per process, never
+    #    serialized) --------------------------------------------------------
+    @property
+    def rings(self):
+        if self._rings_cache is None:
+            ro, po = self.ring_offs, self.poly_offs
+            self._rings_cache = [
+                [self.flat[ro[j]:ro[j + 1]] for j in range(po[i], po[i + 1])]
+                for i in range(len(po) - 1)
+            ]
+        return self._rings_cache
+
+    @property
+    def bbox(self):
+        if self._bbox_cache is None:
+            self._bbox_cache = [tuple(row) for row in self.bbox_arr]
+        return self._bbox_cache
+
+    def __getstate__(self):
+        return {s: getattr(self, s) for s in self.__slots__
+                if s not in ("_rings_cache", "_bbox_cache")}
+
+    def __setstate__(self, state):
+        for k, v in state.items():
+            setattr(self, k, v)
+        self._rings_cache = None
+        self._bbox_cache = None
+
+    @classmethod
+    def from_rect_arrays(cls, poly_ids, names, minx, miny, maxx, maxy,
+                         res: int = DEFAULT_JOIN_RES):
+        """Array-native fast path for an axis-aligned-rectangle layer:
+        no per-row dicts, no per-ring Python — the 5-point closed rings
+        are synthesized directly into the flat buffer. Semantics are
+        IDENTICAL to the generic constructor on the equivalent rows
+        (pinned by tests); degenerate rects (zero width/height) simply
+        fail rect detection and fall to the PIP path like any other
+        polygon."""
+        self = cls.__new__(cls)
+        n = len(poly_ids)
+        minx = np.asarray(minx, dtype=np.float64)
+        miny = np.asarray(miny, dtype=np.float64)
+        maxx = np.asarray(maxx, dtype=np.float64)
+        maxy = np.asarray(maxy, dtype=np.float64)
+        flat = np.empty((n * 5, 2), dtype=np.float64)
+        flat[0::5, 0] = minx; flat[0::5, 1] = miny
+        flat[1::5, 0] = maxx; flat[1::5, 1] = miny
+        flat[2::5, 0] = maxx; flat[2::5, 1] = maxy
+        flat[3::5, 0] = minx; flat[3::5, 1] = maxy
+        flat[4::5, 0] = minx; flat[4::5, 1] = miny
+        self.res = res
+        self.poly_ids = np.asarray(poly_ids, dtype=np.int64)
+        self.names = list(names)
+        self.flat = flat
+        self.ring_offs = np.arange(n + 1, dtype=np.int64) * 5
+        self.poly_offs = np.arange(n + 1, dtype=np.int64)
+        self.bbox_arr = np.stack([minx, miny, maxx, maxy], axis=1) \
+            if n else np.zeros((0, 4))
+        self._rings_cache = None
+        self._bbox_cache = None
+        self._finish_from_bbox()
+        return self
 
     @classmethod
     def from_parquet(cls, path: str, res: int = DEFAULT_JOIN_RES):

@@ -441,3 +441,51 @@ def test_measures_kernels():
     singles = np.concatenate([ring_areas([r]) for r in
                               (sq, tri, hole, sq[::-1], line)])
     assert np.allclose(batch, singles)
+
+
+def test_polygon_index_rect_fast_path_equals_generic():
+    """from_rect_arrays (array-native build) must be INDEX-equivalent
+    to the generic dict-rows constructor on the same rectangles —
+    including a degenerate zero-height rect (falls to PIP path) and
+    the pickle round-trip (lazy ring caches never serialized)."""
+    import pickle
+
+    import numpy as np
+
+    from ocaml_geojson_ray.spatial.join import PolygonIndex
+
+    rng = np.random.default_rng(4)
+    n = 200
+    minx = rng.uniform(-170, 160, n)
+    miny = rng.uniform(-80, 70, n)
+    maxx = minx + rng.uniform(0.1, 5, n)
+    maxy = miny + rng.uniform(0.1, 5, n)
+    maxy[7] = miny[7]  # degenerate: not a rect, PIP path
+    ids = np.arange(100, 100 + n)
+    names = [f"p{i}" for i in ids]
+
+    rows = [{"poly_id": int(ids[i]), "name": names[i],
+             "rings": [[[minx[i], miny[i]], [maxx[i], miny[i]],
+                        [maxx[i], maxy[i]], [minx[i], maxy[i]],
+                        [minx[i], miny[i]]]],
+             "minx": minx[i], "miny": miny[i],
+             "maxx": maxx[i], "maxy": maxy[i]} for i in range(n)]
+
+    a = PolygonIndex(rows, 7)
+    b = PolygonIndex.from_rect_arrays(ids, names, minx, miny, maxx, maxy, 7)
+    b = pickle.loads(pickle.dumps(b))  # exercise getstate/setstate
+
+    assert np.array_equal(a.poly_ids, b.poly_ids)
+    assert a.names == b.names
+    assert np.array_equal(a.is_rect, b.is_rect) and not a.is_rect[7]
+    assert np.array_equal(a.rect_bounds, b.rect_bounds)
+    assert np.array_equal(a.flat, b.flat)
+    assert np.array_equal(a.ring_offs, b.ring_offs)
+    assert np.allclose(a.centers, b.centers) and np.allclose(a.radius, b.radius)
+    assert a.cell_to_polys.keys() == b.cell_to_polys.keys()
+    for k in a.cell_to_polys:
+        assert np.array_equal(a.cell_to_polys[k], b.cell_to_polys[k])
+    # lazy views reconstruct identically
+    assert all(np.array_equal(x[0], y[0])
+               for x, y in zip(a.rings, b.rings))
+    assert a.bbox == b.bbox
