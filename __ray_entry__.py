@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_user_order": Q.q_asof_user_order,
         "interval_join_orders": Q.q_interval_join_orders,
         "envelope_join": Q.q_envelope_join,
+        "zonal_stats": Q.q_zonal_stats,
+        "rect_overlay_area": Q.q_rect_overlay_area,
         "sample_langs": Q.q_sample_langs,
         "top_user_per_type": Q.q_top_user_per_type,
         "hash_sample_orders": Q.q_hash_sample_orders,
@@ -155,6 +157,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_user_order": Q.SQL_ASOF_USER_ORDER,
         "interval_join_orders": Q.SQL_INTERVAL_JOIN_ORDERS,
         "envelope_join": Q.SQL_ENVELOPE_JOIN,
+        "zonal_stats": Q.SQL_ZONAL_STATS,
+        "rect_overlay_area": Q.SQL_RECT_OVERLAY_AREA,
         "top_user_per_type": Q.SQL_TOP_USER_PER_TYPE,
         "hash_sample_orders": Q.SQL_HASH_SAMPLE_ORDERS,
         "event_type_pivot": Q.SQL_EVENT_TYPE_PIVOT,

@@ -162,6 +162,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("tile_assign_counts", Q.q_tile_assign_counts)
     timed("spatial_join_rect", Q.q_spatial_join_rect)
     timed("envelope_join", Q.q_envelope_join)
+    timed("zonal_stats", Q.q_zonal_stats)
+    timed("rect_overlay_area", Q.q_rect_overlay_area)
     timed("knn_rect", Q.q_knn_rect)
     timed("knn_points", Q.q_knn_points)
     timed("pricing_summary", Q.q_pricing_summary)

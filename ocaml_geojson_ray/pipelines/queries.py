@@ -1371,6 +1371,152 @@ FROM probe JOIN rects
 """
 
 
+def q_zonal_stats(sf_dir: str):
+    """Zonal statistics (round 4; the N5×N12 overlay composite every
+    geo-analytics pipeline needs): per rect ZONE, the count AND exact
+    int64-cents value sum of the points it contains. Physical shape:
+    the same broadcast cell-index join as spatial_join_rect (no
+    shuffle), map-side (zone → count/sum) partials per batch, one
+    bounded-key funnel combine (20k zones by construction; an
+    unbounded zone layer would switch to groupby)."""
+    from ..spatial.join import spatial_join_points
+    from ..util import grouped_sums_combine
+
+    def derive(b: pa.Table) -> pa.Table:
+        ok_ = b["l_orderkey"].to_numpy()
+        ln = b["l_linenumber"].to_numpy().astype(np.int64)
+        pk = b["l_partkey"].to_numpy()
+        lng = ((ok_ * 7919 + ln * 104729) % 36000) / 100.0 - 180.0
+        lat = ((ok_ * 104729 + pk * 7919) % 18000) / 100.0 - 90.0
+        cents = np.round(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({
+            "lng": pa.array(lng, pa.float64()),
+            "lat": pa.array(lat, pa.float64()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    pts = _read_split(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"],
+    ).map_batches(derive, batch_format="pyarrow")
+    joined = spatial_join_points(pts, rect_polygons_index_ref(sf_dir, 7),
+                                 res=7)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.select(["poly_id", "cents"]).group_by("poly_id").aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return t.rename_columns(["poly_id", "sum_cents", "n_points"])
+
+    return grouped_sums_combine(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["poly_id"], ["n_points", "sum_cents"], ["n_points", "sum_cents"])
+
+
+SQL_ZONAL_STATS = f"""
+WITH pts AS (
+  SELECT ((l_orderkey * 7919 + l_linenumber * 104729) % 36000) / 100.0
+           - 180.0 AS lng,
+         ((l_orderkey * 104729 + l_partkey * 7919) % 18000) / 100.0
+           - 90.0 AS lat,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem),
+rects AS ({RECTS_SQL})
+SELECT poly_id, CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM pts JOIN rects
+  ON lng >= minx AND lng < maxx AND lat >= miny AND lat < maxy
+GROUP BY poly_id
+"""
+
+
+def q_rect_overlay_area(sf_dir: str):
+    """Spatial OVERLAY (round 4): self-join of the rect layer on
+    strict envelope overlap, with the EXACT pairwise intersection
+    area — per rect: how many others it overlaps and their total
+    intersection area in int64 micro-deg² (areas land on a ~1e-4
+    grid, so round(area·10⁶) is unambiguous in both engines and the
+    per-zone sum is order-independent). Physical shape: the layer
+    streams as its own probe against the broadcast cell index
+    (EnvelopeJoiner, no shuffle); partner bounds come from the SAME
+    broadcast index (sorted-id probe into bbox_arr, no second table
+    ship); bounded-key funnel combine."""
+    import ray
+
+    from ..spatial.join import envelope_join
+    from ..util import grouped_sums_combine
+
+    def derive(b: pa.Table) -> pa.Table:
+        pk = b["p_partkey"].to_numpy()
+        ps = b["p_size"].to_numpy().astype(np.int64)
+        minx = ((pk * 7919) % 34000) / 100.0 - 170.0
+        miny = ((pk * 104729) % 16000) / 100.0 - 80.0
+        return pa.table({
+            "a_id": pa.array(pk.astype(np.int64), pa.int64()),
+            "minx": pa.array(minx, pa.float64()),
+            "miny": pa.array(miny, pa.float64()),
+            "maxx": pa.array(minx + (ps % 10 + 1) / 2.0, pa.float64()),
+            "maxy": pa.array(miny + (pk % 7 + 1) / 2.0, pa.float64()),
+        })
+
+    probe = _read_split(sf_dir, "part", ["p_partkey", "p_size"]) \
+        .map_batches(derive, batch_format="pyarrow")
+    ref = rect_polygons_index_ref(sf_dir, 7)
+    joined = envelope_join(probe, ref, res=7)
+
+    def pair_area_partial(b: pa.Table, index_ref=None) -> pa.Table:
+        from ..spatial.join import _get_index
+
+        idx = _get_index(index_ref)
+        a_id = b["a_id"].to_numpy(zero_copy_only=False)
+        b_id = b["poly_id"].to_numpy(zero_copy_only=False)
+        keep = a_id != b_id  # drop self-pairs
+        a_id, b_id = a_id[keep], b_id[keep]
+        bb = idx.bbox_arr[np.searchsorted(idx.poly_ids, b_id)]
+        w = (np.minimum(b["maxx"].to_numpy(zero_copy_only=False)[keep],
+                        bb[:, 2])
+             - np.maximum(b["minx"].to_numpy(zero_copy_only=False)[keep],
+                          bb[:, 0]))
+        h = (np.minimum(b["maxy"].to_numpy(zero_copy_only=False)[keep],
+                        bb[:, 3])
+             - np.maximum(b["miny"].to_numpy(zero_copy_only=False)[keep],
+                          bb[:, 1]))
+        micro = np.round(w * h * 1e6).astype(np.int64)
+        uniq, inv = np.unique(a_id, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, inv, micro)
+        return pa.table({
+            "poly_id": pa.array(uniq, pa.int64()),
+            "n_overlaps": pa.array(n, pa.int64()),
+            "inter_area_micro": pa.array(s, pa.int64()),
+        })
+
+    partials = joined.map_batches(
+        pair_area_partial, fn_kwargs={"index_ref": ref},
+        batch_format="pyarrow")
+    return grouped_sums_combine(
+        partials, ["poly_id"], ["n_overlaps", "inter_area_micro"],
+        ["n_overlaps", "inter_area_micro"])
+
+
+SQL_RECT_OVERLAY_AREA = f"""
+WITH rects AS ({RECTS_SQL})
+SELECT a.poly_id,
+       CAST(count(*) AS BIGINT) AS n_overlaps,
+       CAST(sum(CAST(round(
+           (least(a.maxx, b.maxx) - greatest(a.minx, b.minx))
+         * (least(a.maxy, b.maxy) - greatest(a.miny, b.miny)) * 1000000)
+         AS BIGINT)) AS BIGINT) AS inter_area_micro
+FROM rects a JOIN rects b
+  ON a.minx < b.maxx AND a.maxx > b.minx
+ AND a.miny < b.maxy AND a.maxy > b.miny
+ AND a.poly_id <> b.poly_id
+GROUP BY a.poly_id
+"""
+
+
 def q_asof_user_order(sf_dir: str):
     """As-of join (ray_guide 'As-of / range join'): for every event,
     the latest order of customer ``user_id`` with o_orderdate <= ts.

@@ -44,6 +44,40 @@ def grouped_sum_combine(partial_ds, key_cols, val_col: str, alias: str):
         combine, batch_format="pyarrow")
 
 
+def grouped_sums_combine(partial_ds, key_cols, val_cols, aliases):
+    """Multi-value-column variant of ``grouped_sum_combine``: one
+    funnel task reduces several int64 partial-sum columns with a
+    single lexsort + one reduceat per column. Same bounded-key-only
+    contract (the distinct-key table must fit one worker)."""
+    key_cols = list(key_cols)
+    val_cols = list(val_cols)
+    aliases = list(aliases)
+
+    def combine(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            cols = {c: b[c] for c in key_cols}
+            for a in aliases:
+                cols[a] = pa.array([], pa.int64())
+            return pa.table(cols)
+        keys = [b[c].to_numpy(zero_copy_only=False) for c in key_cols]
+        order = np.lexsort(keys[::-1])
+        ks = [k[order] for k in keys]
+        neq = np.zeros(len(order), dtype=bool)
+        neq[0] = True
+        for k in ks:
+            neq[1:] |= k[1:] != k[:-1]
+        starts = np.flatnonzero(neq)
+        cols = {c: pa.array(k[starts]) for c, k in zip(key_cols, ks)}
+        for vc, a in zip(val_cols, aliases):
+            v = b[vc].to_numpy(zero_copy_only=False)[order]
+            cols[a] = pa.array(
+                np.add.reduceat(v, starts).astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return partial_ds.repartition(1).map_batches(
+        combine, batch_format="pyarrow", batch_size=None)
+
+
 def split_read(path, columns, nblocks: int):
     """``read_parquet(override_num_blocks=nblocks)`` plus a streaming-
     generator buffer wide enough to actually DELIVER the split.
