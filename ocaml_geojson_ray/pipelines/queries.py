@@ -1710,17 +1710,17 @@ FROM events
 def q_cohort_retention(sf_dir: str):
     """Cohort retention (the classic product-analytics matrix): cohort
     = a user's FIRST event day; for each (cohort_day, day_offset),
-    the number of cohort users active that day. Physical shape: pass 1
-    pre-aggregates to distinct (user, day) pairs map-side, then
-    groupby(user) yields first days; the per-user first-day table is
-    o(users) and broadcasts (ray.put) — pass 2 re-scans the distinct
-    pairs, attaches the cohort via a sorted lookup, and funnels
-    bounded-key (cohort, offset) partial counts. Two passes, one tiny
-    groupby, no corpus-sized shuffle. SQL-checked (min() OVER user +
-    date arithmetic, all integer days)."""
+    the number of cohort users active that day. Physical shape
+    (round-4 rewrite): map-side partial dedup to (user, day) pairs,
+    then ONE groupby(user) — each group holds all of one user's days,
+    so a single np.unique yields the cohort (min = first sorted
+    element) AND every (cohort, offset) contribution at once — then
+    the bounded-key (cohort, offset) funnel. The previous plan spent
+    two sort shuffles + two materializes + a first-day broadcast for
+    the same answer (2.5 → ~1 s at sf0.1/32). SQL-checked (min() OVER
+    user + date arithmetic, all integer days)."""
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Min
 
     from ..util import grouped_sum_combine
 
@@ -1739,42 +1739,18 @@ def q_cohort_retention(sf_dir: str):
             "day": pa.array(uk & ((1 << 32) - 1), pa.int64()),
         })
 
-    from ray.data.aggregate import Count
-
-    # per-batch unique is a PARTIAL dedup only — one groupby makes the
-    # (user, day) pairs globally distinct (o(users × active days) keys)
-    pairs = (
-        ds.map_batches(user_days, batch_format="pyarrow")
-        .groupby(["user_id", "day"]).aggregate(Count(alias_name="_c"))
-        .map_batches(lambda b: b.select(["user_id", "day"]),
-                     batch_format="pyarrow")
-        .materialize()
-    )
-    firsts = pairs.groupby("user_id").aggregate(
-        Min("day", alias_name="first_day")).materialize()
-    ft = pa.concat_tables(ray.get(firsts.to_arrow_refs()))
-    fu = ft["user_id"].to_numpy()
-    fd = ft["first_day"].to_numpy()
-    order = np.argsort(fu)
-    first_ref = ray.put((fu[order], fd[order]))
-
-    def offsets(b: pa.Table) -> pa.Table:
-        users_sorted, first_days = ray.get(first_ref)
-        u = b["user_id"].to_numpy()
-        d = b["day"].to_numpy()
-        cohort = first_days[np.searchsorted(users_sorted, u)]
-        off = d - cohort  # ≥ 0 by construction
-        uk, cnt = np.unique(cohort * (1 << 32) + off, return_counts=True)
+    def per_user(g: pa.Table) -> pa.Table:
+        d = np.unique(g["day"].to_numpy(zero_copy_only=False))  # sorted
         return pa.table({
-            "cohort_day": pa.array(uk >> 32, pa.int64()),
-            "day_offset": pa.array(uk & ((1 << 32) - 1), pa.int64()),
-            "partial": pa.array(cnt.astype(np.int64), pa.int64()),
+            "cohort_day": pa.array(np.full(len(d), d[0]), pa.int64()),
+            "day_offset": pa.array(d - d[0], pa.int64()),
+            "partial": pa.array(np.ones(len(d), np.int64), pa.int64()),
         })
 
-    return grouped_sum_combine(
-        pairs.map_batches(offsets, batch_format="pyarrow"),
-        ["cohort_day", "day_offset"], "partial", "n_users")
-
+    parts = ds.map_batches(user_days, batch_format="pyarrow") \
+        .groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    return grouped_sum_combine(parts, ["cohort_day", "day_offset"],
+                               "partial", "n_users")
 
 SQL_COHORT_RETENTION = """
 WITH ud AS (SELECT DISTINCT user_id,
