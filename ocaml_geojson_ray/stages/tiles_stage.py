@@ -73,17 +73,30 @@ def partial_tile_counts(batch: pa.Table) -> pa.Table:
     return t.rename_columns(["z", "x", "y", "partial_count"])
 
 
-def tile_stats(features_ds, zooms=DEFAULT_ZOOMS):
-    """features → per-tile feature counts (small result)."""
+def tile_stats(features_ds, zooms=DEFAULT_ZOOMS,
+               small_partials: int = 2_000_000):
+    """features → per-tile feature counts (small result).
+
+    Size-adaptive combine (the pivot/dedup precedent): the map-side
+    partials are one row per (block, tile); below ``small_partials``
+    rows they funnel to one reduceat task — Ray's sort-backed groupby
+    machinery alone costs ~1.4 s on this table shape — and above it
+    (deep zooms × huge corpora) the key shuffle is the honest plan."""
     from ray.data.aggregate import Sum
+
+    from ..util import grouped_sum_combine
 
     tiles_ds = features_ds.map_batches(
         assign_tiles_batch, batch_format="pyarrow", fn_kwargs={"zooms": tuple(zooms)}
     )
-    partial = tiles_ds.map_batches(partial_tile_counts, batch_format="pyarrow")
-    return partial.groupby(["z", "x", "y"]).aggregate(
-        Sum("partial_count", alias_name="n_features")
-    )
+    partial = tiles_ds.map_batches(
+        partial_tile_counts, batch_format="pyarrow").materialize()
+    if partial.count() > small_partials:
+        return partial.groupby(["z", "x", "y"]).aggregate(
+            Sum("partial_count", alias_name="n_features")
+        )
+    return grouped_sum_combine(partial, ["z", "x", "y"],
+                               "partial_count", "n_features")
 
 
 def tiles_to_features(stats_ds):
@@ -122,5 +135,22 @@ def tiles_to_features(stats_ds):
 
 
 def densest_tiles(features_ds, zooms=DEFAULT_ZOOMS, top: int = 20):
-    """Global top-k (N11): sort by count desc, limit k."""
-    return tile_stats(features_ds, zooms).sort("n_features", descending=True).limit(top)
+    """Global top-k (N11): count desc, deterministic (z, x, y)
+    tie-break. The stats table is tile-grid-bounded, so the top-k is a
+    whole-block lexsort over the funneled combine output rather than a
+    Dataset.sort+limit pair (two more AllToAll ops on a tiny table;
+    the old form also broke count ties arbitrarily)."""
+    stats = tile_stats(features_ds, zooms)
+
+    def topk(b: pa.Table) -> pa.Table:
+        n = b["n_features"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((
+            b["y"].to_numpy(zero_copy_only=False),
+            b["x"].to_numpy(zero_copy_only=False),
+            b["z"].to_numpy(zero_copy_only=False),
+            -n,
+        ))[:top]
+        return b.take(pa.array(order))
+
+    return stats.repartition(1).map_batches(
+        topk, batch_format="pyarrow", batch_size=None)
