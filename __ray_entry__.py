@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redaction": Q.q_pii_redaction,
         "repetition_stats": Q.q_repetition_stats,
         "span_dedup": Q.q_span_dedup,
+        "span_scrub": Q.q_span_scrub,
         "url_domain_stats": Q.q_url_domain_stats,
         "shard_packing": Q.q_shard_packing,
         "source_quota": Q.q_source_quota,
@@ -184,6 +185,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redaction": Q.SQL_PII_REDACTION,
         "repetition_stats": Q.SQL_REPETITION_STATS,
         "span_dedup": Q.SQL_SPAN_DEDUP,
+        "span_scrub": Q.SQL_SPAN_SCRUB,
         "url_domain_stats": Q.SQL_URL_DOMAIN_STATS,
         "shard_packing": Q.SQL_SHARD_PACKING,
         "source_quota": Q.SQL_SOURCE_QUOTA,

@@ -192,6 +192,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("pii_redaction", Q.q_pii_redaction)
     timed("repetition_stats", Q.q_repetition_stats)
     timed("span_dedup", Q.q_span_dedup)
+    timed("span_scrub", Q.q_span_scrub)
     timed("url_domain_stats", Q.q_url_domain_stats)
     timed("shard_packing", Q.q_shard_packing)
     timed("source_quota", Q.q_source_quota)

@@ -4360,6 +4360,42 @@ FROM per WHERE dup_spans > 0
 """
 
 
+def q_span_scrub(sf_dir: str):
+    """C4-style span-dedup TRANSFORM (round 4): the actual cleaned
+    corpus, not just accounting — every doc rebuilt with only its
+    globally keep-first-winning spans, docs losing every span dropped
+    (stages/dedup.span_scrub; small plan = one winner broadcast + zero
+    shuffles, large plan = Min-groupby + two hash joins). The oracle
+    reconstructs the same text via array_to_string/string_agg over the
+    identical span derivation."""
+    from ..stages.dedup import span_scrub
+
+    ds = _read_split(sf_dir, "documents", ["doc_id", "text"])
+    return span_scrub(ds)
+
+
+SQL_SPAN_SCRUB = r"""
+WITH w AS (SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'), x -> x <> '') AS ws
+       FROM documents),
+spl AS (SELECT doc_id,
+         [{'span_idx': i - 1,
+           'span': array_to_string(ws[(i-1)*15+1 : i*15], ' ')}
+          for i in generate_series(1, (len(ws) + 14) // 15)] AS sps
+        FROM w WHERE len(ws) >= 1),
+sp AS (SELECT doc_id, u.span_idx AS span_idx, u.span AS span
+       FROM (SELECT doc_id, unnest(sps) AS u FROM spl)),
+win AS (SELECT span, min(doc_id * 1048576 + span_idx) AS wp
+        FROM sp GROUP BY span),
+keep AS (SELECT sp.doc_id, sp.span_idx, sp.span
+         FROM sp JOIN win
+           ON sp.span = win.span
+          AND sp.doc_id * 1048576 + sp.span_idx = win.wp)
+SELECT doc_id, string_agg(span, ' ' ORDER BY span_idx) AS clean_text
+FROM keep GROUP BY doc_id
+"""
+
+
 def q_url_domain_stats(sf_dir: str):
     """Webtext URL/domain analysis over deterministically PLANTED URLs
     (corpus has none; planting mirrored in the oracle's aug CTE):

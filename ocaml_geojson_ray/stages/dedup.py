@@ -830,10 +830,14 @@ _SPAN_POS_SALT = _mix64(
 
 def _span_rows_batch(batch: pa.Table, span_w: int = _SPAN_W_DEFAULT,
                      id_col: str = "doc_id",
-                     text_col: str = "text") -> pa.Table:
+                     text_col: str = "text",
+                     distinct: bool = True) -> pa.Table:
     """→ one row per (doc, distinct span content): span_hash (int64
     view of a 64-bit content hash), packed = doc_id*2^20 + first
     span_idx, cnt = occurrences within the doc, doc_id.
+    With ``distinct=False``, one row per span OCCURRENCE instead
+    (cnt ≡ 1; packed = the occurrence's own index) — the span_scrub
+    reconstruction needs every occurrence's keep/drop verdict.
 
     Fully vectorized: definitional ASCII-class tokenizer (trim + RE2
     split — identical to the SQL's string_split_regex), flat word-hash
@@ -895,6 +899,14 @@ def _span_rows_batch(batch: pa.Table, span_w: int = _SPAN_W_DEFAULT,
     ids = pc.cast(batch[id_col], pa.int64()).to_numpy()
     doc_ids = ids[docs][span_doc]
     packed = (doc_ids << _SPAN_IDX_BITS) + span_idx
+
+    if not distinct:
+        return pa.table({
+            "span_hash": pa.array(span_hash.view(np.int64), pa.int64()),
+            "packed": pa.array(packed, pa.int64()),
+            "cnt": pa.array(np.ones(len(packed), np.int64), pa.int64()),
+            "doc_id": pa.array(doc_ids, pa.int64()),
+        })
 
     # per-(doc, span content) combine: sorted by (doc, hash, idx) so
     # the first row of each run carries the doc's earliest occurrence
@@ -1027,3 +1039,142 @@ def span_dedup_stats(ds, span_w: int = _SPAN_W_DEFAULT,
         })
 
     return per_doc.map_batches(final, batch_format="pyarrow")
+
+
+def span_scrub(ds, span_w: int = _SPAN_W_DEFAULT,
+               id_col: str = "doc_id", text_col: str = "text",
+               small_rows: int = 2_000_000):
+    """C4-style span-dedup TRANSFORM (not just the accounting of
+    span_dedup_stats): rebuild every document keeping only the span
+    occurrences that WIN global keep-first dedup (winner = smallest
+    (doc_id, span_idx) per span content; repeats within one doc keep
+    only their first occurrence). → (doc_id, clean_text), words joined
+    by single spaces — the definitional ASCII tokenizer normalizes
+    whitespace, mirrored exactly by the SQL oracle's
+    array_to_string/string_agg chain. A doc whose every span loses
+    emits NOTHING (inner-join semantics, like the oracle's GROUP BY
+    over kept rows).
+
+    Two physical plans (the span_dedup_stats dispatch):
+
+    - small (occurrence table ≤ ``small_rows``): pull ONLY the
+      (span_hash, packed) columns to the driver — bounded by
+      construction at ≤ 2M×16 B = 32 MB (the dedup.py small-pairs
+      precedent) — resolve winners with one lexsort, ``ray.put`` the
+      sorted surviving packed ids ONCE, and let the documents stream
+      past a searchsorted membership probe. One broadcast, zero
+      shuffles, no join.
+    - large: Min-groupby winner resolution + hash join (exactly the
+      stats plan), survivors collected per doc via pyarrow map_groups,
+      one doc_id join back to the text — three key exchanges, no
+      driver state, no broadcast.
+    """
+    import ray
+    from ray.data.aggregate import Min
+
+    from ..util import drop_empty_blocks
+
+    spans = ds.map_batches(
+        _span_rows_batch, batch_format="pyarrow",
+        fn_kwargs={"span_w": span_w, "id_col": id_col,
+                   "text_col": text_col, "distinct": False},
+    ).materialize()
+
+    def rebuild_with(batch: pa.Table, kept_packed_sorted) -> pa.Table:
+        """Rebuild rows of ``batch`` against a SORTED array of
+        surviving packed ids (string assembly is inherently per-doc;
+        everything before the join is vectorized)."""
+        texts = pc.cast(batch[text_col], pa.string())
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        texts = pc.utf8_trim(texts, " \t\n\r\f\v")
+        words = pc.split_pattern_regex(texts, pattern="[ \t\n\r\f\v]+")
+        wl = words.to_pylist()
+        ids = pc.cast(batch[id_col], pa.int64()).to_numpy()
+        out_ids, out_texts = [], []
+        for i, ws in enumerate(wl):
+            if not ws or ws == [""]:
+                continue
+            nspans = (len(ws) + span_w - 1) // span_w
+            packed = (int(ids[i]) << _SPAN_IDX_BITS) + np.arange(
+                nspans, dtype=np.int64)
+            pos = np.searchsorted(kept_packed_sorted, packed)
+            pos = np.minimum(pos, len(kept_packed_sorted) - 1)
+            kept = (kept_packed_sorted[pos] == packed) \
+                if len(kept_packed_sorted) else np.zeros(nspans, bool)
+            if not kept.any():
+                continue
+            parts = [
+                " ".join(ws[s * span_w:(s + 1) * span_w])
+                for s in np.flatnonzero(kept)
+            ]
+            out_ids.append(int(ids[i]))
+            out_texts.append(" ".join(parts))
+        return pa.table({
+            id_col: pa.array(out_ids, pa.int64()),
+            "clean_text": pa.array(out_texts, pa.string()),
+        })
+
+    if spans.count() <= small_rows:
+        cols = pa.concat_tables([
+            ray.get(r) for r in spans.select_columns(
+                ["span_hash", "packed"]).to_arrow_refs()
+        ])
+        h = cols["span_hash"].to_numpy(zero_copy_only=False)
+        p = cols["packed"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, h))
+        hs, ps = h[order], p[order]
+        runfirst = np.concatenate([[True], hs[1:] != hs[:-1]])
+        wp = ps[np.flatnonzero(runfirst)][np.cumsum(runfirst) - 1]
+        surv_ref = ray.put(np.sort(ps[ps == wp]))
+
+        def rebuild_bcast(batch: pa.Table) -> pa.Table:
+            return rebuild_with(batch, ray.get(surv_ref))
+
+        return ds.map_batches(rebuild_bcast, batch_format="pyarrow")
+
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    winners = spans.groupby("span_hash").aggregate(
+        Min("packed", alias_name="wp"))
+    j = drop_empty_blocks(spans.join(
+        winners, join_type="inner", on=("span_hash",),
+        num_partitions=max(2, ncpu // 4)))
+
+    def survivors(b: pa.Table) -> pa.Table:
+        keep = b["packed"].to_numpy() == b["wp"].to_numpy()
+        return pa.table({
+            id_col: b[id_col].filter(pa.array(keep)),
+            "packed": b["packed"].filter(pa.array(keep)),
+        })
+
+    def collect(g: pa.Table) -> pa.Table:
+        # Ray's hash join rejects list<> non-key columns — carry the
+        # sorted kept ids as a binary blob instead
+        p = np.sort(g["packed"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            id_col: g[id_col][:1],
+            "kept_packed": pa.array([p.tobytes()], pa.binary()),
+        })
+
+    kept_lists = j.map_batches(survivors, batch_format="pyarrow") \
+        .groupby(id_col).map_groups(collect, batch_format="pyarrow")
+    docs = ds.map_batches(
+        lambda b: b.select([id_col, text_col]), batch_format="pyarrow")
+    joined = drop_empty_blocks(kept_lists.join(
+        docs, join_type="inner", on=(id_col,),
+        num_partitions=max(2, ncpu // 4)))
+
+    def rebuild_joined(batch: pa.Table) -> pa.Table:
+        out = []
+        for row in range(len(batch)):
+            sub = batch.slice(row, 1)
+            kp = np.frombuffer(sub["kept_packed"][0].as_py(),
+                               dtype=np.int64)
+            out.append(rebuild_with(sub, kp))
+        return pa.concat_tables(out) if out else pa.table({
+            id_col: pa.array([], pa.int64()),
+            "clean_text": pa.array([], pa.string()),
+        })
+
+    return joined.map_batches(rebuild_joined, batch_format="pyarrow")

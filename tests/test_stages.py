@@ -1018,6 +1018,37 @@ def test_span_dedup_plans_equal(ray_session):
     assert len(funnel) > 0
 
 
+def test_span_scrub_plans_equal_and_semantics(ray_session):
+    """span_scrub: broadcast plan ≡ join plan on the fixture corpus,
+    and the hand-checkable semantics hold — a doc that repeats an
+    earlier doc's span loses that occurrence; a doc that is ALL
+    duplicates disappears."""
+    import ray.data as rd
+
+    from ocaml_geojson_ray.stages.dedup import span_scrub
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    small = sorted(span_scrub(ds).take_all(), key=lambda r: r["doc_id"])
+    large = sorted(span_scrub(ds, small_rows=0).take_all(),
+                   key=lambda r: r["doc_id"])
+    assert small == large
+    assert len(small) > 0
+
+    docs = [
+        "a b c x y z",      # doc 1: spans (a b c), (x y z) — both win
+        "a b c q r s",      # doc 2: loses (a b c), keeps (q r s)
+        "a b c a b c",      # doc 3: loses everything → dropped
+    ]
+    tiny = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    }))
+    got = {r["doc_id"]: r["clean_text"]
+           for r in span_scrub(tiny, span_w=3).take_all()}
+    assert got == {1: "a b c x y z", 2: "q r s"}
+
+
 def test_curation_url_domain_partials():
     from ocaml_geojson_ray.stages.curation import domain_partials
 
