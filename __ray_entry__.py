@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_user_order": Q.q_asof_user_order,
         "interval_join_orders": Q.q_interval_join_orders,
         "envelope_join": Q.q_envelope_join,
+        "geo_distance_pairs": Q.q_geo_distance_pairs,
         "zonal_stats": Q.q_zonal_stats,
         "rect_overlay_area": Q.q_rect_overlay_area,
         "sample_langs": Q.q_sample_langs,
@@ -158,6 +159,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_user_order": Q.SQL_ASOF_USER_ORDER,
         "interval_join_orders": Q.SQL_INTERVAL_JOIN_ORDERS,
         "envelope_join": Q.SQL_ENVELOPE_JOIN,
+        "geo_distance_pairs": Q.SQL_GEO_DISTANCE_PAIRS,
         "zonal_stats": Q.SQL_ZONAL_STATS,
         "rect_overlay_area": Q.SQL_RECT_OVERLAY_AREA,
         "top_user_per_type": Q.SQL_TOP_USER_PER_TYPE,

@@ -21,6 +21,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..spatial.distjoin import CHORD_T as _CHORD_T
 from ..util import split_read
 
 
@@ -1329,6 +1330,67 @@ exploded AS (
 SELECT event_type, window_start::BIGINT AS window_start,
        count(*) AS n, round(sum(value), 2) AS sum_value
 FROM exploded GROUP BY event_type, window_start
+"""
+
+
+def derive_customer_band_points_batch(batch: pa.Table) -> pa.Table:
+    """customer keys → deterministic mid-latitude-band points
+    (|lat| < 60 BY DERIVATION, which is what keeps the distance-join
+    grid cells ≥ the radius in ground distance — margin arithmetic in
+    spatial/distjoin.py). Int ops + one divide each: SQL-mirrorable."""
+    k = batch["c_custkey"].to_numpy()
+    lng = ((k * 9973 + 17) % 36000) / 100.0 - 180.0
+    lat = ((k * 6151 + 29) % 12000) / 100.0 - 60.0
+    return pa.table({
+        "key": pa.array(k, pa.int64()),
+        "lng": pa.array(lng, pa.float64()),
+        "lat": pa.array(lat, pa.float64()),
+    })
+
+
+CUSTOMER_BAND_POINTS_SQL = (
+    "SELECT c_custkey AS key, "
+    "((c_custkey * 9973 + 17) % 36000) / 100.0 - 180.0 AS lng, "
+    "((c_custkey * 6151 + 29) % 12000) / 100.0 - 60.0 AS lat "
+    "FROM customer"
+)
+
+
+def q_geo_distance_pairs(sf_dir: str):
+    """Great-circle RADIUS self-join — the distance-predicate member
+    of the join family (rect PIP / envelope / kNN / interval / as-of):
+    every customer-point pair within a 7° angular radius, each pair
+    emitted exactly once, with its squared chord distance.
+
+    Physical plan (spatial/distjoin.py): quantize each point ONCE to
+    the integer unit sphere (the s2-parity device,
+    cells.s2_latlng_to_cell_parity), duplicate 5× into forward grid
+    neighbors, ONE cell-key shuffle, vectorized int64 pair kernel per
+    cell — no global distinct pass, no all-pairs. The oracle is the
+    brute-force O(n²) join BY DESIGN (the oracle companion); the
+    predicate is pure integer arithmetic after the one quantization
+    step, so the value-hash match has zero float-boundary risk."""
+    from ..spatial.distjoin import geo_distance_pairs
+
+    ds = _read_split(sf_dir, "customer", ["c_custkey"])
+    pts = ds.map_batches(derive_customer_band_points_batch,
+                         batch_format="pyarrow")
+    return geo_distance_pairs(pts)
+
+
+SQL_GEO_DISTANCE_PAIRS = f"""
+WITH pts AS ({CUSTOMER_BAND_POINTS_SQL}),
+q AS (SELECT key,
+  CAST(floor(cos(radians(lat)) * cos(radians(lng)) * 1e7 + 0.5) AS BIGINT) AS qx,
+  CAST(floor(cos(radians(lat)) * sin(radians(lng)) * 1e7 + 0.5) AS BIGINT) AS qy,
+  CAST(floor(sin(radians(lat)) * 1e7 + 0.5) AS BIGINT) AS qz
+ FROM pts)
+SELECT a.key AS a_key, b.key AS b_key,
+  (a.qx-b.qx)*(a.qx-b.qx) + (a.qy-b.qy)*(a.qy-b.qy) + (a.qz-b.qz)*(a.qz-b.qz)
+    AS chord2
+FROM q a JOIN q b ON a.key < b.key
+WHERE (a.qx-b.qx)*(a.qx-b.qx) + (a.qy-b.qy)*(a.qy-b.qy) + (a.qz-b.qz)*(a.qz-b.qz)
+      <= CAST({_CHORD_T} AS BIGINT) * {_CHORD_T}
 """
 
 

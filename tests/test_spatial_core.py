@@ -489,3 +489,78 @@ def test_polygon_index_rect_fast_path_equals_generic():
     assert all(np.array_equal(x[0], y[0])
                for x, y in zip(a.rings, b.rings))
     assert a.bbox == b.bbox
+
+
+# -- great-circle radius join (spatial/distjoin.py) --------------------------
+
+def _brute_pairs(key, lng, lat):
+    from ocaml_geojson_ray.spatial import distjoin as dj
+
+    qx, qy, qz = dj.quantized_sphere(lng, lat)
+    P = np.stack([qx, qy, qz], 1)
+    d2 = ((P[:, None, :] - P[None, :, :]) ** 2).sum(-1)
+    ii, jj = np.nonzero(np.triu(d2 <= dj.CHORD_T * dj.CHORD_T, k=1))
+    a = np.minimum(key[ii], key[jj])
+    b = np.maximum(key[ii], key[jj])
+    return set(zip(a.tolist(), b.tolist(), d2[ii, jj].tolist()))
+
+
+def _grid_pairs(key, lng, lat):
+    import pandas as pd
+    import pyarrow as pa
+
+    from ocaml_geojson_ray.spatial import distjoin as dj
+
+    batch = pa.table({
+        "key": pa.array(key, pa.int64()),
+        "lng": pa.array(lng, pa.float64()),
+        "lat": pa.array(lat, pa.float64()),
+    })
+    dup = dj.grid_duplicate_batch(batch).to_pandas()
+    out = set()
+    for _, g in dup.groupby("cell"):
+        t = dj.cell_pairs(pa.Table.from_pandas(g, preserve_index=False))
+        out |= set(zip(t["a_key"].to_pylist(), t["b_key"].to_pylist(),
+                       t["chord2"].to_pylist()))
+    return out
+
+
+def test_distjoin_grid_equals_brute_random():
+    """The forward-neighbor grid plan finds EXACTLY the brute-force
+    pair set — every in-radius pair once (margin arithmetic for the
+    15°×7.5° cells vs the 7° radius), no duplicates, no misses —
+    on random band points including the ±180 wrap and band edges."""
+    rng = np.random.default_rng(42)
+    n = 400
+    key = np.arange(1, n + 1, dtype=np.int64)
+    lng = rng.uniform(-180, 180, n)
+    lat = rng.uniform(-60, 60, n)
+    # force wraparound + band-edge coverage
+    lng[:40] = rng.uniform(176, 180, 40)
+    lng[40:80] = rng.uniform(-180, -176, 40)
+    lat[:20] = rng.uniform(59.5, 60, 20)
+    lat[80:100] = rng.uniform(-60, -59.5, 20)
+    assert _grid_pairs(key, lng, lat) == _brute_pairs(key, lng, lat)
+
+
+def test_distjoin_dense_cluster_no_double_count():
+    """A dense one-cell cluster (every pair in radius) yields exactly
+    C(n,2) pairs — the home×home key-order dedup path."""
+    n = 60
+    key = np.arange(1, n + 1, dtype=np.int64)
+    rng = np.random.default_rng(3)
+    lng = rng.uniform(10.0, 10.5, n)
+    lat = rng.uniform(20.0, 20.5, n)
+    pairs = _grid_pairs(key, lng, lat)
+    assert len(pairs) == n * (n - 1) // 2
+
+
+def test_distjoin_cross_cell_pair_once():
+    """Two points straddling a cell boundary (cross-cell pair) are
+    emitted exactly once via the forward-probe path."""
+    key = np.array([1, 2], dtype=np.int64)
+    # cells x = floor((lng+180)/15): 14.9 → x=12, 15.1 → x=13
+    lng = np.array([14.9, 15.1])
+    lat = np.array([0.0, 0.0])
+    pairs = _grid_pairs(key, lng, lat)
+    assert len(pairs) == 1 and next(iter(pairs))[:2] == (1, 2)
