@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quota": Q.q_source_quota,
         "train_split_stats": Q.q_train_split_stats,
         "kmeans_embeddings": Q.q_kmeans_embeddings,
+        "pagerank_parts": Q.q_pagerank_parts,
         "top_words": Q.q_top_words,
         "tfidf_top_terms": Q.q_tfidf_top_terms,
         "segment_price_quantiles": Q.q_segment_price_quantiles,
@@ -139,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_points": Q.SQL_KNN_POINTS,
         "hot_cells": Q.SQL_HOT_CELLS,
         "hotspot_clusters": Q.SQL_HOTSPOT_CLUSTERS,
+        "pagerank_parts": Q.SQL_PAGERANK_PARTS,
         "polygon_measures": Q.SQL_POLYGON_MEASURES,
         "pricing_summary": Q.SQL_PRICING_SUMMARY,
         "pricing_cube": Q.SQL_PRICING_CUBE,

@@ -337,6 +337,59 @@ HOTSPOT_T = 8     # core-cell threshold (sparse at sf0.01 → small
                   # components, so the recursive-CTE oracle stays cheap)
 
 
+def q_pagerank_parts(sf_dir: str, plan: str = "auto"):
+    """Damped PageRank (4 iterations) on the undirected part↔supplier
+    multigraph drawn from lineitem — the iterative-algorithm operator
+    (k-means and connected components being the other two), SQL-exact
+    because the whole recurrence runs in INT64 rank units (see
+    stages/pagerank.py: integer sums are order-independent, so the
+    value-hash oracle with 4 unrolled CTE iterations matches
+    bit-for-bit; a float formulation could never be hash-checked).
+
+    Size-adaptive plans pinned equal in tests: broadcast (shares via
+    ray.put + one streamed edge pass per iteration) while the node
+    set fits a worker; distributed (edges ⋈ shares hash join +
+    groupby(dst) Sum per iteration) above."""
+    from ..stages.pagerank import (_edge_partials, pagerank_broadcast,
+                                   pagerank_distributed)
+    from ..util import grouped_sum_combine
+
+    edges = _read_split(sf_dir, "lineitem",
+                        ["l_partkey", "l_suppkey"]).materialize()
+    if plan == "distributed":
+        return pagerank_distributed(edges)
+    # node set = parts + suppliers: dimension-cardinality by
+    # construction (the fact tables fan OUT of it), so the broadcast
+    # plan is the default; a web-graph node set flips to distributed.
+    partial = edges.map_batches(_edge_partials, batch_format="pyarrow")
+    deg_t = grouped_sum_combine(partial, ["node"], "cnt", "deg").to_pandas()
+    deg_t = deg_t.sort_values("node")
+    if plan == "auto" and len(deg_t) > 5_000_000:
+        return pagerank_distributed(edges)
+    return pagerank_broadcast(edges, deg_t["node"].to_numpy(),
+                              deg_t["deg"].to_numpy())
+
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    return (f"{out} AS (SELECT e.dst AS node, "
+            f"CAST(150000000 + (85 * sum(r.pr // d.d)) // 100 AS BIGINT) AS pr "
+            f"FROM edges e JOIN {prev} r ON e.src = r.node "
+            f"JOIN deg d ON e.src = d.node GROUP BY e.dst)")
+
+
+SQL_PAGERANK_PARTS = f"""
+WITH e0 AS (SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM deg),
+{_pagerank_iter_sql('r0', 'r1')},
+{_pagerank_iter_sql('r1', 'r2')},
+{_pagerank_iter_sql('r2', 'r3')},
+{_pagerank_iter_sql('r3', 'r4')}
+SELECT node, pr AS pr_rank FROM r4
+"""
+
+
 def q_hotspot_clusters(sf_dir: str):
     """Grid-density spatial clustering (DBSCAN-flavored, over cells
     instead of raw points — the standard scale adaptation): cells with

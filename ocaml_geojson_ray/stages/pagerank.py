@@ -1,0 +1,176 @@
+"""Integer-scaled PageRank — the iterative-algorithm member of the
+operator family (alongside k-means and connected components).
+
+Semantics: damped PageRank on the undirected part↔supplier MULTIGRAPH
+drawn from lineitem rows (every row is an edge; degree counts
+multiplicity — no distinct pass needed, which also keeps the oracle a
+plain FROM lineitem). Node ids are disjoint ints: part p → 2p,
+supplier s → 2s+1.
+
+Float-parity device: the textbook update
+    r' = (1−d)/n + d · Σ r(u)/deg(u)
+sums DOUBLES, and float sums are order-dependent — unusable for a
+value-hash oracle (and nondeterministic across runs). This
+implementation runs the whole recurrence in INT64 "rank units"
+(SCALE = 10⁹ per node):
+
+    share(u)  = rank(u) // deg(u)                    (int floor-div)
+    rank'(v)  = BASE + (85 · Σ_{u~v} share(u)) // 100
+
+Every operation is integer, so sums are order-independent, both
+engines agree bit-for-bit, and the result is deterministic under any
+execution order. Headroom: Σ shares ≤ total mass ≈ n·SCALE; at
+n = 10⁶ nodes that is 10¹⁵·85 < 2⁶³. (The //-truncations leak a few
+units of mass per node per iteration — fine: this is a ranking, and
+the definition IS the integer recurrence, identically on both sides.)
+
+Two physical plans (size-adaptive, the repo's established pattern —
+plans pinned equal in tests):
+
+- broadcast (node set ≤ ``broadcast_nodes``): degrees via map-side
+  (node, cnt) partials + bounded-key funnel; per iteration ONE
+  streamed pass over the edge dataset — shares broadcast via
+  ray.put, per-batch scatter-add into a dense n-vector, nonzero
+  partials funneled. Edges never leave the cluster; only
+  node-cardinality vectors touch the driver, gated by the threshold.
+- distributed (above threshold): degrees by groupby; per iteration
+  edges ⋈ shares (hash join on src) → groupby(dst) Sum → rank map —
+  everything stays a Dataset; 4 iterations × (join + groupby)
+  all-to-all passes, the honest cost of web-scale PageRank.
+
+At 100 TB the edge dataset is re-read per iteration from pruned
+parquet columns (or cached in the object store if it fits) — here the
+projected two-column table is materialized once and reused.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+SCALE = 1_000_000_000
+BASE = 150_000_000  # (1 - 0.85) · SCALE
+ITERS = 4
+
+
+def _edge_partials(batch: pa.Table) -> pa.Table:
+    """Both directions of each lineitem edge → per-batch (node, cnt)
+    degree partials."""
+    pk = batch["l_partkey"].to_numpy() * 2
+    sk = batch["l_suppkey"].to_numpy() * 2 + 1
+    nodes = np.concatenate([pk, sk])
+    u, c = np.unique(nodes, return_counts=True)
+    return pa.table({
+        "node": pa.array(u, pa.int64()),
+        "cnt": pa.array(c.astype(np.int64), pa.int64()),
+    })
+
+
+def pagerank_broadcast(edges_ds, nodes: np.ndarray, deg: np.ndarray,
+                       iters: int = ITERS) -> pa.Table:
+    """Broadcast plan: `nodes` sorted, `deg` aligned. One streamed
+    edge pass per iteration."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    n = len(nodes)
+    ranks = np.full(n, SCALE, dtype=np.int64)
+    for _ in range(iters):
+        shares_ref = ray.put(ranks // deg)
+        node_ref = ray.put(nodes)
+
+        def contrib(batch: pa.Table, _s=shares_ref, _n=node_ref) -> pa.Table:
+            shares = _fetch(_s)
+            nd = _fetch(_n)
+            pk = batch["l_partkey"].to_numpy() * 2
+            sk = batch["l_suppkey"].to_numpy() * 2 + 1
+            ip = np.searchsorted(nd, pk)
+            isk = np.searchsorted(nd, sk)
+            acc = np.zeros(len(nd), dtype=np.int64)
+            np.add.at(acc, isk, shares[ip])  # part → supplier
+            np.add.at(acc, ip, shares[isk])  # supplier → part
+            nz = np.flatnonzero(acc)
+            return pa.table({
+                "idx": pa.array(nz, pa.int64()),
+                "s": pa.array(acc[nz], pa.int64()),
+            })
+
+        partial = edges_ds.map_batches(contrib, batch_format="pyarrow")
+        combined = grouped_sum_combine(partial, ["idx"], "s", "sum_s")
+        t = combined.to_pandas()  # node-cardinality, gated by threshold
+        sums = np.zeros(n, dtype=np.int64)
+        sums[t["idx"].to_numpy()] = t["sum_s"].to_numpy()
+        ranks = BASE + (85 * sums) // 100
+    return pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "pr_rank": pa.array(ranks, pa.int64()),
+    })
+
+
+# per-process cache for broadcast refs inside stateless map tasks
+# (same device as the rect-index stages: ray.get is memoized per ref)
+_REF_CACHE: dict = {}
+
+
+def _fetch(ref):
+    import ray
+
+    v = _REF_CACHE.get(ref)
+    if v is None:
+        v = ray.get(ref)
+        _REF_CACHE.clear() if len(_REF_CACHE) > 64 else None
+        _REF_CACHE[ref] = v
+    return v
+
+
+def _dir_edges(batch: pa.Table) -> pa.Table:
+    """lineitem rows → both directed edges (src, dst)."""
+    pk = batch["l_partkey"].to_numpy() * 2
+    sk = batch["l_suppkey"].to_numpy() * 2 + 1
+    return pa.table({
+        "src": pa.array(np.concatenate([pk, sk]), pa.int64()),
+        "dst": pa.array(np.concatenate([sk, pk]), pa.int64()),
+    })
+
+
+def pagerank_distributed(edges_ds, iters: int = ITERS):
+    """Distributed plan: every structure stays a Dataset; per
+    iteration a hash join (src → share) plus a groupby(dst) Sum.
+    Correct at any node cardinality; pinned equal to the broadcast
+    plan in tests."""
+    from ray.data.aggregate import Sum
+
+    from ..util import drop_empty_blocks
+
+    directed = edges_ds.map_batches(_dir_edges, batch_format="pyarrow") \
+        .materialize()
+    deg = directed.groupby("src").count() \
+        .map_batches(lambda b: pa.table({
+            "node": b["src"], "deg": b["count()"].cast(pa.int64())}),
+            batch_format="pyarrow")
+    ranks = deg.map_batches(lambda b: pa.table({
+        "node": b["node"],
+        "deg": b["deg"],
+        "pr_rank": pa.array(np.full(len(b), SCALE, np.int64), pa.int64()),
+    }), batch_format="pyarrow")
+    for _ in range(iters):
+        shares = ranks.map_batches(lambda b: pa.table({
+            "s_node": b["node"],
+            "share": pa.array(
+                b["pr_rank"].to_numpy() // b["deg"].to_numpy(), pa.int64()),
+        }), batch_format="pyarrow")
+        contrib = drop_empty_blocks(directed.join(
+            shares, join_type="inner", num_partitions=8,
+            on=("src",), right_on=("s_node",)))
+        sums = contrib.groupby("dst").aggregate(Sum("share", alias_name="sum_s"))
+        new_ranks = sums.map_batches(lambda b: pa.table({
+            "node": b["dst"],
+            "pr_rank": pa.array(
+                BASE + (85 * b["sum_s"].to_numpy()) // 100, pa.int64()),
+        }), batch_format="pyarrow")
+        ranks = drop_empty_blocks(new_ranks.join(
+            deg, join_type="inner", num_partitions=8,
+            on=("node",), right_on=("node",)))
+    return ranks.map_batches(
+        lambda b: b.select(["node", "pr_rank"]), batch_format="pyarrow")

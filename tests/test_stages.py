@@ -1096,3 +1096,24 @@ def test_shard_packing_token_counts_definitional():
     # matching string_split_regex on both sides
     t = pa.array(["a b  c", "", "   ", "\u00a0", " ", "x\ty\nz\r"])
     assert ascii_token_counts(t).tolist() == [3, 0, 0, 1, 0, 3]
+
+
+def test_pagerank_plans_equal(ray_session):
+    """Broadcast (ray.put shares + streamed edge pass) and distributed
+    (join + groupby per iteration) PageRank plans produce the IDENTICAL
+    integer rank table — the recurrence is order-independent int64 by
+    design (stages/pagerank.py)."""
+    from ocaml_geojson_ray.pipelines.queries import q_pagerank_parts
+
+    b = q_pagerank_parts("/root/testdata/sf0.001").to_pandas()
+    d = q_pagerank_parts("/root/testdata/sf0.001",
+                         plan="distributed").to_pandas()
+    bb = b.sort_values("node").reset_index(drop=True)
+    dd = d.sort_values("node").reset_index(drop=True)
+    assert len(bb) == len(dd) > 0
+    assert (bb["node"].to_numpy() == dd["node"].to_numpy()).all()
+    assert (bb["pr_rank"].to_numpy() == dd["pr_rank"].to_numpy()).all()
+    # mass sanity: total rank stays within damping bounds of n*SCALE
+    n = len(bb)
+    assert bb["pr_rank"].sum() <= n * 1_000_000_000
+    assert bb["pr_rank"].min() >= 150_000_000
