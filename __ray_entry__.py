@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": Q.q_decontaminate,
         "pii_redaction": Q.q_pii_redaction,
         "repetition_stats": Q.q_repetition_stats,
+        "importance_scores": Q.q_importance_scores,
         "span_dedup": Q.q_span_dedup,
         "span_scrub": Q.q_span_scrub,
         "url_domain_stats": Q.q_url_domain_stats,
@@ -188,6 +189,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": Q.SQL_DECONTAMINATE,
         "pii_redaction": Q.SQL_PII_REDACTION,
         "repetition_stats": Q.SQL_REPETITION_STATS,
+        "importance_scores": Q.SQL_IMPORTANCE_SCORES,
         "span_dedup": Q.SQL_SPAN_DEDUP,
         "span_scrub": Q.SQL_SPAN_SCRUB,
         "url_domain_stats": Q.SQL_URL_DOMAIN_STATS,

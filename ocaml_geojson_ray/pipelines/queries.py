@@ -4411,6 +4411,48 @@ def q_repetition_stats(sf_dir: str):
     return ds.map_batches(repetition_stats, batch_format="pyarrow")
 
 
+def q_importance_scores(sf_dir: str):
+    """DSIR-style importance scoring (hashed unigram features, target
+    = the lang='en' slice): two streamed passes, zero shuffles — pass
+    1 funnels 64-bucket count partials, pass 2 scores each doc with
+    the broadcast int64 weight vector (stages/curation.py). The score
+    is the exact-integer probability-gap form ct·R − cr·T summed over
+    tokens, so the oracle hash-matches with no float risk; bucket =
+    md5-LE-64 & 63, the simhash oracle's hex-parse device."""
+    from ..stages.curation import importance_scores, importance_weights
+
+    ds = _read_split(sf_dir, "documents", ["doc_id", "text", "lang"])
+    w = importance_weights(ds)
+    return importance_scores(ds, w)
+
+
+SQL_IMPORTANCE_SCORES = r"""
+WITH w AS (SELECT doc_id, lang,
+         unnest(list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'),
+                            x -> x <> '')) AS word
+       FROM documents),
+h AS (SELECT doc_id, lang, md5(word) AS hx FROM w),
+u AS (SELECT doc_id, lang,
+        CAST(CAST('0x' || substr(hx,15,2) || substr(hx,13,2)
+                       || substr(hx,11,2) || substr(hx,9,2)
+                       || substr(hx,7,2)  || substr(hx,5,2)
+                       || substr(hx,3,2)  || substr(hx,1,2)
+             AS UBIGINT) & 63 AS BIGINT) AS bkt
+      FROM h),
+cnt AS (SELECT bkt,
+        CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        CAST(count(*) AS BIGINT) AS cr FROM u GROUP BY bkt),
+tot AS (SELECT CAST(sum(ct) AS BIGINT) AS t, CAST(sum(cr) AS BIGINT) AS r
+        FROM cnt),
+sc AS (SELECT u.doc_id,
+        CAST(sum(c.ct * tot.r - c.cr * tot.t) AS BIGINT) AS score
+       FROM u JOIN cnt c ON u.bkt = c.bkt CROSS JOIN tot
+       GROUP BY u.doc_id)
+SELECT d.doc_id, COALESCE(sc.score, CAST(0 AS BIGINT)) AS score
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+"""
+
+
 SQL_REPETITION_STATS = r"""
 WITH w AS (SELECT doc_id,
          list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'), x -> x <> '') AS ws

@@ -461,3 +461,114 @@ def shard_packing(ds, shard_tokens: int = 4096, range_w: int = 4096,
 
     return per.repartition(1).map_batches(
         shard_combine, batch_format="pyarrow")
+
+
+# DSIR-style importance scoring (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): hash tokens into a
+# small feature space, estimate a target distribution (here the
+# lang='en' slice stands in for the high-quality target corpus) and a
+# raw distribution over the SAME buckets, and score every document by
+# how target-like its tokens are. DSIR's score is the log-likelihood
+# ratio Σ log(p_t/p_r) — a float sum, order-dependent, un-hashable.
+# The parity formulation keeps the comparison EXACT: with bucket
+# counts ct/cr and totals T = Σct, R = Σcr, the per-token weight
+#     w(b) = ct[b]·R − cr[b]·T        (int64)
+# is T·R·(p_t(b) − p_r(b)) — the same sign and ordering semantics as
+# the probability gap, in pure integer arithmetic (single-divide rule
+# taken to its limit: zero divides). score(doc) = Σ_tokens w(bucket).
+#
+# Bucket hash = md5 little-endian 64-bit & (NBUCKETS-1) — the simhash
+# oracle's exact hex-parse device, so DuckDB reproduces it bit-for-bit.
+# Tokenizer = the definitional ASCII class with empty-token filter.
+#
+# Scale shape: pass 1 streams the corpus into NBUCKETS-row partials
+# (bounded-key funnel — the feature space is fixed at NBUCKETS by
+# design, that is the POINT of hashed features); the weight vector is
+# NBUCKETS ints shipped in the task closure; pass 2 streams again and
+# scores each batch vectorized. No shuffle at all, corpus never
+# leaves the workers.
+
+IMPORTANCE_NBUCKETS = 64
+
+
+def _token_buckets(batch: pa.Table, text_col: str = "text"):
+    """→ (didx, buckets): one entry per non-empty ASCII-class token,
+    didx = owning row index, bucket = md5-LE-64 & 63."""
+    from .dedup import _word_hash64
+
+    texts = pc.cast(batch[text_col], pa.string()).combine_chunks()
+    texts = pc.fill_null(texts, "")
+    words = pc.split_pattern_regex(texts, pattern="[ \t\n\r\f\v]+")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    woffs = np.asarray(words.offsets).astype(np.int64)
+    flat = words.values
+    cnt = np.diff(woffs)
+    didx = np.repeat(np.arange(len(batch)), cnt)
+    keep = pc.greater(pc.binary_length(flat), 0).to_numpy(zero_copy_only=False)
+    didx = didx[keep]
+    toks = flat.filter(pa.array(keep)).to_pylist()
+    if not toks:
+        return didx, np.empty(0, dtype=np.int64)
+    uniq, inv = np.unique(np.asarray(toks, dtype=object), return_inverse=True)
+    b_uniq = np.asarray([_word_hash64(w) for w in uniq], dtype=np.uint64) \
+        & np.uint64(IMPORTANCE_NBUCKETS - 1)
+    return didx, b_uniq.astype(np.int64)[inv]
+
+
+def importance_count_partials(batch: pa.Table, target_lang: str = "en",
+                              text_col: str = "text") -> pa.Table:
+    """Pass 1 map side: per-batch (bkt, ct, cr) bucket-count partials
+    (ct over the target slice, cr over everything)."""
+    didx, bkt = _token_buckets(batch, text_col)
+    en = pc.equal(batch["lang"], target_lang).to_numpy(zero_copy_only=False)
+    ct = np.zeros(IMPORTANCE_NBUCKETS, dtype=np.int64)
+    cr = np.zeros(IMPORTANCE_NBUCKETS, dtype=np.int64)
+    if len(bkt):
+        np.add.at(cr, bkt, 1)
+        tb = bkt[en[didx]]
+        np.add.at(ct, tb, 1)
+    nz = np.flatnonzero(cr)
+    return pa.table({
+        "bkt": pa.array(nz, pa.int64()),
+        "ct": pa.array(ct[nz], pa.int64()),
+        "cr": pa.array(cr[nz], pa.int64()),
+    })
+
+
+def importance_weights(docs_ds, target_lang: str = "en",
+                       text_col: str = "text") -> np.ndarray:
+    """Pass 1: bucket counts via bounded-key funnel → int64 weight
+    vector w[b] = ct[b]·R − cr[b]·T (NBUCKETS entries)."""
+    from ..util import grouped_sums_combine
+
+    partial = docs_ds.map_batches(
+        importance_count_partials, batch_format="pyarrow",
+        fn_kwargs={"target_lang": target_lang, "text_col": text_col})
+    t = grouped_sums_combine(partial, ["bkt"], ["ct", "cr"],
+                             ["ct", "cr"]).to_pandas()
+    ct = np.zeros(IMPORTANCE_NBUCKETS, dtype=np.int64)
+    cr = np.zeros(IMPORTANCE_NBUCKETS, dtype=np.int64)
+    ct[t["bkt"].to_numpy()] = t["ct"].to_numpy()
+    cr[t["bkt"].to_numpy()] = t["cr"].to_numpy()
+    T, R = int(ct.sum()), int(cr.sum())
+    return ct * R - cr * T
+
+
+def importance_scores(docs_ds, weights: np.ndarray,
+                      id_col: str = "doc_id", text_col: str = "text"):
+    """Pass 2: per-doc integer score Σ_tokens w(bucket); zero-token
+    docs score 0 (mirrors the oracle's LEFT JOIN + COALESCE)."""
+    w = weights
+
+    def score(batch: pa.Table) -> pa.Table:
+        didx, bkt = _token_buckets(batch, text_col)
+        s = np.zeros(len(batch), dtype=np.int64)
+        if len(bkt):
+            np.add.at(s, didx, w[bkt])
+        return pa.table({
+            "doc_id": pc.cast(batch[id_col], pa.int64()),
+            "score": pa.array(s, pa.int64()),
+        })
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")

@@ -1117,3 +1117,26 @@ def test_pagerank_plans_equal(ray_session):
     n = len(bb)
     assert bb["pr_rank"].sum() <= n * 1_000_000_000
     assert bb["pr_rank"].min() >= 150_000_000
+
+
+def test_importance_scores_separate_target_from_raw(ray_session):
+    """Target-exclusive vocabulary scores positive, off-target
+    vocabulary negative, zero-token docs exactly 0 (the integer
+    probability-gap form ct*R - cr*T, stages/curation.py)."""
+    import ray.data as rd
+
+    from ocaml_geojson_ray.stages.curation import (importance_scores,
+                                                   importance_weights)
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["alpha beta alpha", "alpha beta gamma",
+                          "omega psi omega psi", "   "]),
+        "lang": pa.array(["en", "en", "fr", "fr"]),
+    })
+    ds = rd.from_arrow(t)
+    w = importance_weights(ds)
+    out = importance_scores(ds, w).to_pandas().set_index("doc_id")["score"]
+    assert out[1] > 0 and out[2] > 0   # pure target vocab
+    assert out[3] < 0                  # pure off-target vocab
+    assert out[4] == 0                 # zero tokens
