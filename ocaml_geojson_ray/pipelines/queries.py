@@ -3541,6 +3541,41 @@ def plant_neardup_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) — the semantic member of the dedup
+    family: k-means buckets + within-cluster greedy cosine prune in id
+    order (stages/dedup.semdedup). Rows-only with two in-query
+    self-checks: (1) the definitional invariant kept ⇔ max_sim_kept <
+    tau re-asserted on every output batch; (2) recall — ≥ 80% of the
+    planted ~0.995-cosine copies (plant_neardup_batch) must be
+    dropped (k-means co-clusters a 0.995 pair essentially always;
+    0.8 fails loudly on broken clustering/greedy without flaking)."""
+    import ray.data as rd
+
+    from ..stages.dedup import semdedup
+
+    tau = 0.9
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    aug = ds.map_batches(plant_neardup_batch, batch_format="pyarrow")
+    out = semdedup(aug, k=16, tau=tau).materialize()
+
+    def check(b: pa.Table) -> pa.Table:
+        ms = b["max_sim_kept"].to_numpy()
+        kept = b["kept"].to_numpy(zero_copy_only=False)
+        if not ((ms < tau) == kept).all():
+            raise ValueError("semdedup invariant violated: kept <=> max_sim < tau")
+        return b
+
+    out = out.map_batches(check, batch_format="pyarrow").materialize()
+    planted = out.filter(expr=f"vec_id >= {NEARDUP_PLANT_OFFSET}").take_all()
+    if planted:
+        dropped = sum(1 for r in planted if not r["kept"])
+        recall = dropped / len(planted)
+        assert recall >= 0.8, f"planted-copy drop recall {recall:.2f} < 0.8"
+    return out
+
+
 def q_embedding_neardups(sf_dir: str):
     """LSH-bucketed near-dup pairs — the 100TB scale path (approximate;
     rows-only check): hyperplane sign buckets → within-bucket exact

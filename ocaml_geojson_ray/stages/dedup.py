@@ -1178,3 +1178,81 @@ def span_scrub(ds, span_w: int = _SPAN_W_DEFAULT,
         })
 
     return joined.map_batches(rebuild_joined, batch_format="pyarrow")
+
+
+# -- SemDeDup (semantic dedup over embeddings) ------------------------------
+
+def semdedup(ds, k: int = 16, tau: float = 0.9,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             kmeans_iters: int = 3):
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means-cluster the
+    embedding space, then within each cluster GREEDILY drop every
+    point whose cosine to an already-kept point is ≥ tau, scanning in
+    ascending id order (deterministic keep-first — the paper's
+    keep-one-per-duplicate-set with a fixed tie-break).
+
+    The semantic member of the dedup family: exact (byte hash) →
+    MinHash/ngram (lexical overlap) → SimHash (lexical signature) →
+    embedding-LSH (vector proximity, CC semantics) → SemDeDup (vector
+    proximity, learned-partition bucketing + greedy semantics).
+
+    Physical plan: kmeans_fit streams the corpus (centroids broadcast
+    per iteration, k·d partials); assignment is one matmul pass; the
+    greedy scan is ONE key shuffle on the cluster id, per-cluster
+    O(b²) sim matrix in float64. Cluster width is the skew knob: a
+    pathological mega-cluster would recurse via
+    ``split_oversized_bucket`` exactly like the LSH path — not wired
+    here because kmeans with adequate k IS the width bound by design
+    (the paper's setting).
+
+    → Dataset(vec_id, cluster, kept, max_sim_kept): max_sim_kept is
+    the max cosine to any earlier KEPT point in the cluster —
+    definitionally < tau for kept rows, ≥ tau for dropped (the
+    invariant the query re-asserts per batch)."""
+    import ray
+
+    from .kmeans import _dists_sq, kmeans_fit
+
+    centroids, _ = kmeans_fit(ds, vec_col=vec_col, k=k,
+                              iters=kmeans_iters, id_col=id_col)
+    cref = ray.put(centroids)
+
+    def assign(b: pa.Table, _c=cref) -> pa.Table:
+        c = ray.get(_c)
+        v = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
+        cl = (np.argmin(_dists_sq(v, c), axis=1) if len(v)
+              else np.empty(0, np.int64))
+        return pa.table({
+            "vec_id": pc.cast(b[id_col], pa.int64()),
+            "cluster": pa.array(cl.astype(np.int64), pa.int64()),
+            vec_col: b[vec_col],
+        })
+
+    def greedy(g: pa.Table) -> pa.Table:
+        ids = g["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        v = np.asarray(g[vec_col].to_pylist(), dtype=np.float64)[order]
+        n = np.linalg.norm(v, axis=1)
+        vn = v / np.maximum(n, 1e-12)[:, None]
+        sim = vn @ vn.T
+        b = len(ids)
+        kept = np.zeros(b, dtype=bool)
+        max_sim = np.zeros(b, dtype=np.float64)
+        for i in range(b):
+            prior = sim[i, :i][kept[:i]]
+            m = prior.max() if len(prior) else 0.0
+            max_sim[i] = m
+            kept[i] = m < tau
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(
+                np.full(b, g["cluster"][0].as_py(), np.int64), pa.int64()),
+            "kept": pa.array(kept),
+            "max_sim_kept": pa.array(max_sim, pa.float64()),
+        })
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    return assigned.groupby("cluster").map_groups(
+        greedy, batch_format="pyarrow")

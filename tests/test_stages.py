@@ -1140,3 +1140,31 @@ def test_importance_scores_separate_target_from_raw(ray_session):
     assert out[1] > 0 and out[2] > 0   # pure target vocab
     assert out[3] < 0                  # pure off-target vocab
     assert out[4] == 0                 # zero tokens
+
+
+def test_semdedup_greedy_semantics(ray_session):
+    """Hand-built cluster: of three mutual near-duplicates the LOWEST
+    id survives and both others drop against it (greedy keep-first),
+    while an orthogonal vector in the same space is kept."""
+    import ray.data as rd
+
+    from ocaml_geojson_ray.stages.dedup import semdedup
+
+    base = np.zeros(8)
+    base[0] = 1.0
+    near1 = base + 0.01 * np.arange(8) / 8
+    near2 = base - 0.01 * np.arange(8) / 8
+    ortho = np.zeros(8)
+    ortho[1] = 1.0
+    t = pa.table({
+        "vec_id": pa.array([10, 11, 12, 13], pa.int64()),
+        "embedding": pa.array([base.tolist(), near1.tolist(),
+                               near2.tolist(), ortho.tolist()],
+                              pa.list_(pa.float64())),
+    })
+    out = semdedup(rd.from_arrow(t), k=2, tau=0.99).to_pandas() \
+        .set_index("vec_id")
+    assert bool(out.loc[10, "kept"])          # lowest id survives
+    assert not out.loc[11, "kept"] and not out.loc[12, "kept"]
+    assert bool(out.loc[13, "kept"])          # orthogonal point kept
+    assert out.loc[11, "max_sim_kept"] >= 0.99
