@@ -3344,6 +3344,70 @@ ORDER BY n DESC, word LIMIT 10
 """
 
 
+def q_quantile_filter(sf_dir: str):
+    """Per-group percentile-threshold FILTER — the 'keep the top
+    quartile per language' curation operator (quality filtering by a
+    data-dependent cutoff): per-lang p75 of n_chars via the two-phase
+    histogram plan (map-side (lang, n_chars) partials → bounded-grid
+    groupby → quantile_disc pick: sorted[max(0, ceil(q·n) − 1)]),
+    thresholds broadcast as a 5-entry closure table, then one
+    streamed filter pass. Unlike segment_price_quantiles (which
+    REPORTS quantiles), this joins the quantile back as a predicate —
+    no corpus-sized shuffle, the histogram is grid-bounded."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.select(["lang", "n_chars"]) \
+            .group_by(["lang", "n_chars"]).aggregate([("n_chars", "count")]) \
+            .rename_columns(["lang", "n_chars", "partial"])
+
+    hist = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["lang", "n_chars"]) \
+        .aggregate(Sum("partial", alias_name="cnt"))
+
+    def pick(g: pa.Table) -> pa.Table:
+        v = g["n_chars"].to_numpy(zero_copy_only=False)
+        order = np.argsort(v)
+        v = v[order]
+        cum = np.cumsum(g["cnt"].to_numpy(zero_copy_only=False)[order])
+        n = int(cum[-1])
+        idx = max(0, int(np.ceil(0.75 * n)) - 1)
+        thr = v[np.searchsorted(cum, idx + 1)]
+        return pa.table({
+            "lang": g["lang"][:1],
+            "thr": pa.array([int(thr)], pa.int64()),
+        })
+
+    th = {r["lang"]: r["thr"]
+          for r in hist.groupby("lang")
+          .map_groups(pick, batch_format="pyarrow").take_all()}
+    langs = sorted(th)
+    thr_arr = np.asarray([th[lg] for lg in langs], dtype=np.int64)
+
+    def keep(b: pa.Table) -> pa.Table:
+        li = pc.index_in(b["lang"], pa.array(langs, pa.string()))
+        if li.null_count:
+            raise ValueError("unseen lang in filter pass")
+        nc = b["n_chars"].to_numpy()
+        return b.filter(pa.array(
+            nc >= thr_arr[li.to_numpy(zero_copy_only=False)]))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_QUANTILE_FILTER = """
+WITH th AS (SELECT lang, quantile_disc(n_chars, 0.75) AS thr
+            FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN th ON d.lang = th.lang
+WHERE d.n_chars >= th.thr
+"""
+
+
 def q_segment_price_quantiles(sf_dir: str):
     """Grouped EXACT quantiles at scale (round 3): per-priority
     p25/median/p95 of order totals via the two-phase HISTOGRAM plan —
