@@ -197,6 +197,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("shard_packing", Q.q_shard_packing)
     timed("source_quota", Q.q_source_quota)
     timed("event_gaps", Q.q_event_gaps)
+    timed("geo_distance_pairs", Q.q_geo_distance_pairs)
+    timed("pagerank_parts", Q.q_pagerank_parts)
+    timed("importance_scores", Q.q_importance_scores)
+    timed("quantile_filter", Q.q_quantile_filter)
+    timed("semdedup", Q.q_semdedup)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
