@@ -1986,6 +1986,79 @@ SELECT lang, count(*) AS n_docs FROM (
 """
 
 
+def q_json_props_stats(sf_dir: str):
+    """Distributed JSON field extraction over an opaque JSON string
+    column (events.props) — the engine's OWN reference-parity lexer
+    (core.jsontext.loads_json, the S5 operator) run as a batch stage,
+    with the mine/parse stages' errors-as-data convention (malformed
+    or non-integer props drop out instead of raising). Per event_type:
+    count, sum, min, max, distinct count of the extracted integer —
+    all int64, order-independent. Physical shape: per-batch (type, k)
+    pair partials (the k domain is value-bounded), one tiny pair-key
+    groupby, 5-group finalize."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..core.jsontext import loads_json
+
+    ds = _read_split(sf_dir, "events", ["event_type", "props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        types = b["event_type"].to_pylist()
+        props = b["props"].to_pylist()
+        et, ks = [], []
+        for t, p in zip(types, props):
+            try:
+                v = loads_json(p)
+            except ValueError:
+                continue  # errors-as-data: malformed row drops out
+            k = v.get("k") if isinstance(v, dict) else None
+            if isinstance(k, bool) or not isinstance(k, (int, float)):
+                continue
+            if float(k) != int(k):
+                continue
+            et.append(t)
+            ks.append(int(k))
+        t2 = pa.table({
+            "event_type": pa.array(et, pa.string()),
+            "k": pa.array(np.asarray(ks, np.int64), pa.int64()),
+        })
+        return t2.group_by(["event_type", "k"]).aggregate(
+            [("k", "count")]).rename_columns(["event_type", "k", "cnt"])
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "k"]).aggregate(Sum("cnt", alias_name="cnt"))
+
+    def finalize(g: pa.Table) -> pa.Table:
+        k = g["k"].to_numpy(zero_copy_only=False)
+        c = g["cnt"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": g["event_type"][:1],
+            "n_events": pa.array([int(c.sum())], pa.int64()),
+            "sum_k": pa.array([int((k * c).sum())], pa.int64()),
+            "min_k": pa.array([int(k.min())], pa.int64()),
+            "max_k": pa.array([int(k.max())], pa.int64()),
+            "n_distinct_k": pa.array([len(k)], pa.int64()),
+        })
+
+    return pairs.groupby("event_type").map_groups(
+        finalize, batch_format="pyarrow")
+
+
+SQL_JSON_PROPS_STATS = """
+WITH j AS (SELECT event_type,
+                  CAST(json_extract(props, '$.k') AS BIGINT) AS k
+           FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+FROM j GROUP BY event_type
+"""
+
+
 def q_sample_langs(sf_dir: str):
     """Seeded random sample: proportions are engine-specific, so the
     check is rows-only — but determinism across runs is asserted by

@@ -1168,3 +1168,32 @@ def test_semdedup_greedy_semantics(ray_session):
     assert not out.loc[11, "kept"] and not out.loc[12, "kept"]
     assert bool(out.loc[13, "kept"])          # orthogonal point kept
     assert out.loc[11, "max_sim_kept"] >= 0.99
+
+
+def test_json_props_errors_as_data():
+    """json_props_stats' extraction rule: malformed JSON, non-object,
+    missing field, bool and non-integer k all DROP (never raise) —
+    the mine/parse errors-as-data convention on a relational column.
+    Exercises the same loads_json + type-gate sequence the query's
+    batch kernel runs."""
+    from ocaml_geojson_ray.core.jsontext import loads_json
+
+    props = [
+        '{"k": 3}', '{"k": 3.0}',      # both count (3.0 is integral)
+        '{"k": 3.5}',                  # non-integer -> drop
+        '{"k": true}',                 # bool -> drop
+        '{"j": 1}', '[1,2]', '{bad',   # missing / non-object / malformed
+    ]
+    kept = []
+    for p in props:
+        try:
+            v = loads_json(p)
+        except ValueError:
+            continue
+        k = v.get("k") if isinstance(v, dict) else None
+        if isinstance(k, bool) or not isinstance(k, (int, float)):
+            continue
+        if float(k) != int(k):
+            continue
+        kept.append(int(k))
+    assert kept == [3, 3]
