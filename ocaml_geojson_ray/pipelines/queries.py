@@ -4848,6 +4848,44 @@ WHERE rk <= 30
 """
 
 
+def q_ntile_docs(sf_dir: str):
+    """ntile(4) OVER (PARTITION BY source ORDER BY doc_id) — the
+    quantile-bucket window operator completing the window family
+    (rank → source_quota, lag → event_gaps, running sum →
+    running_totals, session → session_windows). ONE key shuffle;
+    each group sorts its ids and assigns buckets with the exact
+    DuckDB/ANSI size rule: the first n%k buckets get ⌈n/k⌉ rows
+    (pinned here on n=10,k=4 → sizes 3,3,2,2). Pure integer
+    arithmetic — hash-exact by construction."""
+    ds = _read_split(sf_dir, "documents", ["doc_id", "source"])
+    k = 4
+
+    def buckets(g: pa.Table) -> pa.Table:
+        ids = np.sort(g["doc_id"].to_numpy())
+        n = len(ids)
+        q, rem = divmod(n, k)
+        r = np.arange(n, dtype=np.int64)
+        cut = rem * (q + 1)
+        b = np.where(r < cut,
+                     r // (q + 1) + 1,
+                     rem + (np.maximum(r - cut, 0) // max(q, 1)) + 1)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "source": pa.array([g["source"][0].as_py()] * n, pa.string()),
+            "bucket": pa.array(b.astype(np.int64), pa.int64()),
+        })
+
+    return ds.groupby("source").map_groups(buckets, batch_format="pyarrow")
+
+
+SQL_NTILE_DOCS = """
+SELECT doc_id, source,
+       CAST(ntile(4) OVER (PARTITION BY source ORDER BY doc_id)
+            AS BIGINT) AS bucket
+FROM documents
+"""
+
+
 def q_event_gaps(sf_dir: str):
     """Per-user inter-event gap stats — the lag() window operator
     (gap = ts - lag(ts) OVER (PARTITION BY user ORDER BY ts,
