@@ -1244,6 +1244,65 @@ def q_events_window(sf_dir: str):
     return agg.map_batches(rounder, batch_format="pyarrow")
 
 
+def q_spike_hours(sf_dir: str):
+    """Time-series anomaly surfacing: the 5 busiest hours per
+    event_type alongside the type's MEDIAN hourly count (the
+    spike-vs-baseline pair, left as exact ints — a fixed '≥ 3×median'
+    flag empties out as sf grows on a uniform corpus, so the operator
+    reports the top of the distribution instead). Composition: hour
+    bucketing (events_window) → pair-key groupby → per-type
+    quantile_disc median + top-5 with (count DESC, hr) tie-break."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy()
+        return pa.table({
+            "event_type": batch["event_type"],
+            "hr": pa.array(ts // 3_600_000_000, pa.int64()),
+        })
+
+    counts = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["ts", "event_type"]) \
+        .map_batches(bucket, batch_format="pyarrow") \
+        .groupby(["event_type", "hr"]) \
+        .aggregate(Count(alias_name="n_events"))
+
+    def pick(g: pa.Table) -> pa.Table:
+        n = g["n_events"].to_numpy(zero_copy_only=False)
+        hr = g["hr"].to_numpy(zero_copy_only=False)
+        ns = np.sort(n)
+        med = int(ns[max(0, int(np.ceil(0.5 * len(ns))) - 1)])
+        order = np.lexsort((hr, -n))[:5]
+        k = len(order)
+        return pa.table({
+            "event_type": pa.array([g["event_type"][0].as_py()] * k,
+                                   pa.string()),
+            "hr": pa.array(hr[order], pa.int64()),
+            "n_events": pa.array(n[order], pa.int64()),
+            "med": pa.array(np.full(k, med, np.int64), pa.int64()),
+            "rk": pa.array(np.arange(1, k + 1, dtype=np.int64), pa.int64()),
+        })
+
+    return counts.groupby("event_type").map_groups(
+        pick, batch_format="pyarrow")
+
+
+SQL_SPIKE_HOURS = """
+WITH h AS (SELECT event_type, floor(epoch(ts) / 3600)::BIGINT AS hr,
+                  CAST(count(*) AS BIGINT) AS n_events
+           FROM events GROUP BY event_type, hr),
+m AS (SELECT event_type, quantile_disc(n_events, 0.5) AS med
+      FROM h GROUP BY event_type),
+r AS (SELECT h.*, CAST(row_number() OVER (
+        PARTITION BY h.event_type ORDER BY h.n_events DESC, h.hr)
+        AS BIGINT) AS rk FROM h)
+SELECT r.event_type, r.hr, r.n_events, CAST(m.med AS BIGINT) AS med, r.rk
+FROM r JOIN m ON r.event_type = m.event_type
+WHERE r.rk <= 5
+"""
+
+
 SQL_EVENTS_WINDOW = """
 SELECT event_type, floor(epoch(ts) / 3600)::BIGINT AS hr,
        count(*) AS n_events, round(sum(value), 2) AS sum_value
