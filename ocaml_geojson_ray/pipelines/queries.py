@@ -4684,6 +4684,55 @@ FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
 """
 
 
+def q_curriculum_shards(sf_dir: str):
+    """Curriculum data ordering — operator COMPOSITION: DSIR
+    importance scores feed a global ordered scan that packs docs into
+    fixed token-budget shards in quality order (score DESC, doc_id
+    tie), shard 0 = the most target-like slice. One combined pass
+    computes (score, n_tokens) per doc from the same tokenization;
+    the scan is shard_packing's two-phase plan generalized to VALUE
+    ranges of the ordering key (stages/curation.curriculum_shards;
+    funnel vs range plans pinned equal in tests). All-integer —
+    hash-exact vs the window-function oracle."""
+    from ..stages.curation import (_token_buckets, curriculum_shards,
+                                   importance_weights)
+
+    ds = _read_split(sf_dir, "documents", ["doc_id", "text", "lang"])
+    w = importance_weights(ds)
+
+    def score_and_count(b: pa.Table) -> pa.Table:
+        didx, bkt = _token_buckets(b)
+        s = np.zeros(len(b), dtype=np.int64)
+        n = np.zeros(len(b), dtype=np.int64)
+        if len(bkt):
+            np.add.at(s, didx, w[bkt])
+            np.add.at(n, didx, 1)
+        return pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "score": pa.array(s, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+        })
+
+    scored = ds.map_batches(score_and_count, batch_format="pyarrow")
+    return curriculum_shards(scored)
+
+
+SQL_CURRICULUM_SHARDS = f"""
+WITH scored AS (SELECT * FROM ({SQL_IMPORTANCE_SCORES})),
+tok AS (SELECT doc_id,
+        CAST(len(list_filter(string_split_regex(text, '[ \\t\\n\\r\\f\\v]+'),
+                             x -> x <> '')) AS BIGINT) AS n
+        FROM documents),
+o AS (SELECT s.doc_id, s.score, t.n
+      FROM scored s JOIN tok t ON s.doc_id = t.doc_id)
+SELECT doc_id,
+       CAST(COALESCE(sum(n) OVER (ORDER BY score DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // 4096 AS BIGINT) AS shard_id
+FROM o
+"""
+
+
 SQL_REPETITION_STATS = r"""
 WITH w AS (SELECT doc_id,
          list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'), x -> x <> '') AS ws

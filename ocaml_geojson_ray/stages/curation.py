@@ -572,3 +572,96 @@ def importance_scores(docs_ds, weights: np.ndarray,
         })
 
     return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+def curriculum_shards(scored_ds, shard_tokens: int = 4096,
+                      n_ranges: int = 64, small_rows: int = 2_000_000):
+    """Curriculum data ordering: pack docs into fixed token-budget
+    training shards in QUALITY order (score DESC, doc_id ASC tie) —
+    shard 0 is the most target-like slice, the classic
+    curriculum/annealing layout. shard = cum_excl_tokens // budget
+    over the global (score DESC, doc_id) order.
+
+    The ordered-scan machinery is shard_packing's two-phase plan with
+    the range key generalized from id blocks to VALUE ranges of the
+    ordering key: ranges are uniform score bins (descending), so each
+    bin is wholly one task, the bin offset table is tiny, and the
+    in-bin sort + cumsum is vectorized. Skewed score distributions
+    skew bin sizes, not correctness (a production variant samples
+    split points like a distributed sort). Small plan funnels the
+    3-int-column table; plans pinned equal in tests.
+
+    ``scored_ds``: (doc_id, score, n) — n = token count.
+    → Dataset(doc_id, shard_id)."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    def assign(d, s, n, cum_excl) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.array(d, pa.int64()),
+            "shard_id": pa.array(cum_excl // shard_tokens, pa.int64()),
+        })
+
+    scored = scored_ds.materialize()
+    if scored.count() <= small_rows:
+        def full_scan(b: pa.Table) -> pa.Table:
+            d = b["doc_id"].to_numpy()
+            s = b["score"].to_numpy()
+            n = b["n"].to_numpy()
+            order = np.lexsort((d, -s))
+            d, s, n = d[order], s[order], n[order]
+            return assign(d, s, n, np.cumsum(n) - n)
+
+        return scored.repartition(1).map_batches(
+            full_scan, batch_format="pyarrow", batch_size=None)
+
+    # value-range plan: uniform score bins, DESCENDING (bin 0 = best)
+    lo_hi = scored.map_batches(lambda b: pa.table({
+        "k": pa.array([0], pa.int64()),
+        "lo": pa.array([int(b["score"].to_numpy().min())], pa.int64()),
+        "hi": pa.array([int(b["score"].to_numpy().max())], pa.int64()),
+    }), batch_format="pyarrow").to_pandas()
+    smin, smax = int(lo_hi["lo"].min()), int(lo_hi["hi"].max())
+    width = max(1, (smax - smin) // n_ranges + 1)
+
+    def add_rng(b: pa.Table) -> pa.Table:
+        s = b["score"].to_numpy()
+        return b.append_column(
+            "rng", pa.array((smax - s) // width, pa.int64()))
+
+    ranged = scored.map_batches(add_rng, batch_format="pyarrow")
+
+    def range_partial(b: pa.Table) -> pa.Table:
+        r = b["rng"].to_numpy()
+        n = b["n"].to_numpy()
+        order = np.argsort(r, kind="stable")
+        rs = r[order]
+        first = np.flatnonzero(np.concatenate([[True], rs[1:] != rs[:-1]]))
+        return pa.table({
+            "rng": pa.array(rs[first], pa.int64()),
+            "n": pa.array(np.add.reduceat(n[order], first), pa.int64()),
+        })
+
+    totals = grouped_sum_combine(
+        ranged.map_batches(range_partial, batch_format="pyarrow"),
+        ["rng"], "n", "rsum").take_all()
+    rngs = np.array([t["rng"] for t in totals], dtype=np.int64)
+    sums = np.array([t["rsum"] for t in totals], dtype=np.int64)
+    order = np.argsort(rngs)
+    rngs, sums = rngs[order], sums[order]
+    offsets = np.cumsum(sums) - sums
+    off_ref = ray.put((rngs, offsets))
+
+    def scan_range(g: pa.Table) -> pa.Table:
+        rngs_, offsets_ = ray.get(off_ref)
+        d = g["doc_id"].to_numpy()
+        s = g["score"].to_numpy()
+        n = g["n"].to_numpy()
+        order_ = np.lexsort((d, -s))
+        d, s, n = d[order_], s[order_], n[order_]
+        base = offsets_[np.searchsorted(rngs_, int(g["rng"][0].as_py()))]
+        return assign(d, s, n, base + np.cumsum(n) - n)
+
+    return ranged.groupby("rng").map_groups(
+        scan_range, batch_format="pyarrow")

@@ -1197,3 +1197,35 @@ def test_json_props_errors_as_data():
             continue
         kept.append(int(k))
     assert kept == [3, 3]
+
+
+def test_curriculum_shards_plans_equal(ray_session):
+    """Funnel and value-range two-phase plans assign IDENTICAL
+    (doc_id, shard_id) — the ordered scan is deterministic under any
+    partitioning (stages/curation.curriculum_shards); shard 0 holds
+    the highest scores."""
+    import ray.data as rd
+
+    from ocaml_geojson_ray.stages.curation import curriculum_shards
+
+    rng = np.random.default_rng(11)
+    n = 500
+    t = pa.table({
+        "doc_id": pa.array(np.arange(1, n + 1, dtype=np.int64), pa.int64()),
+        "score": pa.array(rng.integers(-1000, 1000, n).astype(np.int64),
+                          pa.int64()),
+        "n": pa.array(rng.integers(1, 200, n).astype(np.int64), pa.int64()),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    funnel = {r["doc_id"]: r["shard_id"]
+              for r in curriculum_shards(ds, shard_tokens=1000).take_all()}
+    # small_rows=0 forces the value-range plan; n_ranges=7 forces
+    # shard boundaries to straddle range boundaries
+    dist = {r["doc_id"]: r["shard_id"]
+            for r in curriculum_shards(ds, shard_tokens=1000, n_ranges=7,
+                                       small_rows=0).take_all()}
+    assert funnel == dist and len(funnel) == n
+    # shard 0 contains the top scores
+    s = dict(zip(t["doc_id"].to_pylist(), t["score"].to_pylist()))
+    top = max(s, key=lambda d: (s[d], -d))
+    assert funnel[top] == 0
