@@ -3737,6 +3737,41 @@ def plant_neardup_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def q_pq_ann(sf_dir: str):
+    """Product-quantization ANN (Jégou et al. 2011) — the memory-bound
+    scale path of the similarity-search family (stages/ann.pq_topk:
+    8-bit-per-subspace codes + ADC lookup tables). Rows-only with the
+    planted-pair self-check: querying with the ORIGINALS of the
+    planted ~0.995-cosine copies, the copy must appear in the top-10
+    for ≥ 80% of queries (a near-identical vector encodes to the same
+    codes, so its ADC distance equals the query's own quantization
+    error — far below random-pair distance)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.ann import pq_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    aug = ds.map_batches(plant_neardup_batch, batch_format="pyarrow")
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    qid = qt["vec_id"].to_numpy()
+    sel = np.flatnonzero(qid % 20 == 0)[:8]
+    queries = {int(qid[i]): qt["embedding"][int(i)].as_py() for i in sel}
+
+    out = pq_topk(aug, queries, k=10).materialize()
+    got = {}
+    for r in out.take_all():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(1 for q in queries
+               if q + NEARDUP_PLANT_OFFSET in got.get(q, set()))
+    assert hits >= 0.8 * len(queries), \
+        f"PQ planted-copy recall {hits}/{len(queries)} < 0.8"
+    return out
+
+
 def q_semdedup(sf_dir: str):
     """SemDeDup (Abbas et al. 2023) — the semantic member of the dedup
     family: k-means buckets + within-cluster greedy cosine prune in id

@@ -185,3 +185,103 @@ def ivf_topk(ds, queries: dict, k: int = 10, n_centroids: int = 16,
             "rank", pa.array(np.arange(len(order)), pa.int64()))
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
+# -- Product quantization (PQ) ----------------------------------------------
+
+def pq_fit(sample: np.ndarray, m: int = 8, ksub: int = 16,
+           iters: int = 10, seed: int = 9) -> np.ndarray:
+    """Per-subspace L2 codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the d dims into
+    m contiguous subspaces and run a tiny Lloyd's per subspace on the
+    driver sample (the IVF coarse-quantizer precedent — bounded
+    sample, k·d-size result). → (m, ksub, d//m) float64."""
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for mi in range(m):
+        sub = sample[:, mi * dsub:(mi + 1) * dsub]
+        idx = rng.choice(n, size=min(ksub, n), replace=False)
+        cent = sub[idx].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cent)):
+                mm = sub[assign == c]
+                if len(mm):
+                    cent[c] = mm.mean(axis=0)
+        books[mi, :len(cent)] = cent
+        if len(cent) < ksub:  # tiny sample: pad with repeats
+            books[mi, len(cent):] = cent[0]
+    return books
+
+
+def pq_topk(ds, queries: dict, k: int = 10, m: int = 8, ksub: int = 16,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            sample_rows: int = 2048):
+    """PQ ANN via ADC (asymmetric distance computation) — the
+    memory-bound scale path of the similarity-search family
+    (brute = compute-bound exact, IVF = partition-and-probe, PQ =
+    8 bits/subspace codes so a 10⁹-vector corpus's codes fit in RAM):
+    each batch encodes vectors to per-subspace nearest-centroid codes
+    and accumulates Σ_m LUT[q, m, code] distances — one (Q, ksub)
+    lookup table per subspace per query, built ONCE per task from the
+    broadcast codebooks; per-batch top-k partials funnel through the
+    same per-query merge as IVF. Approximate — recall self-checked on
+    planted near-identical pairs (identical codes ⇒ identical ADC)."""
+    import ray
+
+    sample = np.asarray(
+        [r[vec_col] for r in ds.limit(sample_rows).take_all()],
+        dtype=np.float64)
+    books = pq_fit(sample, m=m, ksub=ksub)
+    qids = np.asarray(list(queries.keys()), dtype=np.int64)
+    qmat = np.asarray(list(queries.values()), dtype=np.float64)
+    dsub = qmat.shape[1] // m
+    # (Q, m, ksub) ADC lookup tables — squared L2 of each query
+    # subvector to every centroid of that subspace
+    lut = np.empty((len(qids), m, ksub), dtype=np.float64)
+    for mi in range(m):
+        qs = qmat[:, mi * dsub:(mi + 1) * dsub]
+        lut[:, mi, :] = ((qs[:, None, :] - books[mi][None, :, :]) ** 2).sum(-1)
+    state_ref = ray.put((books, qids, lut))
+
+    def adc_partial(batch: pa.Table) -> pa.Table:
+        books_, qids_, lut_ = ray.get(state_ref)
+        ids = batch[id_col].to_numpy()
+        vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        if not len(ids):
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "adc": pa.array([], pa.float64())})
+        dist = np.zeros((len(qids_), len(ids)), dtype=np.float64)
+        for mi in range(books_.shape[0]):
+            sub = vecs[:, mi * dsub:(mi + 1) * dsub]
+            code = ((sub[:, None, :] - books_[mi][None, :, :]) ** 2) \
+                .sum(-1).argmin(axis=1)
+            dist += lut_[:, mi, :][:, code]
+        kk = min(k, dist.shape[1])
+        top = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(len(qids_)), kk)
+        cols = top.ravel()
+        return pa.table({
+            "query_id": pa.array(qids_[rows], pa.int64()),
+            id_col: pa.array(ids[cols], pa.int64()),
+            "adc": pa.array(dist[rows, cols], pa.float64()),
+        })
+
+    partials = ds.map_batches(adc_partial, batch_format="pyarrow")
+
+    def merge(g: pa.Table) -> pa.Table:
+        adc = g["adc"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, adc))[:k]
+        g = g.take(pa.array(order))
+        return g.append_column(
+            "rank", pa.array(np.arange(len(order)), pa.int64()))
+
+    return partials.groupby("query_id").map_groups(
+        merge, batch_format="pyarrow")

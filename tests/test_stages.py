@@ -1229,3 +1229,32 @@ def test_curriculum_shards_plans_equal(ray_session):
     s = dict(zip(t["doc_id"].to_pylist(), t["score"].to_pylist()))
     top = max(s, key=lambda d: (s[d], -d))
     assert funnel[top] == 0
+
+
+def test_pq_adc_identical_vectors_tie(ray_session):
+    """PQ property pins (stages/ann.pq_fit/pq_topk): identical vectors
+    encode to identical codes, so their ADC distances to any query are
+    EQUAL — and a query's own copy ranks at the top among random
+    distractors."""
+    import ray.data as rd
+
+    from ocaml_geojson_ray.stages.ann import pq_fit, pq_topk
+
+    rng = np.random.default_rng(2)
+    d, n = 16, 120
+    vecs = rng.standard_normal((n, d))
+    vecs[1] = vecs[0]  # exact duplicate pair (ids 1 and 2 below)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(1, n + 1, dtype=np.int64), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float64())),
+    })
+    books = pq_fit(vecs, m=4, ksub=8)
+    assert books.shape == (4, 8, 4)
+    out = pq_topk(rd.from_arrow(t), {1: vecs[0].tolist()}, k=5,
+                  m=4, ksub=8).to_pandas()
+    top = out.sort_values("rank")
+    # the duplicate pair (ids 1, 2) shares codes -> equal ADC -> both
+    # at the top, id tie-break first
+    assert list(top["vec_id"][:2]) == [1, 2]
+    assert abs(top["adc"].iloc[0] - top["adc"].iloc[1]) == 0.0
