@@ -202,6 +202,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("importance_scores", Q.q_importance_scores)
     timed("quantile_filter", Q.q_quantile_filter)
     timed("semdedup", Q.q_semdedup)
+    timed("json_props_stats", Q.q_json_props_stats)
+    timed("ntile_docs", Q.q_ntile_docs)
+    timed("spike_hours", Q.q_spike_hours)
+    timed("curriculum_shards", Q.q_curriculum_shards)
+    timed("pq_ann", Q.q_pq_ann)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

@@ -3753,7 +3753,10 @@ def q_pq_ann(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    aug = ds.map_batches(plant_neardup_batch, batch_format="pyarrow")
+    # two consumers (codebook sample + ADC pass): materialize the
+    # planting once (see q_semdedup's note)
+    aug = ds.map_batches(plant_neardup_batch,
+                         batch_format="pyarrow").materialize()
 
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
                        columns=["vec_id", "embedding"])
@@ -3788,8 +3791,18 @@ def q_semdedup(sf_dir: str):
     tau = 0.9
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    aug = ds.map_batches(plant_neardup_batch, batch_format="pyarrow")
-    out = semdedup(aug, k=16, tau=tau).materialize()
+    # materialize the planted input ONCE: kmeans_fit scans its input
+    # iters+1 times (seed scan + Lloyd passes) and a lazy aug would
+    # re-run read+plant per scan (measured 10.8 → 3.5 s at sf0.1/32).
+    # Production multi-scan consumers re-read pruned PARQUET per pass
+    # (cheap, columnar); only the Python planting stage makes
+    # re-execution expensive here.
+    aug = ds.map_batches(plant_neardup_batch,
+                         batch_format="pyarrow").materialize()
+    # 2 Lloyd iterations: bucketing quality barely moves the greedy's
+    # results on near-identical pairs (the in-query recall assert is
+    # the guard) and each extra iteration is a full barrier chain
+    out = semdedup(aug, k=16, tau=tau, kmeans_iters=2).materialize()
 
     def check(b: pa.Table) -> pa.Table:
         ms = b["max_sim_kept"].to_numpy()
