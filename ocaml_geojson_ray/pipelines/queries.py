@@ -5004,6 +5004,69 @@ WHERE rk <= 30
 """
 
 
+def q_moving_window(sf_dir: str):
+    """ROWS-frame moving aggregate — the sliding-FRAME window class
+    (vs the tumbling/sliding TIME buckets of events_window and the
+    unbounded frames of running_totals): per user, sum and count of
+    the last 3 events' values in (ts, event_id) order. Values enter
+    as int64 micro-units via floor(value·10⁶ + 0.5) — value is
+    non-negative so floor(+0.5) is half-up in BOTH engines (np.round
+    banker's would diverge off-grid; the floor device sidesteps it) —
+    making the frame sums exact. One key shuffle; per group the frame
+    sum is the O(n) cumsum difference c[i] − c[i−3], not a per-row
+    re-scan."""
+    import ray
+
+    nb = max(4, int(ray.cluster_resources().get("CPU", 4)) // 4)
+    ds = split_read(f"{sf_dir}/events.parquet",
+                    ["event_id", "user_id", "ts", "value"], nb)
+
+    def pre(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy()
+        return pa.table({
+            "user_id": b["user_id"],
+            "event_id": b["event_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "vi": pa.array(np.floor(v * 1e6 + 0.5).astype(np.int64),
+                           pa.int64()),
+        })
+
+    def frames(g: pa.Table) -> pa.Table:
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        vi = g["vi"].to_numpy()
+        order = np.lexsort((eid, ts))
+        eid, vi = eid[order], vi[order]
+        c = np.concatenate([[0], np.cumsum(vi)])
+        lo = np.maximum(np.arange(len(vi)) - 2, 0)
+        mv = c[1 + np.arange(len(vi))] - c[lo]
+        n3 = np.minimum(np.arange(len(vi)) + 1, 3)
+        return pa.table({
+            "user_id": pa.array(
+                np.full(len(vi), g["user_id"][0].as_py(), np.int64),
+                pa.int64()),
+            "event_id": pa.array(eid, pa.int64()),
+            "mv_sum3": pa.array(mv, pa.int64()),
+            "mv_n3": pa.array(n3.astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(pre, batch_format="pyarrow") \
+        .groupby("user_id").map_groups(frames, batch_format="pyarrow")
+
+
+SQL_MOVING_WINDOW = """
+WITH v AS (SELECT user_id, event_id, ts,
+                  CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vi
+           FROM events)
+SELECT user_id, event_id,
+       CAST(sum(vi) OVER w AS BIGINT) AS mv_sum3,
+       CAST(count(*) OVER w AS BIGINT) AS mv_n3
+FROM v
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_ntile_docs(sf_dir: str):
     """ntile(4) OVER (PARTITION BY source ORDER BY doc_id) — the
     quantile-bucket window operator completing the window family
