@@ -3775,6 +3775,38 @@ def q_pq_ann(sf_dir: str):
     return out
 
 
+def q_streaming_dedup(sf_dir: str):
+    """Streaming exact dedup against a sharded SHARED MUTABLE INDEX
+    (stages/streaming_dedup.py) — the ingest-time admission filter,
+    and the one operator here that genuinely needs raw Ray actors
+    (membership state consulted and updated mid-stream; a Dataset UDF
+    is pure and a groupby is a barrier). Rows-only BY CONTRACT: which
+    duplicate survives is arrival order, so the self-checks pin the
+    survivor-SET properties instead — survivor count equals the batch
+    plan's distinct-hash count (each hash admitted exactly once by
+    the actor rule, so count equality ⇒ set bijection), and the shard
+    sizes sum to the same number."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.dedup import exact_dedup
+    from ..stages.streaming_dedup import start_dedup_pool, streaming_exact_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "text"])
+    pool = start_dedup_pool(8)
+    out = streaming_exact_dedup(ds, pool).materialize()
+
+    n_survivors = out.count()
+    n_distinct = exact_dedup(ds).count()
+    assert n_survivors == n_distinct, \
+        f"streaming survivors {n_survivors} != distinct hashes {n_distinct}"
+    shard_total = sum(ray.get([a.size.remote() for a in pool]))
+    assert shard_total == n_distinct, \
+        f"shard membership {shard_total} != distinct hashes {n_distinct}"
+    return out.select_columns(["doc_id", "source"])
+
+
 def q_semdedup(sf_dir: str):
     """SemDeDup (Abbas et al. 2023) — the semantic member of the dedup
     family: k-means buckets + within-cluster greedy cosine prune in id

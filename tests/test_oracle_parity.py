@@ -69,7 +69,7 @@ def _rows_only():
 # at tiny sf (emptiness is data there).
 _NONEMPTY_ROWS_ONLY = {
     "multimodal_features", "multimodal_audio", "ivf_ann",
-    "embedding_neardups", "semdedup", "pq_ann",
+    "embedding_neardups", "semdedup", "pq_ann", "streaming_dedup",
 }
 
 

@@ -1258,3 +1258,33 @@ def test_pq_adc_identical_vectors_tie(ray_session):
     # at the top, id tie-break first
     assert list(top["vec_id"][:2]) == [1, 2]
     assert abs(top["adc"].iloc[0] - top["adc"].iloc[1]) == 0.0
+
+
+def test_streaming_dedup_drops_cross_batch_duplicates(ray_session):
+    """The shared-index admission filter: duplicates are dropped even
+    when they arrive in DIFFERENT batches/blocks (the case a pure
+    per-batch UDF cannot handle), exactly one survivor per distinct
+    text, shard sizes sum to the distinct count."""
+    import ray
+    import ray.data as rd
+
+    from ocaml_geojson_ray.stages.streaming_dedup import (
+        start_dedup_pool, streaming_exact_dedup)
+
+    texts = [f"doc {i % 7}" for i in range(100)]  # 7 distinct, heavy dups
+    t = pa.table({
+        "doc_id": pa.array(np.arange(100, dtype=np.int64), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    ds = rd.from_arrow(t).repartition(8)  # duplicates split across blocks
+    pool = start_dedup_pool(4)
+    out = streaming_exact_dedup(ds, pool).materialize()
+    df = out.to_pandas()
+    assert len(df) == 7
+    assert sorted(df["text"]) == sorted(set(texts))
+    assert sum(ray.get([a.size.remote() for a in pool])) == 7
+    # a later arrival of an already-admitted text is rejected
+    late = pa.table({"doc_id": pa.array([999], pa.int64()),
+                     "text": pa.array(["doc 0"], pa.string())})
+    out2 = streaming_exact_dedup(rd.from_arrow(late), pool).materialize()
+    assert out2.count() == 0
