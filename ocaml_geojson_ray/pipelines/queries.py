@@ -1482,9 +1482,16 @@ def q_geo_distance_pairs(sf_dir: str):
     brute-force O(n²) join BY DESIGN (the oracle companion); the
     predicate is pure integer arithmetic after the one quantization
     step, so the value-hash match has zero float-boundary risk."""
+    import ray
+
     from ..spatial.distjoin import geo_distance_pairs
 
-    ds = _read_split(sf_dir, "customer", ["c_custkey"])
+    # few-block read: the map side is microseconds; the cell groupby's
+    # sort shuffle pays PER INPUT BLOCK (round-3 rule), so ncpu/4
+    # blocks beat the default 2·ncpu split (stats-audited: Sort was
+    # the whole wall at 64 blocks)
+    nb = max(4, int(ray.cluster_resources().get("CPU", 4)) // 4)
+    ds = split_read(f"{sf_dir}/customer.parquet", ["c_custkey"], nb)
     pts = ds.map_batches(derive_customer_band_points_batch,
                          batch_format="pyarrow")
     return geo_distance_pairs(pts)
