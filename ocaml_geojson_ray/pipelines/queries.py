@@ -5115,7 +5115,12 @@ def q_ntile_docs(sf_dir: str):
     DuckDB/ANSI size rule: the first n%k buckets get ⌈n/k⌉ rows
     (pinned here on n=10,k=4 → sizes 3,3,2,2). Pure integer
     arithmetic — hash-exact by construction."""
-    ds = _read_split(sf_dir, "documents", ["doc_id", "source"])
+    import ray
+
+    # few-block read: no map side at all, the source groupby's sort
+    # shuffle pays per input block (round-3 rule)
+    nb = max(4, int(ray.cluster_resources().get("CPU", 4)) // 4)
+    ds = split_read(f"{sf_dir}/documents.parquet", ["doc_id", "source"], nb)
     k = 4
 
     def buckets(g: pa.Table) -> pa.Table:
