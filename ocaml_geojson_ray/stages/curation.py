@@ -507,10 +507,14 @@ def _token_buckets(batch: pa.Table, text_col: str = "text"):
     didx = np.repeat(np.arange(len(batch)), cnt)
     keep = pc.greater(pc.binary_length(flat), 0).to_numpy(zero_copy_only=False)
     didx = didx[keep]
-    toks = flat.filter(pa.array(keep)).to_pylist()
-    if not toks:
+    kept = flat.filter(pa.array(keep))
+    if not len(kept):
         return didx, np.empty(0, dtype=np.int64)
-    uniq, inv = np.unique(np.asarray(toks, dtype=object), return_inverse=True)
+    # dictionary_encode = vectorized C unique+inverse; Python (md5,
+    # memoized) touches only the small dictionary, never the stream
+    d = kept.dictionary_encode()
+    uniq = d.dictionary.to_pylist()
+    inv = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     b_uniq = np.asarray([_word_hash64(w) for w in uniq], dtype=np.uint64) \
         & np.uint64(IMPORTANCE_NBUCKETS - 1)
     return didx, b_uniq.astype(np.int64)[inv]
