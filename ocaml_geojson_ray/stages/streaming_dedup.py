@@ -31,7 +31,13 @@ admission overhead is 2 messages per batch per shard touched, not per
 row. Fault tolerance: an actor loss loses its shard's memory —
 production would checkpoint shard sets (state/checkpoint.py pattern);
 re-admitting a duplicate after a crash is the standard
-at-least-once tradeoff.
+at-least-once tradeoff. The inverse hazard is TASK retry: a re-run
+batch finds its own hashes already admitted and drops ALL its rows
+(at-most-once delivery). Production pairs admission with an
+idempotence token — the shard records (batch_id → admitted set) and
+replays the same answer on retry; omitted here because the sandbox
+pipeline never retries mid-query, but it is the first thing to add
+in front of a real ingest.
 """
 
 from __future__ import annotations
