@@ -151,6 +151,19 @@ def _read_split(sf_dir: str, table: str, columns):
                       max(8, 2 * ncpu))
 
 
+def _read_split_few(sf_dir: str, table: str, columns):
+    """Few-block sibling of _read_split (ncpu/4 blocks) for queries
+    whose map side is trivial and whose next stage is a groupby: the
+    sort-backed shuffle pays per INPUT BLOCK (round-3 rule; measured
+    again on geo_distance_pairs — Sort was the whole wall at the
+    2·ncpu split — and on ntile_docs, 1.9 → 0.23 s)."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    return split_read(f"{sf_dir}/{table}.parquet", columns,
+                      max(4, ncpu // 4))
+
+
 def lineitem_points(sf_dir: str):
     import ray.data as rd
 
@@ -1482,16 +1495,9 @@ def q_geo_distance_pairs(sf_dir: str):
     brute-force O(n²) join BY DESIGN (the oracle companion); the
     predicate is pure integer arithmetic after the one quantization
     step, so the value-hash match has zero float-boundary risk."""
-    import ray
-
     from ..spatial.distjoin import geo_distance_pairs
 
-    # few-block read: the map side is microseconds; the cell groupby's
-    # sort shuffle pays PER INPUT BLOCK (round-3 rule), so ncpu/4
-    # blocks beat the default 2·ncpu split (stats-audited: Sort was
-    # the whole wall at 64 blocks)
-    nb = max(4, int(ray.cluster_resources().get("CPU", 4)) // 4)
-    ds = split_read(f"{sf_dir}/customer.parquet", ["c_custkey"], nb)
+    ds = _read_split_few(sf_dir, "customer", ["c_custkey"])
     pts = ds.map_batches(derive_customer_band_points_batch,
                          batch_format="pyarrow")
     return geo_distance_pairs(pts)
@@ -2052,42 +2058,55 @@ SELECT lang, count(*) AS n_docs FROM (
 """
 
 
+def extract_json_int_k(props) -> tuple[np.ndarray, np.ndarray]:
+    """The json_props_stats drop gate, shared with its test: for each
+    props string, extract an INTEGER-valued object field "k" through
+    the engine's own lexer; NULL/malformed/non-object/missing/bool/
+    non-integer rows DROP (never raise — errors-as-data). → (row
+    indices kept, int64 k values)."""
+    from ..core.jsontext import loads_json
+
+    idx, ks = [], []
+    for i, p in enumerate(props):
+        if p is None:
+            continue
+        try:
+            v = loads_json(p)
+        except (ValueError, TypeError):
+            continue  # errors-as-data: malformed row drops out
+        k = v.get("k") if isinstance(v, dict) else None
+        if isinstance(k, bool) or not isinstance(k, (int, float)):
+            continue
+        if float(k) != int(k):
+            continue
+        idx.append(i)
+        ks.append(int(k))
+    return (np.asarray(idx, np.int64), np.asarray(ks, np.int64))
+
+
 def q_json_props_stats(sf_dir: str):
     """Distributed JSON field extraction over an opaque JSON string
     column (events.props) — the engine's OWN reference-parity lexer
     (core.jsontext.loads_json, the S5 operator) run as a batch stage,
-    with the mine/parse stages' errors-as-data convention (malformed
-    or non-integer props drop out instead of raising). Per event_type:
+    with the mine/parse stages' errors-as-data convention
+    (NULL/malformed/non-integer props drop out instead of raising;
+    gate shared with the test, extract_json_int_k). Per event_type:
     count, sum, min, max, distinct count of the extracted integer —
-    all int64, order-independent. Physical shape: per-batch (type, k)
-    pair partials (the k domain is value-bounded), one tiny pair-key
-    groupby, 5-group finalize."""
+    all int64, order-independent. The oracle mirrors the drop rule
+    with TRY_CAST (malformed JSON → NULL, non-numeric/bool k → NULL,
+    fractional k filtered by floor(kd) = kd). Physical shape:
+    per-batch (type, k) pair partials (the k domain is
+    value-bounded), one tiny pair-key groupby, 5-group finalize."""
     import ray.data as rd
     from ray.data.aggregate import Sum
-
-    from ..core.jsontext import loads_json
 
     ds = _read_split(sf_dir, "events", ["event_type", "props"])
 
     def partial(b: pa.Table) -> pa.Table:
-        types = b["event_type"].to_pylist()
-        props = b["props"].to_pylist()
-        et, ks = [], []
-        for t, p in zip(types, props):
-            try:
-                v = loads_json(p)
-            except ValueError:
-                continue  # errors-as-data: malformed row drops out
-            k = v.get("k") if isinstance(v, dict) else None
-            if isinstance(k, bool) or not isinstance(k, (int, float)):
-                continue
-            if float(k) != int(k):
-                continue
-            et.append(t)
-            ks.append(int(k))
+        idx, ks = extract_json_int_k(b["props"].to_pylist())
         t2 = pa.table({
-            "event_type": pa.array(et, pa.string()),
-            "k": pa.array(np.asarray(ks, np.int64), pa.int64()),
+            "event_type": b["event_type"].take(pa.array(idx)),
+            "k": pa.array(ks, pa.int64()),
         })
         return t2.group_by(["event_type", "k"]).aggregate(
             [("k", "count")]).rename_columns(["event_type", "k", "cnt"])
@@ -2112,16 +2131,24 @@ def q_json_props_stats(sf_dir: str):
 
 
 SQL_JSON_PROPS_STATS = """
-WITH j AS (SELECT event_type,
-                  CAST(json_extract(props, '$.k') AS BIGINT) AS k
-           FROM events)
+WITH e AS (SELECT event_type,
+                  json_extract(TRY_CAST(props AS JSON), '$.k') AS kj
+           FROM events),
+-- mirror the engine's errors-as-data gate exactly: malformed JSON ->
+-- NULL (TRY_CAST), field must be a JSON NUMBER (bool/string/array
+-- coercions excluded by json_type) and integer-valued (floor = self)
+j AS (SELECT event_type, TRY_CAST(kj AS DOUBLE) AS kd
+      FROM e
+      WHERE json_type(kj) IN ('UBIGINT', 'BIGINT', 'DOUBLE')),
+v AS (SELECT event_type, CAST(kd AS BIGINT) AS k
+      FROM j WHERE floor(kd) = kd)
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(k) AS BIGINT) AS sum_k,
        CAST(min(k) AS BIGINT) AS min_k,
        CAST(max(k) AS BIGINT) AS max_k,
        CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
-FROM j GROUP BY event_type
+FROM v GROUP BY event_type
 """
 
 
@@ -5054,11 +5081,8 @@ def q_moving_window(sf_dir: str):
     making the frame sums exact. One key shuffle; per group the frame
     sum is the O(n) cumsum difference c[i] − c[i−3], not a per-row
     re-scan."""
-    import ray
-
-    nb = max(4, int(ray.cluster_resources().get("CPU", 4)) // 4)
-    ds = split_read(f"{sf_dir}/events.parquet",
-                    ["event_id", "user_id", "ts", "value"], nb)
+    ds = _read_split_few(sf_dir, "events",
+                         ["event_id", "user_id", "ts", "value"])
 
     def pre(b: pa.Table) -> pa.Table:
         v = b["value"].to_numpy()
@@ -5115,12 +5139,7 @@ def q_ntile_docs(sf_dir: str):
     DuckDB/ANSI size rule: the first n%k buckets get ⌈n/k⌉ rows
     (pinned here on n=10,k=4 → sizes 3,3,2,2). Pure integer
     arithmetic — hash-exact by construction."""
-    import ray
-
-    # few-block read: no map side at all, the source groupby's sort
-    # shuffle pays per input block (round-3 rule)
-    nb = max(4, int(ray.cluster_resources().get("CPU", 4)) // 4)
-    ds = split_read(f"{sf_dir}/documents.parquet", ["doc_id", "source"], nb)
+    ds = _read_split_few(sf_dir, "documents", ["doc_id", "source"])
     k = 4
 
     def buckets(g: pa.Table) -> pa.Table:

@@ -68,6 +68,20 @@ class BruteForceTopK:
         )
 
 
+def _topk_merge(score_col: str, k: int, id_col: str, ascending: bool):
+    """Shared per-query partial-top-k merge (brute / IVF / PQ all use
+    it): deterministic (score, id) order, top-k cut, 0-based rank."""
+    def merge(g: pa.Table) -> pa.Table:
+        s = g[score_col].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, s if ascending else -s))[:k]
+        g = g.take(pa.array(order))
+        return g.append_column(
+            "rank", pa.array(np.arange(len(order)), pa.int64()))
+
+    return merge
+
+
 def brute_force_topk(ds, queries: dict, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      concurrency=None):
@@ -83,15 +97,9 @@ def brute_force_topk(ds, queries: dict, k: int = 10,
         batch_format="pyarrow",
     )
 
-    def merge(g: pa.Table) -> pa.Table:
-        cos = g["cosine"].to_numpy(zero_copy_only=False)
-        ids = g[id_col].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, -cos))[:k]
-        g = g.take(pa.array(order))
-        return g.append_column(
-            "rank", pa.array(np.arange(len(order)), pa.int64()))
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+    return partials.groupby("query_id").map_groups(
+        _topk_merge("cosine", k, id_col, ascending=False),
+        batch_format="pyarrow")
 
 
 def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10,
@@ -176,15 +184,9 @@ def ivf_topk(ds, queries: dict, k: int = 10, n_centroids: int = 16,
         .map_groups(probe_bucket, batch_format="pyarrow")
     )
 
-    def merge(g: pa.Table) -> pa.Table:
-        cos = g["cosine"].to_numpy(zero_copy_only=False)
-        ids = g[id_col].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, -cos))[:k]
-        g = g.take(pa.array(order))
-        return g.append_column(
-            "rank", pa.array(np.arange(len(order)), pa.int64()))
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+    return partials.groupby("query_id").map_groups(
+        _topk_merge("cosine", k, id_col, ascending=False),
+        batch_format="pyarrow")
 
 
 # -- Product quantization (PQ) ----------------------------------------------
@@ -275,13 +277,6 @@ def pq_topk(ds, queries: dict, k: int = 10, m: int = 8, ksub: int = 16,
 
     partials = ds.map_batches(adc_partial, batch_format="pyarrow")
 
-    def merge(g: pa.Table) -> pa.Table:
-        adc = g["adc"].to_numpy(zero_copy_only=False)
-        ids = g[id_col].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, adc))[:k]
-        g = g.take(pa.array(order))
-        return g.append_column(
-            "rank", pa.array(np.arange(len(order)), pa.int64()))
-
     return partials.groupby("query_id").map_groups(
-        merge, batch_format="pyarrow")
+        _topk_merge("adc", k, id_col, ascending=True),
+        batch_format="pyarrow")

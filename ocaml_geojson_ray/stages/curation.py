@@ -622,7 +622,6 @@ def curriculum_shards(scored_ds, shard_tokens: int = 4096,
 
     # value-range plan: uniform score bins, DESCENDING (bin 0 = best)
     lo_hi = scored.map_batches(lambda b: pa.table({
-        "k": pa.array([0], pa.int64()),
         "lo": pa.array([int(b["score"].to_numpy().min())], pa.int64()),
         "hi": pa.array([int(b["score"].to_numpy().max())], pa.int64()),
     }), batch_format="pyarrow").to_pandas()

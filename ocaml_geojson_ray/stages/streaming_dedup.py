@@ -88,7 +88,12 @@ def start_dedup_pool(nshards: int = 8):
 def streaming_exact_dedup(ds, pool, text_col: str = "text"):
     """Admit each row iff its content hash is globally first-seen.
     One RPC per touched shard per batch; rows keep input order within
-    the batch. → filtered Dataset (same schema as input)."""
+    the batch. → filtered Dataset (same schema as input), returned
+    MATERIALIZED: the admission UDF mutates shard state, so
+    re-executing a lazy plan (any second consumption — count then
+    take, schema probe, …) would find every hash already admitted and
+    silently return zero rows. Materializing pins the one and only
+    pass."""
     import ray
 
     n = len(pool)
@@ -108,4 +113,4 @@ def streaming_exact_dedup(ds, pool, text_col: str = "text"):
             keep[ix] = res
         return batch.filter(pa.array(keep))
 
-    return ds.map_batches(admit_batch, batch_format="pyarrow")
+    return ds.map_batches(admit_batch, batch_format="pyarrow").materialize()

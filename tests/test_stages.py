@@ -1171,32 +1171,26 @@ def test_semdedup_greedy_semantics(ray_session):
 
 
 def test_json_props_errors_as_data():
-    """json_props_stats' extraction rule: malformed JSON, non-object,
-    missing field, bool and non-integer k all DROP (never raise) —
-    the mine/parse errors-as-data convention on a relational column.
-    Exercises the same loads_json + type-gate sequence the query's
-    batch kernel runs."""
-    from ocaml_geojson_ray.core.jsontext import loads_json
+    """json_props_stats' SHARED extraction gate (the same function the
+    query's batch kernel calls): NULL, malformed JSON, non-object,
+    missing field, bool, string-number and non-integer k all DROP
+    (never raise) — the mine/parse errors-as-data convention on a
+    relational column. The oracle mirrors every case via
+    TRY_CAST + json_type (verified row-for-row in development)."""
+    from ocaml_geojson_ray.pipelines.queries import extract_json_int_k
 
     props = [
         '{"k": 3}', '{"k": 3.0}',      # both count (3.0 is integral)
         '{"k": 3.5}',                  # non-integer -> drop
-        '{"k": true}',                 # bool -> drop
+        '{"k": true}',                 # bool -> drop (DuckDB side: json_type)
+        '{"k": "12"}',                 # string number -> drop (json_type)
         '{"j": 1}', '[1,2]', '{bad',   # missing / non-object / malformed
+        None,                          # NULL props -> drop, not TypeError
+        '{"k": -7}',                   # negative integer counts
     ]
-    kept = []
-    for p in props:
-        try:
-            v = loads_json(p)
-        except ValueError:
-            continue
-        k = v.get("k") if isinstance(v, dict) else None
-        if isinstance(k, bool) or not isinstance(k, (int, float)):
-            continue
-        if float(k) != int(k):
-            continue
-        kept.append(int(k))
-    assert kept == [3, 3]
+    idx, ks = extract_json_int_k(props)
+    assert idx.tolist() == [0, 1, 9]
+    assert ks.tolist() == [3, 3, -7]
 
 
 def test_curriculum_shards_plans_equal(ray_session):
