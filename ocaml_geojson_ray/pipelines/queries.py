@@ -1257,6 +1257,69 @@ def q_events_window(sf_dir: str):
     return agg.map_batches(rounder, batch_format="pyarrow")
 
 
+def q_snapshot_merge(sf_dir: str):
+    """CDC snapshot merge (lakehouse upsert): base snapshot + change
+    delta → latest version per key. The delta is deterministically
+    planted from the base (every 10th orderkey gets a version-1 row
+    with price + 777 cents — the PII/URL planting convention, mirrored
+    verbatim in the oracle's delta CTE); the merge itself is the
+    operator under test.
+
+    Physical plan — the realistic CDC shape: a delta is o(base) BY
+    CONSTRUCTION (it's a change stream), so the delta KEY SET
+    broadcasts once and base rows matching it are dropped map-side
+    (np.isin, the bloom-residual precedent), then the delta unions
+    in. ZERO shuffles; a delta too large to broadcast means the
+    snapshot boundary was drawn wrong (then: hash join on the key,
+    the plan ray_guide documents). Integer cents — hash-exact."""
+    import ray
+
+    ds = _read_split(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    import pyarrow.parquet as pq
+
+    keys = pq.read_table(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey"])["o_orderkey"].to_numpy()
+    delta_keys = keys[keys % 10 == 0]
+    dref = ray.put(np.sort(delta_keys))
+
+    def merge_batch(b: pa.Table, _d=dref) -> pa.Table:
+        dk = ray.get(_d)
+        k = b["o_orderkey"].to_numpy()
+        cents = np.floor(b["o_totalprice"].to_numpy() * 100.0 + 0.5) \
+            .astype(np.int64)
+        in_delta = np.isin(k, dk, assume_unique=False)
+        # surviving base rows (version 0) + updated delta rows (version 1)
+        keep = ~in_delta
+        upd = in_delta
+        out_k = np.concatenate([k[keep], k[upd]])
+        out_v = np.concatenate([np.zeros(keep.sum(), np.int64),
+                                np.ones(upd.sum(), np.int64)])
+        out_c = np.concatenate([cents[keep], cents[upd] + 777])
+        return pa.table({
+            "o_orderkey": pa.array(out_k, pa.int64()),
+            "version": pa.array(out_v, pa.int64()),
+            "price_cents": pa.array(out_c, pa.int64()),
+        })
+
+    return ds.map_batches(merge_batch, batch_format="pyarrow")
+
+
+SQL_SNAPSHOT_MERGE = """
+WITH base AS (SELECT o_orderkey, CAST(0 AS BIGINT) AS version,
+                     CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                       AS price_cents
+              FROM orders),
+delta AS (SELECT o_orderkey, CAST(1 AS BIGINT) AS version,
+                 price_cents + 777 AS price_cents
+          FROM base WHERE o_orderkey % 10 = 0),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
+r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                   ORDER BY version DESC) AS rn FROM u)
+SELECT o_orderkey, version, price_cents FROM r WHERE rn = 1
+"""
+
+
 def q_spike_hours(sf_dir: str):
     """Time-series anomaly surfacing: the 5 busiest hours per
     event_type alongside the type's MEDIAN hourly count (the
