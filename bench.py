@@ -209,6 +209,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("pq_ann", Q.q_pq_ann)
     timed("moving_window", Q.q_moving_window)
     timed("streaming_dedup", Q.q_streaming_dedup)
+    timed("snapshot_merge", Q.q_snapshot_merge)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

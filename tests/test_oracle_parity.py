@@ -84,3 +84,27 @@ def test_rows_only_queries_run(name, contract, ray_session):
     df = to_pandas(contract.queries()[name](SF))
     if name in _NONEMPTY_ROWS_ONLY:
         assert len(df) > 0, f"{name}: fixture-guaranteed rows came back empty"
+
+
+def test_ntile_formula_matches_duckdb_property():
+    """The engine's ntile size rule (first n%k buckets get ceil(n/k))
+    pinned against live DuckDB for every n in 1..40, k in 2..6 — the
+    formula is replicated arithmetic, so pin it property-style rather
+    than trusting one fixture shape."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    for k in (2, 3, 4, 5, 6):
+        for n in range(1, 41):
+            rows = con.execute(
+                f"SELECT CAST(ntile({k}) OVER (ORDER BY i) AS BIGINT) "
+                f"FROM generate_series(1, {n}) t(i) ORDER BY i"
+            ).fetchall()
+            duck = [r[0] for r in rows]
+            q, rem = divmod(n, k)
+            r_ = np.arange(n, dtype=np.int64)
+            cut = rem * (q + 1)
+            mine = np.where(r_ < cut, r_ // (q + 1) + 1,
+                            rem + (np.maximum(r_ - cut, 0) // max(q, 1)) + 1)
+            assert mine.tolist() == duck, (n, k)
