@@ -1582,6 +1582,80 @@ WHERE (a.qx-b.qx)*(a.qx-b.qx) + (a.qy-b.qy)*(a.qy-b.qy) + (a.qz-b.qz)*(a.qz-b.qz
 """
 
 
+def q_geo_knn(sf_dir: str):
+    """Geodesic kNN — k nearest customers to each of 8 supplier-derived
+    query points BY GREAT-CIRCLE distance, EXACT and SQL-checked:
+    chord² on the quantized integer unit sphere is strictly monotone
+    in great-circle distance, so integer chord² ordering IS geodesic
+    ordering (the distjoin parity device applied to ranking). Plan:
+    the 8 query vectors ride in the task closure, each batch computes
+    an (8, b) int64 distance block and emits per-batch top-k partials,
+    one tiny per-query merge (ann._topk_merge — shared with
+    brute/IVF/PQ). Deterministic (chord2, key) tie-break both sides."""
+    from ..spatial.distjoin import quantized_sphere
+    from ..stages.ann import _topk_merge
+
+    k = 5
+    import pyarrow.parquet as pq
+
+    st = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    sk = np.sort(st["s_suppkey"].to_numpy())[:8]
+    qlng = ((sk * 8191 + 31) % 36000) / 100.0 - 180.0
+    qlat = ((sk * 4801 + 11) % 12000) / 100.0 - 60.0
+    qx, qy, qz = quantized_sphere(qlng, qlat)
+    Q = np.stack([qx, qy, qz], 1)  # (8, 3)
+    qids = sk.copy()
+
+    ds = _read_split(sf_dir, "customer", ["c_custkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        pts = derive_customer_band_points_batch(b)
+        x, y, z = quantized_sphere(pts["lng"].to_numpy(),
+                                   pts["lat"].to_numpy())
+        P = np.stack([x, y, z], 1)  # (b, 3)
+        d2 = ((Q[:, None, :] - P[None, :, :]) ** 2).sum(-1)  # (8, b) int64
+        kk = min(k, d2.shape[1])
+        top = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(len(qids)), kk)
+        cols = top.ravel()
+        key = pts["key"].to_numpy()
+        return pa.table({
+            "query_id": pa.array(qids[rows], pa.int64()),
+            "key": pa.array(key[cols], pa.int64()),
+            "chord2": pa.array(d2[rows, cols], pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("query_id").map_groups(
+        _topk_merge("chord2", k, "key", ascending=True),
+        batch_format="pyarrow")
+
+
+SQL_GEO_KNN = f"""
+WITH sq AS (SELECT s_suppkey FROM supplier ORDER BY s_suppkey LIMIT 8),
+qp AS (SELECT s_suppkey AS query_id,
+  ((s_suppkey * 8191 + 31) % 36000) / 100.0 - 180.0 AS lng,
+  ((s_suppkey * 4801 + 11) % 12000) / 100.0 - 60.0 AS lat FROM sq),
+qv AS (SELECT query_id,
+  CAST(floor(cos(radians(lat)) * cos(radians(lng)) * 1e7 + 0.5) AS BIGINT) AS qx,
+  CAST(floor(cos(radians(lat)) * sin(radians(lng)) * 1e7 + 0.5) AS BIGINT) AS qy,
+  CAST(floor(sin(radians(lat)) * 1e7 + 0.5) AS BIGINT) AS qz FROM qp),
+pts AS ({CUSTOMER_BAND_POINTS_SQL}),
+pv AS (SELECT key,
+  CAST(floor(cos(radians(lat)) * cos(radians(lng)) * 1e7 + 0.5) AS BIGINT) AS px,
+  CAST(floor(cos(radians(lat)) * sin(radians(lng)) * 1e7 + 0.5) AS BIGINT) AS py,
+  CAST(floor(sin(radians(lat)) * 1e7 + 0.5) AS BIGINT) AS pz FROM pts),
+d AS (SELECT q.query_id, p.key,
+        (q.qx-p.px)*(q.qx-p.px) + (q.qy-p.py)*(q.qy-p.py)
+        + (q.qz-p.pz)*(q.qz-p.pz) AS chord2
+      FROM qv q CROSS JOIN pv p),
+r AS (SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY chord2, key) AS BIGINT) - 1 AS rank
+      FROM d)
+SELECT query_id, key, chord2, rank FROM r WHERE rank < 5
+"""
+
+
 def q_envelope_join(sf_dir: str):
     """Envelope (range) join: supplier-derived query rects × part-
     derived rect layer, strict-overlap rule, via the broadcast cell
