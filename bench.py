@@ -198,6 +198,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("source_quota", Q.q_source_quota)
     timed("event_gaps", Q.q_event_gaps)
     timed("geo_distance_pairs", Q.q_geo_distance_pairs)
+    timed("geo_knn", Q.q_geo_knn)
     timed("pagerank_parts", Q.q_pagerank_parts)
     timed("importance_scores", Q.q_importance_scores)
     timed("quantile_filter", Q.q_quantile_filter)

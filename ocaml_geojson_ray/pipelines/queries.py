@@ -1591,7 +1591,10 @@ def q_geo_knn(sf_dir: str):
     the 8 query vectors ride in the task closure, each batch computes
     an (8, b) int64 distance block and emits per-batch top-k partials,
     one tiny per-query merge (ann._topk_merge — shared with
-    brute/IVF/PQ). Deterministic (chord2, key) tie-break both sides."""
+    brute/IVF/PQ). Deterministic (chord2, key) tie-break both sides.
+    A query set too large for the closure flips to the grid plan:
+    bucket queries AND points by distjoin's cells and ring-expand per
+    query until k found (the spatial/knn.py shape on sphere cells)."""
     from ..spatial.distjoin import quantized_sphere
     from ..stages.ann import _topk_merge
 
