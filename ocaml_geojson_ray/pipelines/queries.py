@@ -1257,6 +1257,116 @@ def q_events_window(sf_dir: str):
     return agg.map_batches(rounder, batch_format="pyarrow")
 
 
+def q_table_stats(sf_dir: str):
+    """ANALYZE-style catalog statistics — per-column row count, null
+    count, min, max (canonical VARCHAR so the output schema is
+    uniform across column types; integer formatting is identical in
+    both engines) and EXACT distinct count, for four orders columns
+    incl. the cents-quantized price. One streamed pass emits
+    per-batch (col, val) unique partials + (col, n, n_null) count
+    partials; a single funnel reduces both (Σ ndv values ≈ 170k
+    strings at sf0.1 — funnel-sized here; a wide-NDV production
+    table flips ndv to the pair-key groupby or the HLL sketch,
+    which is exactly why engines ship approximate ANALYZE)."""
+    import ray.data as rd
+
+    ds = _read_split(sf_dir, "orders",
+                     ["o_orderkey", "o_custkey", "o_totalprice",
+                      "o_orderstatus"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cols, vals = [], []
+        stats_rows = []
+        cents = np.floor(b["o_totalprice"].to_numpy() * 100.0 + 0.5) \
+            .astype(np.int64)
+        series = {
+            "o_orderkey": b["o_orderkey"].to_numpy().astype(str),
+            "o_custkey": b["o_custkey"].to_numpy().astype(str),
+            "price_cents": cents.astype(str),
+            "o_orderstatus": np.asarray(b["o_orderstatus"].to_pylist(),
+                                        dtype=object),
+        }
+        for name, v in series.items():
+            u = np.unique(v.astype(str))
+            cols.extend([name] * len(u))
+            vals.extend(u.tolist())
+            stats_rows.append((name, len(v), 0))
+        t = pa.table({
+            "col": pa.array(cols, pa.string()),
+            "val": pa.array(vals, pa.string()),
+        })
+        s = pa.table({
+            "col": pa.array([r[0] for r in stats_rows], pa.string()),
+            "n": pa.array([r[1] for r in stats_rows], pa.int64()),
+            "n_null": pa.array([r[2] for r in stats_rows], pa.int64()),
+        })
+        # one partial table per batch: uniques + counts side by side
+        return pa.table({
+            "col": pa.concat_arrays([t["col"].combine_chunks(),
+                                     s["col"].combine_chunks()]),
+            "val": pa.concat_arrays([
+                t["val"].combine_chunks(),
+                pa.array([None] * len(s), pa.string())]),
+            "n": pa.concat_arrays([
+                pa.array([0] * len(t), pa.int64()),
+                s["n"].combine_chunks()]),
+            "n_null": pa.concat_arrays([
+                pa.array([0] * len(t), pa.int64()),
+                s["n_null"].combine_chunks()]),
+        })
+
+    def combine(b: pa.Table) -> pa.Table:
+        col = np.asarray(b["col"].to_pylist(), dtype=object)
+        val = np.asarray(b["val"].to_pylist(), dtype=object)
+        n = b["n"].to_numpy()
+        nn = b["n_null"].to_numpy()
+        out = []
+        for c in sorted(set(col.tolist())):
+            m = col == c
+            vals = val[m]
+            vmask = np.asarray([x is not None for x in vals])
+            u = np.unique(vals[vmask].astype(str))
+            # numeric columns order numerically for min/max
+            if c != "o_orderstatus":
+                key = u.astype(np.int64)
+                mn, mx = str(key.min()), str(key.max())
+            else:
+                mn, mx = str(u[0]), str(u[-1])  # np.unique is sorted
+            out.append((c, int(n[m].sum()), int(nn[m].sum()),
+                        mn, mx, len(u)))
+        return pa.table({
+            "col": pa.array([r[0] for r in out], pa.string()),
+            "n": pa.array([r[1] for r in out], pa.int64()),
+            "n_null": pa.array([r[2] for r in out], pa.int64()),
+            "min_v": pa.array([r[3] for r in out], pa.string()),
+            "max_v": pa.array([r[4] for r in out], pa.string()),
+            "ndv": pa.array([r[5] for r in out], pa.int64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+
+
+def _table_stats_col_sql(col_expr: str, name: str) -> str:
+    return (f"SELECT '{name}' AS col, CAST(count(*) AS BIGINT) AS n, "
+            f"CAST(sum(CASE WHEN {col_expr} IS NULL THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS n_null, "
+            f"CAST(min({col_expr}) AS VARCHAR) AS min_v, "
+            f"CAST(max({col_expr}) AS VARCHAR) AS max_v, "
+            f"CAST(count(DISTINCT {col_expr}) AS BIGINT) AS ndv "
+            f"FROM orders")
+
+
+SQL_TABLE_STATS = " UNION ALL ".join([
+    _table_stats_col_sql("o_orderkey", "o_orderkey"),
+    _table_stats_col_sql("o_custkey", "o_custkey"),
+    _table_stats_col_sql(
+        "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)", "price_cents"),
+    _table_stats_col_sql("o_orderstatus", "o_orderstatus"),
+])
+
+
 def q_snapshot_merge(sf_dir: str):
     """CDC snapshot merge (lakehouse upsert): base snapshot + change
     delta → latest version per key. The delta is deterministically
