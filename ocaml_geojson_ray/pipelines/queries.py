@@ -1268,8 +1268,6 @@ def q_table_stats(sf_dir: str):
     strings at sf0.1 — funnel-sized here; a wide-NDV production
     table flips ndv to the pair-key groupby or the HLL sketch,
     which is exactly why engines ship approximate ANALYZE)."""
-    import ray.data as rd
-
     ds = _read_split(sf_dir, "orders",
                      ["o_orderkey", "o_custkey", "o_totalprice",
                       "o_orderstatus"])
@@ -1277,20 +1275,32 @@ def q_table_stats(sf_dir: str):
     def partial(b: pa.Table) -> pa.Table:
         cols, vals = [], []
         stats_rows = []
-        cents = np.floor(b["o_totalprice"].to_numpy() * 100.0 + 0.5) \
-            .astype(np.int64)
+        # NULLs: counted per column and EXCLUDED from values/extremes
+        # (ANSI aggregate semantics, like the oracle's count(DISTINCT)
+        # and min/max); the cents column inherits o_totalprice's mask
+        price = b["o_totalprice"].combine_chunks()
+        price_valid = price.drop_null().to_numpy()
+        cents = np.floor(price_valid * 100.0 + 0.5).astype(np.int64)
+        status = b["o_orderstatus"].combine_chunks()
         series = {
-            "o_orderkey": b["o_orderkey"].to_numpy().astype(str),
-            "o_custkey": b["o_custkey"].to_numpy().astype(str),
-            "price_cents": cents.astype(str),
-            "o_orderstatus": np.asarray(b["o_orderstatus"].to_pylist(),
-                                        dtype=object),
+            "o_orderkey": (
+                b["o_orderkey"].combine_chunks().drop_null()
+                .to_numpy(zero_copy_only=False).astype(str),
+                b["o_orderkey"].null_count),
+            "o_custkey": (
+                b["o_custkey"].combine_chunks().drop_null()
+                .to_numpy(zero_copy_only=False).astype(str),
+                b["o_custkey"].null_count),
+            "price_cents": (cents.astype(str), price.null_count),
+            "o_orderstatus": (
+                np.asarray(status.drop_null().to_pylist(), dtype=object),
+                status.null_count),
         }
-        for name, v in series.items():
-            u = np.unique(v.astype(str))
+        for name, (v, n_null) in series.items():
+            u = np.unique(v.astype(str)) if len(v) else np.empty(0, str)
             cols.extend([name] * len(u))
             vals.extend(u.tolist())
-            stats_rows.append((name, len(v), 0))
+            stats_rows.append((name, len(v) + n_null, n_null))
         t = pa.table({
             "col": pa.array(cols, pa.string()),
             "val": pa.array(vals, pa.string()),
@@ -1394,11 +1404,15 @@ def q_snapshot_merge(sf_dir: str):
     dref = ray.put(np.sort(delta_keys))
 
     def merge_batch(b: pa.Table, _d=dref) -> pa.Table:
-        dk = ray.get(_d)
+        from ..util import cached_get, sorted_membership
+
+        dk = cached_get(_d)
         k = b["o_orderkey"].to_numpy()
         cents = np.floor(b["o_totalprice"].to_numpy() * 100.0 + 0.5) \
             .astype(np.int64)
-        in_delta = np.isin(k, dk, assume_unique=False)
+        # searchsorted membership: np.isin would re-sort the broadcast
+        # keyset per batch; cached_get resolves the ref once per worker
+        in_delta = sorted_membership(dk, k)
         # surviving base rows (version 0) + updated delta rows (version 1)
         keep = ~in_delta
         upd = in_delta
@@ -1728,10 +1742,15 @@ def q_geo_knn(sf_dir: str):
         P = np.stack([x, y, z], 1)  # (b, 3)
         d2 = ((Q[:, None, :] - P[None, :, :]) ** 2).sum(-1)  # (8, b) int64
         kk = min(k, d2.shape[1])
-        top = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+        key = pts["key"].to_numpy()
+        # the batch-local cut must already be (chord2, key)-ordered:
+        # derived points DUPLICATE above 36k custkeys (the lng/lat
+        # moduli lcm), so chord2 ties at the cut are real at sf >= 1
+        # and argpartition alone would drop an arbitrary one
+        top = np.stack([np.lexsort((key, d2[q]))[:kk]
+                        for q in range(d2.shape[0])])
         rows = np.repeat(np.arange(len(qids)), kk)
         cols = top.ravel()
-        key = pts["key"].to_numpy()
         return pa.table({
             "query_id": pa.array(qids[rows], pa.int64()),
             "key": pa.array(key[cols], pa.int64()),
@@ -5380,6 +5399,18 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def ntile_buckets(n: int, k: int) -> np.ndarray:
+    """The exact ANSI/DuckDB ntile size rule — first n%k buckets get
+    ⌈n/k⌉ rows — as a vectorized formula over 0-based ranks. Shared
+    with the property test (pinned against live DuckDB for all
+    n ≤ 40, k ≤ 6), so the sweep binds THIS code, not a copy."""
+    q, rem = divmod(n, k)
+    r = np.arange(n, dtype=np.int64)
+    cut = rem * (q + 1)
+    return np.where(r < cut, r // (q + 1) + 1,
+                    rem + (np.maximum(r - cut, 0) // max(q, 1)) + 1)
+
+
 def q_ntile_docs(sf_dir: str):
     """ntile(4) OVER (PARTITION BY source ORDER BY doc_id) — the
     quantile-bucket window operator completing the window family
@@ -5395,12 +5426,7 @@ def q_ntile_docs(sf_dir: str):
     def buckets(g: pa.Table) -> pa.Table:
         ids = np.sort(g["doc_id"].to_numpy())
         n = len(ids)
-        q, rem = divmod(n, k)
-        r = np.arange(n, dtype=np.int64)
-        cut = rem * (q + 1)
-        b = np.where(r < cut,
-                     r // (q + 1) + 1,
-                     rem + (np.maximum(r - cut, 0) // max(q, 1)) + 1)
+        b = ntile_buckets(n, k)
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
             "source": pa.array([g["source"][0].as_py()] * n, pa.string()),

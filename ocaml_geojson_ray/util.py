@@ -163,3 +163,35 @@ def ray_session_token():
         return (ctx.get_job_id(), ctx.get_node_id())
     except Exception:
         return None
+
+
+# per-process ObjectRef resolution cache for STATELESS-TASK stages
+# that ship a broadcast ref in their closure (the BruteForceTopK
+# pattern, shared): ray.get is plasma-zero-copy but still pays a
+# round-trip per call; memoizing per worker process makes repeated
+# batches free. Bounded: cleared wholesale past 64 refs (refs from
+# finished queries die with them).
+_GET_CACHE: dict = {}
+
+
+def cached_get(ref):
+    import ray
+
+    v = _GET_CACHE.get(ref)
+    if v is None:
+        if len(_GET_CACHE) > 64:
+            _GET_CACHE.clear()
+        v = ray.get(ref)
+        _GET_CACHE[ref] = v
+    return v
+
+
+def sorted_membership(sorted_keys, keys):
+    """Vectorized `keys ∈ sorted_keys` via searchsorted — np.isin
+    would re-sort the (already sorted) broadcast set on every call."""
+    idx = np.searchsorted(sorted_keys, keys)
+    idx = np.minimum(idx, len(sorted_keys) - 1) if len(sorted_keys) \
+        else np.zeros(len(keys), np.int64)
+    if not len(sorted_keys):
+        return np.zeros(len(keys), dtype=bool)
+    return sorted_keys[idx] == keys

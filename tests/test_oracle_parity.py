@@ -94,6 +94,8 @@ def test_ntile_formula_matches_duckdb_property():
     import duckdb
     import numpy as np
 
+    from ocaml_geojson_ray.pipelines.queries import ntile_buckets
+
     con = duckdb.connect()
     for k in (2, 3, 4, 5, 6):
         for n in range(1, 41):
@@ -102,9 +104,4 @@ def test_ntile_formula_matches_duckdb_property():
                 f"FROM generate_series(1, {n}) t(i) ORDER BY i"
             ).fetchall()
             duck = [r[0] for r in rows]
-            q, rem = divmod(n, k)
-            r_ = np.arange(n, dtype=np.int64)
-            cut = rem * (q + 1)
-            mine = np.where(r_ < cut, r_ // (q + 1) + 1,
-                            rem + (np.maximum(r_ - cut, 0) // max(q, 1)) + 1)
-            assert mine.tolist() == duck, (n, k)
+            assert ntile_buckets(n, k).tolist() == duck, (n, k)
