@@ -2706,6 +2706,38 @@ def q_event_type_pivot(sf_dir: str):
         combine, batch_format="pyarrow", batch_size=None)
 
 
+def q_unpivot_events(sf_dir: str):
+    """UNPIVOT / melt — the inverse reshape of event_type_pivot, run
+    as a ROUND TRIP: the engine pivots to wide (reusing the
+    size-adaptive pivot above) and melts back to (user_id, event_type,
+    n) map-side (one vectorized pass per batch: repeat user ids ×
+    stack the 5 count columns, drop zeros), while the oracle is the
+    plain long-format GROUP BY — so the hash match proves
+    melt(pivot(x)) ≡ x, not just the melt arithmetic."""
+    wide = q_event_type_pivot(sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def melt(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy()
+        m = np.stack([b[f"n_{t}"].to_numpy() for t in types], 1)  # (n, 5)
+        nz = m.ravel() > 0
+        users = np.repeat(u, len(types))[nz]
+        tcol = np.tile(np.asarray(types, dtype=object), len(u))[nz]
+        return pa.table({
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(tcol, pa.string()),
+            "n": pa.array(m.ravel()[nz], pa.int64()),
+        })
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
+SQL_UNPIVOT_EVENTS = """
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY user_id, event_type
+"""
+
+
 SQL_EVENT_TYPE_PIVOT = """
 SELECT user_id,
   count(*) FILTER (WHERE event_type = 'click')    AS n_click,
@@ -5489,6 +5521,62 @@ def q_event_gaps(sf_dir: str):
 
     return ds.map_batches(pre, batch_format="pyarrow") \
         .groupby("user_id").map_groups(gaps, batch_format="pyarrow")
+
+
+def q_lead_transitions(sf_dir: str):
+    """lead() window — per-user counts of each ADJACENT event-type
+    transition (type, next_type) in (ts, event_id) order, aggregated
+    corpus-wide. Completes the offset-window pair with event_gaps'
+    lag(): one key shuffle, per-group lexsort, the transition is
+    (arr[:-1], arr[1:]) vectorized; counts are exact ints. Output
+    (from_type, to_type, n) — 25 rows max (5×5 domain)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_split_few(sf_dir, "events",
+                         ["event_id", "user_id", "ts", "event_type"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+        })
+
+    def transitions(g: pa.Table) -> pa.Table:
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts))
+        et = et[order]
+        if len(et) < 2:
+            return pa.schema([
+                ("from_type", pa.string()), ("to_type", pa.string()),
+                ("n", pa.int64())]).empty_table()
+        t = pa.table({
+            "from_type": pa.array(et[:-1], pa.string()),
+            "to_type": pa.array(et[1:], pa.string()),
+        })
+        return t.group_by(["from_type", "to_type"]).aggregate(
+            [("to_type", "count")]) \
+            .rename_columns(["from_type", "to_type", "n"])
+
+    per_user = ds.map_batches(pre, batch_format="pyarrow") \
+        .groupby("user_id").map_groups(transitions, batch_format="pyarrow")
+    return per_user.groupby(["from_type", "to_type"]) \
+        .aggregate(Sum("n", alias_name="n"))
+
+
+SQL_LEAD_TRANSITIONS = """
+WITH s AS (SELECT user_id, event_type,
+                  lead(event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+           FROM events)
+SELECT event_type AS from_type, nxt AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM s WHERE nxt IS NOT NULL
+GROUP BY event_type, nxt
+"""
 
 
 SQL_EVENT_GAPS = """
