@@ -211,6 +211,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("moving_window", Q.q_moving_window)
     timed("streaming_dedup", Q.q_streaming_dedup)
     timed("snapshot_merge", Q.q_snapshot_merge)
+    timed("table_stats", Q.q_table_stats)
+    timed("lead_transitions", Q.q_lead_transitions)
+    timed("unpivot_events", Q.q_unpivot_events)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
