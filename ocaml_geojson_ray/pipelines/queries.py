@@ -374,11 +374,16 @@ def q_pagerank_parts(sf_dir: str, plan: str = "auto"):
     # node set = parts + suppliers: dimension-cardinality by
     # construction (the fact tables fan OUT of it), so the broadcast
     # plan is the default; a web-graph node set flips to distributed.
-    partial = edges.map_batches(_edge_partials, batch_format="pyarrow")
+    # The gate fires BEFORE any funnel/driver pull: the partial-row
+    # count is an upper bound on distinct nodes (each batch emits each
+    # node at most once), so partial.count() > threshold proves the
+    # funnel+broadcast plan is out of contract without paying for it.
+    partial = edges.map_batches(_edge_partials,
+                                batch_format="pyarrow").materialize()
+    if plan == "auto" and partial.count() > 5_000_000:
+        return pagerank_distributed(edges)
     deg_t = grouped_sum_combine(partial, ["node"], "cnt", "deg").to_pandas()
     deg_t = deg_t.sort_values("node")
-    if plan == "auto" and len(deg_t) > 5_000_000:
-        return pagerank_distributed(edges)
     return pagerank_broadcast(edges, deg_t["node"].to_numpy(),
                               deg_t["deg"].to_numpy())
 
@@ -1335,9 +1340,14 @@ def q_table_stats(sf_dir: str):
             m = col == c
             vals = val[m]
             vmask = np.asarray([x is not None for x in vals])
-            u = np.unique(vals[vmask].astype(str))
-            # numeric columns order numerically for min/max
-            if c != "o_orderstatus":
+            u = np.unique(vals[vmask].astype(str)) if vmask.any() \
+                else np.empty(0, str)
+            if not len(u):
+                # all-NULL column: ANSI min/max are NULL, ndv 0 — the
+                # oracle's aggregates do the same
+                mn = mx = None
+            elif c != "o_orderstatus":
+                # numeric columns order numerically for min/max
                 key = u.astype(np.int64)
                 mn, mx = str(key.min()), str(key.max())
             else:
@@ -2346,10 +2356,16 @@ def extract_json_int_k(props) -> tuple[np.ndarray, np.ndarray]:
         k = v.get("k") if isinstance(v, dict) else None
         if isinstance(k, bool) or not isinstance(k, (int, float)):
             continue
-        if float(k) != int(k):
-            continue
+        try:
+            if float(k) != int(k):
+                continue
+            ki = int(k)
+        except (OverflowError, ValueError):
+            continue  # e.g. 1e400 -> inf; int(inf) raises
+        if abs(ki) > 9007199254740992:  # 2^53: past the DOUBLE-exact
+            continue  # domain the oracle's TRY_CAST path flows through
         idx.append(i)
-        ks.append(int(k))
+        ks.append(ki)
     return (np.asarray(idx, np.int64), np.asarray(ks, np.int64))
 
 
@@ -2410,7 +2426,7 @@ j AS (SELECT event_type, TRY_CAST(kj AS DOUBLE) AS kd
       FROM e
       WHERE json_type(kj) IN ('UBIGINT', 'BIGINT', 'DOUBLE')),
 v AS (SELECT event_type, CAST(kd AS BIGINT) AS k
-      FROM j WHERE floor(kd) = kd)
+      FROM j WHERE floor(kd) = kd AND abs(kd) <= 9007199254740992)
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(k) AS BIGINT) AS sum_k,
@@ -2715,7 +2731,7 @@ def q_unpivot_events(sf_dir: str):
     plain long-format GROUP BY — so the hash match proves
     melt(pivot(x)) ≡ x, not just the melt arithmetic."""
     wide = q_event_type_pivot(sf_dir)
-    types = ["click", "error", "purchase", "signup", "view"]
+    types = list(_PIVOT_TYPES)  # bound to the pivot's domain
 
     def melt(b: pa.Table) -> pa.Table:
         u = b["user_id"].to_numpy()
@@ -4130,7 +4146,7 @@ def q_streaming_dedup(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "source", "text"])
     pool = start_dedup_pool(8)
-    out = streaming_exact_dedup(ds, pool).materialize()
+    out = streaming_exact_dedup(ds, pool)  # materialized by contract
 
     n_survivors = out.count()
     n_distinct = exact_dedup(ds).count()

@@ -252,7 +252,9 @@ def pq_topk(ds, queries: dict, k: int = 10, m: int = 8, ksub: int = 16,
     state_ref = ray.put((books, qids, lut))
 
     def adc_partial(batch: pa.Table) -> pa.Table:
-        books_, qids_, lut_ = ray.get(state_ref)
+        from ..util import cached_get
+
+        books_, qids_, lut_ = cached_get(state_ref)
         ids = batch[id_col].to_numpy()
         vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
         if not len(ids):
@@ -266,7 +268,11 @@ def pq_topk(ds, queries: dict, k: int = 10, m: int = 8, ksub: int = 16,
                 .sum(-1).argmin(axis=1)
             dist += lut_[:, mi, :][:, code]
         kk = min(k, dist.shape[1])
-        top = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
+        # tie-aware cut: equal ADC is REAL (identical codes ⇒ equal
+        # distance, pinned in tests), so the batch-local boundary must
+        # already be (adc, id)-ordered or the survivor is plan-dependent
+        top = np.stack([np.lexsort((ids, dist[q]))[:kk]
+                        for q in range(dist.shape[0])])
         rows = np.repeat(np.arange(len(qids_)), kk)
         cols = top.ravel()
         return pa.table({

@@ -1219,7 +1219,9 @@ def semdedup(ds, k: int = 16, tau: float = 0.9,
     cref = ray.put(centroids)
 
     def assign(b: pa.Table, _c=cref) -> pa.Table:
-        c = ray.get(_c)
+        from ..util import cached_get
+
+        c = cached_get(_c)
         v = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
         cl = (np.argmin(_dists_sq(v, c), axis=1) if len(v)
               else np.empty(0, np.int64))

@@ -108,20 +108,11 @@ def pagerank_broadcast(edges_ds, nodes: np.ndarray, deg: np.ndarray,
     })
 
 
-# per-process cache for broadcast refs inside stateless map tasks
-# (same device as the rect-index stages: ray.get is memoized per ref)
-_REF_CACHE: dict = {}
-
-
 def _fetch(ref):
-    import ray
+    """Per-process broadcast-ref resolution — the shared util cache."""
+    from ..util import cached_get
 
-    v = _REF_CACHE.get(ref)
-    if v is None:
-        v = ray.get(ref)
-        _REF_CACHE.clear() if len(_REF_CACHE) > 64 else None
-        _REF_CACHE[ref] = v
-    return v
+    return cached_get(ref)
 
 
 def _dir_edges(batch: pa.Table) -> pa.Table:

@@ -1272,7 +1272,7 @@ def test_streaming_dedup_drops_cross_batch_duplicates(ray_session):
     })
     ds = rd.from_arrow(t).repartition(8)  # duplicates split across blocks
     pool = start_dedup_pool(4)
-    out = streaming_exact_dedup(ds, pool).materialize()
+    out = streaming_exact_dedup(ds, pool)  # materialized by contract
     df = out.to_pandas()
     assert len(df) == 7
     assert sorted(df["text"]) == sorted(set(texts))
@@ -1280,5 +1280,5 @@ def test_streaming_dedup_drops_cross_batch_duplicates(ray_session):
     # a later arrival of an already-admitted text is rejected
     late = pa.table({"doc_id": pa.array([999], pa.int64()),
                      "text": pa.array(["doc 0"], pa.string())})
-    out2 = streaming_exact_dedup(rd.from_arrow(late), pool).materialize()
+    out2 = streaming_exact_dedup(rd.from_arrow(late), pool)
     assert out2.count() == 0
