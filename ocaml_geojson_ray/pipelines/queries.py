@@ -1406,11 +1406,16 @@ def q_snapshot_merge(sf_dir: str):
 
     ds = _read_split(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
 
-    import pyarrow.parquet as pq
-
-    keys = pq.read_table(f"{sf_dir}/orders.parquet",
-                         columns=["o_orderkey"])["o_orderkey"].to_numpy()
-    delta_keys = keys[keys % 10 == 0]
+    # the delta KEYSET is collected from a distributed filter — only
+    # the o(base) delta subset ever reaches the driver, never the full
+    # key column (at 100 TB the change stream arrives as its own small
+    # table; the filter stands in for reading it)
+    delta_rows = ds.map_batches(
+        lambda b: b.select(["o_orderkey"]).filter(
+            pa.array(b["o_orderkey"].to_numpy() % 10 == 0)),
+        batch_format="pyarrow").take_all()
+    delta_keys = np.asarray([r["o_orderkey"] for r in delta_rows],
+                            dtype=np.int64)
     dref = ray.put(np.sort(delta_keys))
 
     def merge_batch(b: pa.Table, _d=dref) -> pa.Table:

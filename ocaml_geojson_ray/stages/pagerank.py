@@ -132,8 +132,13 @@ def pagerank_distributed(edges_ds, iters: int = ITERS):
     plan in tests."""
     from ray.data.aggregate import Sum
 
+    import ray
+
     from ..util import drop_empty_blocks
 
+    # join width follows the cluster (hardcoding a partition count
+    # under-parallelizes a big cluster and over-partitions a small one)
+    np_ = max(8, int(ray.cluster_resources().get("CPU", 4)) // 2)
     directed = edges_ds.map_batches(_dir_edges, batch_format="pyarrow") \
         .materialize()
     deg = directed.groupby("src").count() \
@@ -152,7 +157,7 @@ def pagerank_distributed(edges_ds, iters: int = ITERS):
                 b["pr_rank"].to_numpy() // b["deg"].to_numpy(), pa.int64()),
         }), batch_format="pyarrow")
         contrib = drop_empty_blocks(directed.join(
-            shares, join_type="inner", num_partitions=8,
+            shares, join_type="inner", num_partitions=np_,
             on=("src",), right_on=("s_node",)))
         sums = contrib.groupby("dst").aggregate(Sum("share", alias_name="sum_s"))
         new_ranks = sums.map_batches(lambda b: pa.table({
@@ -161,7 +166,7 @@ def pagerank_distributed(edges_ds, iters: int = ITERS):
                 BASE + (85 * b["sum_s"].to_numpy()) // 100, pa.int64()),
         }), batch_format="pyarrow")
         ranks = drop_empty_blocks(new_ranks.join(
-            deg, join_type="inner", num_partitions=8,
+            deg, join_type="inner", num_partitions=np_,
             on=("node",), right_on=("node",)))
     return ranks.map_batches(
         lambda b: b.select(["node", "pr_rank"]), batch_format="pyarrow")
