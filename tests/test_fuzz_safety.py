@@ -162,3 +162,25 @@ def test_fast_unescape_equals_html_unescape(s):
     from ocaml_geojson_ray.stages.extract import _unescape_block
 
     assert _unescape_block(s) == html.unescape(s)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.one_of(
+    st.none(),
+    st.text(max_size=40),
+    st.text(alphabet='{}[]":,0123456789.eEk+- ', max_size=40),
+    st.floats(allow_nan=True, allow_infinity=True).map(
+        lambda f: '{"k": %r}' % f),
+    st.integers().map(lambda i: '{"k": %d}' % i),
+))
+def test_extract_json_int_k_never_raises(p):
+    """The json_props_stats gate is errors-as-data for ANY props value:
+    None, arbitrary text, JSON-ish fragments, huge/inf/nan numbers —
+    no input may raise out of the gate, and every kept value is an
+    int64-safe integer within the DOUBLE-exact ±2^53 domain."""
+    from ocaml_geojson_ray.pipelines.queries import extract_json_int_k
+
+    idx, ks = extract_json_int_k([p])
+    assert len(idx) == len(ks) <= 1
+    for k in ks.tolist():
+        assert abs(k) <= 9007199254740992
