@@ -246,6 +246,30 @@ def run_child(ncpu: int, extra=()) -> dict:
     return json.loads(out.strip().splitlines()[-1])
 
 
+def burn_eff(width: int, tasks: int = 32, iters: int = 4_000_000) -> float:
+    """Fixed-work CPU burn efficiency at ``width`` vs 1-wide — the
+    tenancy probe BASELINE.md's protocol requires around every scaling
+    read (effective cores drift on ~minute timescales; a reading
+    without its burn context is uninterpretable)."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    def run(w, t):
+        t0 = time.time()
+        with ProcessPoolExecutor(w) as ex:
+            list(ex.map(_burn_task, [iters] * t))
+        return time.time() - t0
+
+    per1 = run(1, 8) / 8
+    return round(per1 * tasks / width / run(width, tasks), 2)
+
+
+def _burn_task(n):
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -279,6 +303,9 @@ def main():
         # squeeze then costs one child, not the ratio. All runs are
         # reported so the noise band stays visible.
         rounds = int(os.environ.get("GRAFT_SCALE_ROUNDS", "2"))
+        # burn BOTH levels immediately before the run — the protocol's
+        # tenancy context, now part of the record itself
+        burn_lo, burn_hi = burn_eff(lo), burn_eff(hi)
         runs_lo, runs_hi = [], []
         for _ in range(rounds):
             runs_lo.append(run_child(lo, ("--scaling-child",)))
@@ -298,6 +325,7 @@ def main():
             "pages_per_sec_lo": tp_lo, "pages_per_sec_hi": tp_hi,
             "all_runs_lo": [r["pages_per_sec"] for r in runs_lo],
             "all_runs_hi": [r["pages_per_sec"] for r in runs_hi],
+            "burn_eff_lo": burn_lo, "burn_eff_hi": burn_hi,
             "n_pages": r_lo["n_pages"],
         }))
         return
