@@ -246,7 +246,7 @@ def run_child(ncpu: int, extra=()) -> dict:
     return json.loads(out.strip().splitlines()[-1])
 
 
-def burn_eff(width: int, tasks: int = 32, iters: int = 4_000_000) -> float:
+def burn_eff(width: int, tasks: int = 16, iters: int = 4_000_000) -> float:
     """Fixed-work CPU burn efficiency at ``width`` vs 1-wide — the
     tenancy probe BASELINE.md's protocol requires around every scaling
     read (effective cores drift on ~minute timescales; a reading
