@@ -25,6 +25,18 @@ from ..spatial.distjoin import CHORD_T as _CHORD_T
 from ..util import split_read
 
 
+def _check(ok, msg: str) -> None:
+    """Self-check gate that survives ``python -O``.
+
+    Bare ``assert`` is stripped under optimized runs, which would
+    silently disable the ONLY correctness gates the rows-only queries
+    (pq_ann, streaming_dedup, semdedup, multimodal, sketches, ...)
+    have — so every in-query invariant raises explicitly (ADVICE r4).
+    """
+    if not ok:
+        raise RuntimeError(f"self-check failed: {msg}")
+
+
 # -- derived inputs ---------------------------------------------------------
 
 def derive_lineitem_points_batch(batch: pa.Table) -> pa.Table:
@@ -2459,7 +2471,7 @@ def q_sample_langs(sf_dir: str):
 
     first = {r["lang"]: r["n_docs"] for r in sampled_counts().iter_rows()}
     second = {r["lang"]: r["n_docs"] for r in sampled_counts().iter_rows()}
-    assert first == second, "random_sample(seed) must be deterministic"
+    _check(first == second, "random_sample(seed) must be deterministic")
     return pa.table(
         {
             "lang": pa.array(sorted(first), pa.string()),
@@ -2526,8 +2538,11 @@ def q_polygon_measures(sf_dir: str):
             )
             for i in range(len(pk))
         ]
-        assert np.allclose(ring_areas(rings), area, rtol=0, atol=1e-9)
-        assert np.allclose(ring_perimeters(rings), perim, rtol=0, atol=1e-9)
+        _check(bool(np.allclose(ring_areas(rings), area, rtol=0, atol=1e-9)),
+               "shoelace ring areas deviate from closed-form")
+        _check(bool(np.allclose(ring_perimeters(rings), perim, rtol=0,
+                                atol=1e-9)),
+               "ring perimeters deviate from closed-form")
         return pa.table({
             "poly_id": pa.array(pk.astype(np.int64), pa.int64()),
             "area": pa.array(area, pa.float64()),
@@ -2583,10 +2598,11 @@ def q_simplify_polygons(sf_dir: str):
             r = 1.0 + 0.2 * (((int(pk[i]) * 7919 + k * 104729) % 100) / 100.0)
             ring = np.column_stack([r * np.cos(ang), r * np.sin(ang)])
             kept = simplify_ring(ring, TOL)
-            assert len(kept) >= 3
+            _check(len(kept) >= 3, "simplify_ring kept < 3 vertices")
             if pk[i] % 16 == 0:
                 dev = max_deviation(ring, kept)
-                assert dev <= TOL + 1e-12, (pk[i], dev)
+                _check(dev <= TOL + 1e-12,
+                       f"max deviation {dev} > tol for poly {pk[i]}")
                 out_dev[i] = np.round(dev, 6)
             out_after[i] = len(kept)
         return pa.table({
@@ -2993,7 +3009,7 @@ def q_hll_distinct_users(sf_dir: str):
     err = (approx["approx_distinct"] - approx["exact_distinct"]).abs() / approx[
         "exact_distinct"
     ]
-    assert (err < 0.05).all(), err
+    _check(bool((err < 0.05).all()), f"HLL relative error {err} >= 0.05")
     return pa.Table.from_pandas(approx, preserve_index=False)
 
 
@@ -3818,7 +3834,7 @@ def q_top_words(sf_dir: str):
         t = ray.get(ref)
         for w, n in zip(t["word"].to_pylist(), t["n"].to_pylist()):
             if n > mg.total / k:
-                assert w in surv, f"MG guarantee violated for {w!r} ({n})"
+                _check(w in surv, f"MG guarantee violated for {w!r} ({n})")
 
     return counts.sort(["n", "word"], descending=[True, False]).limit(10)
 
@@ -4012,7 +4028,8 @@ def q_quantile_sketch_prices(sf_dir: str):
         Sum("le90", alias_name="le90"), Sum("le99", alias_name="le99"))
     n = row["n"]
     errs = np.abs(np.array([row["le50"], row["le90"], row["le99"]]) / n - qs)
-    assert (errs <= 0.02).all(), f"KLL rank error {errs} exceeds bound"
+    _check(bool((errs <= 0.02).all()),
+           f"KLL rank error {errs} exceeds bound")
     return pa.table({
         "quantile": pa.array(qs, pa.float64()),
         "estimate": pa.array(np.round(est, 6), pa.float64()),
@@ -4126,8 +4143,8 @@ def q_pq_ann(sf_dir: str):
         got.setdefault(r["query_id"], set()).add(r["vec_id"])
     hits = sum(1 for q in queries
                if q + NEARDUP_PLANT_OFFSET in got.get(q, set()))
-    assert hits >= 0.8 * len(queries), \
-        f"PQ planted-copy recall {hits}/{len(queries)} < 0.8"
+    _check(hits >= 0.8 * len(queries),
+           f"PQ planted-copy recall {hits}/{len(queries)} < 0.8")
     return out
 
 
@@ -4155,11 +4172,11 @@ def q_streaming_dedup(sf_dir: str):
 
     n_survivors = out.count()
     n_distinct = exact_dedup(ds).count()
-    assert n_survivors == n_distinct, \
-        f"streaming survivors {n_survivors} != distinct hashes {n_distinct}"
+    _check(n_survivors == n_distinct,
+           f"streaming survivors {n_survivors} != distinct hashes {n_distinct}")
     shard_total = sum(ray.get([a.size.remote() for a in pool]))
-    assert shard_total == n_distinct, \
-        f"shard membership {shard_total} != distinct hashes {n_distinct}"
+    _check(shard_total == n_distinct,
+           f"shard membership {shard_total} != distinct hashes {n_distinct}")
     return out.select_columns(["doc_id", "source"])
 
 
@@ -4204,7 +4221,8 @@ def q_semdedup(sf_dir: str):
     if planted:
         dropped = sum(1 for r in planted if not r["kept"])
         recall = dropped / len(planted)
-        assert recall >= 0.8, f"planted-copy drop recall {recall:.2f} < 0.8"
+        _check(recall >= 0.8,
+               f"planted-copy drop recall {recall:.2f} < 0.8")
     return out
 
 
@@ -4242,7 +4260,7 @@ def q_embedding_neardups(sf_dir: str):
             or (int(p) + NEARDUP_PLANT_OFFSET, int(p)) in got
         )
         rec = hits / len(planted)
-        assert rec >= 0.5, f"planted near-dup recall {rec:.2f}"
+        _check(rec >= 0.5, f"planted near-dup recall {rec:.2f}")
     return rd.from_items(found)
 
 
@@ -4268,8 +4286,8 @@ def q_embedding_clusters(sf_dir: str):
     label = {r["doc_id"]: r["cluster_id"] for r in out.take_all()}
     found = pairs.take_all()
     for r in found:
-        assert label[r["a_id"]] == label[r["b_id"]], \
-            (r["a_id"], r["b_id"])
+        _check(label[r["a_id"]] == label[r["b_id"]],
+               f"pair ({r['a_id']}, {r['b_id']}) split across clusters")
     return out.map_batches(
         lambda b: b.rename_columns(["vec_id", "cluster_id", "cluster_size"]),
         batch_format="pyarrow")
@@ -4343,7 +4361,7 @@ def q_ivf_ann(sf_dir: str):
         want.setdefault(r["query_id"], set()).add(r["vec_id"])
     for q, e in want.items():
         rec = len(e & got.get(q, set())) / len(e)
-        assert rec >= 0.5, f"IVF recall@{ANN_K} for query {q}: {rec:.2f}"
+        _check(rec >= 0.5, f"IVF recall@{ANN_K} for query {q}: {rec:.2f}")
     return rd.from_items(approx_rows)
 
 
@@ -4489,11 +4507,12 @@ def q_multimodal_features(sf_dir: str):
     ).materialize()
     rows = out.take(8)
     for r in rows:
-        assert r["decode_error"] is None, r["decode_error"]
+        _check(r["decode_error"] is None, r["decode_error"])
         img = synth_pixels(r["media_id"])
         want = np.concatenate([img.mean(axis=(0, 1)), img.std(axis=(0, 1))])
-        assert np.allclose(r["image_features"], want, rtol=0, atol=1e-12), \
-            r["media_id"]
+        _check(bool(np.allclose(r["image_features"], want, rtol=0,
+                                atol=1e-12)),
+               f"image features mismatch for media {r['media_id']}")
     return out
 
 
@@ -4518,10 +4537,11 @@ def q_multimodal_audio(sf_dir: str):
     rows = out.take(4)
     payload_by_id = {r["media_id"]: r["payload"] for r in media.take(4)}
     for r in rows:
-        assert r["decode_error"] is None, r["decode_error"]
+        _check(r["decode_error"] is None, r["decode_error"])
         if r["media_id"] in payload_by_id:
             x, _ = decode_wav(payload_by_id[r["media_id"]])
-            assert r["audio_features"] == AudioFeatures._features(x)
+            _check(r["audio_features"] == AudioFeatures._features(x),
+                   f"audio features mismatch for media {r['media_id']}")
     return out
 
 
@@ -4541,7 +4561,7 @@ def q_kmeans_embeddings(sf_dir: str):
                          columns=["vec_id", "embedding"])
     centroids, inertias = kmeans_fit(ds, k=16, iters=4)
     for a, b in zip(inertias, inertias[1:]):
-        assert b <= a + 1e-6, f"Lloyd's inertia increased: {inertias}"
+        _check(b <= a + 1e-6, f"Lloyd's inertia increased: {inertias}")
     return kmeans_assign_sizes(ds, centroids)
 
 

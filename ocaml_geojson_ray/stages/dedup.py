@@ -737,12 +737,17 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id",
     projection down to ≤ cap leaves (split_oversized_bucket), pairs
     are emitted per leaf, and one VERIFIED pair set over the leaf
     representatives (first row of each leaf, all-pairs over ≤ b/cap
-    reps) stitches leaves back together — so a near-dup mega-cluster
-    diced across leaves still comes out CONNECTED for downstream
-    clustering, every emitted pair genuinely has cos ≥ threshold, and
-    per-bucket work is O(b·cap + (b/cap)²) instead of O(b²). The
-    recall trade is that only a subset of a mega-clique's pairs is
-    emitted (connectivity-complete, not pair-complete). Leaves that
+    reps) stitches leaves back together — so a TIGHT (clique-like)
+    near-dup mega-cluster diced across leaves still comes out
+    connected for downstream clustering, every emitted pair genuinely
+    has cos ≥ threshold, and per-bucket work is O(b·cap + (b/cap)²)
+    instead of O(b²). Two recall trades: only a subset of a
+    mega-clique's pairs is emitted (connectivity-preserving for
+    clique-like clusters, not pair-complete), and a CHAIN-shaped
+    cluster whose leaf representatives are mutually below threshold
+    can come out disconnected — reps are compared only pairwise at the
+    same threshold, so stitching certifies clique-like connectivity
+    only (the approximate rows-only contract). Leaves that
     cannot split (identical vectors) use the chunked matmul kernel so
     memory stays O(cap·b) even when the OUTPUT is inherently O(b²)."""
     planes_mat = None  # built lazily once dims are known
@@ -1116,18 +1121,29 @@ def span_scrub(ds, span_w: int = _SPAN_W_DEFAULT,
             "clean_text": pa.array(out_texts, pa.string()),
         })
 
-    if spans.count() <= small_rows:
-        cols = pa.concat_tables([
-            ray.get(r) for r in spans.select_columns(
-                ["span_hash", "packed"]).to_arrow_refs()
-        ])
-        h = cols["span_hash"].to_numpy(zero_copy_only=False)
-        p = cols["packed"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((p, h))
-        hs, ps = h[order], p[order]
-        runfirst = np.concatenate([[True], hs[1:] != hs[:-1]])
-        wp = ps[np.flatnonzero(runfirst)][np.cumsum(runfirst) - 1]
-        surv_ref = ray.put(np.sort(ps[ps == wp]))
+    n_spans = spans.count()
+    if n_spans <= small_rows:
+        if n_spans == 0:
+            # empty / all-whitespace corpus (ADVICE r4): zero spans →
+            # zero survivors. Guarded BEFORE select_columns — a
+            # zero-row map_batches output has no (span_hash, packed)
+            # schema to select, and the lexsort winner device below
+            # hardcodes runfirst=[True] so ps[...] would IndexError.
+            # rebuild_with handles the empty winner set and emits the
+            # empty (doc_id, clean_text) table.
+            surv_ref = ray.put(np.empty(0, np.int64))
+        else:
+            cols = pa.concat_tables([
+                ray.get(r) for r in spans.select_columns(
+                    ["span_hash", "packed"]).to_arrow_refs()
+            ])
+            h = cols["span_hash"].to_numpy(zero_copy_only=False)
+            p = cols["packed"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((p, h))
+            hs, ps = h[order], p[order]
+            runfirst = np.concatenate([[True], hs[1:] != hs[:-1]])
+            wp = ps[np.flatnonzero(runfirst)][np.cumsum(runfirst) - 1]
+            surv_ref = ray.put(np.sort(ps[ps == wp]))
 
         def rebuild_bcast(batch: pa.Table) -> pa.Table:
             return rebuild_with(batch, ray.get(surv_ref))

@@ -96,14 +96,29 @@ def split_read(path, columns, nblocks: int):
     pass. The buffer is only ever RAISED, capped at 64 blocks — a
     multi-file production read emits ~1 block per task and never
     fills even the default buffer, so this is purely the single-file
-    test-input compensation."""
+    test-input compensation.
+
+    Scoping: a Dataset captures ``DataContext.get_current().copy()`` at
+    creation (ray.data.read_api: ``ExecutionPlan(stats, ...copy())``)
+    and its operators read ``self.data_context`` at execution — so the
+    override is raised only around the ``read_parquet`` call and then
+    RESTORED; this read's plan keeps the raised buffer while later
+    unrelated datasets in the session see the default again. The
+    private attribute is accessed via getattr so a Ray rename degrades
+    to a plain (slower, still correct) read instead of crashing."""
     import ray.data as rd
 
     ctx = rd.DataContext.get_current()
-    ctx._max_num_blocks_in_streaming_gen_buffer = max(
-        ctx._max_num_blocks_in_streaming_gen_buffer, min(int(nblocks), 64))
-    return rd.read_parquet(path, columns=list(columns),
-                           override_num_blocks=nblocks)
+    prev = getattr(ctx, "_max_num_blocks_in_streaming_gen_buffer", None)
+    if isinstance(prev, int):
+        ctx._max_num_blocks_in_streaming_gen_buffer = max(
+            prev, min(int(nblocks), 64))
+    try:
+        return rd.read_parquet(path, columns=list(columns),
+                               override_num_blocks=nblocks)
+    finally:
+        if isinstance(prev, int):
+            ctx._max_num_blocks_in_streaming_gen_buffer = prev
 
 
 def drop_empty_blocks(ds):

@@ -1049,6 +1049,62 @@ def test_span_scrub_plans_equal_and_semantics(ray_session):
     assert got == {1: "a b c x y z", 2: "q r s"}
 
 
+def test_span_scrub_empty_corpus(ray_session):
+    """ADVICE r4: an empty / all-whitespace corpus yields ZERO spans;
+    the small plan must return the empty (doc_id, clean_text) result
+    instead of IndexError-ing on the hardcoded runfirst=[True]."""
+    import ray.data as rd
+
+    from ocaml_geojson_ray.stages.dedup import span_scrub
+
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    }))
+    assert span_scrub(empty, span_w=3).take_all() == []
+
+    # all-whitespace docs: rows exist but no doc reaches one full span
+    ws = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["   ", "\t \n"], pa.string()),
+    }))
+    assert span_scrub(ws, span_w=3).take_all() == []
+
+
+def test_split_read_scopes_buffer_override(ray_session):
+    """ADVICE r4: split_read raises the private streaming-generator
+    buffer ONLY for the dataset it creates — the plan's captured
+    DataContext keeps the raised value, the process-global context is
+    restored, and a missing/renamed private attribute degrades to a
+    plain read instead of crashing."""
+    import ray.data as rd
+
+    from ocaml_geojson_ray.util import split_read
+
+    ctx = rd.DataContext.get_current()
+    before = ctx._max_num_blocks_in_streaming_gen_buffer
+    ds = split_read("/root/testdata/sf0.001/documents.parquet",
+                    ["doc_id"], nblocks=16)
+    # global restored; the dataset's captured context carries the raise
+    assert ctx._max_num_blocks_in_streaming_gen_buffer == before
+    captured = ds._plan._context._max_num_blocks_in_streaming_gen_buffer
+    assert captured == max(before, 16)
+    assert ds.count() > 0
+
+    # degraded-mode drill: a non-int field value (Ray's "auto" None, or
+    # a future rename leaving getattr -> None) must take the graceful
+    # path — no override attempted, read still works, value untouched
+    saved = ctx._max_num_blocks_in_streaming_gen_buffer
+    try:
+        ctx._max_num_blocks_in_streaming_gen_buffer = None
+        ds2 = split_read("/root/testdata/sf0.001/documents.parquet",
+                         ["doc_id"], nblocks=4)
+        assert ctx._max_num_blocks_in_streaming_gen_buffer is None
+        assert ds2.count() > 0
+    finally:
+        ctx._max_num_blocks_in_streaming_gen_buffer = saved
+
+
 def test_curation_url_domain_partials():
     from ocaml_geojson_ray.stages.curation import domain_partials
 
