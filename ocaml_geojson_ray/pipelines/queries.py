@@ -1274,110 +1274,53 @@ def q_events_window(sf_dir: str):
     return agg.map_batches(rounder, batch_format="pyarrow")
 
 
+def table_stats_series(b: pa.Table) -> dict:
+    """Canonical-string series for the four analyzed orders columns.
+    NULLs: counted per column and EXCLUDED from values/extremes (ANSI
+    aggregate semantics, like the oracle's count(DISTINCT) and
+    min/max); the cents column inherits o_totalprice's mask."""
+    price = b["o_totalprice"].combine_chunks()
+    price_valid = price.drop_null().to_numpy()
+    cents = np.floor(price_valid * 100.0 + 0.5).astype(np.int64)
+    status = b["o_orderstatus"].combine_chunks()
+    return {
+        "o_orderkey": (
+            b["o_orderkey"].combine_chunks().drop_null()
+            .to_numpy(zero_copy_only=False).astype(str),
+            b["o_orderkey"].null_count),
+        "o_custkey": (
+            b["o_custkey"].combine_chunks().drop_null()
+            .to_numpy(zero_copy_only=False).astype(str),
+            b["o_custkey"].null_count),
+        "price_cents": (cents.astype(str), price.null_count),
+        "o_orderstatus": (
+            np.asarray(status.drop_null().to_pylist(), dtype=object),
+            status.null_count),
+    }
+
+
+TABLE_STATS_NUMERIC = ("o_orderkey", "o_custkey", "price_cents")
+
+
 def q_table_stats(sf_dir: str):
     """ANALYZE-style catalog statistics — per-column row count, null
     count, min, max (canonical VARCHAR so the output schema is
     uniform across column types; integer formatting is identical in
     both engines) and EXACT distinct count, for four orders columns
-    incl. the cents-quantized price. One streamed pass emits
-    per-batch (col, val) unique partials + (col, n, n_null) count
-    partials; a single funnel reduces both (Σ ndv values ≈ 170k
-    strings at sf0.1 — funnel-sized here; a wide-NDV production
-    table flips ndv to the pair-key groupby or the HLL sketch,
-    which is exactly why engines ship approximate ANALYZE)."""
-    ds = _read_split(sf_dir, "orders",
-                     ["o_orderkey", "o_custkey", "o_totalprice",
-                      "o_orderstatus"])
+    incl. the cents-quantized price. stages/catalog.analyze_table
+    gates the plan on MEASURED partial volume: below the bound the
+    unique partials funnel into one combine task (Σ ndv ≈ 170k
+    strings at sf0.1 — funnel-sized); above it NDV flips to a
+    distributed (col, val) groupby and only bounded per-block tallies
+    reach the funnel (enforced in-task, tested with a forced gate in
+    tests/test_stages.py)."""
+    from ..stages.catalog import analyze_table
 
-    def partial(b: pa.Table) -> pa.Table:
-        cols, vals = [], []
-        stats_rows = []
-        # NULLs: counted per column and EXCLUDED from values/extremes
-        # (ANSI aggregate semantics, like the oracle's count(DISTINCT)
-        # and min/max); the cents column inherits o_totalprice's mask
-        price = b["o_totalprice"].combine_chunks()
-        price_valid = price.drop_null().to_numpy()
-        cents = np.floor(price_valid * 100.0 + 0.5).astype(np.int64)
-        status = b["o_orderstatus"].combine_chunks()
-        series = {
-            "o_orderkey": (
-                b["o_orderkey"].combine_chunks().drop_null()
-                .to_numpy(zero_copy_only=False).astype(str),
-                b["o_orderkey"].null_count),
-            "o_custkey": (
-                b["o_custkey"].combine_chunks().drop_null()
-                .to_numpy(zero_copy_only=False).astype(str),
-                b["o_custkey"].null_count),
-            "price_cents": (cents.astype(str), price.null_count),
-            "o_orderstatus": (
-                np.asarray(status.drop_null().to_pylist(), dtype=object),
-                status.null_count),
-        }
-        for name, (v, n_null) in series.items():
-            u = np.unique(v.astype(str)) if len(v) else np.empty(0, str)
-            cols.extend([name] * len(u))
-            vals.extend(u.tolist())
-            stats_rows.append((name, len(v) + n_null, n_null))
-        t = pa.table({
-            "col": pa.array(cols, pa.string()),
-            "val": pa.array(vals, pa.string()),
-        })
-        s = pa.table({
-            "col": pa.array([r[0] for r in stats_rows], pa.string()),
-            "n": pa.array([r[1] for r in stats_rows], pa.int64()),
-            "n_null": pa.array([r[2] for r in stats_rows], pa.int64()),
-        })
-        # one partial table per batch: uniques + counts side by side
-        return pa.table({
-            "col": pa.concat_arrays([t["col"].combine_chunks(),
-                                     s["col"].combine_chunks()]),
-            "val": pa.concat_arrays([
-                t["val"].combine_chunks(),
-                pa.array([None] * len(s), pa.string())]),
-            "n": pa.concat_arrays([
-                pa.array([0] * len(t), pa.int64()),
-                s["n"].combine_chunks()]),
-            "n_null": pa.concat_arrays([
-                pa.array([0] * len(t), pa.int64()),
-                s["n_null"].combine_chunks()]),
-        })
-
-    def combine(b: pa.Table) -> pa.Table:
-        col = np.asarray(b["col"].to_pylist(), dtype=object)
-        val = np.asarray(b["val"].to_pylist(), dtype=object)
-        n = b["n"].to_numpy()
-        nn = b["n_null"].to_numpy()
-        out = []
-        for c in sorted(set(col.tolist())):
-            m = col == c
-            vals = val[m]
-            vmask = np.asarray([x is not None for x in vals])
-            u = np.unique(vals[vmask].astype(str)) if vmask.any() \
-                else np.empty(0, str)
-            if not len(u):
-                # all-NULL column: ANSI min/max are NULL, ndv 0 — the
-                # oracle's aggregates do the same
-                mn = mx = None
-            elif c != "o_orderstatus":
-                # numeric columns order numerically for min/max
-                key = u.astype(np.int64)
-                mn, mx = str(key.min()), str(key.max())
-            else:
-                mn, mx = str(u[0]), str(u[-1])  # np.unique is sorted
-            out.append((c, int(n[m].sum()), int(nn[m].sum()),
-                        mn, mx, len(u)))
-        return pa.table({
-            "col": pa.array([r[0] for r in out], pa.string()),
-            "n": pa.array([r[1] for r in out], pa.int64()),
-            "n_null": pa.array([r[2] for r in out], pa.int64()),
-            "min_v": pa.array([r[3] for r in out], pa.string()),
-            "max_v": pa.array([r[4] for r in out], pa.string()),
-            "ndv": pa.array([r[5] for r in out], pa.int64()),
-        })
-
-    return ds.map_batches(partial, batch_format="pyarrow") \
-        .repartition(1) \
-        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+    return analyze_table(
+        lambda: _read_split(sf_dir, "orders",
+                            ["o_orderkey", "o_custkey", "o_totalprice",
+                             "o_orderstatus"]),
+        table_stats_series, TABLE_STATS_NUMERIC)
 
 
 def _table_stats_col_sql(col_expr: str, name: str) -> str:

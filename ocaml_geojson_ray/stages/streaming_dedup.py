@@ -23,21 +23,29 @@ execution), so queries check the survivor-set properties (count and
 hash-set equality with the batch dedup), not row identity. That is
 the honest contract of any streaming dedup.
 
-Scale notes: state is O(distinct hashes) × 8 B, sharded — 10¹⁰
-distinct docs ≈ 80 GB across the pool, the actor count is the knob
-(and a disk-backed shard — RocksDB-style — is the overflow path).
-Each shard call is one in-flight RPC per task; with B-row batches the
-admission overhead is 2 messages per batch per shard touched, not per
-row. Fault tolerance: an actor loss loses its shard's memory —
-production would checkpoint shard sets (state/checkpoint.py pattern);
-re-admitting a duplicate after a crash is the standard
-at-least-once tradeoff. The inverse hazard is TASK retry: a re-run
-batch finds its own hashes already admitted and drops ALL its rows
-(at-most-once delivery). Production pairs admission with an
-idempotence token — the shard records (batch_id → admitted set) and
-replays the same answer on retry; omitted here because the sandbox
-pipeline never retries mid-query, but it is the first thing to add
-in front of a real ingest.
+Retry safety (exactly-once admission): every admit call carries an
+IDEMPOTENCE TOKEN derived from the batch's unique row ids (disjoint
+batches → distinct tokens; a RETRIED task re-presents the same rows →
+the same token). A shard records, per hash, the token of the call
+that admitted it; a re-asked hash answers True iff the asker IS the
+original admitter (first occurrence within the call — within-call
+duplicates replay False exactly as they answered the first time). A
+retried batch therefore receives bit-identical admissions instead of
+dropping all its rows; the former at-most-once hazard is pinned away
+by tests/test_stages.py::test_streaming_dedup_retry_idempotent.
+
+Bounded state: the hot (hash → token) dict is capped per shard
+(``flush_at``); overflow freezes into immutable sorted numpy runs —
+in-heap by default (~16 B/entry vs ~100 B/dict-slot), memory-mapped
+files under ``spill_dir`` when given, so a shard's Python heap stays
+O(flush_at) no matter how many distinct hashes it owns. Lookups are
+dict-then-searchsorted over the runs (an LSM memtable/SST shape; a
+production shard would also compact runs and front them with a Bloom
+filter — both orthogonal to the admission contract pinned here).
+Fault tolerance: an actor loss loses its shard's memory — production
+would checkpoint shard sets (state/checkpoint.py pattern);
+re-admitting a duplicate after a crash is the standard at-least-once
+tradeoff of an unreplicated index.
 """
 
 from __future__ import annotations
@@ -53,47 +61,100 @@ def _shard_actor_cls():
 
     @ray.remote(num_cpus=0.25)
     class DedupShard:
-        """Owns one hash shard's membership set."""
+        """Owns one hash shard's membership index: a bounded hot dict
+        (hash → admitting token) plus frozen sorted runs."""
 
-        def __init__(self):
-            self.seen: set[int] = set()
+        def __init__(self, flush_at: int = 2_000_000,
+                     spill_dir: str | None = None):
+            self.hot: dict[int, int] = {}
+            self.flush_at = int(flush_at)
+            self.spill_dir = spill_dir
+            # each run: (sorted int64 hash array, aligned token array)
+            self.runs: list[tuple[np.ndarray, np.ndarray]] = []
+            self._frozen = 0
+            self._spill_seq = 0
 
-        def admit(self, hashes: list[int]) -> list[bool]:
-            """For each hash IN ORDER: True if first-ever (and record
-            it), False if already seen — duplicates WITHIN the call
-            are handled by the same rule."""
-            seen = self.seen
+        def _freeze_hot(self) -> None:
+            h = np.fromiter(self.hot.keys(), np.int64, len(self.hot))
+            t = np.fromiter(self.hot.values(), np.int64, len(self.hot))
+            order = np.argsort(h)
+            h, t = h[order], t[order]
+            if self.spill_dir is not None:
+                import os
+                os.makedirs(self.spill_dir, exist_ok=True)
+                base = os.path.join(
+                    self.spill_dir,
+                    f"shard_{id(self):x}_{self._spill_seq}")
+                self._spill_seq += 1
+                np.save(base + "_h.npy", h)
+                np.save(base + "_t.npy", t)
+                h = np.load(base + "_h.npy", mmap_mode="r")
+                t = np.load(base + "_t.npy", mmap_mode="r")
+            self.runs.append((h, t))
+            self._frozen += len(h)
+            self.hot = {}
+
+        def _lookup_frozen(self, h: int) -> int | None:
+            """Token that admitted ``h`` in a frozen run, else None."""
+            for rh, rt in self.runs:
+                i = int(np.searchsorted(rh, h))
+                if i < len(rh) and int(rh[i]) == h:
+                    return int(rt[i])
+            return None
+
+        def admit(self, token: int, hashes: list[int]) -> list[bool]:
+            """For each hash IN ORDER: True iff this call is (or, on
+            retry, WAS) its first-ever admission. Within-call
+            duplicates: only the first occurrence answers True —
+            including on replay."""
+            hot = self.hot
+            local: set[int] = set()
             out = []
             for h in hashes:
-                if h in seen:
+                if h in local:
                     out.append(False)
-                else:
-                    seen.add(h)
+                    continue
+                local.add(h)
+                winner = hot.get(h)
+                if winner is None:
+                    winner = self._lookup_frozen(h) if self.runs else None
+                if winner is None:
+                    hot[h] = token
                     out.append(True)
+                elif winner == token:
+                    out.append(True)  # retry replay: original admitter
+                else:
+                    out.append(False)
+            if len(hot) >= self.flush_at:
+                self._freeze_hot()
             return out
 
         def size(self) -> int:
-            return len(self.seen)
+            return len(self.hot) + self._frozen
+
+        def n_runs(self) -> int:
+            return len(self.runs)
+
+        def hot_len(self) -> int:
+            return len(self.hot)
 
     return DedupShard
 
 
-def start_dedup_pool(nshards: int = 8):
+def start_dedup_pool(nshards: int = 8, flush_at: int = 2_000_000,
+                     spill_dir: str | None = None):
     """→ list of shard actor handles (driver-owned; the pool dies with
     the query when the handles drop)."""
     cls = _shard_actor_cls()
-    return [cls.remote() for _ in range(nshards)]
+    return [cls.remote(flush_at, spill_dir) for _ in range(nshards)]
 
 
-def streaming_exact_dedup(ds, pool, text_col: str = "text"):
-    """Admit each row iff its content hash is globally first-seen.
-    One RPC per touched shard per batch; rows keep input order within
-    the batch. → filtered Dataset (same schema as input), returned
-    MATERIALIZED: the admission UDF mutates shard state, so
-    re-executing a lazy plan (any second consumption — count then
-    take, schema probe, …) would find every hash already admitted and
-    silently return zero rows. Materializing pins the one and only
-    pass."""
+def make_admit_fn(pool, text_col: str = "text", id_col: str = "doc_id"):
+    """The per-batch admission UDF, exposed so tests can re-run a batch
+    through it and pin retry idempotence. The token is built from the
+    batch's unique row ids (CPython int/tuple hashing is
+    deterministic across processes), so a retried task — same rows —
+    presents the same token, while disjoint batches never collide."""
     import ray
 
     n = len(pool)
@@ -101,16 +162,34 @@ def streaming_exact_dedup(ds, pool, text_col: str = "text"):
     def admit_batch(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].combine_chunks()
         h = _hash_string_array(texts)[0].view(np.int64)
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        token = hash((len(ids),) + tuple(int(x) for x in ids))
         shard = (h % n + n) % n
         keep = np.zeros(len(h), dtype=bool)
         calls, idxs = [], []
         for s in range(n):
             ix = np.flatnonzero(shard == s)
             if len(ix):
-                calls.append(pool[s].admit.remote([int(x) for x in h[ix]]))
+                calls.append(
+                    pool[s].admit.remote(token, [int(x) for x in h[ix]]))
                 idxs.append(ix)
         for ix, res in zip(idxs, ray.get(calls)):
             keep[ix] = res
         return batch.filter(pa.array(keep))
 
-    return ds.map_batches(admit_batch, batch_format="pyarrow").materialize()
+    return admit_batch
+
+
+def streaming_exact_dedup(ds, pool, text_col: str = "text",
+                          id_col: str = "doc_id"):
+    """Admit each row iff its content hash is globally first-seen.
+    One RPC per touched shard per batch; rows keep input order within
+    the batch. → filtered Dataset (same schema as input), returned
+    MATERIALIZED: the admission UDF mutates shard state, so
+    re-executing a lazy plan (any second consumption — count then
+    take, schema probe, …) would re-present every batch; the
+    idempotence tokens make that a harmless replay for an IDENTICAL
+    batching, but Ray does not promise identical batch boundaries
+    across executions — materializing pins the one and only pass."""
+    return ds.map_batches(make_admit_fn(pool, text_col, id_col),
+                          batch_format="pyarrow").materialize()

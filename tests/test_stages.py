@@ -1049,6 +1049,49 @@ def test_span_scrub_plans_equal_and_semantics(ray_session):
     assert got == {1: "a b c x y z", 2: "q r s"}
 
 
+def test_table_stats_wide_ndv_gate(ray_session):
+    """VERDICT r4 #2: the exact-NDV funnel must be size-gated. With a
+    high-NDV key column and the gate forced low, analyze_table flips
+    to the grouped plan: NDV comes from a distributed (col, val)
+    groupby, the single-task funnel receives only bounded tallies
+    (raw value rows reaching it RAISE in-task), and the answers are
+    identical to the funnel plan's."""
+    import ray.data as rd
+
+    from ocaml_geojson_ray.stages.catalog import analyze_table
+
+    n = 4_000  # every key distinct -> partial rows ≈ n per column
+    t = pa.table({
+        "k": pa.array(list(range(n)), pa.int64()),
+        "s": pa.array([f"v{i % 7}" for i in range(n - 1)] + [None],
+                      pa.string()),
+    })
+
+    def series(b: pa.Table) -> dict:
+        s = b["s"].combine_chunks()
+        return {
+            "k": (b["k"].combine_chunks().drop_null()
+                  .to_numpy(zero_copy_only=False).astype(str),
+                  b["k"].null_count),
+            "s": (np.asarray(s.drop_null().to_pylist(), dtype=object),
+                  s.null_count),
+        }
+
+    def ds_fn():
+        return rd.from_arrow(t).repartition(8)
+
+    def rows(res):
+        return sorted(tuple(r.values()) for r in res.take_all())
+
+    funnel = analyze_table(ds_fn, series, ("k",), funnel_rows=10**9)
+    grouped = analyze_table(ds_fn, series, ("k",), funnel_rows=100)
+    want = [("k", n, 0, "0", str(n - 1), n),
+            ("s", n, 1, "v0", "v6", 7)]
+    got_f, got_g = rows(funnel), rows(grouped)
+    assert got_f == want
+    assert got_g == want
+
+
 def test_span_scrub_empty_corpus(ray_session):
     """ADVICE r4: an empty / all-whitespace corpus yields ZERO spans;
     the small plan must return the empty (doc_id, clean_text) result
@@ -1338,3 +1381,64 @@ def test_streaming_dedup_drops_cross_batch_duplicates(ray_session):
                      "text": pa.array(["doc 0"], pa.string())})
     out2 = streaming_exact_dedup(rd.from_arrow(late), pool)
     assert out2.count() == 0
+
+
+def test_streaming_dedup_retry_idempotent(ray_session):
+    """VERDICT r4 #3: admission is exactly-once under task retry. A
+    re-sent batch (same rows → same idempotence token) receives
+    bit-identical admissions — NOT the old at-most-once behavior of
+    dropping every row because its own hashes are 'already seen' —
+    while a DIFFERENT batch carrying the same texts is still fully
+    rejected."""
+    import ray.data as rd
+
+    from ocaml_geojson_ray.stages.streaming_dedup import (
+        make_admit_fn, start_dedup_pool)
+
+    pool = start_dedup_pool(4)
+    admit = make_admit_fn(pool, "text", "doc_id")
+    batch = pa.table({
+        "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+        # within-batch duplicate: 'b' twice -> second must stay False
+        "text": pa.array(["a", "b", "b", "c"], pa.string()),
+    })
+    first = admit(batch)
+    assert first["doc_id"].to_pylist() == [10, 11, 13]
+    # simulated Ray task retry: the SAME batch re-presented
+    retried = admit(batch)
+    assert retried.equals(first)
+    # a different batch (new row ids) with duplicate texts: all dropped
+    other = pa.table({
+        "doc_id": pa.array([20, 21], pa.int64()),
+        "text": pa.array(["a", "c"], pa.string()),
+    })
+    assert len(admit(other)) == 0
+    # and retry-after-rejection replays the rejection
+    assert len(admit(other)) == 0
+
+
+def test_streaming_dedup_shard_spill_bounded(ray_session, tmp_path):
+    """The shard's hot dict is capped: overflow freezes into sorted
+    runs (on disk when spill_dir is set), membership and the retry
+    replay both keep working across the freeze, and the Python-heap
+    dict never exceeds flush_at."""
+    import ray
+
+    from ocaml_geojson_ray.stages.streaming_dedup import start_dedup_pool
+
+    (shard,) = start_dedup_pool(1, flush_at=8, spill_dir=str(tmp_path))
+    t1, t2, t3 = 101, 202, 303
+    first = ray.get(shard.admit.remote(t1, list(range(20))))
+    assert first == [True] * 20
+    assert ray.get(shard.size.remote()) == 20
+    assert ray.get(shard.n_runs.remote()) >= 1          # froze at least once
+    assert ray.get(shard.hot_len.remote()) <= 8         # heap stays bounded
+    assert list(tmp_path.glob("*_h.npy"))               # spilled to disk
+    # membership survives the freeze: re-ask from a NEW batch -> dup
+    assert ray.get(shard.admit.remote(t2, [3, 15, 999])) == \
+        [False, False, True]
+    # retry replay reaches into frozen runs: original admitter says True
+    assert ray.get(shard.admit.remote(t1, list(range(20)))) == [True] * 20
+    # new-value admission still works post-freeze
+    assert ray.get(shard.admit.remote(t3, [5000, 3])) == [True, False]
+    assert ray.get(shard.size.remote()) == 22
