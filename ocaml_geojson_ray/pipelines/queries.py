@@ -374,15 +374,35 @@ def q_pagerank_parts(sf_dir: str, plan: str = "auto"):
     Size-adaptive plans pinned equal in tests: broadcast (shares via
     ray.put + one streamed edge pass per iteration) while the node
     set fits a worker; distributed (edges ⋈ shares hash join +
-    groupby(dst) Sum per iteration) above."""
+    groupby(dst) Sum per iteration) above. The EDGE SOURCE is gated
+    too (VERDICT r4 #5): materialize() pins the projected two-column
+    edge table in the object store for all 4 iterations — right while
+    it is small, wrong at cluster scale where re-reading the pruned
+    parquet per pass is the documented-cheap path. The gate measures
+    the two columns' uncompressed bytes from parquet METADATA (no
+    scan); ``plan="reread"`` forces the reread source for the
+    plan-equality test."""
+    import pyarrow.parquet as _pq
+
     from ..stages.pagerank import (_edge_partials, pagerank_broadcast,
                                    pagerank_distributed)
     from ..util import grouped_sum_combine
 
-    edges = _read_split(sf_dir, "lineitem",
-                        ["l_partkey", "l_suppkey"]).materialize()
+    def edges_fn():
+        return _read_split(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    md = _pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata
+    names = md.schema.to_arrow_schema().names
+    want = {names.index("l_partkey"), names.index("l_suppkey")}
+    edge_bytes = sum(
+        md.row_group(i).column(j).total_uncompressed_size
+        for i in range(md.num_row_groups) for j in want)
+    # pin threshold: a single-node slice of object-store memory; at a
+    # 100-TB lineitem the two int64 columns alone are ~TBs → reread
+    pin = plan != "reread" and edge_bytes <= 4 * 2**30
+    edges = edges_fn().materialize() if pin else edges_fn
     if plan == "distributed":
-        return pagerank_distributed(edges)
+        return pagerank_distributed(edges if pin else edges_fn())
     # node set = parts + suppliers: dimension-cardinality by
     # construction (the fact tables fan OUT of it), so the broadcast
     # plan is the default; a web-graph node set flips to distributed.
@@ -390,10 +410,10 @@ def q_pagerank_parts(sf_dir: str, plan: str = "auto"):
     # count is an upper bound on distinct nodes (each batch emits each
     # node at most once), so partial.count() > threshold proves the
     # funnel+broadcast plan is out of contract without paying for it.
-    partial = edges.map_batches(_edge_partials,
-                                batch_format="pyarrow").materialize()
+    partial = (edges if pin else edges_fn()).map_batches(
+        _edge_partials, batch_format="pyarrow").materialize()
     if plan == "auto" and partial.count() > 5_000_000:
-        return pagerank_distributed(edges)
+        return pagerank_distributed(edges if pin else edges_fn())
     deg_t = grouped_sum_combine(partial, ["node"], "cnt", "deg").to_pandas()
     deg_t = deg_t.sort_values("node")
     return pagerank_broadcast(edges, deg_t["node"].to_numpy(),
@@ -4149,8 +4169,12 @@ def q_semdedup(sf_dir: str):
                          batch_format="pyarrow").materialize()
     # 2 Lloyd iterations: bucketing quality barely moves the greedy's
     # results on near-identical pairs (the in-query recall assert is
-    # the guard) and each extra iteration is a full barrier chain
-    out = semdedup(aug, k=16, tau=tau, kmeans_iters=2).materialize()
+    # the guard) and each extra iteration is a full barrier chain.
+    # seed_mode="head": aug is materialized (stable block order), so
+    # the first-k-rows seed is deterministic and the dedicated
+    # global-min-id seed scan — one full pass — is dropped.
+    out = semdedup(aug, k=16, tau=tau, kmeans_iters=2,
+                   seed_mode="head").materialize()
 
     def check(b: pa.Table) -> pa.Table:
         ms = b["max_sim_kept"].to_numpy()

@@ -14,6 +14,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..util import vec_mat
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
@@ -46,9 +48,8 @@ class BruteForceTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         self._ensure()
-        ids = np.asarray(batch[self.id_col].to_pylist())
-        vecs = _normalize(np.asarray(batch[self.vec_col].to_pylist(),
-                                     dtype=np.float64))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        vecs = _normalize(vec_mat(batch[self.vec_col]))
         sim = self.qmat @ vecs.T  # (Q, n)
         k = min(self.k, sim.shape[1])
         # local top-k per query
@@ -148,7 +149,7 @@ def ivf_topk(ds, queries: dict, k: int = 10, n_centroids: int = 16,
 
     def assign_bucket(batch: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
-        vecs = _normalize(np.asarray(batch[vec_col].to_pylist(), dtype=np.float64))
+        vecs = _normalize(vec_mat(batch[vec_col]))
         b = (vecs @ c.T).argmax(axis=1).astype(np.int64)
         return batch.append_column("bucket", pa.array(b, pa.int64()))
 
@@ -163,7 +164,7 @@ def ivf_topk(ds, queries: dict, k: int = 10, n_centroids: int = 16,
         if not probing:
             return probe_schema.empty_table()
         ids = g[id_col].to_numpy(zero_copy_only=False)
-        vecs = _normalize(np.asarray(g[vec_col].to_pylist(), dtype=np.float64))
+        vecs = _normalize(vec_mat(g[vec_col]))
         sim = qmat_[probing] @ vecs.T  # (n_probing, b)
         kk = min(k, sim.shape[1])
         # vectorized per-bucket top-k across ALL probing queries at once
@@ -256,7 +257,7 @@ def pq_topk(ds, queries: dict, k: int = 10, m: int = 8, ksub: int = 16,
 
         books_, qids_, lut_ = cached_get(state_ref)
         ids = batch[id_col].to_numpy()
-        vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        vecs = vec_mat(batch[vec_col])
         if not len(ids):
             return pa.table({"query_id": pa.array([], pa.int64()),
                              id_col: pa.array([], pa.int64()),

@@ -24,6 +24,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..util import vec_mat
+
 
 # splitmix64-style avalanche (public-domain constants); uint64
 # wraparound is the intended arithmetic — suppress numpy's scalar
@@ -754,7 +756,7 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id",
 
     def bucketize(batch: pa.Table) -> pa.Table:
         nonlocal planes_mat
-        vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        vecs = vec_mat(batch[vec_col])
         if planes_mat is None:
             r = np.random.default_rng(seed)
             planes_mat = r.standard_normal((vecs.shape[1], planes))
@@ -773,7 +775,7 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id",
 
     def within_bucket(g: pa.Table) -> pa.Table:
         ids = g[id_col].to_numpy(zero_copy_only=False)
-        vecs = np.asarray(g[vec_col].to_pylist(), dtype=np.float64)
+        vecs = vec_mat(g[vec_col])
         norm = np.linalg.norm(vecs, axis=1, keepdims=True)
         norm[norm == 0] = 1.0
         vn = vecs / norm
@@ -1200,7 +1202,7 @@ def span_scrub(ds, span_w: int = _SPAN_W_DEFAULT,
 
 def semdedup(ds, k: int = 16, tau: float = 0.9,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             kmeans_iters: int = 3):
+             kmeans_iters: int = 3, seed_mode: str = "scan"):
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): k-means-cluster the
     embedding space, then within each cluster GREEDILY drop every
@@ -1216,7 +1218,13 @@ def semdedup(ds, k: int = 16, tau: float = 0.9,
     Physical plan: kmeans_fit streams the corpus (centroids broadcast
     per iteration, k·d partials); assignment is one matmul pass; the
     greedy scan is ONE key shuffle on the cluster id, per-cluster
-    O(b²) sim matrix in float64. Cluster width is the skew knob: a
+    O(b²) sim matrix in float64. ``seed_mode="head"`` (VERDICT r4 #4)
+    drops the dedicated global-min-id seed SCAN — a full pass +
+    barrier — in favor of kmeans_fit's first-k-rows path (a single
+    head-block read): valid when the caller's input is MATERIALIZED
+    (stable block order ⇒ deterministic seed) and the caller carries
+    its own quality check, which q_semdedup does (planted-drop
+    recall ≥ 0.8). Default stays the order-independent "scan". Cluster width is the skew knob: a
     pathological mega-cluster would recurse via
     ``split_oversized_bucket`` exactly like the LSH path — not wired
     here because kmeans with adequate k IS the width bound by design
@@ -1230,15 +1238,16 @@ def semdedup(ds, k: int = 16, tau: float = 0.9,
 
     from .kmeans import _dists_sq, kmeans_fit
 
-    centroids, _ = kmeans_fit(ds, vec_col=vec_col, k=k,
-                              iters=kmeans_iters, id_col=id_col)
+    centroids, _ = kmeans_fit(
+        ds, vec_col=vec_col, k=k, iters=kmeans_iters,
+        id_col=None if seed_mode == "head" else id_col)
     cref = ray.put(centroids)
 
     def assign(b: pa.Table, _c=cref) -> pa.Table:
         from ..util import cached_get
 
         c = cached_get(_c)
-        v = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
+        v = vec_mat(b[vec_col])
         cl = (np.argmin(_dists_sq(v, c), axis=1) if len(v)
               else np.empty(0, np.int64))
         return pa.table({
@@ -1251,7 +1260,7 @@ def semdedup(ds, k: int = 16, tau: float = 0.9,
         ids = g["vec_id"].to_numpy()
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
-        v = np.asarray(g[vec_col].to_pylist(), dtype=np.float64)[order]
+        v = vec_mat(g[vec_col])[order]
         n = np.linalg.norm(v, axis=1)
         vn = v / np.maximum(n, 1e-12)[:, None]
         sim = vn @ vn.T

@@ -21,6 +21,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..util import vec_mat
+
 
 def _dists_sq(v: np.ndarray, c: np.ndarray) -> np.ndarray:
     """(n,k) squared euclidean distances via the expansion trick —
@@ -66,7 +68,7 @@ def kmeans_fit(ds, vec_col: str = "embedding", k: int = 16,
 
         def partial(b: pa.Table) -> pa.Table:
             c = ray.get(ref)
-            v = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
+            v = vec_mat(b[vec_col])
             d = _dists_sq(v, c)
             a = d.argmin(axis=1)
             kk, dim = c.shape
@@ -85,7 +87,7 @@ def kmeans_fit(ds, vec_col: str = "embedding", k: int = 16,
         def combine(b: pa.Table) -> pa.Table:
             cid = b["cid"].to_numpy()
             cnt = b["cnt"].to_numpy()
-            vs = np.asarray(b["vsum"].to_pylist(), dtype=np.float64)
+            vs = vec_mat(b["vsum"])
             inert = b["inertia"].to_numpy()
             kk = int(cid.max()) + 1 if len(cid) else 0
             sums = np.zeros((kk, vs.shape[1]), np.float64)
@@ -129,7 +131,7 @@ def kmeans_assign_sizes(ds, centroids: np.ndarray,
 
     def partial(b: pa.Table) -> pa.Table:
         c = ray.get(ref)
-        v = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
+        v = vec_mat(b[vec_col])
         a = _dists_sq(v, c).argmin(axis=1)
         cnt = np.bincount(a, minlength=len(c))
         nz = cnt > 0

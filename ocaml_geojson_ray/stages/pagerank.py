@@ -69,11 +69,19 @@ def _edge_partials(batch: pa.Table) -> pa.Table:
 def pagerank_broadcast(edges_ds, nodes: np.ndarray, deg: np.ndarray,
                        iters: int = ITERS) -> pa.Table:
     """Broadcast plan: `nodes` sorted, `deg` aligned. One streamed
-    edge pass per iteration."""
+    edge pass per iteration. ``edges_ds`` may be a Dataset (pinned —
+    object-store-cached edges reused every pass) or a ZERO-ARG FACTORY
+    returning one (reread — each iteration re-reads the pruned
+    two-column parquet; the cheap path when the edge set would
+    otherwise occupy a large slice of aggregate object-store memory
+    for the whole 4-iteration lifetime — VERDICT r4 #5, same rule as
+    q_semdedup's materialize comment). The recurrence is exact-int64,
+    so both sourcing modes are bit-identical (pinned in tests)."""
     import ray
 
     from ..util import grouped_sum_combine
 
+    edges_fn = edges_ds if callable(edges_ds) else (lambda: edges_ds)
     n = len(nodes)
     ranks = np.full(n, SCALE, dtype=np.int64)
     for _ in range(iters):
@@ -96,7 +104,7 @@ def pagerank_broadcast(edges_ds, nodes: np.ndarray, deg: np.ndarray,
                 "s": pa.array(acc[nz], pa.int64()),
             })
 
-        partial = edges_ds.map_batches(contrib, batch_format="pyarrow")
+        partial = edges_fn().map_batches(contrib, batch_format="pyarrow")
         combined = grouped_sum_combine(partial, ["idx"], "s", "sum_s")
         t = combined.to_pandas()  # node-cardinality, gated by threshold
         sums = np.zeros(n, dtype=np.int64)

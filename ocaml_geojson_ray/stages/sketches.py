@@ -55,7 +55,9 @@ class HyperLogLog:
         self.registers = np.zeros(self.m, dtype=np.uint8)
 
     def add_many(self, values) -> "HyperLogLog":
-        h = _hash64(values)
+        return self.add_hashes(_hash64(values))
+
+    def add_hashes(self, h: np.ndarray) -> "HyperLogLog":
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
         width = 64 - self.p
         w = (h << np.uint64(self.p)) >> np.uint64(self.p)  # low `width` bits
@@ -265,20 +267,33 @@ def hll_distinct(ds, key_cols, value_col: str, p: int = 12):
     key_cols = list(key_cols)
 
     def sketch_batch(batch: pa.Table) -> pa.Table:
-        import pandas as _pd
-
-        df = batch.select(key_cols + [value_col]).to_pandas()
-        rows = []
-        for keys, grp in df.groupby(key_cols):
-            h = HyperLogLog(p).add_many(grp[value_col].tolist())
-            keys = keys if isinstance(keys, tuple) else (keys,)
-            rows.append((*keys, h.to_bytes()))
-        return pa.table(
-            {
-                **{k: pa.array([r[i] for r in rows]) for i, k in enumerate(key_cols)},
-                "sketch": pa.array([r[-1] for r in rows], pa.binary()),
-            }
-        )
+        # Arrow-native grouping: sort_by + run slicing, and the batch's
+        # values are hashed ONCE (vectorized) with each group sketching
+        # its hash slice — no pandas conversion, no per-group rehash.
+        t = batch.select(key_cols + [value_col]).sort_by(
+            [(k, "ascending") for k in key_cols])
+        n = len(t)
+        if n == 0:
+            return pa.table({
+                **{k: t[k] for k in key_cols},
+                "sketch": pa.array([], pa.binary()),
+            })
+        keys_np = [t[k].to_numpy(zero_copy_only=False) for k in key_cols]
+        neq = np.zeros(n, dtype=bool)
+        neq[0] = True
+        for k in keys_np:
+            neq[1:] |= k[1:] != k[:-1]
+        starts = np.flatnonzero(neq)
+        ends = np.append(starts[1:], n)
+        h = _hash64(t[value_col].to_numpy(zero_copy_only=False))
+        sketches = [
+            HyperLogLog(p).add_hashes(h[s_:e_]).to_bytes()
+            for s_, e_ in zip(starts, ends)
+        ]
+        return pa.table({
+            **{kc: pa.array(kv[starts]) for kc, kv in zip(key_cols, keys_np)},
+            "sketch": pa.array(sketches, pa.binary()),
+        })
 
     def merge_sketches(g: pa.Table) -> pa.Table:
         h = HyperLogLog(p)
