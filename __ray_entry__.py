@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardups": Q.q_minhash_neardups,
         "ngram_jaccard_pairs": Q.q_ngram_jaccard_pairs,
         "simhash_dedup": Q.q_simhash_dedup,
+        "winnow_fingerprints": Q.q_winnow_fingerprints,
         "embedding_neardups": Q.q_embedding_neardups,
         "multimodal_features": Q.q_multimodal_features,
         "pages_geom_dedup": Q.q_pages_geom_dedup,
@@ -216,6 +217,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": Q.SQL_NGRAM_JACCARD_PAIRS,
         "rolling_fingerprints": Q.SQL_ROLLING_FINGERPRINTS,
         "simhash_dedup": Q.SQL_SIMHASH_DEDUP,
+        "winnow_fingerprints": Q.SQL_WINNOW_FINGERPRINTS,
         "minhash_neardups": Q.SQL_MINHASH_NEARDUPS,
         "dedup_clusters": Q.SQL_DEDUP_CLUSTERS,
         "dedup_survivors": Q.SQL_DEDUP_SURVIVORS,

@@ -1340,7 +1340,7 @@ def q_table_stats(sf_dir: str):
         lambda: _read_split(sf_dir, "orders",
                             ["o_orderkey", "o_custkey", "o_totalprice",
                              "o_orderstatus"]),
-        table_stats_series, TABLE_STATS_NUMERIC)
+        table_stats_series, TABLE_STATS_NUMERIC, n_cols=4)
 
 
 def _table_stats_col_sql(col_expr: str, name: str) -> str:
@@ -5253,6 +5253,50 @@ keep AS (SELECT sp.doc_id, sp.span_idx, sp.span
           AND sp.doc_id * 1048576 + sp.span_idx = win.wp)
 SELECT doc_id, string_agg(span, ' ' ORDER BY span_idx) AS clean_text
 FROM keep GROUP BY doc_id
+"""
+
+
+def q_winnow_fingerprints(sf_dir: str):
+    """Winnowing document fingerprints (MOSS; Schleimer et al. 2003) —
+    round 5's fingerprint-family addition between shingle sets
+    (minhash) and single signatures (simhash): hash every 3-gram,
+    keep each 4-window's MINIMUM hash, emit DISTINCT (doc_id, fp).
+    Stateless vectorized map, zero shuffles (one doc per row ⇒
+    per-batch distinct is global). SQL-exact: gram derivation is the
+    decontaminate convention, gram hash is the md5-LE-64 parity
+    device, and the window minimum is a plain SQL window frame."""
+    from ..stages.curation import winnow_fingerprints
+
+    ds = _read_split(sf_dir, "documents", ["doc_id", "text"])
+    return winnow_fingerprints(ds)
+
+
+SQL_WINNOW_FINGERPRINTS = r"""
+WITH w AS (SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'), x -> x <> '') AS ws
+       FROM documents),
+gl AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+         THEN [{'p': i, 'g': array_to_string(ws[i:i+2], ' ')}
+               for i in generate_series(1, len(ws) - 2)]
+         ELSE [{'p': 1, 'g': array_to_string(ws, ' ')}] END AS gs
+       FROM w WHERE len(ws) >= 1),
+g AS (SELECT doc_id, u.p AS pos, md5(u.g) AS hx
+      FROM (SELECT doc_id, unnest(gs) AS u FROM gl)),
+h AS (SELECT doc_id, pos,
+        CAST(CAST('0x' || substr(hx,15,2) || substr(hx,13,2)
+                       || substr(hx,11,2) || substr(hx,9,2)
+                       || substr(hx,7,2)  || substr(hx,5,2)
+                       || substr(hx,3,2)  || substr(hx,1,2)
+             AS UBIGINT) & 9223372036854775807 AS BIGINT) AS hv
+      FROM g),
+n AS (SELECT doc_id, max(pos) AS np FROM h GROUP BY doc_id),
+wm AS (SELECT doc_id, pos,
+         min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+       FROM h)
+SELECT DISTINCT wm.doc_id, wm.m AS fp
+FROM wm JOIN n USING (doc_id)
+WHERE wm.pos <= greatest(n.np - 3, 1)
 """
 
 

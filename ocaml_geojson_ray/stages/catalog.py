@@ -144,6 +144,7 @@ def _reduce_stats(b: pa.Table, numeric_cols: frozenset[str],
 
 
 def analyze_table(ds_fn, series_fn: SeriesFn, numeric_cols,
+                  n_cols: int | None = None,
                   funnel_rows: int = FUNNEL_ROWS_DEFAULT):
     """ANALYZE over ``ds_fn()`` (a zero-arg callable returning the
     pruned input Dataset — called once for the gate pass and once for
@@ -151,13 +152,22 @@ def analyze_table(ds_fn, series_fn: SeriesFn, numeric_cols,
 
     series_fn: batch -> {col_name: (canonical-string numpy array of
     NON-NULL values, null_count)}. numeric_cols order min/max
-    numerically (int64); the rest lexically.
+    numerically (int64); the rest lexically. Pass ``n_cols`` (the
+    number of series the fn emits) to enable the free gate tier:
+    rows × n_cols bounds Σ batch-uniques from above, and
+    ``Dataset.count()`` on a fresh parquet read is metadata-only — so
+    a small table picks the funnel plan with ZERO extra passes, and
+    only a table that could actually breach the bound pays the
+    counting pass.
     """
     numeric = frozenset(numeric_cols)
     partial = _partial_factory(series_fn, numeric)
 
-    n_partial = ds_fn().map_batches(
-        partial, batch_format="pyarrow").count()
+    if n_cols is not None and ds_fn().count() * n_cols <= funnel_rows:
+        n_partial = 0  # provably under the bound — skip the gate pass
+    else:
+        n_partial = ds_fn().map_batches(
+            partial, batch_format="pyarrow").count()
     parts = ds_fn().map_batches(partial, batch_format="pyarrow")
     if n_partial <= funnel_rows:
         return parts.repartition(1).map_batches(

@@ -668,3 +668,145 @@ def curriculum_shards(scored_ds, shard_tokens: int = 4096,
 
     return ranged.groupby("rng").map_groups(
         scan_range, batch_format="pyarrow")
+
+
+# -- winnowing fingerprints (MOSS) -------------------------------------------
+
+WINNOW_K = 3   # words per k-gram
+WINNOW_W = 4   # grams per winnowing window
+
+
+def winnow_fingerprints(ds, k: int = WINNOW_K, w: int = WINNOW_W,
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm) — the fingerprint-family member between full
+    shingle sets (minhash) and one-value signatures (simhash): per doc,
+    hash every k-gram, then keep the MINIMUM hash of every w-gram
+    window. Guarantees: any shared run of k+w-1 words between two docs
+    shares ≥1 fingerprint, while storage drops to ~2/(w+1) of the
+    gram count. Output = DISTINCT (doc_id, fp) rows, so the window
+    position rule (rightmost vs leftmost minimum) is immaterial — all
+    positions achieving a window minimum carry the same VALUE.
+
+    Gram semantics mirror the corpus convention (decontaminate):
+    ASCII-class split, empty tokens dropped, docs with 1..k-1 words
+    emit ONE combined gram, empty docs none. Windows: starts
+    1..n_grams-w+1; a doc with n_grams < w has a single window over
+    all its grams. Gram hash = md5-LE-64 & (2^63-1) of the
+    space-joined gram string — the importance/simhash oracle parity
+    device, so the whole operator is SQL-hash-checkable.
+
+    Physical shape: stateless vectorized map, NO shuffle (each doc is
+    one row, so per-batch distinct is global distinct). Gram strings
+    are built by ONE binary_join_element_wise over k shifted slices of
+    the flat token array (zero-copy gathers); md5 touches only the
+    batch's gram DICTIONARY; window minima are a (n, w) stride view +
+    min(axis=1) and per-doc reduceat for the short-doc tail."""
+
+    def winnow_batch(b: pa.Table) -> pa.Table:
+        from .dedup import _word_hash64
+
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "fp": pa.array([], pa.int64()),
+        })
+        texts = pc.cast(b[text_col], pa.string()).combine_chunks()
+        texts = pc.fill_null(texts, "")
+        words = pc.split_pattern_regex(texts, pattern="[ \t\n\r\f\v]+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        woffs = np.asarray(words.offsets).astype(np.int64)
+        flat = words.values
+        keep = pc.greater(pc.binary_length(flat), 0) \
+            .to_numpy(zero_copy_only=False)
+        cnt0 = np.diff(woffs)
+        didx_tok = np.repeat(np.arange(len(b)), cnt0)[keep]
+        kept = flat.filter(pa.array(keep))
+        cnt = np.bincount(didx_tok, minlength=len(b))
+        toffs = np.concatenate([[0], np.cumsum(cnt)])
+        N = len(kept)
+        doc_ids = b[id_col].to_numpy(zero_copy_only=False)
+
+        gram_hash_chunks: list[np.ndarray] = []
+        gram_doc_chunks: list[np.ndarray] = []
+
+        def hash_grams(garr: pa.Array) -> np.ndarray:
+            d = garr.dictionary_encode()
+            uniq = d.dictionary.to_pylist()
+            inv = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            hu = np.asarray([_word_hash64(g) for g in uniq],
+                            dtype=np.uint64)
+            return (hu[inv] & np.uint64((1 << 63) - 1)).astype(np.int64)
+
+        # long docs (cnt >= k): one join over k shifted slices for ALL
+        # starts, then select each doc's valid range
+        if N >= k:
+            parts = [kept.slice(j, N - k + 1) for j in range(k)]
+            grams = pc.binary_join_element_wise(*parts, " ")
+            h_all = hash_grams(grams)
+            long_sel = np.flatnonzero(cnt >= k)
+            if len(long_sel):
+                ng = cnt[long_sel] - k + 1
+                rep = np.repeat(long_sel, ng)
+                local = np.arange(int(ng.sum()), dtype=np.int64) - \
+                    np.repeat(np.cumsum(ng) - ng, ng)
+                gram_hash_chunks.append(h_all[toffs[rep] + local])
+                gram_doc_chunks.append(rep)
+
+        # short docs (1 <= cnt < k): one combined gram per doc,
+        # vectorized per length class
+        for L in range(1, k):
+            sel = np.flatnonzero(cnt == L)
+            if not len(sel):
+                continue
+            parts = [kept.take(pa.array(toffs[sel] + j)) for j in range(L)]
+            grams = (pc.binary_join_element_wise(*parts, " ")
+                     if L > 1 else parts[0])
+            gram_hash_chunks.append(hash_grams(grams))
+            gram_doc_chunks.append(sel)
+
+        if not gram_hash_chunks:
+            return empty
+        gh = np.concatenate(gram_hash_chunks)
+        gd = np.concatenate(gram_doc_chunks)
+        order = np.argsort(gd, kind="stable")
+        gh, gd = gh[order], gd[order]
+        ng_per_doc = np.bincount(gd, minlength=len(b))
+        goffs = np.concatenate([[0], np.cumsum(ng_per_doc)])
+
+        out_doc: list[np.ndarray] = []
+        out_fp: list[np.ndarray] = []
+        # wide docs: one stride view + min over ALL starts, gather the
+        # in-doc valid ranges
+        if len(gh) >= w:
+            wmin = np.lib.stride_tricks.sliding_window_view(gh, w) \
+                .min(axis=1)
+            wide = np.flatnonzero(ng_per_doc >= w)
+            if len(wide):
+                nw = ng_per_doc[wide] - w + 1
+                rep = np.repeat(wide, nw)
+                local = np.arange(int(nw.sum()), dtype=np.int64) - \
+                    np.repeat(np.cumsum(nw) - nw, nw)
+                out_doc.append(rep)
+                out_fp.append(wmin[goffs[rep] + local])
+        # narrow docs (1 <= n_grams < w): single window = per-doc min
+        narrow = np.flatnonzero((ng_per_doc > 0) & (ng_per_doc < w))
+        if len(narrow):
+            seg_min = np.minimum.reduceat(gh, goffs[:-1][ng_per_doc > 0])
+            pos = np.searchsorted(np.flatnonzero(ng_per_doc > 0), narrow)
+            out_doc.append(narrow)
+            out_fp.append(seg_min[pos])
+
+        if not out_doc:
+            return empty
+        od = np.concatenate(out_doc)
+        of = np.concatenate(out_fp)
+        # distinct (doc, fp): each doc is one input row, so per-batch
+        # distinct IS global distinct — no shuffle needed
+        pair = np.unique(np.stack([doc_ids[od], of], axis=1), axis=0)
+        return pa.table({
+            id_col: pa.array(pair[:, 0], pa.int64()),
+            "fp": pa.array(pair[:, 1], pa.int64()),
+        })
+
+    return ds.map_batches(winnow_batch, batch_format="pyarrow")

@@ -274,7 +274,7 @@ def minhash_bands_batch(batch: pa.Table, bands: int = 16, rows: int = 8,
     Equal bands ALWAYS hash equal, so no true candidate is ever lost;
     the ~2^-60 false-collision rate only adds candidates the Jaccard
     verification filters out."""
-    ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     n = len(ids)
     if n == 0:
         return pa.table({
@@ -282,7 +282,7 @@ def minhash_bands_batch(batch: pa.Table, bands: int = 16, rows: int = 8,
             "band_hash": pa.array([], pa.int64()),
             id_col: pa.array([], pa.int64()),
         })
-    sigs = np.asarray(batch["minhash"].to_pylist(), dtype=np.int64)
+    sigs = vec_mat(batch["minhash"], dtype=np.int64)
     use = sigs[:, : bands * rows].reshape(n, bands, rows)
     rng = np.random.default_rng(_BAND_COEF_SEED)
     # coef < 2^29 and minhash values < 2^31 keep every product < 2^60

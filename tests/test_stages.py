@@ -1083,8 +1083,11 @@ def test_table_stats_wide_ndv_gate(ray_session):
     def rows(res):
         return sorted(tuple(r.values()) for r in res.take_all())
 
-    funnel = analyze_table(ds_fn, series, ("k",), funnel_rows=10**9)
-    grouped = analyze_table(ds_fn, series, ("k",), funnel_rows=100)
+    # n_cols enables the free tier: rows*2 <= bound -> no gate pass
+    funnel = analyze_table(ds_fn, series, ("k",), n_cols=2,
+                           funnel_rows=10**9)
+    grouped = analyze_table(ds_fn, series, ("k",), n_cols=2,
+                            funnel_rows=100)
     want = [("k", n, 0, "0", str(n - 1), n),
             ("s", n, 1, "v0", "v6", 7)]
     got_f, got_g = rows(funnel), rows(grouped)
@@ -1449,3 +1452,52 @@ def test_streaming_dedup_shard_spill_bounded(ray_session, tmp_path):
     # new-value admission still works post-freeze
     assert ray.get(shard.admit.remote(t3, [5000, 3])) == [True, False]
     assert ray.get(shard.size.remote()) == 22
+
+
+def test_winnow_fingerprints_matches_scalar_reference(ray_session):
+    """Winnowing (MOSS): the vectorized batch kernel must equal the
+    per-doc scalar definition — k-gram md5-LE-64 hashes, min of every
+    w-window, distinct values — across the edge zoo (empty doc,
+    whitespace-only, 1..k-1 words, exactly w grams, long doc with
+    repeated text)."""
+    import hashlib
+    import re
+    import struct
+
+    import ray.data as rd
+
+    from ocaml_geojson_ray.stages.curation import winnow_fingerprints
+
+    def ref(text, k=3, w=4):
+        ws = [x for x in re.split(r"[ \t\n\r\f\v]+", text) if x != ""]
+        if not ws:
+            return set()
+        grams = ([" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)]
+                 if len(ws) >= k else [" ".join(ws)])
+        hs = [struct.unpack(
+            "<Q", hashlib.md5(g.encode()).digest()[:8])[0] & (2**63 - 1)
+            for g in grams]
+        if len(hs) >= w:
+            return {min(hs[i:i + w]) for i in range(len(hs) - w + 1)}
+        return {min(hs)}
+
+    docs = [
+        "",                       # no tokens -> no fingerprints
+        "   \t ",                 # whitespace-only -> none
+        "one",                    # 1 word -> combined gram
+        "two words",              # k-1 words -> combined gram
+        "a b c",                  # exactly k words -> 1 gram < w
+        "a b c d e f",            # 4 grams = exactly one full window set
+        ("the quick brown fox jumps over the lazy dog " * 6).strip(),
+        "x y z " * 30 + "tail words here",
+    ]
+    t = pa.table({
+        "doc_id": pa.array(list(range(len(docs))), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    })
+    out = winnow_fingerprints(rd.from_arrow(t).repartition(3)).take_all()
+    got: dict[int, set] = {}
+    for r in out:
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i, d in enumerate(docs):
+        assert got.get(i, set()) == ref(d), f"doc {i}: {d[:30]!r}"
