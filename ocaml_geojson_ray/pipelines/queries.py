@@ -402,7 +402,7 @@ def q_pagerank_parts(sf_dir: str, plan: str = "auto"):
     pin = plan != "reread" and edge_bytes <= 4 * 2**30
     edges = edges_fn().materialize() if pin else edges_fn
     if plan == "distributed":
-        return pagerank_distributed(edges if pin else edges_fn())
+        return pagerank_distributed(edges)
     # node set = parts + suppliers: dimension-cardinality by
     # construction (the fact tables fan OUT of it), so the broadcast
     # plan is the default; a web-graph node set flips to distributed.
@@ -413,7 +413,7 @@ def q_pagerank_parts(sf_dir: str, plan: str = "auto"):
     partial = (edges if pin else edges_fn()).map_batches(
         _edge_partials, batch_format="pyarrow").materialize()
     if plan == "auto" and partial.count() > 5_000_000:
-        return pagerank_distributed(edges if pin else edges_fn())
+        return pagerank_distributed(edges)
     deg_t = grouped_sum_combine(partial, ["node"], "cnt", "deg").to_pandas()
     deg_t = deg_t.sort_values("node")
     return pagerank_broadcast(edges, deg_t["node"].to_numpy(),

@@ -704,7 +704,8 @@ def winnow_fingerprints(ds, k: int = WINNOW_K, w: int = WINNOW_W,
     min(axis=1) and per-doc reduceat for the short-doc tail."""
 
     def winnow_batch(b: pa.Table) -> pa.Table:
-        from .dedup import _word_hash64
+        import hashlib as _hashlib
+        import struct as _struct
 
         empty = pa.table({
             id_col: pa.array([], pa.int64()),
@@ -731,11 +732,17 @@ def winnow_fingerprints(ds, k: int = WINNOW_K, w: int = WINNOW_W,
         gram_doc_chunks: list[np.ndarray] = []
 
         def hash_grams(garr: pa.Array) -> np.ndarray:
+            # direct md5, NOT the memoized _word_hash64: grams are
+            # high-cardinality multi-word strings that would flood the
+            # bounded per-WORD memo and evict nothing while blocking
+            # future word inserts (it stops accepting once full)
             d = garr.dictionary_encode()
             uniq = d.dictionary.to_pylist()
             inv = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-            hu = np.asarray([_word_hash64(g) for g in uniq],
-                            dtype=np.uint64)
+            hu = np.asarray(
+                [_struct.unpack(
+                    "<Q", _hashlib.md5(g.encode("utf-8")).digest()[:8])[0]
+                 for g in uniq], dtype=np.uint64)
             return (hu[inv] & np.uint64((1 << 63) - 1)).astype(np.int64)
 
         # long docs (cnt >= k): one join over k shifted slices for ALL

@@ -137,7 +137,12 @@ def pagerank_distributed(edges_ds, iters: int = ITERS):
     """Distributed plan: every structure stays a Dataset; per
     iteration a hash join (src → share) plus a groupby(dst) Sum.
     Correct at any node cardinality; pinned equal to the broadcast
-    plan in tests."""
+    plan in tests. Like the broadcast plan, ``edges_ds`` may be a
+    zero-arg FACTORY: then the doubled (src,dst) edge table is NOT
+    pinned with materialize() — each consumer re-derives it from the
+    pruned parquet read, the honest choice exactly in the
+    above-the-gate regime this plan serves (only the o(nodes) rank
+    tables are ever pinned, via drop_empty_blocks)."""
     from ray.data.aggregate import Sum
 
     import ray
@@ -147,9 +152,17 @@ def pagerank_distributed(edges_ds, iters: int = ITERS):
     # join width follows the cluster (hardcoding a partition count
     # under-parallelizes a big cluster and over-partitions a small one)
     np_ = max(8, int(ray.cluster_resources().get("CPU", 4)) // 2)
-    directed = edges_ds.map_batches(_dir_edges, batch_format="pyarrow") \
-        .materialize()
-    deg = directed.groupby("src").count() \
+    if callable(edges_ds):
+        def directed_fn():
+            return edges_ds().map_batches(_dir_edges,
+                                          batch_format="pyarrow")
+    else:
+        _pinned = edges_ds.map_batches(_dir_edges,
+                                       batch_format="pyarrow").materialize()
+
+        def directed_fn():
+            return _pinned
+    deg = directed_fn().groupby("src").count() \
         .map_batches(lambda b: pa.table({
             "node": b["src"], "deg": b["count()"].cast(pa.int64())}),
             batch_format="pyarrow")
@@ -164,7 +177,7 @@ def pagerank_distributed(edges_ds, iters: int = ITERS):
             "share": pa.array(
                 b["pr_rank"].to_numpy() // b["deg"].to_numpy(), pa.int64()),
         }), batch_format="pyarrow")
-        contrib = drop_empty_blocks(directed.join(
+        contrib = drop_empty_blocks(directed_fn().join(
             shares, join_type="inner", num_partitions=np_,
             on=("src",), right_on=("s_node",)))
         sums = contrib.groupby("dst").aggregate(Sum("share", alias_name="sum_s"))

@@ -263,6 +263,7 @@ def hll_distinct(ds, key_cols, value_col: str, p: int = 12):
     one HLL per (key, batch) serialized to bytes, merged per key in a
     tiny map_groups — the shuffle carries sketches, never raw values."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     key_cols = list(key_cols)
 
@@ -270,8 +271,17 @@ def hll_distinct(ds, key_cols, value_col: str, p: int = 12):
         # Arrow-native grouping: sort_by + run slicing, and the batch's
         # values are hashed ONCE (vectorized) with each group sketching
         # its hash slice — no pandas conversion, no per-group rehash.
-        t = batch.select(key_cols + [value_col]).sort_by(
-            [(k, "ascending") for k in key_cols])
+        t = batch.select(key_cols + [value_col])
+        # null-KEY rows are dropped (the former pandas-groupby
+        # semantics; they would also NaN-coerce an int key column and
+        # split into per-row groups under the != run test)
+        valid = None
+        for k in key_cols:
+            v = pc.is_valid(t[k])
+            valid = v if valid is None else pc.and_(valid, v)
+        if t.num_rows and not pc.all(valid).as_py():
+            t = t.filter(valid)
+        t = t.sort_by([(k, "ascending") for k in key_cols])
         n = len(t)
         if n == 0:
             return pa.table({
@@ -285,7 +295,12 @@ def hll_distinct(ds, key_cols, value_col: str, p: int = 12):
             neq[1:] |= k[1:] != k[:-1]
         starts = np.flatnonzero(neq)
         ends = np.append(starts[1:], n)
-        h = _hash64(t[value_col].to_numpy(zero_copy_only=False))
+        vals = t[value_col].combine_chunks()
+        # null VALUES keep the former Python-repr hash path (a numpy
+        # conversion would NaN-coerce int values); null-free columns
+        # take the vectorized route
+        h = _hash64(vals.to_pylist() if vals.null_count
+                    else vals.to_numpy(zero_copy_only=False))
         sketches = [
             HyperLogLog(p).add_hashes(h[s_:e_]).to_bytes()
             for s_, e_ in zip(starts, ends)

@@ -66,6 +66,8 @@ def _shard_actor_cls():
 
         def __init__(self, flush_at: int = 2_000_000,
                      spill_dir: str | None = None):
+            import uuid
+
             self.hot: dict[int, int] = {}
             self.flush_at = int(flush_at)
             self.spill_dir = spill_dir
@@ -73,6 +75,11 @@ def _shard_actor_cls():
             self.runs: list[tuple[np.ndarray, np.ndarray]] = []
             self._frozen = 0
             self._spill_seq = 0
+            # uuid, NOT id(self)/pid: shard actors are separate
+            # processes sharing spill_dir, and a recycled address/pid
+            # (or a later pool reusing the directory) must never
+            # clobber a file another shard still has mmap'd
+            self._spill_tag = uuid.uuid4().hex
 
         def _freeze_hot(self) -> None:
             h = np.fromiter(self.hot.keys(), np.int64, len(self.hot))
@@ -84,7 +91,7 @@ def _shard_actor_cls():
                 os.makedirs(self.spill_dir, exist_ok=True)
                 base = os.path.join(
                     self.spill_dir,
-                    f"shard_{id(self):x}_{self._spill_seq}")
+                    f"shard_{self._spill_tag}_{self._spill_seq}")
                 self._spill_seq += 1
                 np.save(base + "_h.npy", h)
                 np.save(base + "_t.npy", t)

@@ -210,6 +210,11 @@ def vec_mat(col, dtype=np.float64) -> np.ndarray:
     and that one is a single vectorized astype."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     n = len(arr)
+    if arr.null_count:
+        # the replaced to_pylist path raised loudly on a null vector;
+        # a buffer reshape would silently include the null rows'
+        # uninitialized slots as fake vectors — keep the loud failure
+        raise ValueError("vec_mat: null entries in vector column")
     if pa.types.is_fixed_size_list(arr.type):
         d = arr.type.list_size
         flat = arr.values.to_numpy(zero_copy_only=False)

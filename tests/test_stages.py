@@ -1222,6 +1222,17 @@ def test_pagerank_plans_equal(ray_session):
     assert (bb["pr_rank"].to_numpy() == dd["pr_rank"].to_numpy()).all()
     assert (bb["node"].to_numpy() == rr["node"].to_numpy()).all()
     assert (bb["pr_rank"].to_numpy() == rr["pr_rank"].to_numpy()).all()
+    # distributed plan with a FACTORY edge source (no directed-edge
+    # materialize) — the above-the-gate combination — is also bit-equal
+    from ocaml_geojson_ray.stages.pagerank import pagerank_distributed
+    from ocaml_geojson_ray.util import split_read
+
+    dr = pagerank_distributed(
+        lambda: split_read("/root/testdata/sf0.001/lineitem.parquet",
+                           ["l_partkey", "l_suppkey"], 4)
+    ).to_pandas().sort_values("node").reset_index(drop=True)
+    assert (bb["node"].to_numpy() == dr["node"].to_numpy()).all()
+    assert (bb["pr_rank"].to_numpy() == dr["pr_rank"].to_numpy()).all()
     # mass sanity: total rank stays within damping bounds of n*SCALE
     n = len(bb)
     assert bb["pr_rank"].sum() <= n * 1_000_000_000
