@@ -149,6 +149,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_spatial_join": Q.q_pages_spatial_join,
         "pages_tile_topk": Q.q_pages_tile_topk,
         "pages_tile_vectorize": Q.q_pages_tile_vectorize,
+        # SQL-checked (appended r5; past the driver's 50-entry window,
+        # covered by the local oracle gate)
+        "hash_sample_langs": Q.q_hash_sample_langs,
     }
 
 
@@ -240,4 +243,5 @@ def oracle_sql() -> dict[str, str]:
         "segment_price_quantiles": Q.SQL_SEGMENT_PRICE_QUANTILES,
         "langid_distribution": Q._sql_langid(),
         "quality_scores": Q._sql_quality(),
+        "hash_sample_langs": Q.SQL_HASH_SAMPLE_LANGS,
     }

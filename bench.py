@@ -215,6 +215,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("lead_transitions", Q.q_lead_transitions)
     timed("unpivot_events", Q.q_unpivot_events)
     timed("winnow_fingerprints", Q.q_winnow_fingerprints)
+    timed("hash_sample_langs", Q.q_hash_sample_langs)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

@@ -5645,3 +5645,60 @@ SELECT user_id,
 FROM g GROUP BY user_id
 HAVING count(gap) > 0
 """
+
+
+# -- deterministic hash-gated sampling ---------------------------------------
+
+def q_hash_sample_langs(sf_dir: str):
+    """Deterministic hash-gated 25% sample → per-lang counts.
+
+    Unlike q_sample_langs' seeded RNG sample (engine-specific, hence
+    rows-only), the gate here is content-deterministic — keep a doc
+    iff md5-LE-64(str(doc_id)) % 100 < 25 — which is what a resumable
+    100-TB ingest actually wants: the sample is stable across task
+    retries, re-shards and engines, so the oracle checks it
+    value-exactly. Device parity: the md5 little-endian UBIGINT
+    reinterpretation is the winnowing gram device (see
+    SQL_WINNOW_FINGERPRINTS); the mod runs in uint64 on both sides.
+    Plan: per-batch partial counts (value_counts, vectorized C) +
+    bounded-key funnel (langs are a small closed set by construction)
+    — zero shuffles; the md5 loop touches only the short decimal id
+    strings, same accepted pattern as stages/dedup.md5_column.
+    """
+    import hashlib
+    import struct as _struct
+
+    from ..util import grouped_sum_combine
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        hv = np.fromiter(
+            (_struct.unpack(
+                "<Q", hashlib.md5(str(i).encode("ascii")).digest()[:8])[0]
+             for i in ids),
+            dtype=np.uint64, count=len(ids))
+        kept = b.filter(pa.array(hv % np.uint64(100) < np.uint64(25)))
+        vcs = pc.value_counts(kept["lang"].combine_chunks())
+        return pa.table({
+            "lang": vcs.field("values"),
+            "n": vcs.field("counts"),
+        })
+
+    ds = _read_split(sf_dir, "documents", ["doc_id", "lang"])
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_sum_combine(partials, ["lang"], "n", "n_docs")
+
+
+SQL_HASH_SAMPLE_LANGS = r"""
+WITH g AS (SELECT lang, md5(doc_id::VARCHAR) AS hx FROM documents),
+h AS (SELECT lang,
+        CAST('0x' || substr(hx,15,2) || substr(hx,13,2)
+                  || substr(hx,11,2) || substr(hx,9,2)
+                  || substr(hx,7,2)  || substr(hx,5,2)
+                  || substr(hx,3,2)  || substr(hx,1,2)
+             AS UBIGINT) AS hv
+      FROM g)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM h WHERE hv % 100 < 25
+GROUP BY lang
+"""
