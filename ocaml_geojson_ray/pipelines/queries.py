@@ -5665,17 +5665,12 @@ def q_hash_sample_langs(sf_dir: str):
     — zero shuffles; the md5 loop touches only the short decimal id
     strings, same accepted pattern as stages/dedup.md5_column.
     """
-    import hashlib
-    import struct as _struct
-
-    from ..util import grouped_sum_combine
+    from ..util import grouped_sum_combine, md5_le64
 
     def partial(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy()
         hv = np.fromiter(
-            (_struct.unpack(
-                "<Q", hashlib.md5(str(i).encode("ascii")).digest()[:8])[0]
-             for i in ids),
+            (md5_le64(str(i).encode("ascii")) for i in ids),
             dtype=np.uint64, count=len(ids))
         kept = b.filter(pa.array(hv % np.uint64(100) < np.uint64(25)))
         vcs = pc.value_counts(kept["lang"].combine_chunks())

@@ -704,8 +704,7 @@ def winnow_fingerprints(ds, k: int = WINNOW_K, w: int = WINNOW_W,
     min(axis=1) and per-doc reduceat for the short-doc tail."""
 
     def winnow_batch(b: pa.Table) -> pa.Table:
-        import hashlib as _hashlib
-        import struct as _struct
+        from ..util import md5_le64
 
         empty = pa.table({
             id_col: pa.array([], pa.int64()),
@@ -740,9 +739,8 @@ def winnow_fingerprints(ds, k: int = WINNOW_K, w: int = WINNOW_W,
             uniq = d.dictionary.to_pylist()
             inv = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
             hu = np.asarray(
-                [_struct.unpack(
-                    "<Q", _hashlib.md5(g.encode("utf-8")).digest()[:8])[0]
-                 for g in uniq], dtype=np.uint64)
+                [md5_le64(g.encode("utf-8")) for g in uniq],
+                dtype=np.uint64)
             return (hu[inv] & np.uint64((1 << 63) - 1)).astype(np.int64)
 
         # long docs (cnt >= k): one join over k shifted slices for ALL

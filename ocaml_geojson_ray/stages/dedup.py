@@ -18,13 +18,12 @@ computation (map_batches), then ONE small shuffle on the signature key
 from __future__ import annotations
 
 import hashlib
-import struct
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..util import vec_mat
+from ..util import md5_le64, vec_mat
 
 
 # splitmix64-style avalanche (public-domain constants); uint64
@@ -624,7 +623,7 @@ _WORD_HASH_MEMO_MAX = 1 << 20
 def _word_hash64(w: str) -> int:
     h = _WORD_HASH_MEMO.get(w)
     if h is None:
-        h = struct.unpack("<Q", hashlib.md5(w.encode("utf-8")).digest()[:8])[0]
+        h = md5_le64(w.encode("utf-8"))
         if len(_WORD_HASH_MEMO) < _WORD_HASH_MEMO_MAX:
             _WORD_HASH_MEMO[w] = h
     return h

@@ -11,10 +11,9 @@ emit one serialized sketch per batch, merge in a tiny second stage).
 
 from __future__ import annotations
 
-import hashlib
-import struct
-
 import numpy as np
+
+from ..util import md5_le64
 
 
 def _mix64(x: np.ndarray) -> np.ndarray:
@@ -44,7 +43,7 @@ def _hash64(values) -> np.ndarray:
     out = np.empty(len(values), dtype=np.uint64)
     for i, v in enumerate(values):
         b = repr(v).encode("utf-8") if not isinstance(v, bytes) else v
-        out[i] = struct.unpack("<Q", hashlib.md5(b).digest()[:8])[0]
+        out[i] = md5_le64(b)
     return out
 
 

@@ -2,8 +2,23 @@
 
 from __future__ import annotations
 
+import hashlib
+import struct
+
 import numpy as np
 import pyarrow as pa
+
+
+def md5_le64(b: bytes) -> int:
+    """THE md5 little-endian 64-bit device: first 8 digest bytes read
+    as a little-endian uint64. Load-bearing for oracle parity — the
+    SQL mirror is the '0x'||substr(hx,15,2)||...||substr(hx,1,2)
+    UBIGINT cast (see SQL_WINNOW_FINGERPRINTS / SQL_HASH_SAMPLE_LANGS)
+    — so every engine-side use MUST go through this one definition.
+    Encoding of the input stays at the call site (utf-8 words/grams,
+    ascii decimal ids, repr fallbacks) because each oracle mirrors its
+    own site's string form."""
+    return struct.unpack("<Q", hashlib.md5(b).digest()[:8])[0]
 
 
 def grouped_sum_combine(partial_ds, key_cols, val_col: str, alias: str):
