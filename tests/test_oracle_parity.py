@@ -105,3 +105,29 @@ def test_ntile_formula_matches_duckdb_property():
             ).fetchall()
             duck = [r[0] for r in rows]
             assert ntile_buckets(n, k).tolist() == duck, (n, k)
+
+
+def test_md5_le64_device_pinned():
+    """The consolidated md5-LE-64 device (util.md5_le64) is load-bearing
+    for four oracles (winnowing, simhash, HLL fallback, hash sampling):
+    pin it against constants AND against live DuckDB's
+    '0x'||substr(...) UBIGINT reinterpretation so a refactor can't
+    silently change byte order or truncation width."""
+    import duckdb
+
+    from ocaml_geojson_ray.util import md5_le64
+
+    # hand-derivable constant: md5("0") = cfcd208495d565ef66e7dff9f98764da
+    # → first 8 bytes little-endian = 0xef65d59584 20cdcf
+    assert md5_le64(b"0") == 0xEF65D5958420CDCF
+
+    con = duckdb.connect()
+    for s in ["0", "1", "42", "hello world", "a b c"]:
+        sql = con.execute(
+            "WITH g AS (SELECT md5(?) AS hx) "
+            "SELECT CAST('0x' || substr(hx,15,2) || substr(hx,13,2)"
+            " || substr(hx,11,2) || substr(hx,9,2) || substr(hx,7,2)"
+            " || substr(hx,5,2) || substr(hx,3,2) || substr(hx,1,2)"
+            " AS UBIGINT) FROM g", [s]
+        ).fetchone()[0]
+        assert md5_le64(s.encode("utf-8")) == sql, s
