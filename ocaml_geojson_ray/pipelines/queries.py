@@ -400,9 +400,13 @@ def q_pagerank_parts(sf_dir: str, plan: str = "auto"):
     # pin threshold: a single-node slice of object-store memory; at a
     # 100-TB lineitem the two int64 columns alone are ~TBs → reread
     pin = plan != "reread" and edge_bytes <= 4 * 2**30
-    edges = edges_fn().materialize() if pin else edges_fn
     if plan == "distributed":
-        return pagerank_distributed(edges)
+        # the distributed plan immediately derives and pins its own
+        # DOUBLED directed table, so a pre-pinned raw-edge copy would
+        # be consumed exactly once and then held as dead weight for
+        # the query's lifetime — hand it the factory instead
+        return pagerank_distributed(edges_fn)
+    edges = edges_fn().materialize() if pin else edges_fn
     # node set = parts + suppliers: dimension-cardinality by
     # construction (the fact tables fan OUT of it), so the broadcast
     # plan is the default; a web-graph node set flips to distributed.

@@ -89,6 +89,51 @@ def _partial_factory(series_fn: SeriesFn, numeric_cols: frozenset[str]):
     return partial
 
 
+def _stats_only_factory(series_fn: SeriesFn, numeric_cols: frozenset[str]):
+    """Per-batch STATS rows only (n, n_null, min/max; no unique-value
+    rows) — the grouped plan's stats branch needs exactly these, and
+    computing them without the per-batch ``np.unique`` makes the
+    branch O(n) instead of O(n log n). min/max semantics are identical
+    to the full partial's: numeric columns compare as int64, the rest
+    lexically on the canonical strings (np.unique's sortedness gave
+    u[0]/u[-1] — the same values as direct min/max)."""
+
+    def stats_only(b: pa.Table) -> pa.Table:
+        cols: list[str] = []
+        ns: list[int] = []
+        nnulls: list[int] = []
+        mins: list[str | None] = []
+        maxs: list[str | None] = []
+        for name, (v, n_null) in series_fn(b).items():
+            if len(v) and name in numeric_cols:
+                key = v.astype(np.int64)
+                mn, mx = str(key.min()), str(key.max())
+            elif len(v):
+                # np.min has no unicode ufunc loop; Arrow's min_max is
+                # the vectorized lexicographic reduction
+                mm = pc.min_max(pa.array(v.astype(str)))
+                mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            else:
+                mn = mx = None  # all-NULL in this batch
+            cols.append(name)
+            ns.append(len(v) + n_null)
+            nnulls.append(n_null)
+            mins.append(mn)
+            maxs.append(mx)
+        k = len(cols)
+        return pa.table({
+            "col": pa.array(cols, pa.string()),
+            "val": pa.array([None] * k, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "n_null": pa.array(nnulls, pa.int64()),
+            "min_v": pa.array(mins, pa.string()),
+            "max_v": pa.array(maxs, pa.string()),
+            "ndv": pa.array([0] * k, pa.int64()),
+        })
+
+    return stats_only
+
+
 def _reduce_stats(b: pa.Table, numeric_cols: frozenset[str],
                   count_vals: bool) -> pa.Table:
     """Single-task final combine over the funneled partial rows.
@@ -154,16 +199,18 @@ def analyze_table(ds_fn, series_fn: SeriesFn, numeric_cols,
     NON-NULL values, null_count)}. numeric_cols order min/max
     numerically (int64); the rest lexically. Pass ``n_cols`` (the
     number of series the fn emits) to enable the free gate tier:
-    rows × n_cols bounds Σ batch-uniques from above, and
-    ``Dataset.count()`` on a fresh parquet read is metadata-only — so
-    a small table picks the funnel plan with ZERO extra passes, and
-    only a table that could actually breach the bound pays the
-    counting pass.
+    partial rows = Σ batch-uniques (≤ rows × n_cols) + n_batches ×
+    n_cols stats rows (≤ rows × n_cols, since every non-empty batch
+    has ≥ 1 row), so 2 × rows × n_cols is a PROVEN upper bound — and
+    ``Dataset.count()`` on a fresh parquet read is metadata-only. A
+    small table therefore picks the funnel plan with ZERO extra
+    passes; only a table that could actually breach the bound pays
+    the counting pass.
     """
     numeric = frozenset(numeric_cols)
     partial = _partial_factory(series_fn, numeric)
 
-    if n_cols is not None and ds_fn().count() * n_cols <= funnel_rows:
+    if n_cols is not None and 2 * ds_fn().count() * n_cols <= funnel_rows:
         n_partial = 0  # provably under the bound — skip the gate pass
     else:
         n_partial = ds_fn().map_batches(
@@ -177,9 +224,6 @@ def analyze_table(ds_fn, series_fn: SeriesFn, numeric_cols,
     # grouped (wide-NDV) plan
     def take_pairs(b: pa.Table) -> pa.Table:
         return b.filter(pc.is_valid(b["val"])).select(["col", "val"])
-
-    def take_stats(b: pa.Table) -> pa.Table:
-        return b.filter(pc.is_null(b["val"]))
 
     def ndv_tally(b: pa.Table) -> pa.Table:
         # input: one row per surviving DISTINCT (col, val) pair in this
@@ -199,8 +243,13 @@ def analyze_table(ds_fn, series_fn: SeriesFn, numeric_cols,
 
     # min/max/null stats rows are NOT derivable from the grouped pairs
     # (they carry per-batch extremes/counts), so they ride the funnel —
-    # n_cols rows per batch, bounded by construction.
-    stats = parts.map_batches(take_stats, batch_format="pyarrow")
+    # n_cols rows per batch, bounded by construction. The branch runs
+    # its own SLIM partial (no per-batch np.unique) rather than
+    # filtering the full partial: in the wide-NDV regime the unique
+    # pass is the dominant per-batch cost and would otherwise execute
+    # a third time here (gate count + pairs branch + this).
+    stats = ds_fn().map_batches(
+        _stats_only_factory(series_fn, numeric), batch_format="pyarrow")
     ndv_parts = (
         parts.map_batches(take_pairs, batch_format="pyarrow")
         .groupby(["col", "val"]).count()

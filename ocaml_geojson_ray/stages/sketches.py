@@ -295,11 +295,31 @@ def hll_distinct(ds, key_cols, value_col: str, p: int = 12):
         starts = np.flatnonzero(neq)
         ends = np.append(starts[1:], n)
         vals = t[value_col].combine_chunks()
-        # null VALUES keep the former Python-repr hash path (a numpy
-        # conversion would NaN-coerce int values); null-free columns
-        # take the vectorized route
-        h = _hash64(vals.to_pylist() if vals.null_count
-                    else vals.to_numpy(zero_copy_only=False))
+        # VALUE hashing must not depend on whether this batch happens
+        # to contain a null: a null-conditional to_pylist/to_numpy
+        # split hashed the same value two ways (numpy float32 reprs as
+        # '0.1', the Python scalar as '0.10000000149011612'; numpy 2.x
+        # reprs ints as 'np.int64(5)'), double-counting it across
+        # merged sketches. Canonical rule: integer dtypes always take
+        # the vectorized splitmix path (nulls scattered around it),
+        # everything else always hashes PYTHON scalars via to_pylist;
+        # a null value keeps its former repr(None) identity as one
+        # distinct value.
+        import pyarrow.types as pat
+
+        if pat.is_integer(vals.type):
+            if vals.null_count:
+                valid_m = pc.is_valid(vals).to_numpy(zero_copy_only=False)
+                h = np.full(n, md5_le64(repr(None).encode("utf-8")),
+                            dtype=np.uint64)
+                h[valid_m] = _mix64(
+                    vals.drop_null().to_numpy(zero_copy_only=False)
+                    .astype(np.int64).view(np.uint64))
+            else:
+                h = _mix64(vals.to_numpy(zero_copy_only=False)
+                           .astype(np.int64).view(np.uint64))
+        else:
+            h = _hash64(vals.to_pylist())
         sketches = [
             HyperLogLog(p).add_hashes(h[s_:e_]).to_bytes()
             for s_, e_ in zip(starts, ends)

@@ -232,10 +232,18 @@ def vec_mat(col, dtype=np.float64) -> np.ndarray:
         raise ValueError("vec_mat: null entries in vector column")
     if pa.types.is_fixed_size_list(arr.type):
         d = arr.type.list_size
-        flat = arr.values.to_numpy(zero_copy_only=False)
-        flat = flat[arr.offset * d:(arr.offset + n) * d]
+        vals = arr.values.slice(arr.offset * d, n * d)
+        if vals.null_count:
+            # ELEMENT-level nulls too: to_numpy would NaN-coerce them,
+            # and an int target dtype then turns NaN into INT64_MIN
+            # silently — the to_pylist path this replaced raised
+            raise ValueError("vec_mat: null elements in vector column")
+        flat = vals.to_numpy(zero_copy_only=False)
         return flat.astype(dtype, copy=False).reshape(n, d)
-    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    flat_arr = arr.flatten()
+    if flat_arr.null_count:
+        raise ValueError("vec_mat: null elements in vector column")
+    flat = flat_arr.to_numpy(zero_copy_only=False)
     if n == 0:
         return np.empty((0, 0), dtype)
     widths = np.diff(arr.offsets.to_numpy())

@@ -461,6 +461,47 @@ def test_hll_accuracy_and_merge():
     assert c.estimate() == a.estimate()
 
 
+def test_hll_value_hash_null_independent(ray_session):
+    """A value must hash IDENTICALLY whether or not its batch happens
+    to contain a null (the old null-conditional to_pylist/to_numpy
+    split double-counted float32/int values across merged sketches).
+    Pinned by splitting the same value set into a null-free and a
+    null-carrying batch: the merged estimate must equal the
+    single-batch estimate with the null contributing exactly one
+    extra distinct identity."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocaml_geojson_ray.stages.sketches import hll_distinct
+
+    def est(tables):
+        ds = rd.from_arrow(tables) if isinstance(tables, list) \
+            else rd.from_arrow([tables])
+        out = hll_distinct(ds, ["k"], "v", p=12).take_all()
+        return {r["k"]: r["approx_distinct"] for r in out}
+
+    for typ, mk in [
+        (pa.int64(), lambda xs: xs),
+        (pa.float32(), lambda xs: [x / 10.0 for x in xs]),
+    ]:
+        vals = mk(list(range(200)))
+        one = pa.table({"k": pa.array(["a"] * 201),
+                        "v": pa.array(vals + [None], typ)})
+        # same values split so one batch is null-free, one carries
+        # the null — per-batch sketches then merge per key
+        half = pa.table({"k": pa.array(["a"] * 100),
+                         "v": pa.array(vals[:100], typ)})
+        rest = pa.table({"k": pa.array(["a"] * 101),
+                         "v": pa.array(vals[100:] + [None], typ)})
+        whole, split = est(one), est([half, rest])
+        assert whole == split, (typ, whole, split)
+        # and the null-free single batch reads exactly one fewer
+        nonull = est(pa.table({"k": pa.array(["a"] * 200),
+                               "v": pa.array(vals, typ)}))
+        assert abs(whole["a"] - nonull["a"]) <= max(
+            1, int(0.05 * nonull["a"])), (typ, whole, nonull)
+
+
 def test_bloom_no_false_negatives():
     from ocaml_geojson_ray.stages.sketches import BloomFilter
 
@@ -1512,3 +1553,27 @@ def test_winnow_fingerprints_matches_scalar_reference(ray_session):
         got.setdefault(r["doc_id"], set()).add(r["fp"])
     for i, d in enumerate(docs):
         assert got.get(i, set()) == ref(d), f"doc {i}: {d[:30]!r}"
+
+
+def test_vec_mat_guards_and_alignment():
+    """vec_mat must (a) stay zero-copy-correct on SLICED FixedSizeList
+    arrays (offset compensation), and (b) raise loudly on row-level AND
+    element-level nulls — to_numpy would NaN-coerce an element null and
+    an int target dtype then silently turns it into INT64_MIN."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from ocaml_geojson_ray.util import vec_mat
+
+    m = vec_mat(pa.array([[1.0, 2.0], [3.0, 4.0]], pa.list_(pa.float64())))
+    assert m.shape == (2, 2) and m[1, 1] == 4.0
+    f = pa.array([[1.0, 2.0], [3.0, 4.0]], pa.list_(pa.float32(), 2))
+    assert vec_mat(f).dtype == np.float64
+    assert vec_mat(f.slice(1, 1)).tolist() == [[3.0, 4.0]]
+    with pytest.raises(ValueError, match="null entries"):
+        vec_mat(pa.array([[1.0, 2.0], None], pa.list_(pa.float64())))
+    for bad in (pa.array([[1, None, 3]], pa.list_(pa.int64())),
+                pa.array([[1.0, None]], pa.list_(pa.float64(), 2))):
+        with pytest.raises(ValueError, match="null elements"):
+            vec_mat(bad, np.int64)
