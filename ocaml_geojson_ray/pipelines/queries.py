@@ -4363,6 +4363,11 @@ def q_extract_invariant(sf_dir: str):
         Sum("n_pages", alias_name="n_pages"),
         Sum("n_identical", alias_name="n_identical"),
     )
+    # the north-rule invariant is a CONTRACT, not just a report:
+    # extraction must be byte-identical for every page
+    _check(row["n_pages"] == row["n_identical"],
+           f"extraction not byte-identical: {row['n_identical']}"
+           f"/{row['n_pages']} pages")
     # global aggregate returns a dict — hand the driver a Table
     return pa.table(
         {
@@ -4395,9 +4400,18 @@ def q_pages_geom_dedup(sf_dir: str):
         md5_column, batch_format="pyarrow",
         fn_kwargs={"text_col": "geometry_json", "out_col": "geom_md5"},
     )
-    return hashed.groupby("geom_md5").aggregate(
+    agg = hashed.groupby("geom_md5").aggregate(
         Min("url", alias_name="keeper_url"), Count(alias_name="n_dups")
     )
+    # self-checks (each an o(1) driver pull of a tiny aggregate, never
+    # the group table): dup mass must equal the hashed input exactly
+    # (no row lost or double-counted by the shuffle) and the fixture
+    # plants duplicate geometries by construction
+    _check(agg.sum("n_dups") == hashed.count(),
+           "dedup group mass != input rows")
+    _check(agg.max("n_dups") >= 2,
+           "fixture-planted duplicate geometries not found")
+    return agg
 
 
 def q_s2_cell_counts(sf_dir: str):
@@ -4842,6 +4856,9 @@ def q_pages_tile_vectorize(sf_dir: str):
         for d in batch["feature_json"].to_pylist():
             obj, err, raised = parse_text(d)
             oks.append(err is None and obj.value.geometry.type == "Polygon")
+        # raise, don't just report: every emitted document must
+        # round-trip through our own validator as a Polygon Feature
+        _check(all(oks), "tile->vector emitted a non-reparsing document")
         return batch.append_column("reparses_ok", pa.array(oks, pa.bool_()))
 
     return vec.map_batches(check, batch_format="pyarrow")
