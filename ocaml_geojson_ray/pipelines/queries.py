@@ -4813,9 +4813,16 @@ def q_pages_mine_verdicts(sf_dir: str):
             )
         return b
 
-    return feats.map_batches(fill, batch_format="pyarrow").groupby(
+    agg = feats.map_batches(fill, batch_format="pyarrow").groupby(
         ["doc_kind", "geom_type", "ok", "error"]
-    ).aggregate(Count(alias_name="n"))
+    ).aggregate(Count(alias_name="n")).materialize()
+    # verdict mass must equal the parsed corpus row-for-row (errors are
+    # DATA here — a verdict dropped by the shuffle would silently
+    # understate a whole error class). The group table is bounded by
+    # the verdict-combo cardinality, so materializing it is o(1).
+    _check(agg.sum("n") == feats.count(),
+           "verdict counts do not cover the parsed corpus")
+    return agg
 
 
 def q_pages_spatial_join(sf_dir: str):
@@ -4873,7 +4880,22 @@ def q_pages_tile_topk(sf_dir: str):
     ok_feats = feats.map_batches(
         lambda b: b.filter(b["ok"]), batch_format="pyarrow"
     )
-    return densest_tiles(ok_feats, zooms=(6,), top=20)
+    top = densest_tiles(ok_feats, zooms=(6,), top=20).materialize()
+    # top-k shape invariants on the (≤ top rows, tiny by construction)
+    # result: densest_tiles sorts globally by count desc with a
+    # deterministic (z,x,y) tie-break, so n_features must be
+    # non-increasing and the k cut respected
+    batches = list(top.iter_batches(batch_format="pyarrow",
+                                    batch_size=None))
+    n_rows = sum(len(b) for b in batches)
+    _check(n_rows <= 20, "top-k cut violated")
+    if n_rows:
+        ns = np.concatenate(
+            [b["n_features"].to_numpy(zero_copy_only=False)
+             for b in batches])
+        _check(bool((ns[:-1] >= ns[1:]).all()),
+               "top-k counts not non-increasing")
+    return top
 
 
 # ==========================================================================
