@@ -4840,7 +4840,22 @@ def q_pages_spatial_join(sf_dir: str):
 
     pts = feats.map_batches(only_pts, batch_format="pyarrow")
     joined = spatial_join_points(pts, polys)
-    return joined.select_columns(["url", "cand_idx", "feat_idx", "poly_id"])
+
+    def bbox_check(b: pa.Table) -> pa.Table:
+        # independent NECESSARY condition on every match, in-stream
+        # and vectorized (no extra pass): a point truly inside a
+        # polygon must lie in its closed bounding box, whatever the
+        # PIP edge rule — catches routing/index corruption without
+        # re-running the ray-casting that produced the match
+        lng = b["lng"].to_numpy()
+        lat = b["lat"].to_numpy()
+        ok = ((lng >= b["minx"].to_numpy()) & (lng <= b["maxx"].to_numpy())
+              & (lat >= b["miny"].to_numpy()) & (lat <= b["maxy"].to_numpy()))
+        _check(bool(ok.all()), "join match outside its polygon bbox")
+        return b
+
+    return joined.map_batches(bbox_check, batch_format="pyarrow") \
+        .select_columns(["url", "cand_idx", "feat_idx", "poly_id"])
 
 
 def q_pages_tile_vectorize(sf_dir: str):
