@@ -1577,3 +1577,62 @@ def test_vec_mat_guards_and_alignment():
                 pa.array([[1.0, None]], pa.list_(pa.float64(), 2))):
         with pytest.raises(ValueError, match="null elements"):
             vec_mat(bad, np.int64)
+
+
+def test_stats_only_partial_matches_full_partial():
+    """The grouped plan's slim O(n) stats partial must emit EXACTLY the
+    stats rows the full (np.unique) partial emits — same n/n_null and
+    the same canonical min/max, including lexicographic string
+    extremes and the all-NULL-batch case."""
+    from ocaml_geojson_ray.stages.catalog import (_partial_factory,
+                                                  _stats_only_factory)
+
+    def series(b: pa.Table) -> dict:
+        s = b["s"].combine_chunks()
+        k = b["k"].combine_chunks()
+        return {
+            "k": (k.drop_null().to_numpy(zero_copy_only=False).astype(str),
+                  k.null_count),
+            "s": (np.asarray(s.drop_null().to_pylist(), dtype=object),
+                  s.null_count),
+        }
+
+    numeric = frozenset(("k",))
+    full = _partial_factory(series, numeric)
+    slim = _stats_only_factory(series, numeric)
+    batches = [
+        pa.table({"k": pa.array([3, -7, 12, None], pa.int64()),
+                  "s": pa.array(["zz", "a", "Mid", "a"], pa.string())}),
+        pa.table({"k": pa.array([None, None], pa.int64()),
+                  "s": pa.array([None, None], pa.string())}),
+        pa.table({"k": pa.array([2**40, -2**40], pa.int64()),
+                  "s": pa.array(["b", "b"], pa.string())}),
+    ]
+    for b in batches:
+        want = full(b).filter(pa.compute.is_null(full(b)["val"]))
+        got = slim(b)
+        assert got.equals(want), (b, got.to_pydict(), want.to_pydict())
+
+
+def test_hll_string_values_null_independent(ray_session):
+    """String-value HLL: same split-batch merge-equality contract as
+    the int/float cases (the string path always hashes Python scalars
+    via to_pylist, so a null in the batch must not change hashes)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocaml_geojson_ray.stages.sketches import hll_distinct
+
+    vals = [f"w{i}" for i in range(150)]
+    one = pa.table({"k": pa.array(["a"] * 151),
+                    "v": pa.array(vals + [None], pa.string())})
+    half = pa.table({"k": pa.array(["a"] * 75),
+                     "v": pa.array(vals[:75], pa.string())})
+    rest = pa.table({"k": pa.array(["a"] * 76),
+                     "v": pa.array(vals[75:] + [None], pa.string())})
+
+    def est(tabs):
+        out = hll_distinct(rd.from_arrow(tabs), ["k"], "v", p=12).take_all()
+        return {r["k"]: r["approx_distinct"] for r in out}
+
+    assert est([one]) == est([half, rest])
