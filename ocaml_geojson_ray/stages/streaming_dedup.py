@@ -101,40 +101,54 @@ def _shard_actor_cls():
             self._frozen += len(h)
             self.hot = {}
 
-        def _lookup_frozen(self, h: int) -> int | None:
-            """Token that admitted ``h`` in a frozen run, else None."""
-            for rh, rt in self.runs:
-                i = int(np.searchsorted(rh, h))
-                if i < len(rh) and int(rh[i]) == h:
-                    return int(rt[i])
-            return None
-
-        def admit(self, token: int, hashes: list[int]) -> list[bool]:
+        def admit(self, token: int, hashes) -> list[bool]:
             """For each hash IN ORDER: True iff this call is (or, on
             retry, WAS) its first-ever admission. Within-call
             duplicates: only the first occurrence answers True —
-            including on replay."""
+            including on replay.
+
+            Vectorized: dict work is per UNIQUE hash only, frozen-run
+            probes are one ``searchsorted`` of the whole miss set per
+            run (no per-hash Python in the actor's hot loop). The -1
+            unseen sentinel cannot collide with a real token: CPython
+            ``hash()`` never returns -1 (it is the error sentinel and
+            is mapped to -2)."""
+            h = np.asarray(hashes, dtype=np.int64)
+            nh = len(h)
+            if nh == 0:
+                return []
+            uniq, first_idx = np.unique(h, return_index=True)
+            winner = np.full(len(uniq), -1, dtype=np.int64)
             hot = self.hot
-            local: set[int] = set()
-            out = []
-            for h in hashes:
-                if h in local:
-                    out.append(False)
-                    continue
-                local.add(h)
-                winner = hot.get(h)
-                if winner is None:
-                    winner = self._lookup_frozen(h) if self.runs else None
-                if winner is None:
-                    hot[h] = token
-                    out.append(True)
-                elif winner == token:
-                    out.append(True)  # retry replay: original admitter
+            unresolved = []
+            for j, hv in enumerate(uniq.tolist()):
+                w = hot.get(hv)
+                if w is not None:
+                    winner[j] = w
                 else:
-                    out.append(False)
+                    unresolved.append(j)
+            if unresolved and self.runs:
+                un = np.asarray(unresolved, dtype=np.int64)
+                target = uniq[un]
+                still = np.ones(len(un), dtype=bool)
+                for rh, rt in self.runs:
+                    if not len(rh) or not still.any():
+                        continue
+                    pos = np.searchsorted(rh, target)
+                    inb = still & (pos < len(rh))
+                    safe = np.minimum(pos, len(rh) - 1)
+                    hit = inb & (np.asarray(rh)[safe] == target)
+                    winner[un[hit]] = np.asarray(rt)[safe[hit]]
+                    still &= ~hit
+            new_mask = winner == -1
+            for hv in uniq[new_mask].tolist():
+                hot[hv] = token
+            winner[new_mask] = token
+            out = np.zeros(nh, dtype=bool)
+            out[first_idx[winner == token]] = True
             if len(hot) >= self.flush_at:
                 self._freeze_hot()
-            return out
+            return out.tolist()
 
         def size(self) -> int:
             return len(self.hot) + self._frozen
@@ -177,8 +191,9 @@ def make_admit_fn(pool, text_col: str = "text", id_col: str = "doc_id"):
         for s in range(n):
             ix = np.flatnonzero(shard == s)
             if len(ix):
-                calls.append(
-                    pool[s].admit.remote(token, [int(x) for x in h[ix]]))
+                # ship the numpy slice itself (zero-copy-ish plasma
+                # serialization) — not a per-element Python list
+                calls.append(pool[s].admit.remote(token, h[ix]))
                 idxs.append(ix)
         for ix, res in zip(idxs, ray.get(calls)):
             keep[ix] = res
