@@ -1636,3 +1636,27 @@ def test_hll_string_values_null_independent(ray_session):
         return {r["k"]: r["approx_distinct"] for r in out}
 
     assert est([one]) == est([half, rest])
+
+
+def test_streaming_dedup_double_retry_across_freeze(ray_session, tmp_path):
+    """Exactly-once must survive a retry that lands AFTER the hash's
+    hot-dict entry was frozen to a (spilled) run, and a SECOND retry
+    after that — every replay answers bit-identically, including the
+    within-call-duplicate False."""
+    import ray
+
+    from ocaml_geojson_ray.stages.streaming_dedup import start_dedup_pool
+
+    pool = start_dedup_pool(nshards=1, flush_at=3,
+                            spill_dir=str(tmp_path))
+    s = pool[0]
+    h1 = np.array([11, 22, 11, 33], dtype=np.int64)
+    r1 = ray.get(s.admit.remote(777, h1))
+    assert r1 == [True, True, False, True]
+    # second batch pushes the hot dict past flush_at -> freeze + spill
+    assert ray.get(s.admit.remote(
+        888, np.array([44, 55, 22], dtype=np.int64))) == [True, True, False]
+    assert ray.get(s.n_runs.remote()) == 1
+    # two consecutive retries of batch 1, both post-freeze
+    assert ray.get(s.admit.remote(777, h1)) == r1
+    assert ray.get(s.admit.remote(777, h1)) == r1
