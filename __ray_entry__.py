@@ -194,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         "moving_window": Q.SQL_MOVING_WINDOW,
         "snapshot_merge": Q.SQL_SNAPSHOT_MERGE,
         "table_stats": Q.SQL_TABLE_STATS,
+        "hll_distinct_users": Q.SQL_HLL_DISTINCT_USERS,
         "sliding_windows": Q.SQL_SLIDING_WINDOWS,
         "distinct_langs": Q.SQL_DISTINCT_LANGS,
         "union_sources": Q.SQL_UNION_SOURCES,

@@ -2939,8 +2939,13 @@ WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUI
 def q_hll_distinct_users(sf_dir: str):
     """Mergeable-sketch aggregation (HLL): approx distinct users per
     event_type; the shuffle moves one 4KB sketch per (key, batch), not
-    user ids. Rows-only — but self-checking: asserts < 5% error vs the
-    exact distinct count computed alongside."""
+    user ids. SQL-checked (round 5): the sketch is fully deterministic
+    integer math — splitmix64 hash, register index/rank, and the
+    order-independent integer-Z estimator (sketches.py:estimate) are
+    reproduced bit-exactly in SQL_HLL_DISTINCT_USERS (HUGEINT mulmod
+    chain + bin()-length ranks + single-divide estimate, libm ln on
+    both sides). Also self-checking: asserts < 5% error vs the exact
+    distinct count computed alongside."""
     import ray.data as rd
     import pyarrow.parquet as pq
 
@@ -2978,6 +2983,110 @@ def q_hll_distinct_users(sf_dir: str):
     ]
     _check(bool((err < 0.05).all()), f"HLL relative error {err} >= 0.05")
     return pa.Table.from_pandas(approx, preserve_index=False)
+
+
+# Bit-exact SQL replica of the HLL pipeline (p=12, m=4096, width=52):
+# splitmix64 (sketches.py:_mix64) as a HUGEINT mod-2^64 chain — the
+# 64x64-bit wraparound multiplies are split into 32-bit halves because
+# a full 128-bit product of two near-2^64 values overflows HUGEINT;
+# constants 0xBF58476D1CE4E5B9 = (3210233709 << 32) + 484763065 and
+# 0x94D049BB133111EB = (2496678331 << 32) + 321982955. Register rank
+# uses length(bin(w)) for the exact bit length (no float log2), and
+# the estimate mirrors sketches.py:estimate term by term: exact
+# integer z = sum(2^(53 - M_j)), ONE double divide, libm ln in the
+# linear-counting branch, floor(x + 0.5) half-up rounding.
+SQL_HLL_DISTINCT_USERS = """
+WITH pairs AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+s0 AS (
+  SELECT event_type, user_id,
+         (CAST(user_id AS HUGEINT)
+          + CASE WHEN user_id < 0 THEN 18446744073709551616::HUGEINT
+                 ELSE 0::HUGEINT END) AS x
+  FROM pairs
+),
+s1 AS (
+  SELECT event_type, user_id,
+         (x + 11400714819323198485::HUGEINT)
+           % 18446744073709551616::HUGEINT AS x
+  FROM s0
+),
+s2 AS (
+  SELECT event_type, user_id,
+         CAST(xor(CAST(x AS UBIGINT), CAST(x AS UBIGINT) >> 30) AS HUGEINT) AS x
+  FROM s1
+),
+s3 AS (
+  SELECT event_type, user_id,
+    ( (x % 4294967296) * 484763065::HUGEINT
+      + ((( (x % 4294967296) * 3210233709::HUGEINT
+           + (x // 4294967296) * 484763065::HUGEINT
+          ) % 4294967296) * 4294967296)
+    ) % 18446744073709551616::HUGEINT AS x
+  FROM s2
+),
+s4 AS (
+  SELECT event_type, user_id,
+         CAST(xor(CAST(x AS UBIGINT), CAST(x AS UBIGINT) >> 27) AS HUGEINT) AS x
+  FROM s3
+),
+s5 AS (
+  SELECT event_type, user_id,
+    ( (x % 4294967296) * 321982955::HUGEINT
+      + ((( (x % 4294967296) * 2496678331::HUGEINT
+           + (x // 4294967296) * 321982955::HUGEINT
+          ) % 4294967296) * 4294967296)
+    ) % 18446744073709551616::HUGEINT AS x
+  FROM s4
+),
+hashed AS (
+  SELECT event_type, user_id,
+         CAST(xor(CAST(x AS UBIGINT), CAST(x AS UBIGINT) >> 31) AS HUGEINT) AS x
+  FROM s5
+),
+regs AS (
+  SELECT event_type,
+         x // 4503599627370496 AS idx,
+         CASE WHEN x % 4503599627370496 = 0 THEN 53
+              ELSE 53 - length(bin(CAST(x % 4503599627370496 AS UBIGINT)))
+         END AS rank
+  FROM hashed
+),
+reg_max AS (
+  SELECT event_type, idx, max(rank) AS m_j
+  FROM regs GROUP BY event_type, idx
+),
+agg AS (
+  SELECT event_type,
+         count(*) AS n_present,
+         sum(CAST(CAST(1 AS BIGINT) << (53 - m_j) AS HUGEINT)) AS z_present
+  FROM reg_max GROUP BY event_type
+),
+est0 AS (
+  SELECT event_type,
+         4096 - n_present AS zeros,
+         0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+           * 9007199254740992.0
+           / CAST(z_present
+                  + (4096 - n_present)::HUGEINT * 9007199254740992::HUGEINT
+                  AS DOUBLE) AS est_raw
+  FROM agg
+),
+est AS (
+  SELECT event_type,
+         CASE WHEN est_raw <= 10240.0 AND zeros > 0
+              THEN 4096.0 * ln(4096.0 / zeros)
+              ELSE est_raw END AS e
+  FROM est0
+)
+SELECT est.event_type,
+       CAST(floor(e + 0.5) AS BIGINT) AS approx_distinct,
+       x.exact_distinct
+FROM est
+JOIN (SELECT event_type, count(*) AS exact_distinct
+      FROM pairs GROUP BY event_type) x USING (event_type)
+"""
 
 
 def q_exact_dedup(sf_dir: str):

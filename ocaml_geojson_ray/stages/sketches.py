@@ -11,6 +11,8 @@ emit one serialized sketch per batch, merge in a tiny second stage).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from ..util import md5_le64
@@ -77,13 +79,28 @@ class HyperLogLog:
         return self
 
     def estimate(self) -> float:
+        """Bias-corrected estimate, derived ORDER-INDEPENDENTLY so the
+        value is a pure function of the register multiset (and hence
+        SQL-oracle-checkable): the harmonic-mean denominator
+        Z = sum(2^-M_j) is accumulated as the exact integer
+        z = sum(2^(S - M_j)) with S = 65 - p (the max register value),
+        then spent in ONE float divide — a float sum over 4096
+        power-of-two terms spans >53 bits of dynamic range and rounds
+        differently per summation order, which np.sum's pairwise
+        algorithm would bake in. The linear-counting branch uses
+        math.log, NOT np.log: numpy's SIMD log diverges from libm on
+        ~30% of inputs while DuckDB's ln IS libm (measured; both pinned
+        in tests/test_stages.py)."""
         m = float(self.m)
         alpha = 0.7213 / (1.0 + 1.079 / m)
-        est = alpha * m * m / np.sum(np.exp2(-self.registers.astype(np.float64)))
+        s_max = 65 - self.p
+        counts = np.bincount(self.registers, minlength=s_max + 1)
+        z = sum(int(c) << (s_max - r) for r, c in enumerate(counts.tolist()) if c)
+        est = alpha * m * m * float(1 << s_max) / float(z)
         if est <= 2.5 * m:
-            zeros = int((self.registers == 0).sum())
+            zeros = int(counts[0])
             if zeros:
-                est = m * np.log(m / zeros)
+                est = m * math.log(m / zeros)
         return float(est)
 
     def to_bytes(self) -> bytes:
@@ -334,7 +351,13 @@ def hll_distinct(ds, key_cols, value_col: str, p: int = 12):
         for b in g["sketch"].to_pylist():
             h.merge(HyperLogLog.from_bytes(b, p))
         out = {k: g[k][:1] for k in key_cols}
-        out["approx_distinct"] = pa.array([round(h.estimate())], pa.int64())
+        # floor(x + 0.5) half-up, NOT round(): Python round() is
+        # banker's, DuckDB round() is half-away — the repo's standard
+        # half-up device is reproducible on both sides.
+        import math as _math
+
+        out["approx_distinct"] = pa.array(
+            [int(_math.floor(h.estimate() + 0.5))], pa.int64())
         return pa.table(out)
 
     return (

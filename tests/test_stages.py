@@ -461,6 +461,37 @@ def test_hll_accuracy_and_merge():
     assert c.estimate() == a.estimate()
 
 
+def test_hll_estimate_sql_parity_devices():
+    """Pins the two float devices SQL_HLL_DISTINCT_USERS relies on:
+    (1) estimate() is a pure function of the register MULTISET — the
+    denominator is accumulated as an exact integer, so shuffling the
+    register array never changes the value (a float sum would);
+    (2) the linear-counting branch's math.log equals DuckDB's ln
+    bit-for-bit (both libm; np.log's SIMD path diverges and must NOT
+    be reintroduced)."""
+    import duckdb
+    import numpy as np
+
+    from ocaml_geojson_ray.stages.sketches import HyperLogLog
+
+    rng = np.random.default_rng(42)
+    # (1) order independence, on both estimator branches
+    for n in (50, 5000, 200000):
+        h = HyperLogLog(12).add_many(rng.integers(0, 2**62, n).tolist())
+        g = HyperLogLog(12)
+        g.registers = rng.permutation(h.registers)
+        assert g.estimate() == h.estimate()
+    # (2) libm ln parity with DuckDB for every possible zeros count
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT z, 4096.0 * ln(4096.0 / z) FROM range(1, 4097) t(z)"
+    ).fetchall()
+    import math
+
+    for z, v in rows:
+        assert 4096.0 * math.log(4096.0 / z) == v, z
+
+
 def test_hll_value_hash_null_independent(ray_session):
     """A value must hash IDENTICALLY whether or not its batch happens
     to contain a null (the old null-conditional to_pylist/to_numpy
