@@ -39,7 +39,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # GeoJSON core (P1-P8, W1-W3 through Ray) — always first
         "geojson_parse_points": Q.q_geojson_parse_points,
         "geojson_linestring_verdicts": Q.q_geojson_linestring_verdicts,
-        # -- never-driver-witnessed, SQL-checked (23) -------------------
+        # -- never-driver-witnessed, SQL-checked (24; kmeans_int is new
+        #    in round 5 — snapshot_merge, witnessed r4, ceded its slot) ---
         "winnow_fingerprints": Q.q_winnow_fingerprints,
         "hash_sample_langs": Q.q_hash_sample_langs,
         "dedup_clusters": Q.q_dedup_clusters,
@@ -63,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": Q.q_tfidf_top_terms,
         "segment_price_quantiles": Q.q_segment_price_quantiles,
         "multimodal_video": Q.q_multimodal_video,
+        "kmeans_int_clusters": Q.q_kmeans_int_clusters,
         # -- never-driver-witnessed, rows-only self-checking (6) --------
         "kmeans_embeddings": Q.q_kmeans_embeddings,
         "semdedup": Q.q_semdedup,
@@ -91,8 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": Q.q_session_windows,
         "asof_user_order": Q.q_asof_user_order,
         "event_type_pivot": Q.q_event_type_pivot,
-        "snapshot_merge": Q.q_snapshot_merge,
         # ================= driver window ends here (50) =================
+        "snapshot_merge": Q.q_snapshot_merge,
         "hex_cell_counts": Q.q_hex_cell_counts,
         "geohash_cell_counts": Q.q_geohash_cell_counts,
         # Spatial remainder
@@ -195,6 +197,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_merge": Q.SQL_SNAPSHOT_MERGE,
         "table_stats": Q.SQL_TABLE_STATS,
         "hll_distinct_users": Q.SQL_HLL_DISTINCT_USERS,
+        "kmeans_int_clusters": Q.SQL_KMEANS_INT_CLUSTERS,
         "sliding_windows": Q.SQL_SLIDING_WINDOWS,
         "distinct_langs": Q.SQL_DISTINCT_LANGS,
         "union_sources": Q.SQL_UNION_SOURCES,

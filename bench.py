@@ -203,6 +203,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("importance_scores", Q.q_importance_scores)
     timed("quantile_filter", Q.q_quantile_filter)
     timed("semdedup", Q.q_semdedup)
+    timed("kmeans_int_clusters", Q.q_kmeans_int_clusters)
     timed("json_props_stats", Q.q_json_props_stats)
     timed("ntile_docs", Q.q_ntile_docs)
     timed("spike_hours", Q.q_spike_hours)

@@ -4659,6 +4659,102 @@ def q_kmeans_embeddings(sf_dir: str):
     return kmeans_assign_sizes(ds, centroids)
 
 
+def q_kmeans_int_clusters(sf_dir: str):
+    """Integer-grid Lloyd's k-means (k=8, 3 iterations) over the
+    embedding column — the SQL-CHECKED k-means twin. Coordinates are
+    quantized with the standard half-up device floor(x*1e6+0.5) (+2^20
+    offset so floor division has one semantics on both sides), and the
+    whole recurrence — seed = k smallest vec_ids, exact int64
+    expansion-trick distances, argmin ties to lowest cid, centroid
+    update = floor(cluster mean), empty clusters carry — is replayed
+    bit-exactly by SQL_KMEANS_INT_CLUSTERS as unrolled CTE rounds (the
+    pagerank_parts device applied to clustering). Output: per-cluster
+    sizes + exact quantized inertia. The float kmeans_embeddings twin
+    keeps the production kernel; this one proves the machinery."""
+    import ray.data as rd
+
+    from ..stages.kmeans import kmeans_int_assign, kmeans_int_fit
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    centroids, _ = kmeans_int_fit(ds, k=8, iters=3)
+    return kmeans_int_assign(ds, centroids)
+
+
+def _sql_kmeans_round(prev: str, cur: str) -> str:
+    """One unrolled Lloyd's round: assign to nearest {prev} centroid
+    (exact integer distances, ties to lowest cid), then {cur} =
+    floor-mean update with empty-cluster carry."""
+    return f"""
+d{cur} AS (
+  SELECT q.vec_id, c.cid, sum((q.qv - c.cv) * (q.qv - c.cv)) AS dist
+  FROM q JOIN c{prev} c ON q.dim = c.dim
+  GROUP BY q.vec_id, c.cid
+),
+a{cur} AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM d{cur}
+),
+u{cur} AS (
+  SELECT a.cid, q.dim, sum(q.qv) AS s, count(*) AS cnt
+  FROM (SELECT vec_id, cid FROM a{cur} WHERE rn = 1) a
+  JOIN q USING (vec_id)
+  GROUP BY a.cid, q.dim
+),
+c{cur} AS (
+  SELECT c.cid, c.dim,
+         CAST(COALESCE(u.s // u.cnt, c.cv) AS BIGINT) AS cv
+  FROM c{prev} c
+  LEFT JOIN u{cur} u ON u.cid = c.cid AND u.dim = c.dim
+)"""
+
+
+# Bit-exact SQL replica of the integer-grid Lloyd's recurrence
+# (stages/kmeans.py:kmeans_int_fit, k=8, iters=3): quantization is the
+# repo's floor(x*1e6+0.5) half-up device plus a 2^20 offset (all-
+# positive values make DuckDB's truncating // equal numpy's flooring
+# //); distances are exact integer sums, so the SQL GROUP BY dist and
+# the engine's int64 matmul expansion agree bit for bit; ties break to
+# the lowest cid on both sides (argmin-first vs ORDER BY dist, cid).
+# Three update rounds (c0->c3) then a final assignment aggregates
+# sizes and exact quantized inertia per nonempty cluster.
+SQL_KMEANS_INT_CLUSTERS = (
+    """
+WITH q AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+              AS BIGINT) + 1048576 AS qv
+  FROM embeddings
+),
+seed AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+c0 AS (
+  SELECT s.cid, q.dim, q.qv AS cv
+  FROM seed s JOIN q ON q.vec_id = s.vec_id
+),"""
+    + ",".join(_sql_kmeans_round(str(i), str(i + 1)) for i in range(3))
+    + """,
+dfin AS (
+  SELECT q.vec_id, c.cid, sum((q.qv - c.cv) * (q.qv - c.cv)) AS dist
+  FROM q JOIN c3 c ON q.dim = c.dim
+  GROUP BY q.vec_id, c.cid
+),
+afin AS (
+  SELECT vec_id, cid, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM dfin
+)
+SELECT cid, count(*) AS n_vecs, CAST(sum(dist) AS BIGINT) AS inertia_q
+FROM afin WHERE rn = 1
+GROUP BY cid
+"""
+)
+
+
 def q_train_split_stats(sf_dir: str):
     """Deterministic stratified train/val/test split (the stable
     eval-split pattern at corpus scale): bucket = first 8 hex digits

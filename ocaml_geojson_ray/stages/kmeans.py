@@ -143,3 +143,151 @@ def kmeans_assign_sizes(ds, centroids: np.ndarray,
     return grouped_sum_combine(
         ds.map_batches(partial, batch_format="pyarrow"),
         ["cluster_id"], "partial", "size")
+
+
+def kmeans_int_fit(ds, vec_col: str = "embedding", k: int = 8,
+                   iters: int = 3, id_col: str = "vec_id",
+                   scale: float = 1e6, offset: int = 1 << 20):
+    """Integer-grid Lloyd's: the ORACLE-CHECKABLE k-means twin (the
+    pagerank_parts device applied to clustering — see
+    pipelines/queries.py:SQL_KMEANS_INT_CLUSTERS).
+
+    Coordinates are quantized once with the repo's standard half-up
+    device q = floor(x * scale + 0.5) + offset (offset makes every
+    value positive, so Python/numpy floor division and DuckDB ``//``
+    agree — both truncate on non-negatives) and EVERYTHING downstream
+    is exact int64: distances via the integer expansion trick
+    (||q||^2 - 2 q.c + ||c||^2, an int64 matmul — exact, no float
+    rounding), argmin ties to the lowest centroid index, and the
+    centroid update is the FLOOR of the cluster mean (empty clusters
+    keep their previous centroid). Unlike float Lloyd's, the result is
+    a pure function of the input multiset — per-batch integer partial
+    sums are order-independent — which is what makes a bit-exact SQL
+    oracle possible. The ~1/scale quantization error is semantically
+    negligible for unit-scale embeddings.
+
+    Bounds (documented, asserted nowhere hot): with |x| <= 1 and
+    scale = 1e6, q < 2^21, per-coordinate cluster sums fit int64 up to
+    ~4e12 assigned rows; per-batch inertia partials fit int64 up to
+    ~1e5 rows/batch * 64 dims. A 100-TB deployment keeps the int64
+    per-batch partials and widens only the tiny driver-side combine to
+    Python ints (arbitrary precision), as the gated funnels elsewhere
+    do; at this repo's scales int64 holds end to end.
+
+    -> (centroids int64 (k,d), per-iteration quantized inertia list).
+    """
+    import ray
+
+    def blk_topk(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        keep = np.sort(np.argsort(ids, kind="stable")[:k])
+        return b.select([id_col, vec_col]).take(pa.array(keep))
+
+    def quant(v: np.ndarray) -> np.ndarray:
+        return (np.floor(v * scale + 0.5) + float(offset)).astype(np.int64)
+
+    cand = ds.map_batches(blk_topk, batch_format="pyarrow").take_all()
+    cand.sort(key=lambda r: r[id_col])
+    centroids = quant(np.asarray([r[vec_col] for r in cand[:k]],
+                                 dtype=np.float64))
+    inertias = []
+
+    def _idists(q: np.ndarray, c: np.ndarray):
+        qq = (q * q).sum(axis=1, keepdims=True)
+        cc = (c * c).sum(axis=1)
+        d = qq - 2 * (q @ c.T) + cc[None, :]
+        a = d.argmin(axis=1)
+        return a, d[np.arange(len(q)), a]
+
+    for _ in range(iters):
+        ref = ray.put(centroids)
+
+        def partial(b: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            q = quant(vec_mat(b[vec_col]).astype(np.float64))
+            a, dmin = _idists(q, c)
+            kk, dim = c.shape
+            sums = np.zeros((kk, dim), np.int64)
+            np.add.at(sums, a, q)
+            cnt = np.bincount(a, minlength=kk).astype(np.int64)
+            inert = np.zeros(kk, np.int64)
+            np.add.at(inert, a, dmin)
+            return pa.table({
+                "cid": pa.array(np.arange(kk), pa.int64()),
+                "vsum": pa.array(sums.tolist(), pa.list_(pa.int64())),
+                "cnt": pa.array(cnt, pa.int64()),
+                "inertia": pa.array(inert, pa.int64()),
+            })
+
+        rows = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("cid")
+            .map_groups(_int_combine, batch_format="pyarrow")
+            .take_all()
+        )
+        rows.sort(key=lambda r: r["cid"])
+        counts = np.array([r["cnt"] for r in rows], dtype=np.int64)
+        sums = np.asarray([r["vsum"] for r in rows], dtype=np.int64)
+        inertias.append(int(sum(r["inertia"] for r in rows)))
+        nonempty = counts > 0
+        centroids = centroids.copy()
+        centroids[nonempty] = sums[nonempty] // counts[nonempty, None]
+
+    return centroids, inertias
+
+
+def _int_combine(g: pa.Table) -> pa.Table:
+    vs = vec_mat(g["vsum"]).astype(np.int64)
+    return pa.table({
+        "cid": g["cid"][:1],
+        "vsum": pa.array([vs.sum(axis=0).tolist()], pa.list_(pa.int64())),
+        "cnt": pa.array([int(np.sum(g["cnt"].to_numpy()))], pa.int64()),
+        "inertia": pa.array([int(np.sum(g["inertia"].to_numpy()))],
+                            pa.int64()),
+    })
+
+
+def kmeans_int_assign(ds, centroids: np.ndarray,
+                      vec_col: str = "embedding",
+                      scale: float = 1e6, offset: int = 1 << 20):
+    """Final integer assignment -> Dataset(cid, n_vecs, inertia_q),
+    nonempty clusters only; exact int64 throughout (same quantization
+    device as kmeans_int_fit)."""
+    import ray
+
+    ref = ray.put(centroids)
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        q = (np.floor(vec_mat(b[vec_col]).astype(np.float64) * scale + 0.5)
+             + float(offset)).astype(np.int64)
+        qq = (q * q).sum(axis=1, keepdims=True)
+        cc = (c * c).sum(axis=1)
+        d = qq - 2 * (q @ c.T) + cc[None, :]
+        a = d.argmin(axis=1)
+        dmin = d[np.arange(len(q)), a]
+        kk = len(c)
+        cnt = np.bincount(a, minlength=kk).astype(np.int64)
+        inert = np.zeros(kk, np.int64)
+        np.add.at(inert, a, dmin)
+        nz = cnt > 0
+        return pa.table({
+            "cid": pa.array(np.flatnonzero(nz), pa.int64()),
+            "n_vecs": pa.array(cnt[nz], pa.int64()),
+            "inertia_q": pa.array(inert[nz], pa.int64()),
+        })
+
+    def combine(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "cid": g["cid"][:1],
+            "n_vecs": pa.array([int(np.sum(g["n_vecs"].to_numpy()))],
+                               pa.int64()),
+            "inertia_q": pa.array([int(np.sum(g["inertia_q"].to_numpy()))],
+                                  pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cid")
+        .map_groups(combine, batch_format="pyarrow")
+    )

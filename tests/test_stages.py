@@ -971,6 +971,42 @@ def test_kmeans_inertia_monotone_and_partition(ray_session):
     assert sorted(sizes["size"].tolist()) == [60, 60, 60]
 
 
+def test_kmeans_int_order_independent_and_exact(ray_session):
+    """The integer-grid Lloyd's twin must be a pure function of the
+    input MULTISET — reversing row order and changing the block split
+    may not move a single centroid coordinate or inertia bit (this is
+    the property that makes SQL_KMEANS_INT_CLUSTERS checkable; float
+    Lloyd's block-order-dependent sums have no such guarantee)."""
+    import ray.data as rd
+
+    from ocaml_geojson_ray.stages.kmeans import (
+        kmeans_int_assign, kmeans_int_fit)
+
+    rng = np.random.default_rng(31)
+    blobs = np.concatenate([
+        rng.normal(0.0, 0.02, (60, 8)),
+        rng.normal(0.8, 0.02, (60, 8)),
+        rng.normal(-0.8, 0.02, (60, 8)),
+    ])
+    ids = np.arange(180)
+    t_fwd = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(blobs.tolist(), pa.list_(pa.float64())),
+    })
+    t_rev = t_fwd.take(pa.array(ids[::-1]))
+    ds_fwd = rd.from_arrow(t_fwd)
+    ds_rev = rd.from_arrow(t_rev).repartition(7)
+    c1, i1 = kmeans_int_fit(ds_fwd, k=3, iters=3)
+    c2, i2 = kmeans_int_fit(ds_rev, k=3, iters=3)
+    assert np.array_equal(c1, c2) and i1 == i2
+    out = kmeans_int_assign(ds_fwd, c1).to_pandas()
+    assert sorted(out["n_vecs"].tolist()) == [60, 60, 60]
+    # centroids sit on the quantized blob means (offset 2^20, scale 1e6)
+    means = sorted(round((m - 2**20) / 1e6, 1)
+                   for m in (c1[:, 0].astype(float)))
+    assert means == [-0.8, 0.0, 0.8]
+
+
 def test_curation_repetition_stats_hand_computed():
     from ocaml_geojson_ray.stages.curation import repetition_stats
 
