@@ -4675,8 +4675,12 @@ def q_kmeans_int_clusters(sf_dir: str):
 
     from ..stages.kmeans import kmeans_int_assign, kmeans_int_fit
 
+    # materialize ONCE: fit + assign make iters+2 passes over the
+    # (small, bounded) embedding table — the semdedup rule; at cluster
+    # scale with a corpus-sized table prefer re-reading the 2-column
+    # pruned parquet per pass instead (the pagerank reread gate)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+                         columns=["vec_id", "embedding"]).materialize()
     centroids, _ = kmeans_int_fit(ds, k=8, iters=3)
     return kmeans_int_assign(ds, centroids)
 
