@@ -2997,7 +2997,13 @@ def q_hll_distinct_users(sf_dir: str):
 # linear-counting branch, floor(x + 0.5) half-up rounding.
 SQL_HLL_DISTINCT_USERS = """
 WITH pairs AS (
+  -- null KEYS are dropped (hll_distinct's sketch_batch semantics);
+  -- null user_ids survive: the engine hashes them as md5_le64('None')
+  -- = 6009155655004839786 (injected below after NULL propagates
+  -- through the mix chain), while the EXACT side counts non-null only
+  -- (Arrow count semantics) — the asymmetry is the engine's, mirrored
   SELECT DISTINCT event_type, user_id FROM events
+  WHERE event_type IS NOT NULL
 ),
 s0 AS (
   SELECT event_type, user_id,
@@ -3042,7 +3048,9 @@ s5 AS (
 ),
 hashed AS (
   SELECT event_type, user_id,
-         CAST(xor(CAST(x AS UBIGINT), CAST(x AS UBIGINT) >> 31) AS HUGEINT) AS x
+         COALESCE(
+           CAST(xor(CAST(x AS UBIGINT), CAST(x AS UBIGINT) >> 31) AS HUGEINT),
+           6009155655004839786::HUGEINT) AS x
   FROM s5
 ),
 regs AS (
@@ -3084,7 +3092,7 @@ SELECT est.event_type,
        CAST(floor(e + 0.5) AS BIGINT) AS approx_distinct,
        x.exact_distinct
 FROM est
-JOIN (SELECT event_type, count(*) AS exact_distinct
+JOIN (SELECT event_type, count(user_id) AS exact_distinct
       FROM pairs GROUP BY event_type) x USING (event_type)
 """
 

@@ -35,6 +35,32 @@ def _dists_sq(v: np.ndarray, c: np.ndarray) -> np.ndarray:
     return d
 
 
+def _blk_min_ids(k: int, id_col: str, vec_col: str):
+    """Per-block partial min-k seed scan (shared by the float and
+    integer fitters): each block surfaces its own k id-smallest rows;
+    the driver merges <= n_blocks*k candidates. Seed semantics assume
+    UNIQUE ids (true of vec_id in every fixture): a duplicated id
+    among the k smallest would seed two identical centroids here but
+    one fanned-out centroid in the SQL oracle's DISTINCT-based seed."""
+    def blk_topk(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        keep = np.sort(np.argsort(ids, kind="stable")[:k])
+        return b.select([id_col, vec_col]).take(pa.array(keep))
+
+    return blk_topk
+
+
+def _idists_int(q: np.ndarray, c: np.ndarray):
+    """Exact int64 expansion-trick distances + first-min assignment
+    (argmin's first-occurrence rule IS the tie-to-lowest-cid rule the
+    SQL oracle mirrors with ORDER BY dist, cid)."""
+    qq = (q * q).sum(axis=1, keepdims=True)
+    cc = (c * c).sum(axis=1)
+    d = qq - 2 * (q @ c.T) + cc[None, :]
+    a = d.argmin(axis=1)
+    return a, d[np.arange(len(q)), a]
+
+
 def kmeans_fit(ds, vec_col: str = "embedding", k: int = 16,
                iters: int = 5, id_col: str = "vec_id"):
     """→ (centroids (k,d), inertia_per_iter list). ``ds`` must have a
@@ -52,12 +78,8 @@ def kmeans_fit(ds, vec_col: str = "embedding", k: int = 16,
         first = ds.take(k)
         seed = [r[vec_col] for r in first]
     else:
-        def blk_topk(b: pa.Table) -> pa.Table:
-            ids = b[id_col].to_numpy(zero_copy_only=False)
-            keep = np.sort(np.argsort(ids, kind="stable")[:k])
-            return b.select([id_col, vec_col]).take(pa.array(keep))
-
-        cand = ds.map_batches(blk_topk, batch_format="pyarrow").take_all()
+        cand = ds.map_batches(_blk_min_ids(k, id_col, vec_col),
+                              batch_format="pyarrow").take_all()
         cand.sort(key=lambda r: r[id_col])
         seed = [r[vec_col] for r in cand[:k]]
     centroids = np.asarray(seed, dtype=np.float64)
@@ -67,6 +89,16 @@ def kmeans_fit(ds, vec_col: str = "embedding", k: int = 16,
         ref = ray.put(centroids)
 
         def partial(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                # empty blocks reach map fns (filters/repartitions
+                # produce them) and vec_mat's (0,0) would break the
+                # matmul shapes
+                return pa.table({
+                    "cid": pa.array([], pa.int64()),
+                    "vsum": pa.array([], pa.list_(pa.float64())),
+                    "cnt": pa.array([], pa.int64()),
+                    "inertia": pa.array([], pa.float64()),
+                })
             c = ray.get(ref)
             v = vec_mat(b[vec_col])
             d = _dists_sq(v, c)
@@ -130,6 +162,11 @@ def kmeans_assign_sizes(ds, centroids: np.ndarray,
     ref = ray.put(centroids)
 
     def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({
+                "cluster_id": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            })
         c = ray.get(ref)
         v = vec_mat(b[vec_col])
         a = _dists_sq(v, c).argmin(axis=1)
@@ -168,44 +205,42 @@ def kmeans_int_fit(ds, vec_col: str = "embedding", k: int = 8,
 
     Bounds (documented, asserted nowhere hot): with |x| <= 1 and
     scale = 1e6, q < 2^21, per-coordinate cluster sums fit int64 up to
-    ~4e12 assigned rows; per-batch inertia partials fit int64 up to
-    ~1e5 rows/batch * 64 dims. A 100-TB deployment keeps the int64
-    per-batch partials and widens only the tiny driver-side combine to
-    Python ints (arbitrary precision), as the gated funnels elsewhere
-    do; at this repo's scales int64 holds end to end.
+    ~4e12 assigned rows. Per-batch inertia partials: the ADVERSARIAL
+    per-row distance bound is 64*(2^21)^2 ~ 2.8e14, so int64 holds to
+    ~3e4 rows/batch worst-case (real nearest-centroid distances are
+    orders smaller; default Ray batches stay well inside). A 100-TB
+    deployment keeps the int64 per-batch partials and widens only the
+    tiny driver-side combine to Python ints (arbitrary precision), as
+    the gated funnels elsewhere do.
 
     -> (centroids int64 (k,d), per-iteration quantized inertia list).
     """
     import ray
 
-    def blk_topk(b: pa.Table) -> pa.Table:
-        ids = b[id_col].to_numpy(zero_copy_only=False)
-        keep = np.sort(np.argsort(ids, kind="stable")[:k])
-        return b.select([id_col, vec_col]).take(pa.array(keep))
-
     def quant(v: np.ndarray) -> np.ndarray:
         return (np.floor(v * scale + 0.5) + float(offset)).astype(np.int64)
 
-    cand = ds.map_batches(blk_topk, batch_format="pyarrow").take_all()
+    cand = ds.map_batches(_blk_min_ids(k, id_col, vec_col),
+                          batch_format="pyarrow").take_all()
     cand.sort(key=lambda r: r[id_col])
     centroids = quant(np.asarray([r[vec_col] for r in cand[:k]],
                                  dtype=np.float64))
     inertias = []
 
-    def _idists(q: np.ndarray, c: np.ndarray):
-        qq = (q * q).sum(axis=1, keepdims=True)
-        cc = (c * c).sum(axis=1)
-        d = qq - 2 * (q @ c.T) + cc[None, :]
-        a = d.argmin(axis=1)
-        return a, d[np.arange(len(q)), a]
-
     for _ in range(iters):
         ref = ray.put(centroids)
 
         def partial(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({
+                    "cid": pa.array([], pa.int64()),
+                    "vsum": pa.array([], pa.list_(pa.int64())),
+                    "cnt": pa.array([], pa.int64()),
+                    "inertia": pa.array([], pa.int64()),
+                })
             c = ray.get(ref)
-            q = quant(vec_mat(b[vec_col]).astype(np.float64))
-            a, dmin = _idists(q, c)
+            q = quant(vec_mat(b[vec_col]))  # vec_mat is already float64
+            a, dmin = _idists_int(q, c)
             kk, dim = c.shape
             sums = np.zeros((kk, dim), np.int64)
             np.add.at(sums, a, q)
@@ -252,14 +287,16 @@ def kmeans_int_assign(ds, centroids: np.ndarray,
     ref = ray.put(centroids)
 
     def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({
+                "cid": pa.array([], pa.int64()),
+                "n_vecs": pa.array([], pa.int64()),
+                "inertia_q": pa.array([], pa.int64()),
+            })
         c = ray.get(ref)
-        q = (np.floor(vec_mat(b[vec_col]).astype(np.float64) * scale + 0.5)
+        q = (np.floor(vec_mat(b[vec_col]) * scale + 0.5)
              + float(offset)).astype(np.int64)
-        qq = (q * q).sum(axis=1, keepdims=True)
-        cc = (c * c).sum(axis=1)
-        d = qq - 2 * (q @ c.T) + cc[None, :]
-        a = d.argmin(axis=1)
-        dmin = d[np.arange(len(q)), a]
+        a, dmin = _idists_int(q, c)
         kk = len(c)
         cnt = np.bincount(a, minlength=kk).astype(np.int64)
         inert = np.zeros(kk, np.int64)
