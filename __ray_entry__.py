@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals": Q.q_running_totals,
         "event_gaps": Q.q_event_gaps,
         "ntile_docs": Q.q_ntile_docs,
+        "user_paths": Q.q_user_paths,
         "lead_transitions": Q.q_lead_transitions,
         "spike_hours": Q.q_spike_hours,
         "moving_window": Q.q_moving_window,
@@ -141,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": Q.q_token_stats,
         "word_shape_stats": Q.q_word_shape_stats,
         "doc_fingerprints": Q.q_doc_fingerprints,
+        "inverted_index": Q.q_inverted_index,
         "map_props_rewrite": Q.q_map_props_rewrite,
         "map_geometry_rewrite": Q.q_map_geometry_rewrite,
         # ANN
@@ -197,6 +199,7 @@ def oracle_sql() -> dict[str, str]:
         "running_totals": Q.SQL_RUNNING_TOTALS,
         "event_gaps": Q.SQL_EVENT_GAPS,
         "ntile_docs": Q.SQL_NTILE_DOCS,
+        "user_paths": Q.SQL_USER_PATHS,
         "lead_transitions": Q.SQL_LEAD_TRANSITIONS,
         "spike_hours": Q.SQL_SPIKE_HOURS,
         "moving_window": Q.SQL_MOVING_WINDOW,
@@ -252,6 +255,7 @@ def oracle_sql() -> dict[str, str]:
         "train_split_stats": Q.SQL_TRAIN_SPLIT_STATS,
         "top_words": Q.SQL_TOP_WORDS,
         "tfidf_top_terms": Q.SQL_TFIDF_TOP_TERMS,
+        "inverted_index": Q.SQL_INVERTED_INDEX,
         "segment_price_quantiles": Q.SQL_SEGMENT_PRICE_QUANTILES,
         "langid_distribution": Q._sql_langid(),
         "quality_scores": Q._sql_quality(),

@@ -2292,6 +2292,110 @@ UNION ALL SELECT 3, (SELECT count(*) FROM t3)
 """
 
 
+def q_user_paths(sf_dir: str):
+    """Path analysis (sequence assembly): each (user, day)'s ordered
+    event-type sequence joined as ``a>b>c`` (total order: ts then
+    event_id — event_id is unique, so the path string is
+    deterministic), then the 25 most frequent paths by
+    (count DESC, path ASC). Physical shape: ONE shuffle on a USER
+    BUCKET key, not per-user groups — grouping by user_id directly
+    pays Ray's per-group slice/call overhead ~10k times (measured
+    3.5 s at sf0.1; the hash-bucketed variant with the identical
+    shuffle volume runs the same assembly in a few hundred
+    vectorized multi-user segment scans), then per-bucket partial
+    path counts map-side and a path-key groupby Sum — the honest
+    wide op, since path cardinality is unbounded at corpus scale
+    (dedup/tfidf-style bounded funnels do NOT apply) — and a
+    per-block top-25 partial whose union the driver re-tops (top-k
+    of a union ⊆ union of per-fragment top-ks). Day bucketing is
+    ``ts_us // 86_400_000_000`` — equal to the oracle's
+    CAST(ts AS DATE) for the post-epoch fixture timestamps.
+    SQL-checked."""
+    import heapq
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nb = max(4, cpus // 4)
+    ds = split_read(f"{sf_dir}/events.parquet",
+                    ["user_id", "ts", "event_id", "event_type"], nb)
+
+    US_PER_DAY = 86_400_000_000
+    n_buckets = max(64, cpus * 8)  # groups per node stay O(100)
+
+    def pre(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64())
+        # Fibonacci-hash bucket so sequential user ids spread evenly
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        h = uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        bkt = (h % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(bkt, pa.int64()),
+            "user_id": b["user_id"],
+            "day": pc.divide(ts_us, US_PER_DAY),  # int64, ts >= epoch
+            "ts_us": ts_us,
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+        })
+
+    def paths(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_pylist()
+        order = np.lexsort((eid, ts, day, uid))
+        u_s = uid[order]
+        d_s = day[order]
+        brk = (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1])
+        segs = np.split(order, np.flatnonzero(brk) + 1)
+        ps = np.array([">".join(et[i] for i in seg) for seg in segs],
+                      dtype=object)
+        up, cnt = np.unique(ps, return_counts=True)
+        return pa.table({
+            "path": pa.array(up, pa.string()),
+            "partial": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(paths, batch_format="pyarrow")
+        .groupby("path").aggregate(Sum("partial", alias_name="n_user_days"))
+    )
+
+    def blk_top(b: pa.Table) -> pa.Table:
+        rows = list(zip(b["path"].to_pylist(),
+                        b["n_user_days"].to_pylist()))
+        keep = heapq.nsmallest(25, rows, key=lambda r: (-r[1], r[0]))
+        return pa.table({
+            "path": pa.array([r[0] for r in keep], pa.string()),
+            "n_user_days": pa.array([r[1] for r in keep], pa.int64()),
+        })
+
+    cand = agg.map_batches(blk_top, batch_format="pyarrow").take_all()
+    top = heapq.nsmallest(
+        25, cand, key=lambda r: (-r["n_user_days"], r["path"]))
+    return pa.table({
+        "path": pa.array([r["path"] for r in top], pa.string()),
+        "n_user_days": pa.array([r["n_user_days"] for r in top], pa.int64()),
+    })
+
+
+SQL_USER_PATHS = """
+WITH seq AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM events
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+agg AS (SELECT path, count(*) AS n_user_days FROM seq GROUP BY path)
+SELECT path, n_user_days FROM agg
+ORDER BY n_user_days DESC, path ASC LIMIT 25
+"""
+
+
 def q_union_sources(sf_dir: str):
     """Set op: union of two disjoint slices reassembles the table
     (Dataset.union), proven by per-lang counts matching the whole."""
@@ -3842,6 +3946,125 @@ s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
 r AS (SELECT *, row_number() OVER (
         PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM s)
 SELECT doc_id, term, tf, df, score, rank FROM r WHERE rank <= 3
+"""
+
+
+def q_inverted_index(sf_dir: str):
+    """Search-index construction: posting lists for the top-50 terms
+    by document frequency — (term, df, first-20 doc_ids ascending as
+    a comma-joined string). Tokenizer is the definitional ASCII
+    ``[0-9A-Za-z_]+`` (= RE2's default \\w, exactly what the oracle's
+    regexp_extract_all compiles — see stages/textstats.py:16),
+    distinct per doc. Physical shape: pass 1 funnels vocab-bounded
+    per-batch df partials (the tfidf df device) and broadcasts the
+    selected vocabulary once via ray.put; pass 2 emits per-batch
+    (term, min-20 doc_ids, count) partials — bounded at 50×21 values
+    per block by the vocab gate, so the driver combine is o(corpus)
+    by construction (merging per-block min-20s: global min-20 of a
+    union ⊆ union of per-fragment min-20s). Posting counts re-derived
+    in pass 2 must equal pass 1's df — asserted. SQL-checked."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.textstats import _ASCII_WORD_RE
+    from ..util import grouped_sum_combine
+
+    # two passes, NO materialize: upstream is a plain column-pruned
+    # read, so re-reading beats pinning the text corpus in plasma
+    # (the semdedup materialize-once rule applies only when the
+    # re-executed upstream is expensive compute)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        terms: list[str] = []
+        for t in texts:
+            if t:
+                terms.extend(set(_ASCII_WORD_RE.findall(t)))
+        up, cnt = np.unique(np.array(terms, dtype=object),
+                            return_counts=True)
+        return pa.table({
+            "term": pa.array(up, pa.string()),
+            "partial": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    dft = grouped_sum_combine(
+        ds.map_batches(df_partial, batch_format="pyarrow"),
+        ["term"], "partial", "df").take_all()
+    dft.sort(key=lambda r: (-r["df"], r["term"]))
+    vocab = dft[:50]
+    vterms = np.array([r["term"] for r in vocab], dtype=object)
+    vorder = np.argsort(vterms)
+    vocab_ref = ray.put(vterms[vorder])
+
+    def postings_partial(b: pa.Table) -> pa.Table:
+        vt = ray.get(vocab_ref)  # sorted object array of vocab terms
+        texts = b["text"].to_pylist()
+        doc_ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        per_term: dict[str, list[int]] = {}
+        for did, t in zip(doc_ids, texts):
+            if not t:
+                continue
+            toks = set(_ASCII_WORD_RE.findall(t))
+            for w in toks:
+                i = np.searchsorted(vt, w)
+                if i < len(vt) and vt[i] == w:
+                    per_term.setdefault(w, []).append(int(did))
+        rows_t, rows_ids, rows_n = [], [], []
+        for w, ids in per_term.items():
+            ids.sort()
+            rows_t.append(w)
+            rows_ids.append(ids[:20])
+            rows_n.append(len(ids))
+        return pa.table({
+            "term": pa.array(rows_t, pa.string()),
+            "ids": pa.array(rows_ids, pa.list_(pa.int64())),
+            "cnt": pa.array(rows_n, pa.int64()),
+        })
+
+    parts = ds.map_batches(
+        postings_partial, batch_format="pyarrow").take_all()
+    merged: dict[str, tuple[list, int]] = {}
+    for r in parts:
+        ids, n = merged.get(r["term"], ([], 0))
+        merged[r["term"]] = (sorted(ids + list(r["ids"]))[:20],
+                             n + r["cnt"])
+    terms_out, dfs_out, posts_out = [], [], []
+    for r in vocab:
+        ids, n = merged.get(r["term"], ([], 0))
+        _check(n == r["df"],
+               f"inverted_index: pass-2 count {n} != df {r['df']} "
+               f"for term {r['term']!r}")
+        terms_out.append(r["term"])
+        dfs_out.append(r["df"])
+        posts_out.append(",".join(str(i) for i in ids))
+    return pa.table({
+        "term": pa.array(terms_out, pa.string()),
+        "df": pa.array(dfs_out, pa.int64()),
+        "postings": pa.array(posts_out, pa.string()),
+    })
+
+
+SQL_INVERTED_INDEX = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(text, '[0-9A-Za-z_]+')) AS term
+    FROM documents)
+),
+df AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+vocab AS (SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT 50),
+ranked AS (
+  SELECT t.term, t.doc_id,
+         row_number() OVER (PARTITION BY t.term ORDER BY t.doc_id) AS rn
+  FROM toks t JOIN vocab v USING (term)
+)
+SELECT v.term, v.df,
+       string_agg(CAST(r.doc_id AS VARCHAR), ',' ORDER BY r.doc_id)
+         AS postings
+FROM vocab v JOIN ranked r ON r.term = v.term AND r.rn <= 20
+GROUP BY v.term, v.df
 """
 
 
