@@ -2314,7 +2314,6 @@ def q_user_paths(sf_dir: str):
     import heapq
 
     import ray
-    import ray.data as rd
     from ray.data.aggregate import Sum
 
     cpus = int(ray.cluster_resources().get("CPU", 4))
@@ -2341,6 +2340,15 @@ def q_user_paths(sf_dir: str):
         })
 
     def paths(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            # np.split of an empty order array yields one empty
+            # segment → a phantom ('', 1) path row; guard like the
+            # kmeans partials (empty probe blocks are a Ray-version
+            # behavior, not a contract)
+            return pa.table({
+                "path": pa.array([], pa.string()),
+                "partial": pa.array([], pa.int64()),
+            })
         uid = g["user_id"].to_numpy(zero_copy_only=False)
         day = g["day"].to_numpy(zero_copy_only=False)
         ts = g["ts_us"].to_numpy(zero_copy_only=False)
@@ -3994,23 +4002,18 @@ def q_inverted_index(sf_dir: str):
         ["term"], "partial", "df").take_all()
     dft.sort(key=lambda r: (-r["df"], r["term"]))
     vocab = dft[:50]
-    vterms = np.array([r["term"] for r in vocab], dtype=object)
-    vorder = np.argsort(vterms)
-    vocab_ref = ray.put(vterms[vorder])
+    vocab_ref = ray.put(frozenset(r["term"] for r in vocab))
 
     def postings_partial(b: pa.Table) -> pa.Table:
-        vt = ray.get(vocab_ref)  # sorted object array of vocab terms
+        vt = ray.get(vocab_ref)  # frozenset of vocab terms
         texts = b["text"].to_pylist()
         doc_ids = b["doc_id"].to_numpy(zero_copy_only=False)
         per_term: dict[str, list[int]] = {}
         for did, t in zip(doc_ids, texts):
             if not t:
                 continue
-            toks = set(_ASCII_WORD_RE.findall(t))
-            for w in toks:
-                i = np.searchsorted(vt, w)
-                if i < len(vt) and vt[i] == w:
-                    per_term.setdefault(w, []).append(int(did))
+            for w in set(_ASCII_WORD_RE.findall(t)) & vt:
+                per_term.setdefault(w, []).append(int(did))
         rows_t, rows_ids, rows_n = [], [], []
         for w, ids in per_term.items():
             ids.sort()

@@ -50,6 +50,15 @@ def _blk_min_ids(k: int, id_col: str, vec_col: str):
     return blk_topk
 
 
+def _quant(v: np.ndarray, scale: float, offset: int) -> np.ndarray:
+    """THE integer-grid quantization device: floor(x*scale + 0.5) +
+    offset, shared by kmeans_int_fit and kmeans_int_assign and
+    mirrored verbatim in SQL_KMEANS_INT_CLUSTERS — a parity device
+    like util.md5_le64, never inline a copy (fit and assign on
+    different grids would produce a wrong-but-plausible clustering)."""
+    return (np.floor(v * scale + 0.5) + float(offset)).astype(np.int64)
+
+
 def _idists_int(q: np.ndarray, c: np.ndarray):
     """Exact int64 expansion-trick distances + first-min assignment
     (argmin's first-occurrence rule IS the tie-to-lowest-cid rule the
@@ -218,7 +227,7 @@ def kmeans_int_fit(ds, vec_col: str = "embedding", k: int = 8,
     import ray
 
     def quant(v: np.ndarray) -> np.ndarray:
-        return (np.floor(v * scale + 0.5) + float(offset)).astype(np.int64)
+        return _quant(v, scale, offset)
 
     cand = ds.map_batches(_blk_min_ids(k, id_col, vec_col),
                           batch_format="pyarrow").take_all()
@@ -294,8 +303,7 @@ def kmeans_int_assign(ds, centroids: np.ndarray,
                 "inertia_q": pa.array([], pa.int64()),
             })
         c = ray.get(ref)
-        q = (np.floor(vec_mat(b[vec_col]) * scale + 0.5)
-             + float(offset)).astype(np.int64)
+        q = _quant(vec_mat(b[vec_col]), scale, offset)
         a, dmin = _idists_int(q, c)
         kk = len(c)
         cnt = np.bincount(a, minlength=kk).astype(np.int64)

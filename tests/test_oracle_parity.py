@@ -131,3 +131,49 @@ def test_md5_le64_device_pinned():
             " AS UBIGINT) FROM g", [s]
         ).fetchone()[0]
         assert md5_le64(s.encode("utf-8")) == sql, s
+
+
+def test_inverted_index_vocab_cap_and_tiebreak(tmp_path, ray_session):
+    """The sf fixtures have only 31 distinct terms, so the top-50-df
+    vocab LIMIT and its (df DESC, term ASC) rank-50 tie-break never
+    bind there — pin them on a synthetic 55-term corpus with a df tie
+    straddling the boundary (10 terms at df=7 competing for 5 slots)
+    and a df=60 term exercising the 20-id posting cap, value-compared
+    against the same DuckDB oracle on the same parquet."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+    from scripts.check_oracle import compare, to_pandas
+
+    n_docs = 60
+    # term -> df; assignment = first df docs contain the term
+    tdf = {"aaa": 60}                         # rank 1; postings capped at 20
+    tdf.update({f"w{i:02d}": 59 - i for i in range(44)})   # ranks 2-45
+    tdf.update({f"tie_{c}": 7 for c in "abcdefghij"})      # ranks 46-55 tie
+    texts = [" ".join(t for t, df in tdf.items() if d < df)
+             for d in range(n_docs)]
+    tbl = pa.table({
+        "doc_id": pa.array(range(1, n_docs + 1), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    ray_df = to_pandas(E.queries()["inverted_index"](str(tmp_path)))
+    assert len(ray_df) == 50
+    terms = set(ray_df["term"])
+    # tie group: term-ASC picks a..e, drops f..j
+    assert {"tie_a", "tie_b", "tie_c", "tie_d", "tie_e"} <= terms
+    assert not terms & {"tie_f", "tie_g", "tie_h", "tie_i", "tie_j"}
+    cap_row = ray_df[ray_df["term"] == "aaa"].iloc[0]
+    assert cap_row["df"] == 60
+    assert cap_row["postings"] == ",".join(str(i) for i in range(1, 21))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')")
+    sql_df = con.execute(E.oracle_sql()["inverted_index"]).df()
+    problems = compare("inverted_index_synth", ray_df, sql_df)
+    assert not problems, problems
