@@ -143,6 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_shape_stats": Q.q_word_shape_stats,
         "doc_fingerprints": Q.q_doc_fingerprints,
         "inverted_index": Q.q_inverted_index,
+        "triangle_counts": Q.q_triangle_counts,
+        "skyline_parts": Q.q_skyline_parts,
         "map_props_rewrite": Q.q_map_props_rewrite,
         "map_geometry_rewrite": Q.q_map_geometry_rewrite,
         # ANN
@@ -256,6 +258,8 @@ def oracle_sql() -> dict[str, str]:
         "top_words": Q.SQL_TOP_WORDS,
         "tfidf_top_terms": Q.SQL_TFIDF_TOP_TERMS,
         "inverted_index": Q.SQL_INVERTED_INDEX,
+        "triangle_counts": Q.SQL_TRIANGLE_COUNTS,
+        "skyline_parts": Q.SQL_SKYLINE_PARTS,
         "segment_price_quantiles": Q.SQL_SEGMENT_PRICE_QUANTILES,
         "langid_distribution": Q._sql_langid(),
         "quality_scores": Q._sql_quality(),

@@ -444,6 +444,226 @@ SELECT node, pr AS pr_rank FROM r4
 """
 
 
+_TRI_N = 99991  # node domain (prime); planted triads use N-2
+
+
+def q_triangle_counts(sf_dir: str):
+    """Distributed triangle counting — graph analytics beyond the
+    fixpoint family (pagerank / CC / k-means): exact triangle count on
+    an undirected graph DERIVED deterministically from lineitem keys
+    (int ops only, SQL-mirrorable like the geo point derivations),
+    with one planted triad per order (``l_linenumber = 1`` rows emit
+    the three closing edges of (t, t+1, t+2)) so the answer is
+    non-zero at every sf. Physical shape: per-batch edge derivation →
+    per-batch np.unique partials packed as ``u * N + v`` (u < v) →
+    one combine task's global unique — the edge table is BOUNDED by
+    C(N, 2) through the mod-N derivation, the documented contract that
+    makes the funnel + broadcast o(corpus); the count stage shards
+    the NODE RANGE: each task rebuilds the oriented adjacency from
+    the broadcast sorted key array (u = key // N zero-decode), walks
+    its u-shard's neighbor lists, and probes every wedge pair
+    (y, z), y < z against the sorted keys with ONE searchsorted per
+    shard — a triangle (a < b < c) is counted exactly once, at
+    u = a. At node domains past broadcast reach, the documented
+    fallback is the two-round oriented wedge join (E ⋈ E on v, then
+    semi-join E on (u, w)) — the same probe as a shuffle instead of
+    a broadcast. SQL-checked (three-way self-join oracle)."""
+    import ray
+    import ray.data as rd
+
+    N = _TRI_N
+
+    ds = _read_split(sf_dir, "lineitem",
+                     ["l_orderkey", "l_linenumber", "l_partkey"])
+
+    def edge_partial(b: pa.Table) -> pa.Table:
+        ok_ = b["l_orderkey"].to_numpy()
+        ln = b["l_linenumber"].to_numpy().astype(np.int64)
+        pk = b["l_partkey"].to_numpy()
+        a = (ok_ * 7919 + ln * 104729) % N
+        bb = (ok_ * 104729 + pk * 7919) % N
+        t = (ok_[ln == 1] * 6151 + 13) % (N - 2)
+        alla = np.concatenate([a, t, t + 1, t])
+        allb = np.concatenate([bb, t + 1, t + 2, t + 2])
+        keep = alla != allb
+        u = np.minimum(alla[keep], allb[keep])
+        v = np.maximum(alla[keep], allb[keep])
+        return pa.table({
+            "key": pa.array(np.unique(u * N + v), pa.int64()),
+        })
+
+    def combine(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pa.array(
+                np.unique(b["key"].to_numpy(zero_copy_only=False)),
+                pa.int64()),
+        })
+
+    edges = pa.concat_tables(ray.get(
+        ds.map_batches(edge_partial, batch_format="pyarrow")
+        .repartition(1)
+        # batch_size=None: the combine's global-unique contract needs
+        # the WHOLE funneled block (the round-3 funnel gotcha)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+        .to_arrow_refs()))
+    keys = edges["key"].to_numpy(zero_copy_only=False)
+    n_edges = len(keys)
+    n_nodes = len(np.unique(np.concatenate([keys // N, keys % N])))
+    keys_ref = ray.put(keys)  # sorted by construction (unique)
+
+    us = np.unique(keys // N)
+    shards = max(8, int(ray.cluster_resources().get("CPU", 4)))
+    u_tbl = pa.table({"u": pa.array(us, pa.int64())})
+
+    def count_shard(b: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        my_us = b["u"].to_numpy(zero_copy_only=False)
+        starts = np.searchsorted(ks, my_us * N)
+        ends = np.searchsorted(ks, (my_us + 1) * N)
+        # wedge pairs (y, z), y < z, from each u's neighbor list
+        ys, zs = [], []
+        for s, e in zip(starts, ends):
+            nb = ks[s:e] % N
+            if len(nb) < 2:
+                continue
+            iy, iz = np.triu_indices(len(nb), k=1)
+            ys.append(nb[iy])
+            zs.append(nb[iz])
+        if not ys:
+            return pa.table({"partial": pa.array([0], pa.int64())})
+        wk = np.concatenate(ys) * N + np.concatenate(zs)
+        pos = np.searchsorted(ks, wk)
+        pos[pos >= len(ks)] = 0
+        hits = int((ks[pos] == wk).sum())
+        return pa.table({"partial": pa.array([hits], pa.int64())})
+
+    tri = (
+        rd.from_arrow(u_tbl).repartition(shards)
+        .map_batches(count_shard, batch_format="pyarrow")
+        .sum("partial")
+    )
+    return pa.table({
+        "n_nodes": pa.array([n_nodes], pa.int64()),
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_triangles": pa.array([int(tri)], pa.int64()),
+    })
+
+
+SQL_TRIANGLE_COUNTS = f"""
+WITH raw AS (
+  SELECT (l_orderkey*7919 + l_linenumber*104729) % {_TRI_N} AS a,
+         (l_orderkey*104729 + l_partkey*7919) % {_TRI_N} AS b
+  FROM lineitem
+  UNION ALL SELECT t, t+1 FROM (SELECT (l_orderkey*6151 + 13) % {_TRI_N - 2}
+                                AS t FROM lineitem WHERE l_linenumber = 1)
+  UNION ALL SELECT t+1, t+2 FROM (SELECT (l_orderkey*6151 + 13) % {_TRI_N - 2}
+                                  AS t FROM lineitem WHERE l_linenumber = 1)
+  UNION ALL SELECT t, t+2 FROM (SELECT (l_orderkey*6151 + 13) % {_TRI_N - 2}
+                                AS t FROM lineitem WHERE l_linenumber = 1)
+),
+e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      FROM raw WHERE a <> b)
+SELECT
+  (SELECT count(DISTINCT x)
+   FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e)) AS n_nodes,
+  (SELECT count(*) FROM e) AS n_edges,
+  (SELECT count(*) FROM e e1
+   JOIN e e2 ON e2.u = e1.v
+   JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+"""
+
+
+def _skyline_kernel(tbl: pa.Table) -> pa.Table:
+    """2D min-min Pareto frontier per brand, strict-domination
+    semantics (a row dies iff some same-brand row is ≤ on BOTH
+    (size, price-cents) and < on at least one; exact (size, price)
+    duplicates all survive). In 2D the frontier keeps at most ONE
+    price per distinct size per brand — so the output is bounded by
+    |brands| × |sizes| × dup-factor regardless of input rows, which
+    is what makes the local→global funnel o(corpus) BY CONSTRUCTION
+    (global skyline ⊆ union of per-batch skylines: domination is
+    witnessed pointwise, and every witness survives its own local
+    pass or is itself dominated by one that does). Applied twice:
+    per input batch, then once on the funneled union."""
+    if tbl.num_rows == 0:
+        return tbl
+    br = np.asarray(tbl["p_brand"].to_pylist(), dtype=object)
+    sz = tbl["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pcents = tbl["price_c"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((pcents, sz, br))
+    b_s, s_s, p_s = br[order], sz[order], pcents[order]
+    new_seg = np.empty(len(order), bool)
+    new_seg[0] = True
+    new_seg[1:] = (b_s[1:] != b_s[:-1]) | (s_s[1:] != s_s[:-1])
+    starts = np.flatnonzero(new_seg)
+    seg_id = np.cumsum(new_seg) - 1
+    seg_min = p_s[starts]               # sorted → first row is the min
+    new_brand = np.empty(len(order), bool)
+    new_brand[0] = True
+    new_brand[1:] = b_s[1:] != b_s[:-1]
+    brand_start = new_brand[starts]
+    # exclusive prefix-min of seg_min within brand (segments are
+    # size-ascending) — segment count is bounded, the loop is tiny
+    excl = np.empty(len(starts), np.int64)
+    cur = np.iinfo(np.int64).max
+    for i in range(len(starts)):
+        if brand_start[i]:
+            cur = np.iinfo(np.int64).max
+        excl[i] = cur
+        cur = min(cur, int(seg_min[i]))
+    keep_sorted = (p_s == seg_min[seg_id]) & (seg_min[seg_id] < excl[seg_id])
+    return tbl.take(pa.array(np.sort(order[keep_sorted])))
+
+
+def q_skyline_parts(sf_dir: str):
+    """Skyline / Pareto-frontier query (multi-objective filtering —
+    the 'cheapest-smallest' frontier): per brand, the parts not
+    strictly dominated on (p_size, price-cents). Physical shape:
+    per-batch local skyline (vectorized lexsort + segment prefix-min,
+    _skyline_kernel) → bounded funnel → the SAME kernel once on the
+    union; zero shuffles, and the funnel volume is bounded by
+    |brands| × |sizes| by the 2D-frontier property, not by luck.
+    Prices compare as exact int64 cents (np.round(x·100) ==
+    round(x·100.0) on the fixture's decimal grid — the pricing
+    device). SQL-checked (NOT EXISTS strict-domination oracle)."""
+    def add_cents(b: pa.Table) -> pa.Table:
+        cents = np.round(
+            b["p_retailprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "p_brand": b["p_brand"],
+            "p_partkey": b["p_partkey"],
+            "p_size": b["p_size"],
+            "price_c": pa.array(cents, pa.int64()),
+        })
+
+    ds = _read_split(sf_dir, "part",
+                     ["p_partkey", "p_brand", "p_size", "p_retailprice"])
+    return (
+        ds.map_batches(add_cents, batch_format="pyarrow")
+        .map_batches(_skyline_kernel, batch_format="pyarrow")
+        .repartition(1)
+        # batch_size=None: the global pass must see the whole union —
+        # a split would emit the union of CHUNK skylines (supersets)
+        .map_batches(_skyline_kernel, batch_format="pyarrow",
+                     batch_size=None)
+    )
+
+
+SQL_SKYLINE_PARTS = """
+WITH p AS (SELECT p_brand, p_partkey, p_size,
+                  CAST(round(p_retailprice * 100.0) AS BIGINT) AS price_c
+           FROM part)
+SELECT p_brand, p_partkey, p_size, price_c FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.p_brand = a.p_brand
+    AND b.p_size <= a.p_size
+    AND b.price_c <= a.price_c
+    AND (b.p_size < a.p_size OR b.price_c < a.price_c))
+"""
+
+
 def q_hotspot_clusters(sf_dir: str):
     """Grid-density spatial clustering (DBSCAN-flavored, over cells
     instead of raw points — the standard scale adaptation): cells with
