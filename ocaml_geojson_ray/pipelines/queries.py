@@ -664,6 +664,71 @@ WHERE NOT EXISTS (
 """
 
 
+def q_tree_rollup(sf_dir: str):
+    """Hierarchical rollup (BOM-style subtree aggregation): every
+    node's subtree total over the derived octree ``parent = key // 8``
+    (root 0), values as exact int64 cents. Physical shape: each row
+    EXPLODES its ancestor chain map-side (≤ log₈(max key) + 1 rows —
+    a log-factor replication traded for ONE node-key shuffle instead
+    of one barriered groupby per tree level; the standard
+    hierarchical-agg tradeoff, documented), each batch pre-aggregates
+    the chains with np.unique + bincount (float64 weights stay
+    integer-exact below 2^53 — the pricing-partial device) so the
+    shuffle moves ~distinct-nodes-per-batch rows, then one
+    groupby(node) Sum. SQL-checked against a recursive-CTE oracle.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read_split(sf_dir, "part", ["p_partkey", "p_retailprice"])
+
+    def anc_partial(b: pa.Table) -> pa.Table:
+        k = b["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = np.round(
+            b["p_retailprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        outn, outc = [k], [c]
+        cur, cc = k, c
+        while True:
+            m = cur > 0
+            if not m.any():
+                break
+            cur = cur[m] // 8
+            cc = cc[m]
+            outn.append(cur)
+            outc.append(cc)
+        nodes = np.concatenate(outn)
+        vals = np.concatenate(outc)
+        uk, inv = np.unique(nodes, return_inverse=True)
+        sums = np.bincount(inv, weights=vals).astype(np.int64)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "node": pa.array(uk, pa.int64()),
+            "c": pa.array(sums, pa.int64()),
+            "n": pa.array(cnt, pa.int64()),
+        })
+
+    return (
+        ds.map_batches(anc_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("c", alias_name="subtree_cents"),
+                   Sum("n", alias_name="n_desc"))
+    )
+
+
+SQL_TREE_ROLLUP = """
+WITH RECURSIVE anc AS (
+  SELECT p_partkey AS node,
+         CAST(round(p_retailprice * 100.0) AS BIGINT) AS c
+  FROM part
+  UNION ALL
+  SELECT node // 8, c FROM anc WHERE node > 0
+)
+SELECT node, CAST(sum(c) AS BIGINT) AS subtree_cents,
+       count(*) AS n_desc
+FROM anc GROUP BY node
+"""
+
+
 def q_hotspot_clusters(sf_dir: str):
     """Grid-density spatial clustering (DBSCAN-flavored, over cells
     instead of raw points — the standard scale adaptation): cells with
