@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_counts": Q.q_triangle_counts,
         "skyline_parts": Q.q_skyline_parts,
         "tree_rollup": Q.q_tree_rollup,
+        "rank_correlation": Q.q_rank_correlation,
         "map_props_rewrite": Q.q_map_props_rewrite,
         "map_geometry_rewrite": Q.q_map_geometry_rewrite,
         # ANN
@@ -262,6 +263,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_counts": Q.SQL_TRIANGLE_COUNTS,
         "skyline_parts": Q.SQL_SKYLINE_PARTS,
         "tree_rollup": Q.SQL_TREE_ROLLUP,
+        "rank_correlation": Q.SQL_RANK_CORRELATION,
         "segment_price_quantiles": Q.SQL_SEGMENT_PRICE_QUANTILES,
         "langid_distribution": Q._sql_langid(),
         "quality_scores": Q._sql_quality(),

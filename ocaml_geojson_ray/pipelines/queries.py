@@ -729,6 +729,82 @@ FROM anc GROUP BY node
 """
 
 
+def q_rank_correlation(sf_dir: str):
+    """Rank statistics: per-event-type Spearman correlation between
+    value and time ("do later events run larger?"). Ranks are made
+    DETERMINISTIC by the (metric, event_id) total order — event_id is
+    unique, so ties in value or ts can't reorder across engines —
+    which keeps Σd² an exact int64 (d = value-rank − time-rank;
+    Σd² ≤ n³/3 ≈ 2.7e12 at sf0.1, far under 2^63) and rho a
+    single-divide float: 1.0 − (6.0·Σd²) / (n·(n²−1.0)) with n³ < 2^53
+    exact in double, mirrored operation-for-operation in the oracle.
+    Physical shape: ONE event_type-key shuffle, per-group vectorized
+    double-argsort ranks (the funnel-family group count is the event
+    vocabulary — tiny by construction). SQL-checked."""
+    import ray
+
+    nb = max(4, int(ray.cluster_resources().get("CPU", 4)) // 4)
+    ds = split_read(f"{sf_dir}/events.parquet",
+                    ["event_type", "ts", "event_id", "value"], nb)
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+            "value": b["value"],
+        })
+
+    def spearman(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n < 2:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "sum_d2": pa.array([], pa.int64()),
+                "rho": pa.array([], pa.float64()),
+            })
+        v = g["value"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        rv = np.empty(n, np.int64)
+        rv[np.lexsort((eid, v))] = np.arange(1, n + 1)
+        rt = np.empty(n, np.int64)
+        rt[np.lexsort((eid, ts))] = np.arange(1, n + 1)
+        d = rv - rt
+        sum_d2 = int((d * d).sum())
+        rho = 1.0 - (6.0 * sum_d2) / (n * (n * n - 1.0))
+        return pa.table({
+            "event_type": pa.array([g["event_type"][0].as_py()],
+                                   pa.string()),
+            "n": pa.array([n], pa.int64()),
+            "sum_d2": pa.array([sum_d2], pa.int64()),
+            "rho": pa.array([rho], pa.float64()),
+        })
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(spearman, batch_format="pyarrow")
+    )
+
+
+SQL_RANK_CORRELATION = """
+WITH r AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rv,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS rt
+  FROM events)
+SELECT event_type, count(*) AS n,
+       CAST(sum((rv - rt) * (rv - rt)) AS BIGINT) AS sum_d2,
+       1.0 - (6.0 * CAST(sum((rv - rt) * (rv - rt)) AS BIGINT))
+             / (count(*) * (count(*) * count(*) - 1.0)) AS rho
+FROM r GROUP BY event_type HAVING count(*) > 1
+"""
+
+
 def q_hotspot_clusters(sf_dir: str):
     """Grid-density spatial clustering (DBSCAN-flavored, over cells
     instead of raw points — the standard scale adaptation): cells with
