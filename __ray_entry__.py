@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_parts": Q.q_skyline_parts,
         "tree_rollup": Q.q_tree_rollup,
         "rank_correlation": Q.q_rank_correlation,
+        "zscore_outliers": Q.q_zscore_outliers,
         "map_props_rewrite": Q.q_map_props_rewrite,
         "map_geometry_rewrite": Q.q_map_geometry_rewrite,
         # ANN
@@ -264,6 +265,7 @@ def oracle_sql() -> dict[str, str]:
         "skyline_parts": Q.SQL_SKYLINE_PARTS,
         "tree_rollup": Q.SQL_TREE_ROLLUP,
         "rank_correlation": Q.SQL_RANK_CORRELATION,
+        "zscore_outliers": Q.SQL_ZSCORE_OUTLIERS,
         "segment_price_quantiles": Q.SQL_SEGMENT_PRICE_QUANTILES,
         "langid_distribution": Q._sql_langid(),
         "quality_scores": Q._sql_quality(),

@@ -223,6 +223,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("skyline_parts", Q.q_skyline_parts)
     timed("tree_rollup", Q.q_tree_rollup)
     timed("rank_correlation", Q.q_rank_correlation)
+    timed("zscore_outliers", Q.q_zscore_outliers)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

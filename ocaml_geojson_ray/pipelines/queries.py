@@ -805,6 +805,116 @@ FROM r GROUP BY event_type HAVING count(*) > 1
 """
 
 
+def q_zscore_outliers(sf_dir: str):
+    """Anomaly detection (the outlier-filter a curation pipeline runs
+    before training): per event type, count and cents-sum of events
+    whose value sits more than 3σ from the group mean. Moments are
+    EXACT integers (n, S=Σcents, Q=Σcents² — Q ≈ 5e13 at sf0.1, safe
+    in int64 to ~sf3; past that the tiny per-group combine widens to
+    Python ints like the other gated funnels) collected by per-batch
+    bincount partials through the vocab-bounded funnel and broadcast
+    back as five scalars per type; the 3σ test then runs
+    operation-for-operation as the oracle computes it — μ = S/n and
+    var = Q/n − μ·μ as doubles (every operand < 2^53 so the int→double
+    casts are exact), (x−μ)² > 9·var — so the float comparison is
+    bit-identical on both sides. Two streamed passes, zero shuffles.
+    SQL-checked."""
+    import ray
+
+    from ..util import grouped_sums_combine
+
+    nb = max(4, int(ray.cluster_resources().get("CPU", 4)) // 4)
+    ds = split_read(f"{sf_dir}/events.parquet",
+                    ["event_type", "value"], nb)
+
+    def cents(b: pa.Table) -> pa.Table:
+        xc = np.round(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"event_type": b["event_type"],
+                         "xc": pa.array(xc, pa.int64())})
+
+    def moment_partial(b: pa.Table) -> pa.Table:
+        enc = b["event_type"].combine_chunks().dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        xc = b["xc"].to_numpy(zero_copy_only=False)
+        k = len(enc.dictionary)
+        n = np.bincount(idx, minlength=k).astype(np.int64)
+        # float64 bincount weights stay integer-exact: per-batch sums
+        # < 2^53 by the cents-scale bound
+        s = np.bincount(idx, weights=xc, minlength=k).astype(np.int64)
+        q = np.bincount(idx, weights=(xc * xc).astype(np.float64),
+                        minlength=k).astype(np.int64)
+        return pa.table({
+            "event_type": enc.dictionary,
+            "n": pa.array(n, pa.int64()),
+            "S": pa.array(s, pa.int64()),
+            "Q": pa.array(q, pa.int64()),
+        })
+
+    # two passes, NO materialize: upstream is a pruned 2-column read +
+    # a cast — re-reading beats pinning the corpus in plasma (the
+    # semdedup materialize-once rule is for expensive upstream compute)
+    pre = ds.map_batches(cents, batch_format="pyarrow")
+    mom = pa.concat_tables(ray.get(grouped_sums_combine(
+        pre.map_batches(moment_partial, batch_format="pyarrow"),
+        ["event_type"], ["n", "S", "Q"], ["n", "S", "Q"],
+    ).to_arrow_refs()))
+    stats = {
+        r["event_type"]: (r["n"], r["S"], r["Q"])
+        for r in mom.to_pylist()
+    }
+    stats_ref = ray.put(stats)
+
+    def outlier_partial(b: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        enc = b["event_type"].combine_chunks().dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        xc = b["xc"].to_numpy(zero_copy_only=False)
+        terms = enc.dictionary.to_pylist()
+        mu = np.empty(len(terms)); thr = np.empty(len(terms))
+        for i, t in enumerate(terms):
+            n, s, q = st[t]
+            mu[i] = s / n                      # ONE divide, as the SQL
+            thr[i] = 9.0 * (q / n - mu[i] * mu[i])
+        d = xc.astype(np.float64) - mu[idx]
+        out = d * d > thr[idx]
+        k = len(terms)
+        cnt = np.bincount(idx[out], minlength=k).astype(np.int64)
+        cs = np.bincount(idx[out], weights=xc[out],
+                         minlength=k).astype(np.int64)
+        return pa.table({
+            "event_type": enc.dictionary,
+            "n_outliers": pa.array(cnt, pa.int64()),
+            "outlier_cents_sum": pa.array(cs, pa.int64()),
+        })
+
+    res = pa.concat_tables(ray.get(grouped_sums_combine(
+        pre.map_batches(outlier_partial, batch_format="pyarrow"),
+        ["event_type"], ["n_outliers", "outlier_cents_sum"],
+        ["n_outliers", "outlier_cents_sum"],
+    ).to_arrow_refs()))
+    # groups with zero outliers don't appear in the oracle's post-WHERE
+    # GROUP BY — drop the all-zero partial rows
+    return res.filter(pc.greater(res["n_outliers"], 0))
+
+
+SQL_ZSCORE_OUTLIERS = """
+WITH c AS (SELECT event_type,
+                  CAST(round(value * 100.0) AS BIGINT) AS xc FROM events),
+s AS (SELECT event_type, count(*) AS n, sum(xc) AS S, sum(xc * xc) AS Q
+      FROM c GROUP BY event_type)
+SELECT c.event_type, count(*) AS n_outliers,
+       CAST(sum(c.xc) AS BIGINT) AS outlier_cents_sum
+FROM c JOIN s USING (event_type)
+WHERE (c.xc - CAST(s.S AS DOUBLE) / s.n)
+      * (c.xc - CAST(s.S AS DOUBLE) / s.n)
+      > 9.0 * (CAST(s.Q AS DOUBLE) / s.n
+               - (CAST(s.S AS DOUBLE) / s.n) * (CAST(s.S AS DOUBLE) / s.n))
+GROUP BY c.event_type
+"""
+
+
 def q_hotspot_clusters(sf_dir: str):
     """Grid-density spatial clustering (DBSCAN-flavored, over cells
     instead of raw points — the standard scale adaptation): cells with
