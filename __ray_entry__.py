@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tree_rollup": Q.q_tree_rollup,
         "rank_correlation": Q.q_rank_correlation,
         "zscore_outliers": Q.q_zscore_outliers,
+        "regression_trend": Q.q_regression_trend,
         "map_props_rewrite": Q.q_map_props_rewrite,
         "map_geometry_rewrite": Q.q_map_geometry_rewrite,
         # ANN
@@ -266,6 +267,7 @@ def oracle_sql() -> dict[str, str]:
         "tree_rollup": Q.SQL_TREE_ROLLUP,
         "rank_correlation": Q.SQL_RANK_CORRELATION,
         "zscore_outliers": Q.SQL_ZSCORE_OUTLIERS,
+        "regression_trend": Q.SQL_REGRESSION_TREND,
         "segment_price_quantiles": Q.SQL_SEGMENT_PRICE_QUANTILES,
         "langid_distribution": Q._sql_langid(),
         "quality_scores": Q._sql_quality(),

@@ -224,6 +224,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("tree_rollup", Q.q_tree_rollup)
     timed("rank_correlation", Q.q_rank_correlation)
     timed("zscore_outliers", Q.q_zscore_outliers)
+    timed("regression_trend", Q.q_regression_trend)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

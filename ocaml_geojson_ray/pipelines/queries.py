@@ -915,6 +915,93 @@ GROUP BY c.event_type
 """
 
 
+def q_regression_trend(sf_dir: str):
+    """Grouped OLS trend (regression analytics): per event type, the
+    least-squares slope/intercept of value-cents against hour-of-day.
+    All five moments (n, Σx, Σy, Σxy, Σx²) are exact integers through
+    the vocab-bounded funnel; the closed forms then run as the oracle
+    writes them — slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with BOTH
+    operands converted int→double by correct rounding (CPython
+    float(int) == DuckDB CAST(HUGEINT AS DOUBLE), bit-equal even past
+    2^53 — so no magnitude bound is needed for parity, only for the
+    int64 per-batch partials, which hold to ~sf100), intercept =
+    (Σy_d − slope·Σx) / n. ONE streamed pass, zero shuffles, the
+    per-group math on five scalars driver-side. SQL-checked with
+    bit-exact float columns."""
+    import ray
+
+    from ..util import grouped_sums_combine
+
+    nb = max(4, int(ray.cluster_resources().get("CPU", 4)) // 4)
+    ds = split_read(f"{sf_dir}/events.parquet",
+                    ["event_type", "ts", "value"], nb)
+
+    US_PER_H = 3_600_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        enc = b["event_type"].combine_chunks().dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        y = np.round(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        ts_us = b["ts"].cast(pa.int64()).to_numpy()
+        x = (ts_us // US_PER_H) % 24  # == date_part('hour') post-epoch
+        k = len(enc.dictionary)
+
+        def bc(w):
+            return np.bincount(idx, weights=w.astype(np.float64),
+                               minlength=k).astype(np.int64)
+
+        return pa.table({
+            "event_type": enc.dictionary,
+            "n": pa.array(np.bincount(idx, minlength=k).astype(np.int64),
+                          pa.int64()),
+            "sx": pa.array(bc(x), pa.int64()),
+            "sy": pa.array(bc(y), pa.int64()),
+            "sxy": pa.array(bc(x * y), pa.int64()),
+            "sxx": pa.array(bc(x * x), pa.int64()),
+        })
+
+    mom = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], ["n", "sx", "sy", "sxy", "sxx"],
+        ["n", "sx", "sy", "sxy", "sxx"],
+    ).to_arrow_refs()))
+    ets, ns, slopes, icepts = [], [], [], []
+    for r in sorted(mom.to_pylist(), key=lambda r: r["event_type"]):
+        n, sx, sy, sxy, sxx = (r["n"], r["sx"], r["sy"],
+                               r["sxy"], r["sxx"])
+        slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+        icept = (float(sy) - slope * sx) / n
+        ets.append(r["event_type"])
+        ns.append(n)
+        slopes.append(slope)
+        icepts.append(icept)
+    return pa.table({
+        "event_type": pa.array(ets, pa.string()),
+        "n": pa.array(ns, pa.int64()),
+        "slope": pa.array(slopes, pa.float64()),
+        "intercept": pa.array(icepts, pa.float64()),
+    })
+
+
+SQL_REGRESSION_TREND = """
+WITH c AS (SELECT event_type,
+                  CAST(round(value * 100.0) AS BIGINT) AS y,
+                  CAST(date_part('hour', ts) AS BIGINT) AS x FROM events),
+m AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM c GROUP BY event_type)
+SELECT event_type, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       (CAST(sy AS DOUBLE)
+        - (CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n AS intercept
+FROM m
+"""
+
+
 def q_hotspot_clusters(sf_dir: str):
     """Grid-density spatial clustering (DBSCAN-flavored, over cells
     instead of raw points — the standard scale adaptation): cells with
