@@ -149,6 +149,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_correlation": Q.q_rank_correlation,
         "zscore_outliers": Q.q_zscore_outliers,
         "regression_trend": Q.q_regression_trend,
+        "cooccur_pairs": Q.q_cooccur_pairs,
+        "hourly_entropy": Q.q_hourly_entropy,
+        "decay_scores": Q.q_decay_scores,
         "map_props_rewrite": Q.q_map_props_rewrite,
         "map_geometry_rewrite": Q.q_map_geometry_rewrite,
         # ANN
@@ -268,6 +271,9 @@ def oracle_sql() -> dict[str, str]:
         "rank_correlation": Q.SQL_RANK_CORRELATION,
         "zscore_outliers": Q.SQL_ZSCORE_OUTLIERS,
         "regression_trend": Q.SQL_REGRESSION_TREND,
+        "cooccur_pairs": Q.SQL_COOCCUR_PAIRS,
+        "hourly_entropy": Q.SQL_HOURLY_ENTROPY,
+        "decay_scores": Q.SQL_DECAY_SCORES,
         "segment_price_quantiles": Q.SQL_SEGMENT_PRICE_QUANTILES,
         "langid_distribution": Q._sql_langid(),
         "quality_scores": Q._sql_quality(),

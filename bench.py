@@ -225,6 +225,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("rank_correlation", Q.q_rank_correlation)
     timed("zscore_outliers", Q.q_zscore_outliers)
     timed("regression_trend", Q.q_regression_trend)
+    timed("cooccur_pairs", Q.q_cooccur_pairs)
+    timed("hourly_entropy", Q.q_hourly_entropy)
+    timed("decay_scores", Q.q_decay_scores)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

@@ -6756,3 +6756,285 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
 FROM h WHERE hv % 100 < 25
 GROUP BY lang
 """
+
+
+# -- round-5 wave 5: market-basket / distribution analytics ----------------
+
+def q_cooccur_pairs(sf_dir: str):
+    """Frequent-itemset pair mining (the order→part bipartite
+    projection): the 100 most frequent part pairs that co-occur in the
+    same order (support = #orders containing both, min support 2), by
+    (support DESC, p1, p2). Physical shape mirrors user_paths' honest
+    wide plan: ONE shuffle on an ORDERKEY BUCKET (per-order map_groups
+    would pay Ray's per-group Python cost ~1.5M times at sf1), then a
+    fully vectorized within-bucket pair explosion — parts are deduped
+    per order (support counts ORDERS, not line pairs), orders sorted,
+    and pairs generated by an offset-k scan (k ≤ max order width 13,
+    each step one vectorized mask) — then a SECOND shuffle that
+    hash-shards the packed ``p1<<32|p2`` pair key so global counts
+    finish inside O(nshards) vectorized np.unique groups instead of a
+    per-pair-key Ray groupby (~1.2M pair keys at sf0.1 → ~15 µs/group
+    would dominate). Min-support + per-shard top-100 partials are
+    complete within a shard (a pair lives in exactly one), so the
+    driver merge is a bounded 100·nshards funnel. All counts int64.
+    SQL-checked."""
+    import heapq
+
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nb = max(4, cpus // 4)
+    ds = split_read(f"{sf_dir}/lineitem.parquet",
+                    ["l_orderkey", "l_partkey"], nb)
+
+    n_buckets = max(64, cpus * 8)
+    n_shards = max(32, cpus * 4)
+    FIB = np.uint64(0x9E3779B97F4A7C15)
+
+    def pre(b: pa.Table) -> pa.Table:
+        ok_ = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        bkt = ((ok_.astype(np.uint64) * FIB)
+               % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(bkt, pa.int64()),
+            "l_orderkey": b["l_orderkey"],
+            "l_partkey": b["l_partkey"],
+        })
+
+    def explode(g: pa.Table) -> pa.Table:
+        empty = pa.table({"pair": pa.array([], pa.int64()),
+                          "partial": pa.array([], pa.int64())})
+        if g.num_rows == 0:  # phantom empty block guard (user_paths)
+            return empty
+        ok_ = g["l_orderkey"].to_numpy(zero_copy_only=False)
+        pk = g["l_partkey"].to_numpy(zero_copy_only=False)
+        # dedupe (order, part) and sort: packed key keeps one np.unique
+        packed = np.unique((ok_ << np.int64(32)) | pk)
+        okey = packed >> np.int64(32)
+        part = packed & np.int64(0xFFFFFFFF)
+        n = len(packed)
+        pairs = []
+        k = 1
+        # offset-k scan: arr is sorted by (order, part), so positions
+        # p and p+k in the same order give part[p] < part[p+k]
+        while k < n:
+            same = okey[k:] == okey[:-k]
+            if not same.any():
+                break
+            a = part[:-k][same]
+            bb = part[k:][same]
+            pairs.append((a << np.int64(32)) | bb)
+            k += 1
+        if not pairs:
+            return empty
+        up, cnt = np.unique(np.concatenate(pairs), return_counts=True)
+        return pa.table({
+            "pair": pa.array(up, pa.int64()),
+            "partial": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    def shard(b: pa.Table) -> pa.Table:
+        pr = b["pair"].to_numpy(zero_copy_only=False)
+        sh = ((pr.astype(np.uint64) * FIB)
+              % np.uint64(n_shards)).astype(np.int64)
+        return b.append_column("shard", pa.array(sh, pa.int64()))
+
+    def shard_top(g: pa.Table) -> pa.Table:
+        empty = pa.table({"p1": pa.array([], pa.int64()),
+                          "p2": pa.array([], pa.int64()),
+                          "n_orders": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        pr = g["pair"].to_numpy(zero_copy_only=False)
+        pt = g["partial"].to_numpy(zero_copy_only=False)
+        up, inv = np.unique(pr, return_inverse=True)
+        # float64 bincount weights stay integer-exact (< 2^53 counts)
+        cnt = np.bincount(inv, weights=pt.astype(np.float64)
+                          ).astype(np.int64)
+        keep = cnt >= 2  # min support — complete within a shard
+        up, cnt = up[keep], cnt[keep]
+        if len(up) == 0:
+            return empty
+        order = np.lexsort((up, -cnt))[:100]
+        up, cnt = up[order], cnt[order]
+        return pa.table({
+            "p1": pa.array(up >> np.int64(32), pa.int64()),
+            "p2": pa.array(up & np.int64(0xFFFFFFFF), pa.int64()),
+            "n_orders": pa.array(cnt, pa.int64()),
+        })
+
+    cand = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(explode, batch_format="pyarrow")
+        .map_batches(shard, batch_format="pyarrow")
+        .groupby("shard").map_groups(shard_top, batch_format="pyarrow")
+        .take_all()
+    )
+    top = heapq.nsmallest(
+        100, cand, key=lambda r: (-r["n_orders"], r["p1"], r["p2"]))
+    return pa.table({
+        "p1": pa.array([r["p1"] for r in top], pa.int64()),
+        "p2": pa.array([r["p2"] for r in top], pa.int64()),
+        "n_orders": pa.array([r["n_orders"] for r in top], pa.int64()),
+    })
+
+
+SQL_COOCCUR_PAIRS = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pr AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+       FROM op a JOIN op b USING (l_orderkey)
+       WHERE a.l_partkey < b.l_partkey)
+SELECT p1, p2, count(*) AS n_orders
+FROM pr GROUP BY p1, p2 HAVING count(*) >= 2
+ORDER BY n_orders DESC, p1, p2 LIMIT 100
+"""
+
+
+def q_hourly_entropy(sf_dir: str):
+    """Distribution diversity profiling (the curation metric that
+    flags time-skewed event sources): per event type, the Shannon
+    entropy of its hour-of-day histogram. Counts are exact integers
+    through the vocab-bounded funnel (≤ types×24 keys); entropy uses
+    the algebraic form H = ln(n) − (Σ c_h·ln c_h)/n whose ONLY
+    float-order hazard is the 24-term sum — pinned by summing hours
+    0→23 LEFT-ASSOCIATIVELY on both sides (the oracle unrolls the sum
+    as an explicit ``t0 + t1 + …`` chain; a plain SQL SUM() gives no
+    order guarantee). ln is libm on both sides (HLL precedent);
+    int→double casts exact below 2^53; one divide. Hour-of-day is
+    ``ts_us//3600e6 % 24`` — equal to EXTRACT(hour) for the
+    post-epoch fixture timestamps. Zero shuffles. SQL-checked."""
+    import math
+
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    ds = _read_split(sf_dir, "events", ["event_type", "ts"])
+
+    US_PER_HOUR = 3_600_000_000
+
+    def pre(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (ts_us // US_PER_HOUR) % 24
+        vc = pa.table({
+            "event_type": b["event_type"],
+            "hour": pa.array(hour, pa.int64()),
+        }).group_by(["event_type", "hour"]).aggregate([([], "count_all")])
+        return pa.table({
+            "event_type": vc["event_type"],
+            "hour": vc["hour"],
+            "c": vc["count_all"].cast(pa.int64()),
+        })
+
+    hist = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["event_type", "hour"], "c", "c",
+    ).to_arrow_refs()))
+
+    by_type: dict = {}
+    for r in hist.to_pylist():
+        by_type.setdefault(r["event_type"], {})[r["hour"]] = r["c"]
+    types = sorted(by_type)
+    ns, ents = [], []
+    for t in types:
+        cs = by_type[t]
+        n = sum(cs.values())
+        s = 0.0
+        for h in range(24):  # left-assoc, ascending h — as the oracle
+            c = cs.get(h, 0)
+            if c > 0:
+                s += c * math.log(c)
+        ns.append(n)
+        ents.append(math.log(n) - s / n)
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "n": pa.array(ns, pa.int64()),
+        "entropy": pa.array(ents, pa.float64()),
+    })
+
+
+SQL_HOURLY_ENTROPY = (
+    "WITH h AS (SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT)"
+    " AS h, count(*) AS c FROM events GROUP BY 1, 2),\n"
+    "p AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n,\n"
+    + "\n + ".join(
+        f"coalesce(max(CASE WHEN h = {i} THEN c * ln(c) END), 0.0)"
+        for i in range(24))
+    + "\n AS s FROM h GROUP BY event_type)\n"
+    "SELECT event_type, n, ln(n) - s / n AS entropy FROM p"
+)
+
+
+def q_decay_scores(sf_dir: str):
+    """Recency-weighted trending aggregate (exponential time decay,
+    half-life 1 hour): per event type, score = Σ 2^(−age_hours) with
+    age capped at 30 hours. The decay weight is carried as the INTEGER
+    ``1 << (30 − age)`` so partial sums are exact int64 at any
+    count/order (up to 2^33 rows per group before overflow — past
+    that the funnel combine widens to Python ints like the other
+    gated funnels) and the float score appears only in the final
+    single divide by 2^30 — zero float-summation hazard, unlike a
+    naive Σ pow(2,−age) whose addition order rounds. Two streamed
+    passes (global max ts, then the 5-key bounded funnel), zero
+    shuffles. SQL-checked."""
+    import ray
+
+    from ..util import grouped_sums_combine
+
+    ds = _read_split(sf_dir, "events", ["event_type", "ts"])
+
+    US_PER_HOUR = 3_600_000_000
+
+    def ts_max(b: pa.Table):
+        return pa.table({"mx": pa.array(
+            [pc.max(b["ts"].cast(pa.int64())).as_py()], pa.int64())})
+
+    mx_us = max(
+        v for v in pa.concat_tables(ray.get(
+            ds.map_batches(ts_max, batch_format="pyarrow")
+            .to_arrow_refs()))["mx"].to_pylist()
+        if v is not None)
+    # second pass re-reads the pruned 2-column parquet (the
+    # materialize-vs-reread rule: upstream is a bare read, re-reading
+    # beats pinning the corpus in plasma)
+    ds2 = _read_split(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        age = np.minimum((mx_us - ts_us) // US_PER_HOUR, 30)
+        w = np.left_shift(np.int64(1), (30 - age).astype(np.int64))
+        enc = b["event_type"].combine_chunks().dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        k = len(enc.dictionary)
+        n = np.bincount(idx, minlength=k).astype(np.int64)
+        # float64 weights: every w ≤ 2^30 and per-batch totals < 2^53
+        s = np.bincount(idx, weights=w.astype(np.float64),
+                        minlength=k).astype(np.int64)
+        return pa.table({
+            "event_type": enc.dictionary,
+            "n": pa.array(n, pa.int64()),
+            "decay_w": pa.array(s, pa.int64()),
+        })
+
+    agg = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds2.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], ["n", "decay_w"], ["n", "decay_w"],
+    ).to_arrow_refs()))
+    score = pc.divide(pc.cast(agg["decay_w"], pa.float64()),
+                      1073741824.0)
+    return agg.append_column("decay_score", score)
+
+
+SQL_DECAY_SCORES = """
+WITH m AS (SELECT CAST(epoch_us(max(ts)) AS BIGINT) AS mx FROM events),
+a AS (SELECT event_type,
+             LEAST((m.mx - CAST(epoch_us(ts) AS BIGINT)) // 3600000000,
+                   30) AS age
+      FROM events, m)
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(1 AS BIGINT) << CAST(30 - age AS INTEGER))
+            AS BIGINT) AS decay_w,
+       CAST(sum(CAST(1 AS BIGINT) << CAST(30 - age AS INTEGER))
+            AS BIGINT) / 1073741824.0 AS decay_score
+FROM a GROUP BY event_type
+"""

@@ -177,3 +177,63 @@ def test_inverted_index_vocab_cap_and_tiebreak(tmp_path, ray_session):
     sql_df = con.execute(E.oracle_sql()["inverted_index"]).df()
     problems = compare("inverted_index_synth", ray_df, sql_df)
     assert not problems, problems
+
+
+def test_cooccur_pairs_explosion_kernel(tmp_path, ray_session):
+    """The sf fixtures' orders are ≤13 lines with rare within-order
+    part repeats, so the two sharp edges of the vectorized pair
+    explosion barely bind there — pin them on a synthetic lineitem:
+    (a) a part repeated on several lines of ONE order must count that
+    order once (support counts orders, not line pairs), (b) a 9-wide
+    order exercises the offset-k scan to k=8, (c) a deliberate support
+    tie at the min-support boundary. Brute-forced with itertools AND
+    value-compared against the DuckDB oracle on the same parquet."""
+    import itertools
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+    from scripts.check_oracle import compare, to_pandas
+
+    orders = {
+        1: [10, 20, 10, 30, 10],        # dup part 10 → pairs counted once
+        2: [10, 20, 30],
+        3: list(range(100, 109)),       # 9-wide order: k runs to 8
+        4: [100, 101, 105],
+        5: [20, 10],                    # (10,20) reaches support 3
+        6: [40],                        # singleton order: no pairs
+        7: [50, 50],                    # dup-only order: no pairs
+    }
+    ok_, pk = [], []
+    for o, parts in orders.items():
+        for p in parts:
+            ok_.append(o)
+            pk.append(p)
+    tbl = pa.table({
+        "l_orderkey": pa.array(ok_, pa.int64()),
+        "l_partkey": pa.array(pk, pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "lineitem.parquet"))
+
+    ray_df = to_pandas(E.queries()["cooccur_pairs"](str(tmp_path)))
+
+    support = {}
+    for parts in orders.values():
+        for a, b in itertools.combinations(sorted(set(parts)), 2):
+            support[(a, b)] = support.get((a, b), 0) + 1
+    want = sorted(
+        ((p1, p2, n) for (p1, p2), n in support.items() if n >= 2),
+        key=lambda r: (-r[2], r[0], r[1]))[:100]
+    got = list(ray_df[["p1", "p2", "n_orders"]].itertuples(index=False,
+                                                           name=None))
+    assert got == want
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/lineitem.parquet')")
+    sql_df = con.execute(E.oracle_sql()["cooccur_pairs"]).df()
+    problems = compare("cooccur_pairs_synth", ray_df, sql_df)
+    assert not problems, problems
