@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccur_pairs": Q.q_cooccur_pairs,
         "hourly_entropy": Q.q_hourly_entropy,
         "decay_scores": Q.q_decay_scores,
+        "edit_distance_pairs": Q.q_edit_distance_pairs,
+        "bigram_next_word": Q.q_bigram_next_word,
         "map_props_rewrite": Q.q_map_props_rewrite,
         "map_geometry_rewrite": Q.q_map_geometry_rewrite,
         # ANN
@@ -274,6 +276,8 @@ def oracle_sql() -> dict[str, str]:
         "cooccur_pairs": Q.SQL_COOCCUR_PAIRS,
         "hourly_entropy": Q.SQL_HOURLY_ENTROPY,
         "decay_scores": Q.SQL_DECAY_SCORES,
+        "edit_distance_pairs": Q.SQL_EDIT_DISTANCE_PAIRS,
+        "bigram_next_word": Q.SQL_BIGRAM_NEXT_WORD,
         "segment_price_quantiles": Q.SQL_SEGMENT_PRICE_QUANTILES,
         "langid_distribution": Q._sql_langid(),
         "quality_scores": Q._sql_quality(),

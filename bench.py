@@ -228,6 +228,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("cooccur_pairs", Q.q_cooccur_pairs)
     timed("hourly_entropy", Q.q_hourly_entropy)
     timed("decay_scores", Q.q_decay_scores)
+    timed("edit_distance_pairs", Q.q_edit_distance_pairs)
+    timed("bigram_next_word", Q.q_bigram_next_word)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

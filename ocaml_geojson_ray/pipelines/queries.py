@@ -7038,3 +7038,241 @@ SELECT event_type, count(*) AS n,
             AS BIGINT) / 1073741824.0 AS decay_score
 FROM a GROUP BY event_type
 """
+
+
+# -- round-5 wave 6: fuzzy text matching / sequence modeling ----------------
+
+def q_edit_distance_pairs(sf_dir: str):
+    """Typo near-duplicate mining (the fuzzy-match companion to the
+    gram/minhash dedups): all word pairs within Levenshtein distance 2
+    over the distinct vocabulary of part names ∪ document texts.
+    Tokens are RE2-\\w ASCII words (the oracle-tokenizer device,
+    textstats._ASCII_WORD_RE). Physical shape: per-batch token-set
+    partials → one driver unique (the vocabulary is the Heaps'-law
+    o(corpus) object every lexicon stage here broadcasts — same
+    contract as tfidf/inverted_index vocab), then the O(V²) candidate
+    grid is ROW-BLOCK SHARDED across tasks against the ray.put vocab
+    (each task owns a contiguous i-range × all j>i), pruned by the
+    |len₁−len₂| ≤ 2 band, and scored by a Wagner-Fischer DP that is
+    vectorized ACROSS PAIRS (the i,j loops are O(L²) ≤ ~160 steps;
+    every step is one numpy min over the whole pair block) — unit
+    insert/delete/substitute costs, exactly DuckDB's levenshtein().
+    SQL-checked."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.textstats import _ASCII_WORD_RE
+
+    def toks_part(b: pa.Table) -> pa.Table:
+        ws = set()
+        for t in b["p_name"].to_pylist():
+            ws.update(_ASCII_WORD_RE.findall(t))
+        return pa.table({"w": pa.array(sorted(ws), pa.string())})
+
+    def toks_doc(b: pa.Table) -> pa.Table:
+        ws = set()
+        for t in b["text"].to_pylist():
+            ws.update(_ASCII_WORD_RE.findall(t))
+        return pa.table({"w": pa.array(sorted(ws), pa.string())})
+
+    parts = _read_split_few(sf_dir, "part", ["p_name"]).map_batches(
+        toks_part, batch_format="pyarrow")
+    docs = _read_split_few(sf_dir, "documents", ["text"]).map_batches(
+        toks_doc, batch_format="pyarrow")
+    vocab_tbl = pa.concat_tables(
+        ray.get(parts.union(docs).to_arrow_refs()))
+    vocab = np.unique(np.asarray(vocab_tbl["w"].to_pylist(),
+                                 dtype=object))
+    nv = len(vocab)
+    if nv < 2:
+        return pa.table({"w1": pa.array([], pa.string()),
+                         "w2": pa.array([], pa.string()),
+                         "dist": pa.array([], pa.int64())})
+    vocab_ref = ray.put(vocab)
+    lens = np.fromiter((len(w) for w in vocab), np.int64, nv)
+    lens_ref = ray.put(lens)
+
+    n_blocks = min(nv, 64)
+    bounds = np.linspace(0, nv, n_blocks + 1).astype(np.int64)
+
+    def block_pairs(b: pa.Table) -> pa.Table:
+        v = ray.get(vocab_ref)
+        ln = ray.get(lens_ref)
+        out1, out2, outd = [], [], []
+        for lo, hi in zip(b["lo"].to_pylist(), b["hi"].to_pylist()):
+            ii, jj = np.meshgrid(np.arange(lo, hi), np.arange(nv),
+                                 indexing="ij")
+            ii, jj = ii.ravel(), jj.ravel()
+            keep = (ii < jj) & (np.abs(ln[ii] - ln[jj]) <= 2)
+            ii, jj = ii[keep], jj[keep]
+            if len(ii) == 0:
+                continue
+            d = _lev_block(v[ii], v[jj], ln[ii], ln[jj])
+            hit = d <= 2
+            out1.append(ii[hit])
+            out2.append(jj[hit])
+            outd.append(d[hit])
+        if not out1:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "dist": pa.array([], pa.int64())})
+        i1 = np.concatenate(out1)
+        i2 = np.concatenate(out2)
+        return pa.table({
+            "w1": pa.array(list(v[i1]), pa.string()),
+            "w2": pa.array(list(v[i2]), pa.string()),
+            "dist": pa.array(np.concatenate(outd), pa.int64()),
+        })
+
+    grid = rd.from_arrow(pa.table({
+        "lo": pa.array(bounds[:-1], pa.int64()),
+        "hi": pa.array(bounds[1:], pa.int64()),
+    }))
+    res = pa.concat_tables(ray.get(
+        grid.map_batches(block_pairs, batch_format="pyarrow",
+                         batch_size=1).to_arrow_refs()))
+    order = np.lexsort((np.asarray(res["w2"].to_pylist(), dtype=object),
+                        np.asarray(res["w1"].to_pylist(), dtype=object)))
+    return res.take(pa.array(order, pa.int64()))
+
+
+def _lev_block(a_words, b_words, la, lb) -> np.ndarray:
+    """Unit-cost Levenshtein for a block of string pairs, vectorized
+    across the PAIR axis (classic Wagner-Fischer rows; the char loops
+    are O(Lmax²) numpy steps over the whole block). Matches DuckDB's
+    levenshtein() (insert/delete/substitute all cost 1)."""
+    n = len(a_words)
+    l1m = int(la.max())
+    l2m = int(lb.max())
+    # codepoint matrices, 0-padded (0 never equals a real \w char)
+    c1 = np.zeros((n, l1m), np.uint32)
+    c2 = np.zeros((n, l2m), np.uint32)
+    for p in range(n):  # O(V²/B) short strings per task — packing only
+        w = a_words[p]
+        c1[p, :len(w)] = np.frombuffer(w.encode("utf-32-le"), np.uint32)
+        w = b_words[p]
+        c2[p, :len(w)] = np.frombuffer(w.encode("utf-32-le"), np.uint32)
+    prev = np.broadcast_to(np.arange(l2m + 1, dtype=np.int64),
+                           (n, l2m + 1)).copy()
+    out = np.empty(n, np.int64)
+    done_at = la  # row index where each pair's answer materializes
+    out[done_at == 0] = lb[done_at == 0]
+    for i in range(1, l1m + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        sub = c1[:, i - 1:i] != c2  # (n, l2m) substitution costs
+        for j in range(1, l2m + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + sub[:, j - 1])
+        hit = done_at == i
+        if hit.any():
+            out[hit] = cur[hit, lb[hit]]
+        prev = cur
+    return out
+
+
+SQL_EDIT_DISTANCE_PAIRS = r"""
+WITH pw AS (SELECT unnest(regexp_extract_all(p_name, '\w+')) AS w
+            FROM part),
+dw AS (SELECT unnest(regexp_extract_all(text, '\w+')) AS w
+       FROM documents),
+v AS (SELECT DISTINCT w FROM (SELECT w FROM pw UNION ALL
+                              SELECT w FROM dw))
+SELECT a.w AS w1, b.w AS w2,
+       CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+FROM v a JOIN v b ON a.w < b.w
+WHERE levenshtein(a.w, b.w) <= 2
+ORDER BY w1, w2
+"""
+
+
+def q_bigram_next_word(sf_dir: str):
+    """Bigram language-model head (the n-gram successor table a
+    data-quality pipeline builds for perplexity-ish filters): for
+    every word in the corpus, its most frequent next word, ties broken
+    by (count DESC, w2 ASC). Tokens are RE2-\\w ASCII words (the
+    oracle-tokenizer device). Physical shape: per-batch bigram
+    partials (one np.unique over NUL-joined pairs), then ONE shuffle
+    that shards on md5_le64(w1) — the per-w1 argmax is COMPLETE within
+    a shard, so the result is the plain union of shard outputs with no
+    driver re-merge; shard combine is np.unique + one float64-exact
+    bincount, argmax one lexsort. Bigram-key cardinality is unbounded
+    at corpus scale, so no driver funnel touches the full key space.
+    SQL-checked."""
+    import ray
+
+    from ..stages.textstats import _ASCII_WORD_RE
+    from ..util import md5_le64
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_shards = max(16, cpus * 2)
+    ds = _read_split_few(sf_dir, "documents", ["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        pairs = []
+        for t in b["text"].to_pylist():
+            ws = _ASCII_WORD_RE.findall(t)
+            pairs.extend(f"{a}\x00{c}" for a, c in zip(ws, ws[1:]))
+        if not pairs:
+            return pa.table({
+                "bg": pa.array([], pa.string()),
+                "partial": pa.array([], pa.int64()),
+                "shard": pa.array([], pa.int64()),
+            })
+        up, cnt = np.unique(np.asarray(pairs, dtype=object),
+                            return_counts=True)
+        sh = np.fromiter(
+            (md5_le64(s.split("\x00", 1)[0].encode("utf-8"))
+             % n_shards for s in up),
+            np.int64, len(up))
+        return pa.table({
+            "bg": pa.array(list(up), pa.string()),
+            "partial": pa.array(cnt.astype(np.int64), pa.int64()),
+            "shard": pa.array(sh, pa.int64()),
+        })
+
+    def shard_argmax(g: pa.Table) -> pa.Table:
+        empty = pa.table({"w1": pa.array([], pa.string()),
+                          "w2": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        bg = np.asarray(g["bg"].to_pylist(), dtype=object)
+        pt = g["partial"].to_numpy(zero_copy_only=False)
+        ub, inv = np.unique(bg, return_inverse=True)
+        cnt = np.bincount(inv, weights=pt.astype(np.float64)
+                          ).astype(np.int64)
+        w1 = np.asarray([s.split("\x00", 1)[0] for s in ub],
+                        dtype=object)
+        w2 = np.asarray([s.split("\x00", 1)[1] for s in ub],
+                        dtype=object)
+        # rank rows (count DESC, w2 ASC) then keep each w1's first
+        order = np.lexsort((w2, -cnt))
+        w1o, w2o, co = w1[order], w2[order], cnt[order]
+        _, first = np.unique(w1o, return_index=True)
+        return pa.table({
+            "w1": pa.array(list(w1o[first]), pa.string()),
+            "w2": pa.array(list(w2o[first]), pa.string()),
+            "n": pa.array(co[first], pa.int64()),
+        })
+
+    res = pa.concat_tables(ray.get(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("shard").map_groups(shard_argmax,
+                                     batch_format="pyarrow")
+        .to_arrow_refs()))
+    order = np.argsort(np.asarray(res["w1"].to_pylist(), dtype=object))
+    return res.take(pa.array(order, pa.int64()))
+
+
+SQL_BIGRAM_NEXT_WORD = r"""
+WITH toks AS (SELECT regexp_extract_all(text, '\w+') AS ws
+              FROM documents),
+z AS (SELECT unnest(list_zip(ws, ws[2:])) AS pr FROM toks),
+b AS (SELECT pr[1] AS w1, pr[2] AS w2 FROM z WHERE pr[2] IS NOT NULL),
+c AS (SELECT w1, w2, count(*) AS n FROM b GROUP BY w1, w2),
+r AS (SELECT w1, w2, n, row_number()
+        OVER (PARTITION BY w1 ORDER BY n DESC, w2) AS rn FROM c)
+SELECT w1, w2, n FROM r WHERE rn = 1 ORDER BY w1
+"""

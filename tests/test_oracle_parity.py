@@ -237,3 +237,43 @@ def test_cooccur_pairs_explosion_kernel(tmp_path, ray_session):
     sql_df = con.execute(E.oracle_sql()["cooccur_pairs"]).df()
     problems = compare("cooccur_pairs_synth", ray_df, sql_df)
     assert not problems, problems
+
+
+def test_lev_block_matches_duckdb_property():
+    """The vectorized Wagner-Fischer kernel (_lev_block) is replicated
+    arithmetic for DuckDB's levenshtein() — pin it property-style on
+    ~300 deterministic random pairs inside the |len diff| ≤ 2 band the
+    caller guarantees (lengths 1..12, incl. equal strings, shared
+    prefixes/suffixes and transpositions, which cost 2 here — this is
+    Levenshtein, NOT Damerau)."""
+    import duckdb
+    import numpy as np
+
+    from ocaml_geojson_ray.pipelines.queries import _lev_block
+
+    rng = np.random.default_rng(20260818)
+    alpha = np.array(list("abcde_0"))
+    a_words, b_words = [], []
+    while len(a_words) < 300:
+        la = int(rng.integers(1, 13))
+        lb = int(rng.integers(max(1, la - 2), min(12, la + 2) + 1))
+        a = "".join(rng.choice(alpha, la))
+        if rng.random() < 0.2:
+            b = a  # equal strings → dist 0
+        elif rng.random() < 0.3 and la >= 2:
+            b = a[1] + a[0] + a[2:]  # transposition → dist ≤ 2
+        else:
+            b = "".join(rng.choice(alpha, lb))
+        a_words.append(a)
+        b_words.append(b)
+    aw = np.asarray(a_words, dtype=object)
+    bw = np.asarray(b_words, dtype=object)
+    la = np.asarray([len(w) for w in a_words], np.int64)
+    lb = np.asarray([len(w) for w in b_words], np.int64)
+    got = _lev_block(aw, bw, la, lb)
+
+    con = duckdb.connect()
+    for i in range(len(a_words)):
+        want = con.execute("SELECT levenshtein(?, ?)",
+                           [a_words[i], b_words[i]]).fetchone()[0]
+        assert got[i] == want, (a_words[i], b_words[i], got[i], want)
