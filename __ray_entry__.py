@@ -154,6 +154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decay_scores": Q.q_decay_scores,
         "edit_distance_pairs": Q.q_edit_distance_pairs,
         "bigram_next_word": Q.q_bigram_next_word,
+        "mad_outliers": Q.q_mad_outliers,
+        "bloom_prefilter": Q.q_bloom_prefilter,
         "map_props_rewrite": Q.q_map_props_rewrite,
         "map_geometry_rewrite": Q.q_map_geometry_rewrite,
         # ANN
@@ -278,6 +280,8 @@ def oracle_sql() -> dict[str, str]:
         "decay_scores": Q.SQL_DECAY_SCORES,
         "edit_distance_pairs": Q.SQL_EDIT_DISTANCE_PAIRS,
         "bigram_next_word": Q.SQL_BIGRAM_NEXT_WORD,
+        "mad_outliers": Q.SQL_MAD_OUTLIERS,
+        "bloom_prefilter": Q.SQL_BLOOM_PREFILTER,
         "segment_price_quantiles": Q.SQL_SEGMENT_PRICE_QUANTILES,
         "langid_distribution": Q._sql_langid(),
         "quality_scores": Q._sql_quality(),

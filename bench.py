@@ -230,6 +230,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("decay_scores", Q.q_decay_scores)
     timed("edit_distance_pairs", Q.q_edit_distance_pairs)
     timed("bigram_next_word", Q.q_bigram_next_word)
+    timed("mad_outliers", Q.q_mad_outliers)
+    timed("bloom_prefilter", Q.q_bloom_prefilter)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

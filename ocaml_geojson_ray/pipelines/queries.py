@@ -7276,3 +7276,247 @@ r AS (SELECT w1, w2, n, row_number()
         OVER (PARTITION BY w1 ORDER BY n DESC, w2) AS rn FROM c)
 SELECT w1, w2, n FROM r WHERE rn = 1 ORDER BY w1
 """
+
+
+# -- round-5 wave 7: robust stats / bloom-gated joins -----------------------
+
+def q_mad_outliers(sf_dir: str):
+    """Robust anomaly filter (median/MAD — the outlier gate that
+    survives the heavy-tailed value distributions a mean/σ z-score
+    breaks on): per event type, median of value-cents and the median
+    absolute deviation, both via the quantile_disc selection rule
+    ``sorted[max(0, ceil(q·n) − 1)]`` (the device quantile_filter
+    pinned against DuckDB), then count + cents-sum of events with
+    |xc − med| > 3·MAD. EVERYTHING is int64 — medians of ints are
+    ints, deviations are ints, the 3·MAD test is an integer compare —
+    so there is zero float hazard anywhere. Physical shape: the
+    two-phase bounded-grid histogram (grid ≤ types × cents-range,
+    range-bounded not corpus-bounded), the DEVIATION histogram derived
+    from the same grid (no second corpus pass for MAD — re-rank
+    |v − med| with the existing counts), thresholds broadcast, one
+    streamed outlier pass. SQL-checked."""
+    import ray
+
+    from ..util import grouped_sum_combine, grouped_sums_combine
+
+    ds = _read_split_few(sf_dir, "events", ["event_type", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        xc = np.round(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"event_type": b["event_type"],
+                         "xc": pa.array(xc, pa.int64())})
+
+    def grid_partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["event_type", "xc"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["event_type", "xc", "partial"])
+
+    pre = ds.map_batches(cents, batch_format="pyarrow")
+    # grid keys ≤ types × cents-range — range-bounded, so the driver
+    # funnel applies (a Ray groupby here paid ~1 s of per-group cost +
+    # a sort shuffle for a table the driver reduces in microseconds)
+    hist = pa.concat_tables(ray.get(grouped_sum_combine(
+        pre.map_batches(grid_partial, batch_format="pyarrow"),
+        ["event_type", "xc"], "partial", "cnt",
+    ).to_arrow_refs()))
+
+    th = {}
+    et = np.asarray(hist["event_type"].to_pylist(), dtype=object)
+    xv = hist["xc"].to_numpy(zero_copy_only=False)
+    cv = hist["cnt"].to_numpy(zero_copy_only=False)
+    for t in np.unique(et):
+        sel = et == t
+        v, c = xv[sel], cv[sel]
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        rank = max(0, int(np.ceil(0.5 * n)) - 1)
+        med = v[np.searchsorted(cum, rank + 1)]
+        dev = np.abs(v - med)
+        order2 = np.argsort(dev, kind="stable")
+        cum2 = np.cumsum(c[order2])
+        mad = dev[order2][np.searchsorted(cum2, rank + 1)]
+        th[str(t)] = (int(med), int(mad))
+    th_ref = ray.put(th)
+
+    def outlier_partial(b: pa.Table) -> pa.Table:
+        t = ray.get(th_ref)
+        enc = b["event_type"].combine_chunks().dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        xc = b["xc"].to_numpy(zero_copy_only=False)
+        terms = enc.dictionary.to_pylist()
+        med = np.asarray([t[x][0] for x in terms], np.int64)
+        mad = np.asarray([t[x][1] for x in terms], np.int64)
+        out = np.abs(xc - med[idx]) > 3 * mad[idx]   # pure int compare
+        k = len(terms)
+        cnt = np.bincount(idx[out], minlength=k).astype(np.int64)
+        cs = np.bincount(idx[out], weights=xc[out],
+                         minlength=k).astype(np.int64)
+        return pa.table({
+            "event_type": enc.dictionary,
+            "med": pa.array(med, pa.int64()),
+            "mad": pa.array(mad, pa.int64()),
+            "n_outliers": pa.array(cnt, pa.int64()),
+            "outlier_cents_sum": pa.array(cs, pa.int64()),
+        })
+
+    res = pa.concat_tables(ray.get(grouped_sums_combine(
+        pre.map_batches(outlier_partial, batch_format="pyarrow"),
+        ["event_type", "med", "mad"],
+        ["n_outliers", "outlier_cents_sum"],
+        ["n_outliers", "outlier_cents_sum"],
+    ).to_arrow_refs()))
+    return res.filter(pc.greater(res["n_outliers"], 0))
+
+
+SQL_MAD_OUTLIERS = """
+WITH c AS (SELECT event_type,
+                  CAST(round(value * 100.0) AS BIGINT) AS xc FROM events),
+m AS (SELECT event_type, quantile_disc(xc, 0.5) AS med
+      FROM c GROUP BY event_type),
+d AS (SELECT c.event_type, c.xc, m.med, abs(c.xc - m.med) AS dev
+      FROM c JOIN m USING (event_type)),
+md AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad
+       FROM d GROUP BY event_type)
+SELECT d.event_type, CAST(any_value(d.med) AS BIGINT) AS med,
+       CAST(any_value(md.mad) AS BIGINT) AS mad,
+       count(*) AS n_outliers,
+       CAST(sum(d.xc) AS BIGINT) AS outlier_cents_sum
+FROM d JOIN md USING (event_type)
+WHERE d.dev > 3 * md.mad
+GROUP BY d.event_type
+"""
+
+
+_MD5LE64_SQL = ("CAST('0x' || substr(hx,15,2) || substr(hx,13,2)"
+                " || substr(hx,11,2) || substr(hx,9,2) || substr(hx,7,2)"
+                " || substr(hx,5,2) || substr(hx,3,2) || substr(hx,1,2)"
+                " AS UBIGINT)")
+
+
+def q_bloom_prefilter(sf_dir: str):
+    """Bloom-gated semi-join rehearsal (the shuffle-avoidance device a
+    distributed join planner runs before shipping probe rows): a
+    1024-bit / 2-probe Bloom filter over the BUILDING-segment customer
+    keys gates the orders probe, and the query REPORTS the filter's
+    exact confusion counts per order priority — probe rows, Bloom
+    candidates, true matches, false positives — so the operator's
+    false-positive economics are value-checked, not assumed. Hashing
+    is the pinned md5-LE-64 device (util.md5_le64); probe positions
+    are the low/high 32-bit halves mod 1024; every count is int64.
+    Physical shape: the build side is the standard bounded broadcast
+    (bloom words + exact key set via ray.put — the exact set is what a
+    real planner would NOT ship, carried here only to score the
+    filter), one streamed probe pass, 5-key funnel combine, zero
+    shuffles. SQL-checked."""
+    import ray
+
+    from ..util import grouped_sums_combine, md5_le64
+
+    cust = pa.concat_tables(ray.get(
+        _read_split_few(sf_dir, "customer",
+                        ["c_custkey", "c_mktsegment"])
+        .map_batches(
+            lambda b: b.filter(
+                pc.equal(b["c_mktsegment"], "BUILDING")
+            ).select(["c_custkey"]),
+            batch_format="pyarrow",
+        ).to_arrow_refs()))
+    keys = np.unique(cust["c_custkey"].to_numpy(zero_copy_only=False))
+    bloom = np.zeros(16, np.uint64)
+    for k in keys:
+        h = md5_le64(str(int(k)).encode("ascii"))
+        for p in ((h & 0xFFFFFFFF) % 1024, (h >> 32) % 1024):
+            bloom[p >> 6] |= np.uint64(1 << (p & 63))
+    build_ref = ray.put((bloom, keys))
+
+    ds = _read_split(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def probe(b: pa.Table) -> pa.Table:
+        bl, ks = ray.get(build_ref)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(ck, return_inverse=True)
+        hv = np.fromiter(
+            (md5_le64(str(int(k)).encode("ascii")) for k in uk),
+            np.uint64, len(uk))
+        p1 = (hv & np.uint64(0xFFFFFFFF)) % np.uint64(1024)
+        p2 = (hv >> np.uint64(32)) % np.uint64(1024)
+        hit1 = (bl[(p1 >> np.uint64(6)).astype(np.int64)]
+                & (np.uint64(1) << (p1 & np.uint64(63)))) != 0
+        hit2 = (bl[(p2 >> np.uint64(6)).astype(np.int64)]
+                & (np.uint64(1) << (p2 & np.uint64(63)))) != 0
+        u_cand = hit1 & hit2
+        pos = np.searchsorted(ks, uk)
+        pos[pos >= len(ks)] = len(ks) - 1 if len(ks) else 0
+        u_true = (ks[pos] == uk) if len(ks) else np.zeros(len(uk), bool)
+        cand = u_cand[inv]
+        true = u_true[inv]
+        enc = b["o_orderpriority"].combine_chunks().dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        kk = len(enc.dictionary)
+
+        def cnt(mask):
+            return pa.array(
+                np.bincount(idx[mask], minlength=kk).astype(np.int64)
+                if mask is not None else
+                np.bincount(idx, minlength=kk).astype(np.int64),
+                pa.int64())
+
+        return pa.table({
+            "o_orderpriority": enc.dictionary,
+            "n_probe": cnt(None),
+            "n_candidates": cnt(cand),
+            "n_true_matches": cnt(true),
+            "n_false_pos": cnt(cand & ~true),
+        })
+
+    return grouped_sums_combine(
+        ds.map_batches(probe, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        ["n_probe", "n_candidates", "n_true_matches", "n_false_pos"],
+        ["n_probe", "n_candidates", "n_true_matches", "n_false_pos"],
+    )
+
+
+SQL_BLOOM_PREFILTER = f"""
+WITH b AS (SELECT c_custkey AS k FROM customer
+           WHERE c_mktsegment = 'BUILDING'),
+bh AS (SELECT k, {_MD5LE64_SQL} AS h
+       FROM (SELECT k, md5(k::VARCHAR) AS hx FROM b)),
+bp AS (SELECT (h % 4294967296) % 1024 AS p FROM bh
+       UNION ALL
+       SELECT (h // 4294967296) % 1024 AS p FROM bh),
+bloom AS (SELECT p // 64 AS w,
+                 bit_or(CAST(1 AS UBIGINT)
+                        << CAST(p % 64 AS INTEGER)) AS bm
+          FROM bp GROUP BY p // 64),
+oh AS (SELECT o_orderpriority, o_custkey, {_MD5LE64_SQL} AS h
+       FROM (SELECT o_orderpriority, o_custkey,
+                    md5(o_custkey::VARCHAR) AS hx FROM orders)),
+op AS (SELECT o_orderpriority, o_custkey,
+              (h % 4294967296) % 1024 AS p1,
+              (h // 4294967296) % 1024 AS p2 FROM oh),
+cand AS (SELECT o.o_orderpriority, o.o_custkey,
+                (b1.bm IS NOT NULL AND b2.bm IS NOT NULL
+                 AND (b1.bm & (CAST(1 AS UBIGINT)
+                               << CAST(o.p1 % 64 AS INTEGER))) <> 0
+                 AND (b2.bm & (CAST(1 AS UBIGINT)
+                               << CAST(o.p2 % 64 AS INTEGER))) <> 0
+                ) AS is_cand,
+                o.o_custkey IN (SELECT k FROM b) AS is_true
+         FROM op o
+         LEFT JOIN bloom b1 ON o.p1 // 64 = b1.w
+         LEFT JOIN bloom b2 ON o.p2 // 64 = b2.w)
+SELECT o_orderpriority,
+       count(*) AS n_probe,
+       CAST(sum(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_candidates,
+       CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_true_matches,
+       CAST(sum(CASE WHEN is_cand AND NOT is_true THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos
+FROM cand GROUP BY o_orderpriority
+"""
