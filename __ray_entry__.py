@@ -156,6 +156,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_next_word": Q.q_bigram_next_word,
         "mad_outliers": Q.q_mad_outliers,
         "bloom_prefilter": Q.q_bloom_prefilter,
+        "percentile_cont_qty": Q.q_percentile_cont_qty,
+        "interval_coverage": Q.q_interval_coverage,
+        "kmv_similarity": Q.q_kmv_similarity,
         "map_props_rewrite": Q.q_map_props_rewrite,
         "map_geometry_rewrite": Q.q_map_geometry_rewrite,
         # ANN
@@ -282,6 +285,9 @@ def oracle_sql() -> dict[str, str]:
         "bigram_next_word": Q.SQL_BIGRAM_NEXT_WORD,
         "mad_outliers": Q.SQL_MAD_OUTLIERS,
         "bloom_prefilter": Q.SQL_BLOOM_PREFILTER,
+        "percentile_cont_qty": Q.SQL_PERCENTILE_CONT_QTY,
+        "interval_coverage": Q.SQL_INTERVAL_COVERAGE,
+        "kmv_similarity": Q.SQL_KMV_SIMILARITY,
         "segment_price_quantiles": Q.SQL_SEGMENT_PRICE_QUANTILES,
         "langid_distribution": Q._sql_langid(),
         "quality_scores": Q._sql_quality(),

@@ -232,6 +232,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("bigram_next_word", Q.q_bigram_next_word)
     timed("mad_outliers", Q.q_mad_outliers)
     timed("bloom_prefilter", Q.q_bloom_prefilter)
+    timed("percentile_cont_qty", Q.q_percentile_cont_qty)
+    timed("interval_coverage", Q.q_interval_coverage)
+    timed("kmv_similarity", Q.q_kmv_similarity)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

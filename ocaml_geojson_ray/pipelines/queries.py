@@ -7520,3 +7520,306 @@ SELECT o_orderpriority,
             AS BIGINT) AS n_false_pos
 FROM cand GROUP BY o_orderpriority
 """
+
+
+# -- round-5 wave 8: interpolated quantiles / sweeps / set sketches ---------
+
+def q_percentile_cont_qty(sf_dir: str):
+    """Grouped INTERPOLATED quantiles (the continuous companion to the
+    quantile_disc family): per return flag, p25/p50/p75/p90 of
+    lineitem quantity via the two-phase histogram plan, with DuckDB
+    quantile_cont's exact arithmetic replicated op-for-op —
+    rn = (n−1)·q, lo = floor(rn), hi = ceil(rn), result =
+    s[lo]·(1−frac) + s[hi]·frac (NOT the algebraically-equal
+    s[lo] + Δ·frac, which rounds differently; the formula is pinned
+    property-style against live DuckDB in tests). Quantity's value
+    domain is RANGE-bounded (50 grid points at any corpus size), so
+    the histogram goes through the bounded driver funnel — a first
+    cut on l_extendedprice paid 3.3 s in a Ray groupby because that
+    grid is near row-cardinality; range-bounded grids are the
+    contract for this plan. The histogram keys the RAW double bits
+    (no re-derivation). Zero shuffles. SQL-checked."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    ds = _read_split_few(sf_dir, "lineitem",
+                         ["l_returnflag", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["l_returnflag", "l_quantity"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["l_returnflag", "l_quantity", "partial"])
+
+    hist = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_quantity"], "partial", "cnt",
+    ).to_arrow_refs()))
+
+    flags = np.asarray(hist["l_returnflag"].to_pylist(), dtype=object)
+    vals = hist["l_quantity"].to_numpy(zero_copy_only=False)
+    cnts = hist["cnt"].to_numpy(zero_copy_only=False)
+    rows = {"l_returnflag": [], "p25": [], "p50": [], "p75": [],
+            "p90": []}
+    for f in sorted(np.unique(flags)):
+        sel = flags == f
+        v, c = vals[sel], cnts[sel]
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+
+        def at(q):
+            rn = (n - 1) * q
+            lo = int(np.floor(rn))
+            hi = int(np.ceil(rn))
+            frac = rn - lo
+            slo = v[np.searchsorted(cum, lo + 1)]
+            shi = v[np.searchsorted(cum, hi + 1)]
+            return slo * (1 - frac) + shi * frac
+
+        rows["l_returnflag"].append(str(f))
+        rows["p25"].append(at(0.25))
+        rows["p50"].append(at(0.5))
+        rows["p75"].append(at(0.75))
+        rows["p90"].append(at(0.9))
+    return pa.table({
+        "l_returnflag": pa.array(rows["l_returnflag"], pa.string()),
+        "p25": pa.array(rows["p25"], pa.float64()),
+        "p50": pa.array(rows["p50"], pa.float64()),
+        "p75": pa.array(rows["p75"], pa.float64()),
+        "p90": pa.array(rows["p90"], pa.float64()),
+    })
+
+
+SQL_PERCENTILE_CONT_QTY = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.5)  AS p50,
+       quantile_cont(l_quantity, 0.75) AS p75,
+       quantile_cont(l_quantity, 0.9)  AS p90
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_interval_coverage(sf_dir: str):
+    """Interval-union sweep (the coverage operator behind ad-exposure
+    / sensor-uptime analytics): each event opens an interval
+    [ts, ts + (1 + cents%600) seconds) — VARIABLE durations, so later
+    intervals can nest inside earlier ones and the union needs a real
+    running-max sweep, not plain gap sessionization — and the query
+    reports, per user, the merged-island count and total covered
+    microseconds. All arithmetic is int64 (epoch-µs starts/ends,
+    integer island reductions) — zero float hazard. Physical shape:
+    ONE shuffle on the Fibonacci-hashed USER BUCKET (the user_paths
+    device), then a fully vectorized per-bucket kernel — lexsort,
+    per-user-segment running max via the monotone-offset trick
+    (usercode·span added to relative ends; valid while per-bucket
+    users × time-span-µs < 2^63, i.e. ~2^26 users per bucket at
+    month-scale spans — size n_buckets to that), islands via
+    flag-cumsum, min/max per island via np.*.reduceat. Per-user
+    results are complete within a bucket, so the output is the plain
+    union of bucket outputs. SQL-checked (window running-max +
+    island-cumsum oracle)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nb = max(4, cpus // 4)
+    ds = split_read(f"{sf_dir}/events.parquet",
+                    ["user_id", "ts", "value"], nb)
+
+    n_buckets = max(64, cpus * 8)
+    FIB = np.uint64(0x9E3779B97F4A7C15)
+
+    def pre(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        s = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        xc = np.round(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        e = s + (1 + xc % 600) * 1_000_000
+        bkt = ((uid.astype(np.uint64) * FIB)
+               % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(bkt, pa.int64()),
+            "user_id": b["user_id"],
+            "s": pa.array(s, pa.int64()),
+            "e": pa.array(e, pa.int64()),
+        })
+
+    def sweep(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "n_intervals": pa.array([], pa.int64()),
+            "covered_us": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        s = g["s"].to_numpy(zero_copy_only=False)
+        e = g["e"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, s, uid))
+        uid, s, e = uid[order], s[order], e[order]
+        n = len(uid)
+        uc = np.empty(n, bool)
+        uc[0] = True
+        uc[1:] = uid[1:] != uid[:-1]
+        base = int(s.min())
+        rel_e = e - base
+        span = int(rel_e.max()) + 2
+        ucode = np.cumsum(uc) - 1
+        cm = np.maximum.accumulate(rel_e + ucode * span)
+        pme = np.empty(n, np.int64)
+        pme[0] = 0
+        pme[1:] = cm[:-1] - ucode[1:] * span  # same-user running max end
+        brk = uc | ((s - base) > pme)
+        starts = np.flatnonzero(brk)
+        isl_min_s = s[starts]
+        isl_max_e = np.maximum.reduceat(e, starts)
+        isl_len = isl_max_e - isl_min_s
+        isl_uid = uid[starts]
+        ustarts = np.flatnonzero(np.r_[True, isl_uid[1:] != isl_uid[:-1]])
+        n_isl = np.diff(np.r_[ustarts, len(isl_uid)]).astype(np.int64)
+        covered = np.add.reduceat(isl_len, ustarts).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(isl_uid[ustarts], pa.int64()),
+            "n_intervals": pa.array(n_isl, pa.int64()),
+            "covered_us": pa.array(covered, pa.int64()),
+        })
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(sweep, batch_format="pyarrow")
+    )
+
+
+SQL_INTERVAL_COVERAGE = """
+WITH iv AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS s,
+                   CAST(epoch_us(ts) AS BIGINT)
+                   + (1 + (CAST(round(value * 100.0) AS BIGINT) % 600))
+                     * 1000000 AS e
+            FROM events),
+w AS (SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pme
+      FROM iv),
+f AS (SELECT user_id, s, e,
+             CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS brk
+      FROM w),
+g AS (SELECT user_id, s, e,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS UNBOUNDED PRECEDING) AS isl
+      FROM f),
+i AS (SELECT user_id, isl, max(e) - min(s) AS len
+      FROM g GROUP BY user_id, isl)
+SELECT user_id, count(*) AS n_intervals,
+       CAST(sum(len) AS BIGINT) AS covered_us
+FROM i GROUP BY user_id
+"""
+
+
+def q_kmv_similarity(sf_dir: str):
+    """Set-similarity sketching between event types (K-Minimum-Values
+    — the mergeable distinct-set sketch of Beyer et al., the device a
+    pipeline uses to estimate audience overlap WITHOUT shuffling the
+    full sets): each type's activity set is its distinct
+    (user_id, day) pairs; the sketch is the 64 smallest md5-LE-64
+    hashes of those items (order statistics of a fixed hash —
+    deterministic, so the oracle reproduces them exactly); for every
+    type pair the Jaccard estimate is |both ∈ bottom-64 of the
+    union| / |bottom-64 of the union| — integers plus ONE divide.
+    Physical shape: per-batch bottom-64 partials (bottom-k is
+    mergeable: bottom-k of a union = bottom-k of concatenated
+    bottom-ks), the types×64-bounded funnel, pairwise estimates on
+    the driver — zero shuffles, the full (user, day) sets never
+    leave the mappers. SQL-checked."""
+    import ray
+
+    from ..util import md5_le64
+
+    K = 64
+    US_PER_DAY = 86_400_000_000
+    ds = _read_split(sf_dir, "events", ["event_type", "user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        day = (b["ts"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False)) // US_PER_DAY
+        et = np.asarray(b["event_type"].to_pylist(), dtype=object)
+        out_t, out_h = [], []
+        for t in np.unique(et):
+            sel = et == t
+            items = np.unique(uid[sel] * 100000 + day[sel])
+            hv = np.fromiter(
+                (md5_le64(f"{i}".encode("ascii")) for i in items),
+                np.uint64, len(items))
+            hv = np.unique(hv)[:K]  # bottom-k partial (sorted unique)
+            out_t.extend([t] * len(hv))
+            out_h.append(hv)
+        if not out_t:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "hv": pa.array([], pa.uint64())})
+        return pa.table({
+            "event_type": pa.array(out_t, pa.string()),
+            "hv": pa.array(np.concatenate(out_h), pa.uint64()),
+        })
+
+    parts = pa.concat_tables(ray.get(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_arrow_refs()))
+    et = np.asarray(parts["event_type"].to_pylist(), dtype=object)
+    hv = parts["hv"].to_numpy(zero_copy_only=False)
+    sketches = {}
+    for t in np.unique(et):
+        sketches[str(t)] = np.unique(hv[et == t])[:K]
+    types = sorted(sketches)
+    t1s, t2s, kc, ku, est = [], [], [], [], []
+    for i in range(len(types)):
+        for j in range(i + 1, len(types)):
+            a, b_ = sketches[types[i]], sketches[types[j]]
+            uni = np.unique(np.concatenate([a, b_]))[:K]
+            common = np.intersect1d(
+                np.intersect1d(uni, a), b_, assume_unique=True)
+            t1s.append(types[i])
+            t2s.append(types[j])
+            kc.append(len(common))
+            ku.append(len(uni))
+            est.append(len(common) / len(uni))
+    return pa.table({
+        "t1": pa.array(t1s, pa.string()),
+        "t2": pa.array(t2s, pa.string()),
+        "k_common": pa.array(kc, pa.int64()),
+        "k_used": pa.array(ku, pa.int64()),
+        "jaccard_est": pa.array(est, pa.float64()),
+    })
+
+
+SQL_KMV_SIMILARITY = f"""
+WITH it AS (SELECT DISTINCT event_type,
+                   user_id * 100000
+                   + CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS item
+            FROM events),
+h AS (SELECT DISTINCT event_type, {_MD5LE64_SQL} AS hv
+      FROM (SELECT event_type, md5(item::VARCHAR) AS hx FROM it)),
+r AS (SELECT event_type, hv, row_number()
+        OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM h),
+s AS (SELECT event_type, hv FROM r WHERE rn <= 64),
+pairs AS (SELECT DISTINCT a.event_type AS t1, b.event_type AS t2
+          FROM s a, s b WHERE a.event_type < b.event_type),
+uni AS (SELECT p.t1, p.t2, s.hv,
+               count(DISTINCT s.event_type) AS nboth
+        FROM pairs p JOIN s
+          ON s.event_type = p.t1 OR s.event_type = p.t2
+        GROUP BY p.t1, p.t2, s.hv),
+rk AS (SELECT t1, t2, hv, nboth, row_number()
+         OVER (PARTITION BY t1, t2 ORDER BY hv) AS rn FROM uni)
+SELECT t1, t2,
+       CAST(sum(CASE WHEN nboth = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS k_common,
+       count(*) AS k_used,
+       CAST(sum(CASE WHEN nboth = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           / count(*) AS jaccard_est
+FROM rk WHERE rn <= 64
+GROUP BY t1, t2
+"""

@@ -277,3 +277,35 @@ def test_lev_block_matches_duckdb_property():
         want = con.execute("SELECT levenshtein(?, ?)",
                            [a_words[i], b_words[i]]).fetchone()[0]
         assert got[i] == want, (a_words[i], b_words[i], got[i], want)
+
+
+def test_quantile_cont_formula_matches_duckdb_property():
+    """percentile_cont_qty replicates DuckDB's quantile_cont
+    arithmetic: rn = (n−1)·q, result = s[lo]·(1−frac) + s[hi]·frac.
+    The op ORDER matters — s[lo] + (s[hi]−s[lo])·frac is algebraically
+    equal but rounds differently (a real mismatch surfaced at
+    q=0.33). Pin the exact form against live DuckDB on 200 random
+    histograms including duplicate values and q ∈ {0, 1}."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    rng = np.random.default_rng(20260818)
+    for trial in range(200):
+        n = int(rng.integers(1, 60))
+        vals = (np.round(rng.uniform(0, 500, n) * 100) / 100.0)
+        if trial % 3 == 0 and n > 4:
+            vals[: n // 2] = vals[0]  # duplicate-heavy histograms
+        q = float(rng.choice([0.0, 0.25, 0.33, 0.5, 0.75, 0.9, 1.0]))
+        con.execute(
+            "CREATE OR REPLACE TABLE t AS SELECT unnest(?) AS x",
+            [vals.tolist()])
+        want = con.execute(
+            f"SELECT quantile_cont(x, {q}) FROM t").fetchone()[0]
+        s = np.sort(vals)
+        rn = (n - 1) * q
+        lo = int(np.floor(rn))
+        hi = int(np.ceil(rn))
+        frac = rn - lo
+        mine = s[lo] * (1 - frac) + s[hi] * frac
+        assert mine == want, (trial, n, q, mine, want)
