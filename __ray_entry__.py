@@ -159,6 +159,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_cont_qty": Q.q_percentile_cont_qty,
         "interval_coverage": Q.q_interval_coverage,
         "kmv_similarity": Q.q_kmv_similarity,
+        "conversion_lag": Q.q_conversion_lag,
+        "value_histogram": Q.q_value_histogram,
+        "char_trigrams": Q.q_char_trigrams,
         "map_props_rewrite": Q.q_map_props_rewrite,
         "map_geometry_rewrite": Q.q_map_geometry_rewrite,
         # ANN
@@ -288,6 +291,9 @@ def oracle_sql() -> dict[str, str]:
         "percentile_cont_qty": Q.SQL_PERCENTILE_CONT_QTY,
         "interval_coverage": Q.SQL_INTERVAL_COVERAGE,
         "kmv_similarity": Q.SQL_KMV_SIMILARITY,
+        "conversion_lag": Q.SQL_CONVERSION_LAG,
+        "value_histogram": Q.SQL_VALUE_HISTOGRAM,
+        "char_trigrams": Q.SQL_CHAR_TRIGRAMS,
         "segment_price_quantiles": Q.SQL_SEGMENT_PRICE_QUANTILES,
         "langid_distribution": Q._sql_langid(),
         "quality_scores": Q._sql_quality(),

@@ -235,6 +235,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("percentile_cont_qty", Q.q_percentile_cont_qty)
     timed("interval_coverage", Q.q_interval_coverage)
     timed("kmv_similarity", Q.q_kmv_similarity)
+    timed("conversion_lag", Q.q_conversion_lag)
+    timed("value_histogram", Q.q_value_histogram)
+    timed("char_trigrams", Q.q_char_trigrams)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

@@ -7823,3 +7823,258 @@ SELECT t1, t2,
 FROM rk WHERE rn <= 64
 GROUP BY t1, t2
 """
+
+
+# -- round-5 wave 9: funnel timing / histograms / char n-grams --------------
+
+def q_conversion_lag(sf_dir: str):
+    """Funnel timing (the time-to-convert report behind activation
+    dashboards): per signup-day cohort, how many users signed up, how
+    many later purchased, and the exact integer µs lag mass (sum) from
+    FIRST signup to FIRST purchase strictly after it. All int64 —
+    epoch-µs minima, one subtraction per converted user — zero float
+    hazard. Physical shape: ONE Fibonacci-hashed USER-BUCKET shuffle
+    (the user_paths device), then a vectorized per-bucket kernel
+    (per-user minima via np.minimum.reduceat over +inf-masked
+    columns), then the calendar-bounded cohort-day funnel (≤ days
+    keys regardless of corpus size). SQL-checked."""
+    import ray
+
+    from ..util import grouped_sums_combine
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nb = max(4, cpus // 4)
+    ds = split_read(f"{sf_dir}/events.parquet",
+                    ["user_id", "ts", "event_type"], nb)
+
+    n_buckets = max(64, cpus * 8)
+    FIB = np.uint64(0x9E3779B97F4A7C15)
+    US_PER_DAY = 86_400_000_000
+
+    def pre(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"],
+                        value_set=pa.array(["signup", "purchase"]))
+        b = b.filter(keep)
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        bkt = ((uid.astype(np.uint64) * FIB)
+               % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(bkt, pa.int64()),
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_type": b["event_type"],
+        })
+
+    BIG = np.iinfo(np.int64).max
+
+    def firsts(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "cohort_day": pa.array([], pa.int64()),
+            "n_signups": pa.array([], pa.int64()),
+            "n_converted": pa.array([], pa.int64()),
+            "sum_lag_us": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        is_su = pc.equal(g["event_type"], "signup").to_numpy(
+            zero_copy_only=False)
+        order = np.argsort(uid, kind="stable")
+        uid, ts, is_su = uid[order], ts[order], is_su[order]
+        ustarts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        su = np.minimum.reduceat(np.where(is_su, ts, BIG), ustarts)
+        has_su = su < BIG
+        # first purchase strictly after the user's first signup
+        su_row = np.repeat(su, np.diff(np.r_[ustarts, len(uid)]))
+        pmask = (~is_su) & (ts > su_row)
+        pu = np.minimum.reduceat(np.where(pmask, ts, BIG), ustarts)
+        conv = has_su & (pu < BIG)
+        su, pu = su[has_su], pu[has_su]
+        convd = conv[has_su]
+        day = su // US_PER_DAY
+        lag = np.where(convd, pu - su, 0)
+        ud, inv = np.unique(day, return_inverse=True)
+        k = len(ud)
+        return pa.table({
+            "cohort_day": pa.array(ud, pa.int64()),
+            "n_signups": pa.array(
+                np.bincount(inv, minlength=k).astype(np.int64)),
+            "n_converted": pa.array(np.bincount(
+                inv, weights=convd.astype(np.float64),
+                minlength=k).astype(np.int64)),
+            "sum_lag_us": pa.array(np.bincount(
+                inv, weights=lag.astype(np.float64),
+                minlength=k).astype(np.int64)),
+        })
+
+    return grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(firsts, batch_format="pyarrow"),
+        ["cohort_day"],
+        ["n_signups", "n_converted", "sum_lag_us"],
+        ["n_signups", "n_converted", "sum_lag_us"],
+    )
+
+
+SQL_CONVERSION_LAG = """
+WITH s AS (SELECT user_id, min(CAST(epoch_us(ts) AS BIGINT)) AS su
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT s.user_id, s.su,
+             min(CAST(epoch_us(e.ts) AS BIGINT)) AS pu
+      FROM s LEFT JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       AND CAST(epoch_us(e.ts) AS BIGINT) > s.su
+      GROUP BY s.user_id, s.su)
+SELECT su // 86400000000 AS cohort_day,
+       count(*) AS n_signups,
+       CAST(count(pu) AS BIGINT) AS n_converted,
+       CAST(coalesce(sum(pu - su), 0) AS BIGINT) AS sum_lag_us
+FROM p GROUP BY su // 86400000000
+"""
+
+
+def q_value_histogram(sf_dir: str):
+    """Equi-width histogram aggregate (the profile report a catalog
+    keeps per column): per event type, the 20-bucket histogram of
+    value-cents over the GLOBAL [min, max] range. Bucket assignment
+    is pure int64 — ((xc − mn) · 20) // (mx − mn + 1), never hitting
+    20 by construction — so both engines bin identically. Two
+    streamed passes (global extrema, then the types×20-bounded
+    funnel), zero shuffles. SQL-checked."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    ds = _read_split(sf_dir, "events", ["event_type", "value"])
+
+    def extrema(b: pa.Table) -> pa.Table:
+        xc = np.round(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"mn": pa.array([int(xc.min())], pa.int64()),
+                         "mx": pa.array([int(xc.max())], pa.int64())})
+
+    ext = pa.concat_tables(ray.get(
+        ds.map_batches(extrema, batch_format="pyarrow")
+        .to_arrow_refs()))
+    mn = min(v for v in ext["mn"].to_pylist() if v is not None)
+    mx = max(v for v in ext["mx"].to_pylist() if v is not None)
+    width_den = mx - mn + 1
+
+    ds2 = _read_split(sf_dir, "events", ["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        xc = np.round(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        bkt = ((xc - mn) * 20) // width_den
+        t = pa.table({"event_type": b["event_type"],
+                      "bucket": pa.array(bkt, pa.int64())})
+        return t.group_by(["event_type", "bucket"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["event_type", "bucket", "n"])
+
+    return grouped_sum_combine(
+        ds2.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "bucket"], "n", "n",
+    )
+
+
+SQL_VALUE_HISTOGRAM = """
+WITH c AS (SELECT event_type,
+                  CAST(round(value * 100.0) AS BIGINT) AS xc FROM events),
+m AS (SELECT min(xc) AS mn, max(xc) AS mx FROM c)
+SELECT event_type,
+       ((xc - m.mn) * 20) // (m.mx - m.mn + 1) AS bucket,
+       count(*) AS n
+FROM c, m GROUP BY event_type, ((xc - m.mn) * 20) // (m.mx - m.mn + 1)
+"""
+
+
+def q_char_trigrams(sf_dir: str):
+    """Character n-gram profiling (the feature extraction a langid
+    model trains on): per language, the 20 most frequent character
+    trigrams by (count DESC, gram ASC). The hot path never touches
+    Python strings: each text becomes a uint32 codepoint array, the
+    three shifted views pack into ONE int64 per trigram
+    (c₀·2⁴²+c₁·2²¹+c₂ — big-endian fields, so NUMERIC packed order ==
+    LEXICOGRAPHIC string order for the tie-break, all grams being
+    length 3), and partial counts are one np.unique per batch. The
+    (lang, gram) key space is charset³-bounded (1.9k observed, ≤ a
+    few 100k for real text) → driver funnel, then top-20 per lang and
+    string decode on ≤ langs×20 rows. SQL-checked (list_transform
+    substr oracle)."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    ds = _read_split_few(sf_dir, "documents", ["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        langs_out, packs_out, cnts_out = [], [], []
+        langs = np.asarray(b["lang"].to_pylist(), dtype=object)
+        texts = b["text"].to_pylist()
+        for lg in np.unique(langs):
+            packs = []
+            for i in np.flatnonzero(langs == lg):
+                t = texts[i]
+                if len(t) < 3:
+                    continue
+                cp = np.frombuffer(t.encode("utf-32-le"),
+                                   np.uint32).astype(np.int64)
+                packs.append((cp[:-2] << 42) | (cp[1:-1] << 21)
+                             | cp[2:])
+            if not packs:
+                continue
+            up, cnt = np.unique(np.concatenate(packs),
+                                return_counts=True)
+            langs_out.extend([str(lg)] * len(up))
+            packs_out.append(up)
+            cnts_out.append(cnt.astype(np.int64))
+        if not packs_out:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "pack": pa.array([], pa.int64()),
+                             "partial": pa.array([], pa.int64())})
+        return pa.table({
+            "lang": pa.array(langs_out, pa.string()),
+            "pack": pa.array(np.concatenate(packs_out), pa.int64()),
+            "partial": pa.array(np.concatenate(cnts_out), pa.int64()),
+        })
+
+    hist = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "pack"], "partial", "n",
+    ).to_arrow_refs()))
+
+    langs = np.asarray(hist["lang"].to_pylist(), dtype=object)
+    pk = hist["pack"].to_numpy(zero_copy_only=False)
+    nn = hist["n"].to_numpy(zero_copy_only=False)
+    out_l, out_g, out_n = [], [], []
+    for lg in sorted(np.unique(langs)) if len(langs) else []:
+        sel = langs == lg
+        p, c = pk[sel], nn[sel]
+        order = np.lexsort((p, -c))[:20]
+        for pi, ci in zip(p[order], c[order]):
+            g = (chr((pi >> 42) & 0x1FFFFF)
+                 + chr((pi >> 21) & 0x1FFFFF) + chr(pi & 0x1FFFFF))
+            out_l.append(str(lg))
+            out_g.append(g)
+            out_n.append(int(ci))
+    return pa.table({
+        "lang": pa.array(out_l, pa.string()),
+        "g": pa.array(out_g, pa.string()),
+        "n": pa.array(out_n, pa.int64()),
+    })
+
+
+SQL_CHAR_TRIGRAMS = """
+WITH t AS (SELECT lang, list_transform(range(1, length(text) - 1),
+                                       i -> substr(text, i, 3)) AS gs
+           FROM documents),
+g AS (SELECT lang, unnest(gs) AS g FROM t),
+c AS (SELECT lang, g, count(*) AS n FROM g GROUP BY lang, g),
+r AS (SELECT lang, g, n, row_number()
+        OVER (PARTITION BY lang ORDER BY n DESC, g) AS rn FROM c)
+SELECT lang, g, n FROM r WHERE rn <= 20
+"""
