@@ -238,6 +238,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("conversion_lag", Q.q_conversion_lag)
     timed("value_histogram", Q.q_value_histogram)
     timed("char_trigrams", Q.q_char_trigrams)
+    timed("dense_daily_counts", Q.q_dense_daily_counts)
+    timed("embedding_norm_stats", Q.q_embedding_norm_stats)
+    timed("best_dedup", Q.q_best_dedup)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

@@ -8078,3 +8078,211 @@ r AS (SELECT lang, g, n, row_number()
         OVER (PARTITION BY lang ORDER BY n DESC, g) AS rn FROM c)
 SELECT lang, g, n FROM r WHERE rn <= 20
 """
+
+
+# -- round-5 wave 10: gap fill / embedding stats / canonical dedup ----------
+
+def q_dense_daily_counts(sf_dir: str):
+    """Calendar densification (gap fill — the report shaping every
+    time-series dashboard needs so missing days read as EXPLICIT
+    zeros, not absent rows): events per (day × type) over the full
+    [min_day, max_day] range, zero-filled. Day = epoch_us // 86400e6
+    (the post-epoch device). Physical shape: the days×types-bounded
+    funnel, then the dense grid is materialized driver-side (its size
+    is calendar-bounded, never corpus-bounded). All int64.
+    SQL-checked (range() CROSS JOIN LEFT JOIN oracle)."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    US_PER_DAY = 86_400_000_000
+    ds = _read_split(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = (b["ts"].cast(pa.int64())
+             .to_numpy(zero_copy_only=False)) // US_PER_DAY
+        t = pa.table({"day": pa.array(d, pa.int64()),
+                      "event_type": b["event_type"]})
+        return t.group_by(["day", "event_type"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["day", "event_type", "partial"])
+
+    hist = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day", "event_type"], "partial", "n",
+    ).to_arrow_refs()))
+
+    days = hist["day"].to_numpy(zero_copy_only=False)
+    types = np.asarray(hist["event_type"].to_pylist(), dtype=object)
+    cnts = hist["n"].to_numpy(zero_copy_only=False)
+    d_lo, d_hi = int(days.min()), int(days.max())
+    all_days = np.arange(d_lo, d_hi + 1, dtype=np.int64)
+    all_types = sorted(np.unique(types))
+    lookup = {(int(d), str(t)): int(c)
+              for d, t, c in zip(days, types, cnts)}
+    out_d, out_t, out_n = [], [], []
+    for d in all_days:
+        for t in all_types:
+            out_d.append(int(d))
+            out_t.append(t)
+            out_n.append(lookup.get((int(d), t), 0))
+    return pa.table({
+        "day": pa.array(out_d, pa.int64()),
+        "event_type": pa.array(out_t, pa.string()),
+        "n": pa.array(out_n, pa.int64()),
+    })
+
+
+SQL_DENSE_DAILY_COUNTS = """
+WITH c AS (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,
+                  event_type, count(*) AS n
+           FROM events GROUP BY 1, 2),
+b AS (SELECT min(d) AS mn, max(d) AS mx FROM c),
+days AS (SELECT unnest(range(mn, mx + 1)) AS d FROM b),
+types AS (SELECT DISTINCT event_type FROM events)
+SELECT days.d AS day, types.event_type,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n
+FROM days CROSS JOIN types
+LEFT JOIN c ON c.d = days.d AND c.event_type = types.event_type
+"""
+
+
+def q_embedding_norm_stats(sf_dir: str):
+    """Embedding-table profiling (the vector-column health check a
+    feature store runs: per class label, exact mass/energy of the
+    vectors): per label, vector count plus the integer-quantized sum
+    and sum-of-squares of all components. Floats enter through the
+    pinned floor(x·1e6 + 0.5) trig-quantization device (float32 →
+    float64 cast is exact; both engines floor the same double), after
+    which everything is int64 — Σq² here is ~3e13 at sf0.01 and the
+    int64 headroom holds to ~sf1000. Hot path is util.vec_mat
+    (zero-copy flatten→reshape, no Python floats). One streamed pass,
+    label-bounded funnel, zero shuffles. The embeddings table's first
+    VALUE-exact oracle (its other users are the rows-only ANN/kmeans
+    family). SQL-checked."""
+    import ray
+
+    from ..util import grouped_sums_combine, vec_mat
+
+    ds = _read_split_few(sf_dir, "embeddings",
+                         ["vec_id", "embedding", "label"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = vec_mat(b["embedding"])                 # (n, d) float64
+        q = np.floor(m * 1_000_000 + 0.5).astype(np.int64)
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ul, inv = np.unique(lab, return_inverse=True)
+        k = len(ul)
+        n = np.bincount(inv, minlength=k).astype(np.int64)
+        # per-batch float64 bincount weights: row sums < 2^53 by the
+        # quantization bound
+        sq = np.bincount(inv, weights=q.sum(axis=1, dtype=np.int64)
+                         .astype(np.float64), minlength=k).astype(np.int64)
+        sq2 = np.bincount(
+            inv, weights=(q * q).sum(axis=1, dtype=np.int64)
+            .astype(np.float64), minlength=k).astype(np.int64)
+        return pa.table({
+            "label": pa.array(ul, pa.int64()),
+            "n_vecs": pa.array(n, pa.int64()),
+            "sum_q": pa.array(sq, pa.int64()),
+            "sum_q2": pa.array(sq2, pa.int64()),
+        })
+
+    return grouped_sums_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label"], ["n_vecs", "sum_q", "sum_q2"],
+        ["n_vecs", "sum_q", "sum_q2"],
+    )
+
+
+SQL_EMBEDDING_NORM_STATS = """
+WITH q AS (SELECT label,
+                  vec_id,
+                  CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                       AS BIGINT) AS qx
+           FROM (SELECT CAST(label AS BIGINT) AS label, vec_id,
+                        unnest(embedding) AS x
+                 FROM embeddings))
+SELECT label,
+       CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+       CAST(sum(qx) AS BIGINT) AS sum_q,
+       CAST(sum(qx * qx) AS BIGINT) AS sum_q2
+FROM q GROUP BY label
+"""
+
+
+def q_best_dedup(sf_dir: str):
+    """Canonical-representative dedup (keep-best, not keep-first — the
+    curation policy that retains the RICHEST duplicate): per exact
+    content group (md5 of text), the keeper is the doc with the most
+    characters, ties to the lowest doc_id, plus the group's dup
+    count. Physical shape mirrors exact_dedup's honest unbounded-key
+    plan — within-batch argmax partials shrink the shuffle to one row
+    per (batch, hash), then ONE md5-key groupby whose per-group
+    reduce is the same (n_chars DESC, doc_id ASC) argmax over ≤
+    nbatches partial rows plus a count sum. SQL-checked (row_number
+    + COUNT window oracle)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        nc = b["n_chars"].to_numpy(zero_copy_only=False)
+        md5s = np.asarray(
+            [hashlib.md5(t.encode("utf-8")).hexdigest()
+             for t in b["text"].to_pylist()], dtype=object)
+        # within-batch argmax per hash: order (md5, -n_chars, doc_id),
+        # keep each hash's first row; count dups alongside
+        order = np.lexsort((ids, -nc, md5s))
+        mo, no, io = md5s[order], nc[order], ids[order]
+        uh, first, cnt = np.unique(mo, return_index=True,
+                                   return_counts=True)
+        return pa.table({
+            "content_md5": pa.array(list(uh), pa.string()),
+            "keeper_id": pa.array(io[first], pa.int64()),
+            "keeper_chars": pa.array(no[first], pa.int64()),
+            "n_dups": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    def reduce_group(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "content_md5": pa.array([], pa.string()),
+                "keeper_id": pa.array([], pa.int64()),
+                "keeper_chars": pa.array([], pa.int64()),
+                "n_dups": pa.array([], pa.int64()),
+            })
+        nc = g["keeper_chars"].to_numpy(zero_copy_only=False)
+        ids = g["keeper_id"].to_numpy(zero_copy_only=False)
+        best = np.lexsort((ids, -nc))[0]
+        return pa.table({
+            "content_md5": g["content_md5"][:1],
+            "keeper_id": g["keeper_id"][best:best + 1],
+            "keeper_chars": g["keeper_chars"][best:best + 1],
+            "n_dups": pa.array(
+                [int(g["n_dups"].to_numpy(zero_copy_only=False).sum())],
+                pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("content_md5")
+        .map_groups(reduce_group, batch_format="pyarrow")
+    )
+
+
+SQL_BEST_DEDUP = """
+WITH r AS (SELECT md5(text) AS content_md5, doc_id, n_chars,
+                  row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY n_chars DESC, doc_id)
+                      AS rn,
+                  count(*) OVER (PARTITION BY md5(text)) AS n_dups
+           FROM documents)
+SELECT content_md5, doc_id AS keeper_id, n_chars AS keeper_chars,
+       CAST(n_dups AS BIGINT) AS n_dups
+FROM r WHERE rn = 1
+"""
