@@ -241,6 +241,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("dense_daily_counts", Q.q_dense_daily_counts)
     timed("embedding_norm_stats", Q.q_embedding_norm_stats)
     timed("best_dedup", Q.q_best_dedup)
+    timed("knn_classify", Q.q_knn_classify)
+    timed("time_weighted_avg", Q.q_time_weighted_avg)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

@@ -8286,3 +8286,214 @@ SELECT content_md5, doc_id AS keeper_id, n_chars AS keeper_chars,
        CAST(n_dups AS BIGINT) AS n_dups
 FROM r WHERE rn = 1
 """
+
+
+# -- round-5 wave 11: kNN classification / time-weighted integrals ----------
+
+def q_knn_classify(sf_dir: str):
+    """k-NN label prediction over the embedding table (the eval loop a
+    labeling pipeline runs: does neighborhood structure recover the
+    class?): for the 10 probe vectors (vec_id < 10), the majority
+    label of the 5 nearest gallery vectors (vec_id ≥ 10) by EXACT
+    integer-quantized L2 — the kmeans._quant grid (scale 1e6, offset
+    0: distances are coordinate differences, so the offset cancels
+    and is omitted on BOTH sides), int64 expansion-trick distances
+    (≤ ~7e13 for 64 dims at this value range), neighbor ties to
+    lowest gid, vote ties to lowest label — every step deterministic,
+    so an ML operator gets a VALUE-exact SQL oracle. Physical shape:
+    probes broadcast once (10×64 ints), one streamed gallery pass
+    with per-batch top-5-per-probe partials through the
+    10×5-bounded funnel, vote on the driver. SQL-checked."""
+    import ray
+
+    from ..stages.kmeans import _quant
+    from ..util import vec_mat
+
+    K, NPROBE = 5, 10
+    ds = _read_split_few(sf_dir, "embeddings",
+                         ["vec_id", "embedding", "label"])
+
+    def split_probe(b: pa.Table) -> pa.Table:
+        keep = pc.less(b["vec_id"], NPROBE)
+        return b.filter(keep)
+
+    probes = pa.concat_tables(ray.get(
+        ds.map_batches(split_probe, batch_format="pyarrow")
+        .to_arrow_refs()))
+    pid = probes["vec_id"].to_numpy(zero_copy_only=False)
+    porder = np.argsort(pid)
+    pid = pid[porder]
+    pq_ = _quant(vec_mat(probes["embedding"]), 1e6, 0)[porder]
+    probe_ref = ray.put((pid, pq_))
+
+    def topk_partial(b: pa.Table) -> pa.Table:
+        ids, pm = ray.get(probe_ref)
+        empty = pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "gid": pa.array([], pa.int64()),
+            "label": pa.array([], pa.int64()),
+            "dist2": pa.array([], pa.int64()),
+        })
+        mask = pc.greater_equal(b["vec_id"], NPROBE)
+        b = b.filter(mask)
+        if b.num_rows == 0:
+            return empty
+        gq = _quant(vec_mat(b["embedding"]), 1e6, 0)
+        gid = b["vec_id"].to_numpy(zero_copy_only=False)
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # exact int64 expansion trick: |p|² + |g|² − 2·p·g
+        d2 = ((pm * pm).sum(1)[:, None] + (gq * gq).sum(1)[None, :]
+              - 2 * (pm @ gq.T))
+        out = {"vec_id": [], "gid": [], "label": [], "dist2": []}
+        kk = min(K, d2.shape[1])
+        for i in range(len(ids)):
+            order = np.lexsort((gid, d2[i]))[:kk]
+            out["vec_id"].extend([int(ids[i])] * kk)
+            out["gid"].extend(gid[order].tolist())
+            out["label"].extend(lab[order].tolist())
+            out["dist2"].extend(d2[i][order].tolist())
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in out.items()})
+
+    parts = pa.concat_tables(ray.get(
+        ds.map_batches(topk_partial, batch_format="pyarrow")
+        .to_arrow_refs()))
+    vid = parts["vec_id"].to_numpy(zero_copy_only=False)
+    gid = parts["gid"].to_numpy(zero_copy_only=False)
+    lab = parts["label"].to_numpy(zero_copy_only=False)
+    d2 = parts["dist2"].to_numpy(zero_copy_only=False)
+    out_v, out_l, out_c = [], [], []
+    for v in np.unique(vid):
+        sel = vid == v
+        order = np.lexsort((gid[sel], d2[sel]))[:K]
+        kl = lab[sel][order]
+        ul, cnt = np.unique(kl, return_counts=True)
+        best = np.lexsort((ul, -cnt))[0]
+        out_v.append(int(v))
+        out_l.append(int(ul[best]))
+        out_c.append(int(cnt[best]))
+    return pa.table({
+        "vec_id": pa.array(out_v, pa.int64()),
+        "pred_label": pa.array(out_l, pa.int64()),
+        "votes": pa.array(out_c, pa.int64()),
+    })
+
+
+SQL_KNN_CLASSIFY = """
+WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                  list_transform(embedding,
+                      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000
+                                      + 0.5) AS BIGINT)) AS qe
+           FROM embeddings),
+p AS (SELECT * FROM q WHERE vec_id < 10),
+g AS (SELECT * FROM q WHERE vec_id >= 10),
+d AS (SELECT p.vec_id AS pid, g.vec_id AS gid, g.label,
+             list_sum(list_transform(list_zip(p.qe, g.qe),
+                 z -> (z[1] - z[2]) * (z[1] - z[2]))) AS dist2
+      FROM p CROSS JOIN g),
+r AS (SELECT pid, gid, label, dist2, row_number()
+        OVER (PARTITION BY pid ORDER BY dist2, gid) AS rn FROM d),
+k AS (SELECT pid, label FROM r WHERE rn <= 5),
+v AS (SELECT pid, label, count(*) AS c FROM k GROUP BY pid, label),
+w AS (SELECT pid, label, c, row_number()
+        OVER (PARTITION BY pid ORDER BY c DESC, label) AS rn FROM v)
+SELECT pid AS vec_id, label AS pred_label, CAST(c AS BIGINT) AS votes
+FROM w WHERE rn = 1
+"""
+
+
+def q_time_weighted_avg(sf_dir: str):
+    """Time-weighted average (the sensor/price integral that plain
+    AVG gets wrong when samples are irregular): per user, each value
+    holds from its event until the user's next event; TWA = Σ xc·Δt /
+    Σ Δt over those segments (the trailing open segment is dropped on
+    both sides). Δt is integer SECONDS so the numerator stays int64
+    with huge headroom (cents ≤ 2^16 × month-span 2^22 × per-user
+    events — per-user products < 2^52 at any corpus scale where
+    per-user event counts stay ≤ ~2^14); the only float is the final
+    single divide. Physical shape: ONE Fibonacci user-bucket shuffle,
+    vectorized in-segment shift (the lead device), per-user
+    reductions complete within a bucket — output is the plain union.
+    SQL-checked (lead window oracle)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nb = max(4, cpus // 4)
+    ds = split_read(f"{sf_dir}/events.parquet",
+                    ["user_id", "ts", "event_id", "value"], nb)
+
+    n_buckets = max(64, cpus * 8)
+    FIB = np.uint64(0x9E3779B97F4A7C15)
+
+    def pre(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        bkt = ((uid.astype(np.uint64) * FIB)
+               % np.uint64(n_buckets)).astype(np.int64)
+        xc = np.round(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(bkt, pa.int64()),
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+            "xc": pa.array(xc, pa.int64()),
+        })
+
+    def twa(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "n_segments": pa.array([], pa.int64()),
+            "twa_num": pa.array([], pa.int64()),
+            "twa_den_s": pa.array([], pa.int64()),
+            "twa": pa.array([], pa.float64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        xc = g["xc"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, xc = uid[order], ts[order], xc[order]
+        n = len(uid)
+        # segment = row i paired with row i+1 of the SAME user
+        same = np.zeros(n, bool)
+        same[:-1] = uid[1:] == uid[:-1]
+        nxt = np.empty(n, np.int64)
+        nxt[:-1] = ts[1:]
+        dt = np.where(same, (nxt - ts) // 1_000_000, 0)
+        ustarts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        den = np.add.reduceat(dt, ustarts).astype(np.int64)
+        num = np.add.reduceat(xc * dt, ustarts).astype(np.int64)
+        nseg = np.add.reduceat(same.astype(np.int64), ustarts)
+        keep = den > 0
+        return pa.table({
+            "user_id": pa.array(uid[ustarts][keep], pa.int64()),
+            "n_segments": pa.array(nseg[keep], pa.int64()),
+            "twa_num": pa.array(num[keep], pa.int64()),
+            "twa_den_s": pa.array(den[keep], pa.int64()),
+            "twa": pa.array(num[keep] / den[keep], pa.float64()),
+        })
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(twa, batch_format="pyarrow")
+    )
+
+
+SQL_TIME_WEIGHTED_AVG = """
+WITH o AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+                  CAST(round(value * 100.0) AS BIGINT) AS xc,
+                  lead(CAST(epoch_us(ts) AS BIGINT))
+                      OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS nxt
+           FROM events),
+seg AS (SELECT user_id, xc, (nxt - us) // 1000000 AS dt
+        FROM o WHERE nxt IS NOT NULL)
+SELECT user_id, count(*) AS n_segments,
+       CAST(sum(xc * dt) AS BIGINT) AS twa_num,
+       CAST(sum(dt) AS BIGINT) AS twa_den_s,
+       CAST(sum(xc * dt) AS BIGINT) / CAST(sum(dt) AS BIGINT) AS twa
+FROM seg GROUP BY user_id HAVING sum(dt) > 0
+"""
