@@ -243,6 +243,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("best_dedup", Q.q_best_dedup)
     timed("knn_classify", Q.q_knn_classify)
     timed("time_weighted_avg", Q.q_time_weighted_avg)
+    timed("slot_allocation", Q.q_slot_allocation)
+    timed("rolling_distinct_users", Q.q_rolling_distinct_users)
+    timed("changepoint_days", Q.q_changepoint_days)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

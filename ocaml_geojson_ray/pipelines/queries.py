@@ -8497,3 +8497,241 @@ SELECT user_id, count(*) AS n_segments,
        CAST(sum(xc * dt) AS BIGINT) / CAST(sum(dt) AS BIGINT) AS twa
 FROM seg GROUP BY user_id HAVING sum(dt) > 0
 """
+
+
+# -- round-5 wave 12: apportionment / rolling cardinality / changepoints ----
+
+def q_slot_allocation(sf_dir: str):
+    """Proportional shard allocation by the largest-remainder method
+    (the apportionment rule a planner uses to split a fixed worker or
+    shard budget across partitions): 1000 slots across event types,
+    base_i = (1000·cnt_i) // total, then the leftover slots go to the
+    largest remainders ((1000·cnt_i) mod total), ties to type ASC.
+    Pure integer arithmetic end to end — the classic float pitfall
+    (ranking remainders as doubles) never appears. Type counts via
+    the bounded funnel; the allocation itself is O(types) driver
+    work. SQL-checked."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    N = 1000
+    ds = _read_split(sf_dir, "events", ["event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        vcs = pc.value_counts(b["event_type"].combine_chunks())
+        return pa.table({"event_type": vcs.field("values"),
+                         "n": vcs.field("counts").cast(pa.int64())})
+
+    cnts = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], "n", "n",
+    ).to_arrow_refs()))
+    types = np.asarray(cnts["event_type"].to_pylist(), dtype=object)
+    n = cnts["n"].to_numpy(zero_copy_only=False)
+    order = np.argsort(types)
+    types, n = types[order], n[order]
+    total = int(n.sum())
+    prod = N * n
+    base = prod // total
+    rem = prod % total
+    leftover = N - int(base.sum())
+    slots = base.copy()
+    if leftover > 0:
+        bump = np.lexsort((types, -rem))[:leftover]
+        slots[bump] += 1
+    return pa.table({
+        "event_type": pa.array(list(types), pa.string()),
+        "n_events": pa.array(n, pa.int64()),
+        "slots": pa.array(slots, pa.int64()),
+    })
+
+
+SQL_SLOT_ALLOCATION = """
+WITH c AS (SELECT event_type, count(*) AS n FROM events
+           GROUP BY event_type),
+b AS (SELECT event_type, n,
+             (1000 * n) // (SELECT sum(n) FROM c) AS base,
+             (1000 * n) % (SELECT sum(n) FROM c) AS rem
+      FROM c),
+l AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS leftover FROM b),
+r AS (SELECT event_type, n, base, row_number()
+        OVER (ORDER BY rem DESC, event_type) AS rk FROM b)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+       CAST(base + CASE WHEN rk <= (SELECT leftover FROM l)
+                        THEN 1 ELSE 0 END AS BIGINT) AS slots
+FROM r
+"""
+
+
+def q_rolling_distinct_users(sf_dir: str):
+    """Rolling EXACT cardinality (the trailing-7-day active-users
+    metric, computed exactly rather than by a window HLL): for every
+    active day, the distinct users seen in [day−6, day]. Physical
+    shape: per-batch (user, day) dedupe partials, ONE Fibonacci
+    user-bucket shuffle (a user's trailing-window membership is
+    complete within its bucket), within-bucket explode to the ≤7
+    observed target days (broadcast day set — calendar-bounded),
+    packed-key dedupe, per-target counts, day-bounded funnel sum.
+    All int64. SQL-checked (BETWEEN range-join oracle)."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    US_PER_DAY = 86_400_000_000
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nb = max(4, cpus // 4)
+    ds = split_read(f"{sf_dir}/events.parquet", ["user_id", "ts"], nb)
+
+    n_buckets = max(64, cpus * 8)
+    FIB = np.uint64(0x9E3779B97F4A7C15)
+
+    def pre(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        day = (b["ts"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False)) // US_PER_DAY
+        packed = np.unique(uid * np.int64(1 << 20) + day)
+        uu = packed >> np.int64(20)
+        dd = packed & np.int64((1 << 20) - 1)
+        bkt = ((uu.astype(np.uint64) * FIB)
+               % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(bkt, pa.int64()),
+            "user_id": pa.array(uu, pa.int64()),
+            "day": pa.array(dd, pa.int64()),
+        })
+
+    # observed-day set: calendar-bounded, one tiny extra funnel pass
+    def day_partial(b: pa.Table) -> pa.Table:
+        vcs = pc.value_counts(b["day"].combine_chunks())
+        return pa.table({"day": vcs.field("values"),
+                         "n": vcs.field("counts").cast(pa.int64())})
+
+    pre_ds = ds.map_batches(pre, batch_format="pyarrow")
+    day_tbl = pa.concat_tables(ray.get(grouped_sum_combine(
+        pre_ds.map_batches(day_partial, batch_format="pyarrow"),
+        ["day"], "n", "n",
+    ).to_arrow_refs()))
+    obs_days = np.unique(day_tbl["day"].to_numpy(zero_copy_only=False))
+    days_ref = ray.put(obs_days)
+
+    def window_counts(g: pa.Table) -> pa.Table:
+        empty = pa.table({"day": pa.array([], pa.int64()),
+                          "partial": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        od = ray.get(days_ref)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        # (user, day) pairs are already bucket-locally deduped per
+        # batch; re-dedupe across batches, then explode 7 offsets
+        packed = np.unique(uid * np.int64(1 << 20) + day)
+        uu = packed >> np.int64(20)
+        dd = packed & np.int64((1 << 20) - 1)
+        tgt_pairs = []
+        for off in range(7):
+            t = dd + off
+            keep = np.isin(t, od)
+            tgt_pairs.append(uu[keep] * np.int64(1 << 20) + t[keep])
+        allp = np.unique(np.concatenate(tgt_pairs))
+        td = allp & np.int64((1 << 20) - 1)
+        ud_, cnt = np.unique(td, return_counts=True)
+        return pa.table({
+            "day": pa.array(ud_, pa.int64()),
+            "partial": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    out = grouped_sum_combine(
+        pre_ds.groupby("bucket").map_groups(window_counts,
+                                            batch_format="pyarrow"),
+        ["day"], "partial", "n_users_7d",
+    )
+    return out
+
+
+SQL_ROLLING_DISTINCT_USERS = """
+WITH ud AS (SELECT DISTINCT user_id,
+                   CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d
+            FROM events),
+days AS (SELECT DISTINCT d FROM ud),
+tgt AS (SELECT DISTINCT u.user_id, t.d
+        FROM ud u JOIN days t ON t.d BETWEEN u.d AND u.d + 6)
+SELECT d AS day, CAST(count(*) AS BIGINT) AS n_users_7d
+FROM tgt GROUP BY d
+"""
+
+
+def q_changepoint_days(sf_dir: str):
+    """Changepoint scan (the drift detector a monitoring pipeline runs
+    on daily volumes): per event type, the day whose prefix maximizes
+    the scaled deviation |n_days·cum_k − k·total| (the integer
+    cross-product form of |cum_k/k − total/n| — comparing exact
+    integers instead of ranking float ratios), ties to the earliest
+    day. Daily counts via the calendar-bounded funnel; the scan is
+    O(days) driver work per type. SQL-checked (window-cumsum +
+    row_number oracle)."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    US_PER_DAY = 86_400_000_000
+    ds = _read_split(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = (b["ts"].cast(pa.int64())
+             .to_numpy(zero_copy_only=False)) // US_PER_DAY
+        t = pa.table({"event_type": b["event_type"],
+                      "day": pa.array(d, pa.int64())})
+        return t.group_by(["event_type", "day"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["event_type", "day", "partial"])
+
+    hist = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "day"], "partial", "c",
+    ).to_arrow_refs()))
+    et = np.asarray(hist["event_type"].to_pylist(), dtype=object)
+    dv = hist["day"].to_numpy(zero_copy_only=False)
+    cv = hist["c"].to_numpy(zero_copy_only=False)
+    out_t, out_d, out_s = [], [], []
+    for t in sorted(np.unique(et)):
+        sel = et == t
+        d, c = dv[sel], cv[sel]
+        order = np.argsort(d)
+        d, c = d[order], c[order]
+        nd = len(d)
+        total = int(c.sum())
+        cum = np.cumsum(c)
+        k = np.arange(1, nd + 1, dtype=np.int64)
+        score = np.abs(nd * cum - k * total)
+        best = np.lexsort((d, -score))[0]
+        out_t.append(str(t))
+        out_d.append(int(d[best]))
+        out_s.append(int(score[best]))
+    return pa.table({
+        "event_type": pa.array(out_t, pa.string()),
+        "split_day": pa.array(out_d, pa.int64()),
+        "score": pa.array(out_s, pa.int64()),
+    })
+
+
+SQL_CHANGEPOINT_DAYS = """
+WITH c AS (SELECT event_type,
+                  CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,
+                  count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+w AS (SELECT event_type, d, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY d) AS k,
+             count(*) OVER (PARTITION BY event_type) AS nd,
+             sum(cnt) OVER (PARTITION BY event_type) AS total
+      FROM c),
+s AS (SELECT event_type, d, abs(nd * cum - k * total) AS score,
+             row_number() OVER (PARTITION BY event_type
+                 ORDER BY abs(nd * cum - k * total) DESC, d) AS rk
+      FROM w)
+SELECT event_type, d AS split_day, CAST(score AS BIGINT) AS score
+FROM s WHERE rk = 1
+"""
