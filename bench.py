@@ -246,6 +246,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("slot_allocation", Q.q_slot_allocation)
     timed("rolling_distinct_users", Q.q_rolling_distinct_users)
     timed("changepoint_days", Q.q_changepoint_days)
+    timed("totals_audit", Q.q_totals_audit)
+    timed("ab_experiment_summary", Q.q_ab_experiment_summary)
+    timed("cumulative_users", Q.q_cumulative_users)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

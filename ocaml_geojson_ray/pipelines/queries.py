@@ -8735,3 +8735,316 @@ s AS (SELECT event_type, d, abs(nd * cum - k * total) AS score,
 SELECT event_type, d AS split_day, CAST(score AS BIGINT) AS score
 FROM s WHERE rk = 1
 """
+
+
+# -- round-5 wave 13: consistency audit / A-B split / growth curve ----------
+
+def q_totals_audit(sf_dir: str):
+    """Cross-table consistency audit (the referential-integrity check
+    a warehouse runs nightly): per order status, how many orders'
+    header total disagrees with the line-item formula sum
+    Σ floor(extprice·(1−disc)·(1+tax)·100 + 0.5), how many orders
+    have NO lines at all, and the exact integer Σ|discrepancy| in
+    cents (the value that pins the kernel — the fixture's generator
+    keeps headers and lines independent, so n_mismatch == n_orders
+    and only the discrepancy mass distinguishes a correct audit from
+    a broken one). Per-LINE float work is row-local (no float
+    summation anywhere: round-to-cents first, THEN integer sums), and
+    rounding is the floor(x+0.5) half-up device — np.round's
+    banker's rule would diverge from DuckDB round() on exact .5s.
+    Physical shape: both tables CO-BUCKETED on the orderkey hash via
+    one tagged union shuffle (the two-table reconcile pattern:
+    header and lines of an order meet in exactly one bucket), fully
+    vectorized per-bucket reconcile, status-bounded funnel.
+    SQL-checked."""
+    import ray
+
+    from ..util import grouped_sums_combine
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nb = max(4, cpus // 4)
+    lines = split_read(f"{sf_dir}/lineitem.parquet",
+                       ["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_tax"], nb)
+    orders = split_read(f"{sf_dir}/orders.parquet",
+                        ["o_orderkey", "o_totalprice",
+                         "o_orderstatus"], nb)
+
+    n_buckets = max(64, cpus * 8)
+    FIB = np.uint64(0x9E3779B97F4A7C15)
+
+    def bkt_of(ok_):
+        return ((ok_.astype(np.uint64) * FIB)
+                % np.uint64(n_buckets)).astype(np.int64)
+
+    def pre_lines(b: pa.Table) -> pa.Table:
+        ok_ = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        ep = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = b["l_discount"].to_numpy(zero_copy_only=False)
+        tx = b["l_tax"].to_numpy(zero_copy_only=False)
+        cents = np.floor(ep * (1 - dc) * (1 + tx) * 100 + 0.5) \
+            .astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(bkt_of(ok_), pa.int64()),
+            "okey": pa.array(ok_, pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+            "status": pa.array([""] * len(ok_), pa.string()),
+            "is_order": pa.array(np.zeros(len(ok_), bool)),
+        })
+
+    def pre_orders(b: pa.Table) -> pa.Table:
+        ok_ = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        tp = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        cents = np.floor(tp * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(bkt_of(ok_), pa.int64()),
+            "okey": pa.array(ok_, pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+            "status": b["o_orderstatus"],
+            "is_order": pa.array(np.ones(len(ok_), bool)),
+        })
+
+    def reconcile(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "o_orderstatus": pa.array([], pa.string()),
+            "n_orders": pa.array([], pa.int64()),
+            "n_mismatch": pa.array([], pa.int64()),
+            "n_no_lines": pa.array([], pa.int64()),
+            "abs_diff_cents_sum": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        ok_ = g["okey"].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        iso = g["is_order"].to_numpy(zero_copy_only=False)
+        lk, li = np.unique(ok_[~iso], return_inverse=True)
+        lsum = np.bincount(li, weights=cents[~iso].astype(np.float64),
+                           minlength=len(lk)).astype(np.int64)
+        o_ok = ok_[iso]
+        o_cents = cents[iso]
+        stat = np.asarray(
+            g["status"].to_pylist(), dtype=object)[iso]
+        pos = np.searchsorted(lk, o_ok)
+        if len(lk):
+            pos_c = np.clip(pos, 0, len(lk) - 1)
+            has_lines = lk[pos_c] == o_ok
+            line_cents = np.where(has_lines, lsum[pos_c], 0)
+        else:
+            has_lines = np.zeros(len(o_ok), bool)
+            line_cents = np.zeros(len(o_ok), np.int64)
+        diff = np.abs(o_cents - line_cents)
+        mism = diff != 0
+        us, inv = np.unique(stat, return_inverse=True)
+        k = len(us)
+        return pa.table({
+            "o_orderstatus": pa.array(list(us), pa.string()),
+            "n_orders": pa.array(
+                np.bincount(inv, minlength=k).astype(np.int64)),
+            "n_mismatch": pa.array(np.bincount(
+                inv, weights=mism.astype(np.float64),
+                minlength=k).astype(np.int64)),
+            "n_no_lines": pa.array(np.bincount(
+                inv, weights=(~has_lines).astype(np.float64),
+                minlength=k).astype(np.int64)),
+            "abs_diff_cents_sum": pa.array(np.bincount(
+                inv, weights=diff.astype(np.float64),
+                minlength=k).astype(np.int64)),
+        })
+
+    tagged = lines.map_batches(pre_lines, batch_format="pyarrow") \
+        .union(orders.map_batches(pre_orders, batch_format="pyarrow"))
+    return grouped_sums_combine(
+        tagged.groupby("bucket").map_groups(reconcile,
+                                            batch_format="pyarrow"),
+        ["o_orderstatus"],
+        ["n_orders", "n_mismatch", "n_no_lines", "abs_diff_cents_sum"],
+        ["n_orders", "n_mismatch", "n_no_lines", "abs_diff_cents_sum"],
+    )
+
+
+SQL_TOTALS_AUDIT = """
+WITH ls AS (SELECT l_orderkey,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                  * (1 + l_tax) * 100 + 0.5)
+                            AS BIGINT)) AS line_cents
+            FROM lineitem GROUP BY l_orderkey)
+SELECT o.o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CASE WHEN CAST(floor(o.o_totalprice * 100 + 0.5)
+                             AS BIGINT)
+                          <> coalesce(ls.line_cents, 0)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+       CAST(sum(CASE WHEN ls.l_orderkey IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lines,
+       CAST(sum(abs(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                    - coalesce(ls.line_cents, 0))) AS BIGINT)
+           AS abs_diff_cents_sum
+FROM orders o LEFT JOIN ls ON o.o_orderkey = ls.l_orderkey
+GROUP BY o.o_orderstatus
+"""
+
+
+def q_ab_experiment_summary(sf_dir: str):
+    """A/B experiment scaffold (the deterministic-assignment analysis
+    a growth team reruns on every export): users split 50/50 by
+    md5_le64(user_id) % 2 — the resume-stable assignment device, so
+    arms never reshuffle between runs — and per arm: users, users
+    with ≥1 purchase, and the conversion rate (ONE divide of two
+    exact ints). Physical shape: per-user any-purchase needs each
+    user whole → ONE Fibonacci user-bucket shuffle, per-bucket
+    vectorized reduce, 2-key funnel. SQL-checked (the md5 SQL device +
+    max(CASE) per user)."""
+    import ray
+
+    from ..util import grouped_sums_combine, md5_le64
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nb = max(4, cpus // 4)
+    ds = split_read(f"{sf_dir}/events.parquet",
+                    ["user_id", "event_type"], nb)
+
+    n_buckets = max(64, cpus * 8)
+    FIB = np.uint64(0x9E3779B97F4A7C15)
+
+    def pre(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        bkt = ((uid.astype(np.uint64) * FIB)
+               % np.uint64(n_buckets)).astype(np.int64)
+        isp = pc.equal(b["event_type"], "purchase").to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(bkt, pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "is_p": pa.array(isp.astype(np.int64), pa.int64()),
+        })
+
+    def arm_partial(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "arm": pa.array([], pa.int64()),
+            "n_users": pa.array([], pa.int64()),
+            "n_purchasers": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        isp = g["is_p"].to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(uid, return_inverse=True)
+        anyp = np.bincount(inv, weights=isp.astype(np.float64),
+                           minlength=len(uu)) > 0
+        arm = np.fromiter(
+            (md5_le64(str(int(u)).encode("ascii")) % 2 for u in uu),
+            np.int64, len(uu))
+        n = np.bincount(arm, minlength=2).astype(np.int64)
+        p = np.bincount(arm, weights=anyp.astype(np.float64),
+                        minlength=2).astype(np.int64)
+        return pa.table({
+            "arm": pa.array([0, 1], pa.int64()),
+            "n_users": pa.array(n, pa.int64()),
+            "n_purchasers": pa.array(p, pa.int64()),
+        })
+
+    agg = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(arm_partial,
+                                      batch_format="pyarrow"),
+        ["arm"], ["n_users", "n_purchasers"],
+        ["n_users", "n_purchasers"],
+    ).to_arrow_refs()))
+    agg = agg.filter(pc.greater(agg["n_users"], 0))
+    cr = pc.divide(pc.cast(agg["n_purchasers"], pa.float64()),
+                   pc.cast(agg["n_users"], pa.float64()))
+    return agg.append_column("conversion_rate", cr)
+
+
+SQL_AB_EXPERIMENT_SUMMARY = f"""
+WITH u AS (SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS p
+           FROM events GROUP BY user_id),
+a AS (SELECT CAST({_MD5LE64_SQL} % 2 AS BIGINT) AS arm, p
+      FROM (SELECT p, md5(user_id::VARCHAR) AS hx FROM u))
+SELECT arm, count(*) AS n_users,
+       CAST(sum(p) AS BIGINT) AS n_purchasers,
+       CAST(sum(p) AS BIGINT) / CAST(count(*) AS BIGINT)
+           AS conversion_rate
+FROM a GROUP BY arm
+"""
+
+
+def q_cumulative_users(sf_dir: str):
+    """Growth curve (new vs cumulative users by day — the
+    first-seen-day metric behind every adoption chart): per day, how
+    many users appear for the FIRST time and the running total of
+    distinct users ever seen. First-seen = per-user min day (complete
+    within one user bucket), new-user counts through the
+    calendar-bounded funnel, the cumulative sum is exact int64 driver
+    work over ≤ days rows. SQL-checked (min-day + window cumsum
+    oracle)."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    US_PER_DAY = 86_400_000_000
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nb = max(4, cpus // 4)
+    ds = split_read(f"{sf_dir}/events.parquet", ["user_id", "ts"], nb)
+
+    n_buckets = max(64, cpus * 8)
+    FIB = np.uint64(0x9E3779B97F4A7C15)
+
+    def pre(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        day = (b["ts"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False)) // US_PER_DAY
+        bkt = ((uid.astype(np.uint64) * FIB)
+               % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(bkt, pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "day": pa.array(day, pa.int64()),
+        })
+
+    def firsts(g: pa.Table) -> pa.Table:
+        empty = pa.table({"day": pa.array([], pa.int64()),
+                          "partial": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(uid, return_inverse=True)
+        fd = np.full(len(uu), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(fd, inv, day)
+        ud, cnt = np.unique(fd, return_counts=True)
+        return pa.table({
+            "day": pa.array(ud, pa.int64()),
+            "partial": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    news = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(firsts, batch_format="pyarrow"),
+        ["day"], "partial", "n_new",
+    ).to_arrow_refs()))
+    d = news["day"].to_numpy(zero_copy_only=False)
+    n = news["n_new"].to_numpy(zero_copy_only=False)
+    order = np.argsort(d)
+    d, n = d[order], n[order]
+    return pa.table({
+        "day": pa.array(d, pa.int64()),
+        "n_new": pa.array(n, pa.int64()),
+        "cum_users": pa.array(np.cumsum(n).astype(np.int64),
+                              pa.int64()),
+    })
+
+
+SQL_CUMULATIVE_USERS = """
+WITH f AS (SELECT user_id,
+                  min(CAST(epoch_us(ts) AS BIGINT) // 86400000000)
+                      AS day
+           FROM events GROUP BY user_id),
+c AS (SELECT day, count(*) AS n_new FROM f GROUP BY day)
+SELECT day, CAST(n_new AS BIGINT) AS n_new,
+       CAST(sum(n_new) OVER (ORDER BY day
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_users
+FROM c
+"""
