@@ -249,6 +249,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("totals_audit", Q.q_totals_audit)
     timed("ab_experiment_summary", Q.q_ab_experiment_summary)
     timed("cumulative_users", Q.q_cumulative_users)
+    timed("resample_ffill", Q.q_resample_ffill)
+    timed("rolling_median_daily", Q.q_rolling_median_daily)
+    timed("cm_sketch_counts", Q.q_cm_sketch_counts)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

@@ -9048,3 +9048,283 @@ SELECT day, CAST(n_new AS BIGINT) AS n_new,
            AS cum_users
 FROM c
 """
+
+
+# -- round-5 wave 14: resampling / rolling medians / count-min sketch -------
+
+def q_resample_ffill(sf_dir: str):
+    """Time-series resample + forward-fill (the gridding operator that
+    turns irregular event streams into model-ready regular series):
+    each user's value series is resampled to an HOURLY grid over
+    [first event hour, last event hour]; each grid hour carries the
+    latest observation at-or-before it (hour representative = the
+    hour's last event by (ts, event_id)); the query reports per user
+    the grid length and the exact int64 cents-sum of the filled
+    series. Physical shape: ONE user-bucket shuffle; within a bucket
+    the fill is ONE global searchsorted over user-packed keys
+    (user_code·2²⁰ + epoch_hour — hours < 2²⁰ until 2089, and the
+    packing isolates users because every grid key ≥ its user's first
+    rep key), grids materialized as one concatenated arange. Per-user
+    grid length is calendar-bounded. SQL-checked (ASOF JOIN oracle —
+    the oracle exercises DuckDB's own as-of machinery against ours)."""
+    import ray
+
+    US_PER_HOUR = 3_600_000_000
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nb = max(4, cpus // 4)
+    ds = split_read(f"{sf_dir}/events.parquet",
+                    ["user_id", "ts", "event_id", "value"], nb)
+
+    n_buckets = max(64, cpus * 8)
+    FIB = np.uint64(0x9E3779B97F4A7C15)
+
+    def pre(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        xc = np.round(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        bkt = ((uid.astype(np.uint64) * FIB)
+               % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(bkt, pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "hour": pa.array(ts // US_PER_HOUR, pa.int64()),
+            "ts_us": pa.array(ts, pa.int64()),
+            "event_id": b["event_id"],
+            "xc": pa.array(xc, pa.int64()),
+        })
+
+    def fill(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "n_grid_hours": pa.array([], pa.int64()),
+            "ffill_cents_sum": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        hr = g["hour"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        xc = g["xc"].to_numpy(zero_copy_only=False)
+        # hour representative = last event in hour by (ts, event_id)
+        order = np.lexsort((eid, ts, hr, uid))
+        uid, hr, xc = uid[order], hr[order], xc[order]
+        last = np.r_[(uid[1:] != uid[:-1]) | (hr[1:] != hr[:-1]), True]
+        ru, rh, rx = uid[last], hr[last], xc[last]
+        ucode = np.cumsum(np.r_[True, ru[1:] != ru[:-1]]) - 1
+        rkey = ucode * (1 << 20) + rh
+        # per-user grid: h0..h1 as one concatenated arange
+        ustarts = np.flatnonzero(np.r_[True, ru[1:] != ru[:-1]])
+        uends = np.r_[ustarts[1:], len(ru)] - 1
+        h0, h1 = rh[ustarts], rh[uends]
+        glen = (h1 - h0 + 1).astype(np.int64)
+        total = int(glen.sum())
+        gu = np.repeat(np.arange(len(ustarts)), glen)
+        offs = np.concatenate([np.arange(n) for n in glen])
+        gkey = gu * (1 << 20) + h0[gu] + offs
+        idx = np.searchsorted(rkey, gkey, side="right") - 1
+        fsum = np.bincount(gu, weights=rx[idx].astype(np.float64),
+                           minlength=len(ustarts)).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(ru[ustarts], pa.int64()),
+            "n_grid_hours": pa.array(glen, pa.int64()),
+            "ffill_cents_sum": pa.array(fsum, pa.int64()),
+        })
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(fill, batch_format="pyarrow")
+    )
+
+
+SQL_RESAMPLE_FFILL = """
+WITH e AS (SELECT user_id,
+                  CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS h,
+                  CAST(epoch_us(ts) AS BIGINT) AS us, event_id,
+                  CAST(round(value * 100.0) AS BIGINT) AS xc
+           FROM events),
+rep AS (SELECT user_id, h, xc FROM (
+            SELECT user_id, h, xc, row_number()
+                OVER (PARTITION BY user_id, h
+                      ORDER BY us DESC, event_id DESC) AS rn
+            FROM e) WHERE rn = 1),
+grid AS (SELECT user_id, unnest(range(min(h), max(h) + 1)) AS gh
+         FROM e GROUP BY user_id),
+f AS (SELECT g.user_id, g.gh, r.xc
+      FROM grid g ASOF JOIN rep r
+        ON g.user_id = r.user_id AND g.gh >= r.h)
+SELECT user_id, count(*) AS n_grid_hours,
+       CAST(sum(xc) AS BIGINT) AS ffill_cents_sum
+FROM f GROUP BY user_id
+"""
+
+
+def q_rolling_median_daily(sf_dir: str):
+    """Rolling ROBUST statistic (the trailing-week median a monitor
+    plots instead of a spike-sensitive mean): per event type and day,
+    the median of the trailing ≤7 daily counts (current day
+    inclusive), via the quantile_disc selection rule on each window's
+    sorted slice. Daily counts come through the calendar-bounded
+    funnel; the window scan is O(days·7 log 7) driver work per type.
+    All int64. SQL-checked (windowed quantile_disc with a ROWS frame —
+    the oracle exercises DuckDB's frame aggregation against our
+    selection rule)."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    US_PER_DAY = 86_400_000_000
+    ds = _read_split(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = (b["ts"].cast(pa.int64())
+             .to_numpy(zero_copy_only=False)) // US_PER_DAY
+        t = pa.table({"event_type": b["event_type"],
+                      "day": pa.array(d, pa.int64())})
+        return t.group_by(["event_type", "day"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["event_type", "day", "partial"])
+
+    hist = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "day"], "partial", "c",
+    ).to_arrow_refs()))
+    et = np.asarray(hist["event_type"].to_pylist(), dtype=object)
+    dv = hist["day"].to_numpy(zero_copy_only=False)
+    cv = hist["c"].to_numpy(zero_copy_only=False)
+    out_t, out_d, out_m = [], [], []
+    for t in sorted(np.unique(et)):
+        sel = et == t
+        d, c = dv[sel], cv[sel]
+        order = np.argsort(d)
+        d, c = d[order], c[order]
+        for i in range(len(d)):
+            win = np.sort(c[max(0, i - 6):i + 1])
+            m = len(win)
+            med = win[max(0, int(np.ceil(0.5 * m)) - 1)]
+            out_t.append(str(t))
+            out_d.append(int(d[i]))
+            out_m.append(int(med))
+    return pa.table({
+        "event_type": pa.array(out_t, pa.string()),
+        "day": pa.array(out_d, pa.int64()),
+        "med7": pa.array(out_m, pa.int64()),
+    })
+
+
+SQL_ROLLING_MEDIAN_DAILY = """
+WITH c AS (SELECT event_type,
+                  CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2)
+SELECT event_type, day,
+       CAST(quantile_disc(n, 0.5)
+            OVER (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS med7
+FROM c
+"""
+
+
+def q_cm_sketch_counts(sf_dir: str):
+    """Count-Min sketch (Cormode–Muthukrishnan — the bounded-memory
+    frequency sketch a streaming pipeline keeps when exact per-key
+    counts don't fit): a 4×256 counter array over lineitem part keys,
+    rows addressed by the four 16-bit slices of md5_le64(partkey) mod
+    256; the query reports, for the deterministic probe set
+    partkey < 10, the exact count, the CM estimate (min over 4 rows),
+    and the overcount — the sketch's collision economics
+    VALUE-checked (width 256 over ~2000 keys guarantees visible
+    overcounts). Counters and probes ride ONE streamed pass through
+    the 4×256-bounded + 10-key funnels, zero shuffles. SQL-checked
+    (the oracle rebuilds the identical counters with shift/mask
+    CTEs)."""
+    import ray
+
+    from ..util import grouped_sum_combine, grouped_sums_combine, md5_le64
+
+    D, W = 4, 256
+    ds = _read_split(sf_dir, "lineitem", ["l_partkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(pk, return_inverse=True)
+        kc = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        hv = np.fromiter(
+            (md5_le64(str(int(k)).encode("ascii")) for k in uk),
+            np.uint64, len(uk))
+        rows, poss, cnts = [], [], []
+        for r in range(D):
+            p = ((hv >> np.uint64(16 * r)) & np.uint64(0xFFFF)) \
+                % np.uint64(W)
+            rows.append(np.full(len(uk), r, np.int64))
+            poss.append(p.astype(np.int64))
+            cnts.append(kc)
+        return pa.table({
+            "r": pa.array(np.concatenate(rows), pa.int64()),
+            "p": pa.array(np.concatenate(poss), pa.int64()),
+            "c": pa.array(np.concatenate(cnts), pa.int64()),
+        })
+
+    counters = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["r", "p"], "c", "c",
+    ).to_arrow_refs()))
+    cm = np.zeros((D, W), np.int64)
+    cm[counters["r"].to_numpy(zero_copy_only=False),
+       counters["p"].to_numpy(zero_copy_only=False)] = \
+        counters["c"].to_numpy(zero_copy_only=False)
+
+    def true_partial(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        pk = pk[pk < 10]
+        uk, inv = np.unique(pk, return_inverse=True)
+        return pa.table({
+            "p_partkey": pa.array(uk, pa.int64()),
+            "n": pa.array(np.bincount(inv, minlength=len(uk))
+                          .astype(np.int64), pa.int64()),
+        })
+
+    ds2 = _read_split(sf_dir, "lineitem", ["l_partkey"])
+    tru = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds2.map_batches(true_partial, batch_format="pyarrow"),
+        ["p_partkey"], "n", "true_n",
+    ).to_arrow_refs()))
+    pk = tru["p_partkey"].to_numpy(zero_copy_only=False)
+    tn = tru["true_n"].to_numpy(zero_copy_only=False)
+    order = np.argsort(pk)
+    pk, tn = pk[order], tn[order]
+    est = np.empty(len(pk), np.int64)
+    for i, k in enumerate(pk):
+        h = md5_le64(str(int(k)).encode("ascii"))
+        est[i] = min(cm[r, ((h >> (16 * r)) & 0xFFFF) % W]
+                     for r in range(D))
+    return pa.table({
+        "p_partkey": pa.array(pk, pa.int64()),
+        "true_n": pa.array(tn, pa.int64()),
+        "cm_n": pa.array(est, pa.int64()),
+        "overcount": pa.array(est - tn, pa.int64()),
+    })
+
+
+SQL_CM_SKETCH_COUNTS = f"""
+WITH h AS (SELECT pk, {_MD5LE64_SQL} AS h
+           FROM (SELECT l_partkey AS pk,
+                        md5(l_partkey::VARCHAR) AS hx FROM lineitem)),
+pos AS (SELECT pk, r,
+               CAST(((h >> CAST(16 * r AS INTEGER)) & 65535) % 256
+                    AS BIGINT) AS p
+        FROM h, (VALUES (0), (1), (2), (3)) t(r)),
+cnt AS (SELECT r, p, count(*) AS c FROM pos GROUP BY r, p),
+probe AS (SELECT DISTINCT pk, r, p FROM pos WHERE pk < 10),
+est AS (SELECT pk, min(c) AS cm_n
+        FROM probe JOIN cnt USING (r, p) GROUP BY pk),
+tru AS (SELECT l_partkey AS pk, count(*) AS true_n
+        FROM lineitem WHERE l_partkey < 10 GROUP BY l_partkey)
+SELECT tru.pk AS p_partkey, CAST(true_n AS BIGINT) AS true_n,
+       CAST(cm_n AS BIGINT) AS cm_n,
+       CAST(cm_n - true_n AS BIGINT) AS overcount
+FROM tru JOIN est ON tru.pk = est.pk
+"""
