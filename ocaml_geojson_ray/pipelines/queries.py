@@ -22,7 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..spatial.distjoin import CHORD_T as _CHORD_T
-from ..util import split_read
+from ..util import fib_bucket, split_read
 
 
 def _check(ok, msg: str) -> None:
@@ -2886,8 +2886,7 @@ def q_user_paths(sf_dir: str):
         ts_us = b["ts"].cast(pa.int64())
         # Fibonacci-hash bucket so sequential user ids spread evenly
         uid = b["user_id"].to_numpy(zero_copy_only=False)
-        h = uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-        bkt = (h % np.uint64(n_buckets)).astype(np.int64)
+        bkt = fib_bucket(uid, n_buckets)
         return pa.table({
             "bucket": pa.array(bkt, pa.int64()),
             "user_id": b["user_id"],
@@ -6789,12 +6788,10 @@ def q_cooccur_pairs(sf_dir: str):
 
     n_buckets = max(64, cpus * 8)
     n_shards = max(32, cpus * 4)
-    FIB = np.uint64(0x9E3779B97F4A7C15)
 
     def pre(b: pa.Table) -> pa.Table:
         ok_ = b["l_orderkey"].to_numpy(zero_copy_only=False)
-        bkt = ((ok_.astype(np.uint64) * FIB)
-               % np.uint64(n_buckets)).astype(np.int64)
+        bkt = fib_bucket(ok_, n_buckets)
         return pa.table({
             "bucket": pa.array(bkt, pa.int64()),
             "l_orderkey": b["l_orderkey"],
@@ -6835,8 +6832,7 @@ def q_cooccur_pairs(sf_dir: str):
 
     def shard(b: pa.Table) -> pa.Table:
         pr = b["pair"].to_numpy(zero_copy_only=False)
-        sh = ((pr.astype(np.uint64) * FIB)
-              % np.uint64(n_shards)).astype(np.int64)
+        sh = fib_bucket(pr, n_shards)
         return b.append_column("shard", pa.array(sh, pa.int64()))
 
     def shard_top(g: pa.Table) -> pa.Table:
@@ -7100,11 +7096,14 @@ def q_edit_distance_pairs(sf_dir: str):
         ln = ray.get(lens_ref)
         out1, out2, outd = [], [], []
         for lo, hi in zip(b["lo"].to_pylist(), b["hi"].to_pylist()):
-            ii, jj = np.meshgrid(np.arange(lo, hi), np.arange(nv),
-                                 indexing="ij")
-            ii, jj = ii.ravel(), jj.ravel()
-            keep = (ii < jj) & (np.abs(ln[ii] - ln[jj]) <= 2)
-            ii, jj = ii[keep], jj[keep]
+            # banded boolean mask FIRST (block×V bools), then only the
+            # surviving indices materialize — the dense int64 meshgrid
+            # form peaked at ~2 GB/task on a 100k-word vocabulary
+            blk = np.arange(lo, hi)
+            keep = (blk[:, None] < np.arange(nv)[None, :]) \
+                & (np.abs(ln[blk][:, None] - ln[None, :]) <= 2)
+            bi, jj = np.nonzero(keep)
+            ii = blk[bi]
             if len(ii) == 0:
                 continue
             d = _lev_block(v[ii], v[jj], ln[ii], ln[jj])
@@ -7629,7 +7628,6 @@ def q_interval_coverage(sf_dir: str):
                     ["user_id", "ts", "value"], nb)
 
     n_buckets = max(64, cpus * 8)
-    FIB = np.uint64(0x9E3779B97F4A7C15)
 
     def pre(b: pa.Table) -> pa.Table:
         uid = b["user_id"].to_numpy(zero_copy_only=False)
@@ -7637,9 +7635,12 @@ def q_interval_coverage(sf_dir: str):
         xc = np.round(
             b["value"].to_numpy(zero_copy_only=False) * 100.0
         ).astype(np.int64)
+        # numpy % is sign-of-divisor (nonneg residue); the oracle
+        # forces the same convention with ((x % 600) + 600) % 600, so
+        # negative cents can't diverge (DuckDB's bare % is
+        # sign-of-dividend)
         e = s + (1 + xc % 600) * 1_000_000
-        bkt = ((uid.astype(np.uint64) * FIB)
-               % np.uint64(n_buckets)).astype(np.int64)
+        bkt = fib_bucket(uid, n_buckets)
         return pa.table({
             "bucket": pa.array(bkt, pa.int64()),
             "user_id": b["user_id"],
@@ -7696,7 +7697,8 @@ def q_interval_coverage(sf_dir: str):
 SQL_INTERVAL_COVERAGE = """
 WITH iv AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS s,
                    CAST(epoch_us(ts) AS BIGINT)
-                   + (1 + (CAST(round(value * 100.0) AS BIGINT) % 600))
+                   + (1 + (((CAST(round(value * 100.0) AS BIGINT) % 600)
+                            + 600) % 600))
                      * 1000000 AS e
             FROM events),
 w AS (SELECT user_id, s, e,
@@ -7848,7 +7850,6 @@ def q_conversion_lag(sf_dir: str):
                     ["user_id", "ts", "event_type"], nb)
 
     n_buckets = max(64, cpus * 8)
-    FIB = np.uint64(0x9E3779B97F4A7C15)
     US_PER_DAY = 86_400_000_000
 
     def pre(b: pa.Table) -> pa.Table:
@@ -7856,8 +7857,7 @@ def q_conversion_lag(sf_dir: str):
                         value_set=pa.array(["signup", "purchase"]))
         b = b.filter(keep)
         uid = b["user_id"].to_numpy(zero_copy_only=False)
-        bkt = ((uid.astype(np.uint64) * FIB)
-               % np.uint64(n_buckets)).astype(np.int64)
+        bkt = fib_bucket(uid, n_buckets)
         return pa.table({
             "bucket": pa.array(bkt, pa.int64()),
             "user_id": b["user_id"],
@@ -7896,6 +7896,11 @@ def q_conversion_lag(sf_dir: str):
         lag = np.where(convd, pu - su, 0)
         ud, inv = np.unique(day, return_inverse=True)
         k = len(ud)
+        # lag mass accumulates in int64 via np.add.at — month-scale
+        # lags (~2^41 µs) over a whole bucket's cohort would overflow
+        # a float64-weighted bincount's 2^53 mantissa at sf100+
+        sum_lag = np.zeros(k, np.int64)
+        np.add.at(sum_lag, inv, lag)
         return pa.table({
             "cohort_day": pa.array(ud, pa.int64()),
             "n_signups": pa.array(
@@ -7903,9 +7908,7 @@ def q_conversion_lag(sf_dir: str):
             "n_converted": pa.array(np.bincount(
                 inv, weights=convd.astype(np.float64),
                 minlength=k).astype(np.int64)),
-            "sum_lag_us": pa.array(np.bincount(
-                inv, weights=lag.astype(np.float64),
-                minlength=k).astype(np.int64)),
+            "sum_lag_us": pa.array(sum_lag, pa.int64()),
         })
 
     return grouped_sums_combine(
@@ -7949,11 +7952,12 @@ def q_value_histogram(sf_dir: str):
     ds = _read_split(sf_dir, "events", ["event_type", "value"])
 
     def extrema(b: pa.Table) -> pa.Table:
-        xc = np.round(
-            b["value"].to_numpy(zero_copy_only=False) * 100.0
-        ).astype(np.int64)
-        return pa.table({"mn": pa.array([int(xc.min())], pa.int64()),
-                         "mx": pa.array([int(xc.max())], pa.int64())})
+        # pc.min/max are null-safe: an empty/phantom block yields a
+        # None row, which the driver-side filter drops (the numpy
+        # .min() form raised on zero-size arrays)
+        xc = pc.round(pc.multiply(b["value"], 100.0)).cast(pa.int64())
+        return pa.table({"mn": pa.array([pc.min(xc).as_py()], pa.int64()),
+                         "mx": pa.array([pc.max(xc).as_py()], pa.int64())})
 
     ext = pa.concat_tables(ray.get(
         ds.map_batches(extrema, batch_format="pyarrow")
@@ -8423,12 +8427,10 @@ def q_time_weighted_avg(sf_dir: str):
                     ["user_id", "ts", "event_id", "value"], nb)
 
     n_buckets = max(64, cpus * 8)
-    FIB = np.uint64(0x9E3779B97F4A7C15)
 
     def pre(b: pa.Table) -> pa.Table:
         uid = b["user_id"].to_numpy(zero_copy_only=False)
-        bkt = ((uid.astype(np.uint64) * FIB)
-               % np.uint64(n_buckets)).astype(np.int64)
+        bkt = fib_bucket(uid, n_buckets)
         xc = np.round(
             b["value"].to_numpy(zero_copy_only=False) * 100.0
         ).astype(np.int64)
@@ -8584,7 +8586,6 @@ def q_rolling_distinct_users(sf_dir: str):
     ds = split_read(f"{sf_dir}/events.parquet", ["user_id", "ts"], nb)
 
     n_buckets = max(64, cpus * 8)
-    FIB = np.uint64(0x9E3779B97F4A7C15)
 
     def pre(b: pa.Table) -> pa.Table:
         uid = b["user_id"].to_numpy(zero_copy_only=False)
@@ -8593,8 +8594,7 @@ def q_rolling_distinct_users(sf_dir: str):
         packed = np.unique(uid * np.int64(1 << 20) + day)
         uu = packed >> np.int64(20)
         dd = packed & np.int64((1 << 20) - 1)
-        bkt = ((uu.astype(np.uint64) * FIB)
-               % np.uint64(n_buckets)).astype(np.int64)
+        bkt = fib_bucket(uu, n_buckets)
         return pa.table({
             "bucket": pa.array(bkt, pa.int64()),
             "user_id": pa.array(uu, pa.int64()),
@@ -8771,11 +8771,9 @@ def q_totals_audit(sf_dir: str):
                          "o_orderstatus"], nb)
 
     n_buckets = max(64, cpus * 8)
-    FIB = np.uint64(0x9E3779B97F4A7C15)
 
     def bkt_of(ok_):
-        return ((ok_.astype(np.uint64) * FIB)
-                % np.uint64(n_buckets)).astype(np.int64)
+        return fib_bucket(ok_, n_buckets)
 
     def pre_lines(b: pa.Table) -> pa.Table:
         ok_ = b["l_orderkey"].to_numpy(zero_copy_only=False)
@@ -8903,12 +8901,10 @@ def q_ab_experiment_summary(sf_dir: str):
                     ["user_id", "event_type"], nb)
 
     n_buckets = max(64, cpus * 8)
-    FIB = np.uint64(0x9E3779B97F4A7C15)
 
     def pre(b: pa.Table) -> pa.Table:
         uid = b["user_id"].to_numpy(zero_copy_only=False)
-        bkt = ((uid.astype(np.uint64) * FIB)
-               % np.uint64(n_buckets)).astype(np.int64)
+        bkt = fib_bucket(uid, n_buckets)
         isp = pc.equal(b["event_type"], "purchase").to_numpy(
             zero_copy_only=False)
         return pa.table({
@@ -8989,14 +8985,12 @@ def q_cumulative_users(sf_dir: str):
     ds = split_read(f"{sf_dir}/events.parquet", ["user_id", "ts"], nb)
 
     n_buckets = max(64, cpus * 8)
-    FIB = np.uint64(0x9E3779B97F4A7C15)
 
     def pre(b: pa.Table) -> pa.Table:
         uid = b["user_id"].to_numpy(zero_copy_only=False)
         day = (b["ts"].cast(pa.int64())
                .to_numpy(zero_copy_only=False)) // US_PER_DAY
-        bkt = ((uid.astype(np.uint64) * FIB)
-               % np.uint64(n_buckets)).astype(np.int64)
+        bkt = fib_bucket(uid, n_buckets)
         return pa.table({
             "bucket": pa.array(bkt, pa.int64()),
             "user_id": pa.array(uid, pa.int64()),
@@ -9076,7 +9070,6 @@ def q_resample_ffill(sf_dir: str):
                     ["user_id", "ts", "event_id", "value"], nb)
 
     n_buckets = max(64, cpus * 8)
-    FIB = np.uint64(0x9E3779B97F4A7C15)
 
     def pre(b: pa.Table) -> pa.Table:
         uid = b["user_id"].to_numpy(zero_copy_only=False)
@@ -9084,8 +9077,7 @@ def q_resample_ffill(sf_dir: str):
         xc = np.round(
             b["value"].to_numpy(zero_copy_only=False) * 100.0
         ).astype(np.int64)
-        bkt = ((uid.astype(np.uint64) * FIB)
-               % np.uint64(n_buckets)).astype(np.int64)
+        bkt = fib_bucket(uid, n_buckets)
         return pa.table({
             "bucket": pa.array(bkt, pa.int64()),
             "user_id": pa.array(uid, pa.int64()),
@@ -9262,38 +9254,30 @@ def q_cm_sketch_counts(sf_dir: str):
             rows.append(np.full(len(uk), r, np.int64))
             poss.append(p.astype(np.int64))
             cnts.append(kc)
+        # probe true-counts ride the SAME pass as (r = −1, p = key)
+        # rows through the one funnel (a first cut re-read the whole
+        # table for 10 keys)
+        probe = uk < 10
+        rows.append(np.full(int(probe.sum()), -1, np.int64))
+        poss.append(uk[probe])
+        cnts.append(kc[probe])
         return pa.table({
             "r": pa.array(np.concatenate(rows), pa.int64()),
             "p": pa.array(np.concatenate(poss), pa.int64()),
             "c": pa.array(np.concatenate(cnts), pa.int64()),
         })
 
-    counters = pa.concat_tables(ray.get(grouped_sum_combine(
+    combined = pa.concat_tables(ray.get(grouped_sum_combine(
         ds.map_batches(partial, batch_format="pyarrow"),
         ["r", "p"], "c", "c",
     ).to_arrow_refs()))
+    rr = combined["r"].to_numpy(zero_copy_only=False)
+    pp = combined["p"].to_numpy(zero_copy_only=False)
+    cc = combined["c"].to_numpy(zero_copy_only=False)
+    is_probe = rr == -1
     cm = np.zeros((D, W), np.int64)
-    cm[counters["r"].to_numpy(zero_copy_only=False),
-       counters["p"].to_numpy(zero_copy_only=False)] = \
-        counters["c"].to_numpy(zero_copy_only=False)
-
-    def true_partial(b: pa.Table) -> pa.Table:
-        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
-        pk = pk[pk < 10]
-        uk, inv = np.unique(pk, return_inverse=True)
-        return pa.table({
-            "p_partkey": pa.array(uk, pa.int64()),
-            "n": pa.array(np.bincount(inv, minlength=len(uk))
-                          .astype(np.int64), pa.int64()),
-        })
-
-    ds2 = _read_split(sf_dir, "lineitem", ["l_partkey"])
-    tru = pa.concat_tables(ray.get(grouped_sum_combine(
-        ds2.map_batches(true_partial, batch_format="pyarrow"),
-        ["p_partkey"], "n", "true_n",
-    ).to_arrow_refs()))
-    pk = tru["p_partkey"].to_numpy(zero_copy_only=False)
-    tn = tru["true_n"].to_numpy(zero_copy_only=False)
+    cm[rr[~is_probe], pp[~is_probe]] = cc[~is_probe]
+    pk, tn = pp[is_probe], cc[is_probe]
     order = np.argsort(pk)
     pk, tn = pk[order], tn[order]
     est = np.empty(len(pk), np.int64)

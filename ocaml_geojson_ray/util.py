@@ -262,3 +262,18 @@ def sorted_membership(sorted_keys, keys):
     if not len(sorted_keys):
         return np.zeros(len(keys), dtype=bool)
     return sorted_keys[idx] == keys
+
+
+def fib_bucket(keys, n_buckets: int):
+    """THE Fibonacci-hash bucket device for the bucketed-shuffle
+    pattern (user_paths and the round-5 wave queries): spread
+    sequential int64 ids evenly over ``n_buckets`` groups via the
+    golden-ratio multiplier. A parity/physical device like md5_le64 —
+    never inline a copy (queries that must co-locate the SAME key,
+    e.g. the totals_audit two-table reconcile, depend on every call
+    site bucketing identically)."""
+    import numpy as np
+
+    return ((np.asarray(keys).astype(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15))
+            % np.uint64(n_buckets)).astype(np.int64)

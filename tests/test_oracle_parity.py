@@ -309,3 +309,40 @@ def test_quantile_cont_formula_matches_duckdb_property():
         frac = rn - lo
         mine = s[lo] * (1 - frac) + s[hi] * frac
         assert mine == want, (trial, n, q, mine, want)
+
+
+def test_interval_coverage_negative_values_parity(tmp_path, ray_session):
+    """The fixture's event values are all positive, so the duration
+    modulo's sign convention never binds there — pin it on a synthetic
+    events table with NEGATIVE values (numpy % is sign-of-divisor;
+    the oracle forces the same nonneg residue with ((x%600)+600)%600 —
+    a bare DuckDB % would make negative-duration intervals)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+    from scripts.check_oracle import compare, to_pandas
+
+    n = 40
+    ts = pa.array(
+        [1_700_000_000_000_000 + i * 137_000_000 for i in range(n)],
+        pa.timestamp("us"))
+    vals = [(-1.23, 0.0, -599.99, 599.99, 5.0)[i % 5] for i in range(n)]
+    tbl = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": ts,
+        "user_id": pa.array([i % 4 for i in range(n)], pa.int64()),
+        "event_type": pa.array(["view"] * n, pa.string()),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    ray_df = to_pandas(E.queries()["interval_coverage"](str(tmp_path)))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    sql_df = con.execute(E.oracle_sql()["interval_coverage"]).df()
+    problems = compare("interval_coverage_negative", ray_df, sql_df)
+    assert not problems, problems
