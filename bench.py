@@ -252,6 +252,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("resample_ffill", Q.q_resample_ffill)
     timed("rolling_median_daily", Q.q_rolling_median_daily)
     timed("cm_sketch_counts", Q.q_cm_sketch_counts)
+    timed("bm25_topk", Q.q_bm25_topk)
+    timed("dow_hour_heatmap", Q.q_dow_hour_heatmap)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

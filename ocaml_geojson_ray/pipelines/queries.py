@@ -9312,3 +9312,179 @@ SELECT tru.pk AS p_partkey, CAST(true_n AS BIGINT) AS true_n,
        CAST(cm_n - true_n AS BIGINT) AS overcount
 FROM tru JOIN est ON tru.pk = est.pk
 """
+
+
+# -- round-5 wave 15: ranked retrieval / seasonality heatmap ----------------
+
+_BM25_TERMS = ("dup", "scan", "vector")   # fixed query, alphabetical
+
+
+def q_bm25_topk(sf_dir: str):
+    """Ranked retrieval (BM25, Robertson–Spärck Jones — the scoring
+    loop behind every lexical search/retrieval-augmented pipeline):
+    top-10 documents for the fixed 3-term query by
+    Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·len/avglen)),
+    k1 = 1.2, b = 0.75. Float parity is op-for-op: idf =
+    ln((N − df + 0.5)/(df + 0.5) + 1) with libm ln (HLL precedent);
+    per-doc score terms use ONE divide each (len/avglen and
+    num/denom mirror the oracle's exact expression shapes); the
+    3-term sum is a fixed-order left-assoc chain (the hourly_entropy
+    device) — and tf = 0 rows cost nothing special since 0/denom is
+    exactly 0.0. Physical shape: pass 1 funnels five global scalars
+    (N, Σlen, df per term); pass 2 scores per batch against the
+    broadcast stats and keeps per-block top-10 partials (top-k of a
+    union ⊆ union of top-ks); zero shuffles. Tokens are the
+    RE2-\\w device. SQL-checked."""
+    import heapq
+    import math
+
+    import ray
+
+    from ..stages.textstats import _ASCII_WORD_RE
+    from ..util import grouped_sums_combine
+
+    terms = _BM25_TERMS
+    ds = _read_split_few(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        tot = 0
+        dfs = [0, 0, 0]
+        for t in b["text"].to_pylist():
+            toks = _ASCII_WORD_RE.findall(t)
+            tot += len(toks)
+            st = set(toks)
+            for i, q in enumerate(terms):
+                if q in st:
+                    dfs[i] += 1
+        return pa.table({
+            "one": pa.array([1], pa.int64()),
+            "n_docs": pa.array([n], pa.int64()),
+            "sum_len": pa.array([tot], pa.int64()),
+            "df0": pa.array([dfs[0]], pa.int64()),
+            "df1": pa.array([dfs[1]], pa.int64()),
+            "df2": pa.array([dfs[2]], pa.int64()),
+        })
+
+    st = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(stats_partial, batch_format="pyarrow"),
+        ["one"], ["n_docs", "sum_len", "df0", "df1", "df2"],
+        ["n_docs", "sum_len", "df0", "df1", "df2"],
+    ).to_arrow_refs())).to_pylist()[0]
+    n_docs = st["n_docs"]
+    avglen = st["sum_len"] / n_docs            # ONE divide, as the SQL
+    idf = [math.log((n_docs - st[f"df{i}"] + 0.5)
+                    / (st[f"df{i}"] + 0.5) + 1.0) for i in range(3)]
+
+    ds2 = _read_split_few(sf_dir, "documents", ["doc_id", "text"])
+
+    def score_partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        rows = []
+        for did, t in zip(ids, b["text"].to_pylist()):
+            toks = _ASCII_WORD_RE.findall(t)
+            ln_ = len(toks)
+            score = 0.0
+            any_hit = False
+            for i, q in enumerate(terms):
+                tf = toks.count(q)
+                if tf:
+                    any_hit = True
+                # uniform formula: tf = 0 → 0.0 exactly (0/denom)
+                num = float(tf) * 2.2
+                den = tf + 1.2 * (1.0 - 0.75 + 0.75 * (ln_ / avglen))
+                score += idf[i] * (num / den)
+            if any_hit:
+                rows.append((did, score))
+        rows = heapq.nsmallest(10, rows, key=lambda r: (-r[1], r[0]))
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "score": pa.array([r[1] for r in rows], pa.float64()),
+        })
+
+    cand = pa.concat_tables(ray.get(
+        ds2.map_batches(score_partial, batch_format="pyarrow")
+        .to_arrow_refs())).to_pylist()
+    top = heapq.nsmallest(
+        10, cand, key=lambda r: (-r["score"], r["doc_id"]))
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in top], pa.int64()),
+        "score": pa.array([r["score"] for r in top], pa.float64()),
+    })
+
+
+SQL_BM25_TOPK = r"""
+WITH toks AS (SELECT doc_id,
+                     regexp_extract_all(text, '\w+') AS ws
+              FROM documents),
+d AS (SELECT doc_id, len(ws) AS ln,
+             len(list_filter(ws, x -> x = 'dup')) AS tf0,
+             len(list_filter(ws, x -> x = 'scan')) AS tf1,
+             len(list_filter(ws, x -> x = 'vector')) AS tf2
+      FROM toks),
+g AS (SELECT count(*) AS n, sum(ln) AS sl,
+             sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      FROM d),
+s AS (SELECT d.doc_id,
+             ln((g.n - g.df0 + 0.5) / (g.df0 + 0.5) + 1.0)
+               * ((CAST(tf0 AS DOUBLE) * 2.2)
+                  / (tf0 + 1.2 * (1.0 - 0.75
+                       + 0.75 * (CAST(ln AS DOUBLE)
+                                 / (CAST(sl AS DOUBLE) / g.n)))))
+           + ln((g.n - g.df1 + 0.5) / (g.df1 + 0.5) + 1.0)
+               * ((CAST(tf1 AS DOUBLE) * 2.2)
+                  / (tf1 + 1.2 * (1.0 - 0.75
+                       + 0.75 * (CAST(ln AS DOUBLE)
+                                 / (CAST(sl AS DOUBLE) / g.n)))))
+           + ln((g.n - g.df2 + 0.5) / (g.df2 + 0.5) + 1.0)
+               * ((CAST(tf2 AS DOUBLE) * 2.2)
+                  / (tf2 + 1.2 * (1.0 - 0.75
+                       + 0.75 * (CAST(ln AS DOUBLE)
+                                 / (CAST(sl AS DOUBLE) / g.n)))))
+               AS score,
+             (tf0 + tf1 + tf2) AS hits
+      FROM d, g)
+SELECT doc_id, score FROM s WHERE hits > 0
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def q_dow_hour_heatmap(sf_dir: str):
+    """Seasonality heatmap (the day-of-week × hour-of-day activity
+    matrix on every ops dashboard): event counts per (dow, hour),
+    dow = (epoch_day + 4) % 7 with Sunday = 0 — exactly DuckDB's
+    dayofweek() for post-epoch timestamps (1970-01-01 was a
+    Thursday = 4). One streamed pass, 7×24-bounded funnel, all int64.
+    SQL-checked."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    US_PER_DAY = 86_400_000_000
+    US_PER_HOUR = 3_600_000_000
+    ds = _read_split(sf_dir, "events", ["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dow = ((us // US_PER_DAY) + 4) % 7
+        hour = (us // US_PER_HOUR) % 24
+        t = pa.table({"dow": pa.array(dow, pa.int64()),
+                      "hour": pa.array(hour, pa.int64())})
+        return t.group_by(["dow", "hour"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["dow", "hour", "partial"])
+
+    return grouped_sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["dow", "hour"], "partial", "n",
+    )
+
+
+SQL_DOW_HOUR_HEATMAP = """
+SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+       count(*) AS n
+FROM events GROUP BY 1, 2
+"""
