@@ -254,6 +254,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("cm_sketch_counts", Q.q_cm_sketch_counts)
     timed("bm25_topk", Q.q_bm25_topk)
     timed("dow_hour_heatmap", Q.q_dow_hour_heatmap)
+    timed("ks_statistic", Q.q_ks_statistic)
+    timed("gini_by_priority", Q.q_gini_by_priority)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

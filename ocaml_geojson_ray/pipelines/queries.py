@@ -9488,3 +9488,178 @@ SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
        count(*) AS n
 FROM events GROUP BY 1, 2
 """
+
+
+# -- round-5 wave 16: distribution tests / concentration metrics ------------
+
+def q_ks_statistic(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov distance (the drift test a data
+    validator runs between a reference and a candidate distribution):
+    between the 'purchase' and 'view' value distributions, D =
+    max_x |ECDF_a(x) − ECDF_b(x)| — computed ENTIRELY in integers as
+    max |cumA·nB − cumB·nA| over the merged value grid (the
+    cross-product device: comparing cumA/nA to cumB/nB without a
+    single float), reported as the exact integer numerator, the
+    denominator nA·nB, the argmax value-cents (ties to the LOWEST x),
+    and D itself as ONE divide. The merged grid rides the
+    range-bounded funnel; the scan is O(grid) driver work.
+    SQL-checked (full-grid window-cumsum oracle)."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    A, B = "purchase", "view"
+    ds = _read_split(sf_dir, "events", ["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"], value_set=pa.array([A, B]))
+        b = b.filter(keep)
+        xc = np.round(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table({"event_type": b["event_type"],
+                      "xc": pa.array(xc, pa.int64())})
+        return t.group_by(["event_type", "xc"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["event_type", "xc", "partial"])
+
+    hist = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "xc"], "partial", "c",
+    ).to_arrow_refs()))
+    et = np.asarray(hist["event_type"].to_pylist(), dtype=object)
+    xv = hist["xc"].to_numpy(zero_copy_only=False)
+    cv = hist["c"].to_numpy(zero_copy_only=False)
+    grid = np.unique(xv)
+    ca = np.zeros(len(grid), np.int64)
+    cb = np.zeros(len(grid), np.int64)
+    sa = et == A
+    ca[np.searchsorted(grid, xv[sa])] = cv[sa]
+    cb[np.searchsorted(grid, xv[~sa])] = cv[~sa]
+    cuma = np.cumsum(ca)
+    cumb = np.cumsum(cb)
+    na, nb = int(cuma[-1]), int(cumb[-1])
+    dev = np.abs(cuma * nb - cumb * na)
+    best = np.lexsort((grid, -dev))[0]
+    return pa.table({
+        "ks_num": pa.array([int(dev[best])], pa.int64()),
+        "ks_den": pa.array([na * nb], pa.int64()),
+        "at_cents": pa.array([int(grid[best])], pa.int64()),
+        "ks_d": pa.array([int(dev[best]) / (na * nb)], pa.float64()),
+    })
+
+
+SQL_KS_STATISTIC = """
+WITH c AS (SELECT event_type,
+                  CAST(round(value * 100.0) AS BIGINT) AS xc,
+                  count(*) AS n
+           FROM events WHERE event_type IN ('purchase', 'view')
+           GROUP BY 1, 2),
+grid AS (SELECT DISTINCT xc FROM c),
+m AS (SELECT g.xc,
+             coalesce((SELECT n FROM c WHERE c.event_type = 'purchase'
+                       AND c.xc = g.xc), 0) AS ca,
+             coalesce((SELECT n FROM c WHERE c.event_type = 'view'
+                       AND c.xc = g.xc), 0) AS cb
+      FROM grid g),
+w AS (SELECT xc,
+             sum(ca) OVER (ORDER BY xc ROWS UNBOUNDED PRECEDING)
+                 AS cuma,
+             sum(cb) OVER (ORDER BY xc ROWS UNBOUNDED PRECEDING)
+                 AS cumb,
+             sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+      FROM m),
+s AS (SELECT xc, abs(cuma * nb - cumb * na) AS dev, na, nb,
+             row_number() OVER (ORDER BY abs(cuma * nb - cumb * na)
+                                DESC, xc) AS rk
+      FROM w)
+SELECT CAST(dev AS BIGINT) AS ks_num,
+       CAST(na * nb AS BIGINT) AS ks_den,
+       xc AS at_cents,
+       CAST(dev AS BIGINT) / CAST(na * nb AS BIGINT) AS ks_d
+FROM s WHERE rk = 1
+"""
+
+
+def q_gini_by_priority(sf_dir: str):
+    """Concentration / inequality metric (the Gini coefficient a
+    marketplace report computes over order values): per order
+    priority, G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over the
+    ascending-sorted cents values — the rank-weighted sum Σ i·xᵢ is
+    derived EXACTLY from the range-bounded value grid (for a value v
+    with count c at cumulative position p, its ranks are p−c+1…p, so
+    Σ i·v over the run is v·(p·(p+1) − (p−c)·(p−c+1))/2 — no sort of
+    raw rows anywhere), reported as exact integer numerator /
+    denominator plus ONE divide. Grid funnel, driver scan, zero
+    shuffles. SQL-checked (dense_rank-free window-cumsum oracle)."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    ds = _read_split_few(sf_dir, "orders",
+                         ["o_orderpriority", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        xc = np.round(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table({"o_orderpriority": b["o_orderpriority"],
+                      "xc": pa.array(xc, pa.int64())})
+        return t.group_by(["o_orderpriority", "xc"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["o_orderpriority", "xc", "partial"])
+
+    hist = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["o_orderpriority", "xc"], "partial", "c",
+    ).to_arrow_refs()))
+    pr = np.asarray(hist["o_orderpriority"].to_pylist(), dtype=object)
+    xv = hist["xc"].to_numpy(zero_copy_only=False)
+    cv = hist["c"].to_numpy(zero_copy_only=False)
+    out_p, out_num, out_den, out_g = [], [], [], []
+    for p in sorted(np.unique(pr)):
+        sel = pr == p
+        v, c = xv[sel], cv[sel]
+        order = np.argsort(v)
+        v, c = v[order].astype(object), c[order].astype(object)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        sx = int((v * c).sum())
+        # Σ i·x over each value's rank run, exact (Python ints — the
+        # rank-weighted sum reaches ~2^70 at sf0.1)
+        riw = int((v * (cum * (cum + 1)
+                        - (cum - c) * (cum - c + 1))).sum()) // 2
+        num = 2 * riw - (n + 1) * sx
+        den = n * sx
+        out_p.append(str(p))
+        out_num.append(num)
+        out_den.append(den)
+        out_g.append(num / den)
+    return pa.table({
+        "o_orderpriority": pa.array(out_p, pa.string()),
+        "gini_num": pa.array(out_num, pa.int64()),
+        "gini_den": pa.array(out_den, pa.int64()),
+        "gini": pa.array(out_g, pa.float64()),
+    })
+
+
+SQL_GINI_BY_PRIORITY = """
+WITH c AS (SELECT o_orderpriority,
+                  CAST(round(o_totalprice * 100.0) AS BIGINT) AS xc
+           FROM orders),
+r AS (SELECT o_orderpriority, xc,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY xc) AS i
+      FROM c),
+g AS (SELECT o_orderpriority,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(xc) AS HUGEINT) AS sx,
+             CAST(sum(CAST(i AS HUGEINT) * xc) AS HUGEINT) AS riw
+      FROM r GROUP BY o_orderpriority)
+SELECT o_orderpriority,
+       CAST(2 * riw - (n + 1) * sx AS BIGINT) AS gini_num,
+       CAST(n * sx AS BIGINT) AS gini_den,
+       CAST(CAST(2 * riw - (n + 1) * sx AS BIGINT) AS DOUBLE)
+       / CAST(CAST(n * sx AS BIGINT) AS DOUBLE) AS gini
+FROM g
+"""
