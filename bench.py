@@ -256,6 +256,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("dow_hour_heatmap", Q.q_dow_hour_heatmap)
     timed("ks_statistic", Q.q_ks_statistic)
     timed("gini_by_priority", Q.q_gini_by_priority)
+    timed("event_runs", Q.q_event_runs)
+    timed("benford_amounts", Q.q_benford_amounts)
+    timed("autocorr_daily", Q.q_autocorr_daily)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

@@ -9663,3 +9663,340 @@ SELECT o_orderpriority,
        / CAST(CAST(n * sx AS BIGINT) AS DOUBLE) AS gini
 FROM g
 """
+
+
+# -- round-5 wave 17: run-length / digit-law / autocorrelation --------------
+
+def q_event_runs(sf_dir: str):
+    """Run-length encoding over event streams (gaps-and-islands — the
+    classic sessionless 'how long do users stay in one activity'
+    question): per user, events in (ts, event_id) total order are cut
+    into maximal runs of the same event_type; reported per type as
+    run count, total events, longest run, and mean run length (ONE
+    divide). Physical shape: the user_paths device — ONE shuffle on a
+    Fibonacci-hashed USER bucket (runs never cross users, users never
+    cross buckets), vectorized run detection per bucket (lexsort +
+    boundary diff + bincount, no Python loop over rows), then a
+    type-keyed driver combine over the O(buckets × types)-bounded
+    partials. SQL-checked (double row_number island oracle)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nb = max(4, cpus // 4)
+    ds = split_read(f"{sf_dir}/events.parquet",
+                    ["user_id", "ts", "event_id", "event_type"], nb)
+    n_buckets = max(64, cpus * 8)
+
+    def pre(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(uid, n_buckets), pa.int64()),
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+        })
+
+    def runs(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "event_type": pa.array([], pa.string()),
+            "n_runs": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "max_run": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:  # empty probe blocks (see user_paths)
+            return empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, uid))
+        u_s, t_s = uid[order], et[order]
+        brk = np.empty(len(order), np.bool_)
+        brk[0] = True
+        brk[1:] = (u_s[1:] != u_s[:-1]) | (t_s[1:] != t_s[:-1])
+        run_id = np.cumsum(brk) - 1
+        lens = np.bincount(run_id)
+        rtype = t_s[brk]
+        # per-type partials inside the bucket (types are O(10))
+        ut, inv = np.unique(rtype, return_inverse=True)
+        return pa.table({
+            "event_type": pa.array(ut, pa.string()),
+            "n_runs": pa.array(np.bincount(inv).astype(np.int64),
+                               pa.int64()),
+            "n_events": pa.array(
+                np.bincount(inv, weights=lens).astype(np.int64),
+                pa.int64()),
+            "max_run": pa.array(
+                np.maximum.reduceat(
+                    lens[np.argsort(inv, kind="stable")],
+                    np.insert(np.cumsum(np.bincount(inv))[:-1], 0, 0),
+                ).astype(np.int64), pa.int64()),
+        })
+
+    # drop Ray's schemaless zero-column empty blocks before concat
+    tabs = [t for t in ray.get(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(runs, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_columns > 0]
+    parts = pa.concat_tables(tabs)
+    et = np.asarray(parts["event_type"].to_pylist(), dtype=object)
+    nr = parts["n_runs"].to_numpy(zero_copy_only=False)
+    ne = parts["n_events"].to_numpy(zero_copy_only=False)
+    mr = parts["max_run"].to_numpy(zero_copy_only=False)
+    out_t, out_nr, out_ne, out_mr, out_avg = [], [], [], [], []
+    for t in sorted(np.unique(et)):
+        sel = et == t
+        t_nr, t_ne = int(nr[sel].sum()), int(ne[sel].sum())
+        out_t.append(str(t))
+        out_nr.append(t_nr)
+        out_ne.append(t_ne)
+        out_mr.append(int(mr[sel].max()))
+        out_avg.append(t_ne / t_nr)
+    return pa.table({
+        "event_type": pa.array(out_t, pa.string()),
+        "n_runs": pa.array(out_nr, pa.int64()),
+        "n_events": pa.array(out_ne, pa.int64()),
+        "max_run": pa.array(out_mr, pa.int64()),
+        "avg_run": pa.array(out_avg, pa.float64()),
+    })
+
+
+SQL_EVENT_RUNS = """
+WITH o AS (SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS rt
+           FROM events),
+runs AS (SELECT event_type, count(*) AS len
+         FROM o GROUP BY user_id, event_type, rn - rt)
+SELECT event_type,
+       count(*) AS n_runs,
+       CAST(sum(len) AS BIGINT) AS n_events,
+       CAST(max(len) AS BIGINT) AS max_run,
+       CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_run
+FROM runs GROUP BY event_type
+"""
+
+
+def q_benford_amounts(sf_dir: str):
+    """Benford first-digit audit (the fraud/materiality screen an
+    auditor runs over a ledger): distribution of the leading digit of
+    order totals in cents vs Benford's law, with the chi-square
+    statistic. Leading digit by 18 rounds of vectorized d//10 (== the
+    oracle's substr on a positive integer's decimal form). Counts are
+    exact int64 through the 9-bounded funnel; expected mass is
+    log10(1 + 1/d)·N and chi² is the LEFT-ASSOCIATIVE 9-term sum of
+    (n−e)·(n−e)/e in digit order (explicit multiply, never pow — the
+    hourly_entropy unrolled-sum device), replicated per row so one
+    result table carries both the distribution and the test.
+    SQL-checked (9 scalar-subquery pivots + unrolled chi² oracle)."""
+    import math
+
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    ds = _read_split_few(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.round(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        d = cents.copy()
+        for _ in range(18):  # int64 decimal length bound
+            big = d >= 10
+            d[big] //= 10
+        t = pa.table({"digit": pa.array(d, pa.int64())})
+        return t.group_by(["digit"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["digit", "partial"])
+
+    hist = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["digit"], "partial", "n",
+    ).to_arrow_refs()))
+    dv = hist["digit"].to_numpy(zero_copy_only=False)
+    cv = hist["n"].to_numpy(zero_copy_only=False)
+    obs = [0] * 10
+    for d, c in zip(dv, cv):
+        if 1 <= d <= 9:
+            obs[int(d)] = int(c)
+    n_total = sum(obs[1:])
+    exp = [0.0] * 10
+    terms = [0.0] * 10
+    for d in range(1, 10):
+        exp[d] = math.log10(1.0 + 1.0 / d) * float(n_total)
+        diff = float(obs[d]) - exp[d]
+        terms[d] = diff * diff / exp[d]
+    chi2 = ((((((((terms[1] + terms[2]) + terms[3]) + terms[4])
+                + terms[5]) + terms[6]) + terms[7]) + terms[8])
+            + terms[9])
+    return pa.table({
+        "digit": pa.array(list(range(1, 10)), pa.int64()),
+        "n": pa.array(obs[1:], pa.int64()),
+        "exp_n": pa.array(exp[1:], pa.float64()),
+        "chi2": pa.array([chi2] * 9, pa.float64()),
+    })
+
+
+SQL_BENFORD_AMOUNTS = """
+WITH c AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100.0)
+                                        AS BIGINT) AS VARCHAR), 1, 1)
+                       AS BIGINT) AS digit,
+                  count(*) AS n
+           FROM orders GROUP BY 1),
+g AS (SELECT coalesce((SELECT n FROM c WHERE digit = 1), 0) AS o1,
+             coalesce((SELECT n FROM c WHERE digit = 2), 0) AS o2,
+             coalesce((SELECT n FROM c WHERE digit = 3), 0) AS o3,
+             coalesce((SELECT n FROM c WHERE digit = 4), 0) AS o4,
+             coalesce((SELECT n FROM c WHERE digit = 5), 0) AS o5,
+             coalesce((SELECT n FROM c WHERE digit = 6), 0) AS o6,
+             coalesce((SELECT n FROM c WHERE digit = 7), 0) AS o7,
+             coalesce((SELECT n FROM c WHERE digit = 8), 0) AS o8,
+             coalesce((SELECT n FROM c WHERE digit = 9), 0) AS o9),
+t AS (SELECT *,
+             CAST(o1+o2+o3+o4+o5+o6+o7+o8+o9 AS DOUBLE) AS nt
+      FROM g),
+e AS (SELECT *,
+             log(1.0 + 1.0 / 1.0) * nt AS e1,
+             log(1.0 + 1.0 / 2.0) * nt AS e2,
+             log(1.0 + 1.0 / 3.0) * nt AS e3,
+             log(1.0 + 1.0 / 4.0) * nt AS e4,
+             log(1.0 + 1.0 / 5.0) * nt AS e5,
+             log(1.0 + 1.0 / 6.0) * nt AS e6,
+             log(1.0 + 1.0 / 7.0) * nt AS e7,
+             log(1.0 + 1.0 / 8.0) * nt AS e8,
+             log(1.0 + 1.0 / 9.0) * nt AS e9
+      FROM t),
+chi AS (SELECT *,
+          (CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / e1
+        + (CAST(o2 AS DOUBLE) - e2) * (CAST(o2 AS DOUBLE) - e2) / e2
+        + (CAST(o3 AS DOUBLE) - e3) * (CAST(o3 AS DOUBLE) - e3) / e3
+        + (CAST(o4 AS DOUBLE) - e4) * (CAST(o4 AS DOUBLE) - e4) / e4
+        + (CAST(o5 AS DOUBLE) - e5) * (CAST(o5 AS DOUBLE) - e5) / e5
+        + (CAST(o6 AS DOUBLE) - e6) * (CAST(o6 AS DOUBLE) - e6) / e6
+        + (CAST(o7 AS DOUBLE) - e7) * (CAST(o7 AS DOUBLE) - e7) / e7
+        + (CAST(o8 AS DOUBLE) - e8) * (CAST(o8 AS DOUBLE) - e8) / e8
+        + (CAST(o9 AS DOUBLE) - e9) * (CAST(o9 AS DOUBLE) - e9) / e9
+          AS chi2
+        FROM e)
+SELECT CAST(1 AS BIGINT) AS digit, o1 AS n, e1 AS exp_n, chi2 FROM chi
+UNION ALL SELECT 2, o2, e2, chi2 FROM chi
+UNION ALL SELECT 3, o3, e3, chi2 FROM chi
+UNION ALL SELECT 4, o4, e4, chi2 FROM chi
+UNION ALL SELECT 5, o5, e5, chi2 FROM chi
+UNION ALL SELECT 6, o6, e6, chi2 FROM chi
+UNION ALL SELECT 7, o7, e7, chi2 FROM chi
+UNION ALL SELECT 8, o8, e8, chi2 FROM chi
+UNION ALL SELECT 9, o9, e9, chi2 FROM chi
+"""
+
+
+def q_autocorr_daily(sf_dir: str):
+    """Seasonality detection (the lag-k autocorrelation a forecaster
+    checks before fitting anything): Pearson autocorrelation of the
+    DENSE daily event-count series (missing calendar days are
+    explicit zeros — the dense_daily_counts grid) at lag 1 and lag 7.
+    All five moment sums are exact int64 over the calendar-bounded
+    grid; r = num / sqrt(d1·d2) where num = n·Σxy − Σx·Σy and
+    d1,d2 are the centered sums-of-squares — the product d1·d2 is
+    taken in EXACT integers (Python int / HUGEINT, it overflows int64
+    at scale) and rounds once at the double cast, then ONE sqrt and
+    ONE divide. Degenerate lags (no pairs, or a constant side where r
+    is undefined) emit NO row — mirrored by the oracle's integer
+    variance predicate. SQL-checked (range-grid self-join oracle).
+    """
+    import math
+
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    US_PER_DAY = 86_400_000_000
+    ds = _read_split(sf_dir, "events", ["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = (b["ts"].cast(pa.int64())
+             .to_numpy(zero_copy_only=False)) // US_PER_DAY
+        t = pa.table({"day": pa.array(d, pa.int64())})
+        return t.group_by(["day"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["day", "partial"])
+
+    hist = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day"], "partial", "n",
+    ).to_arrow_refs()))
+    days = hist["day"].to_numpy(zero_copy_only=False)
+    cnts = hist["n"].to_numpy(zero_copy_only=False)
+    lo = int(days.min())
+    grid = np.zeros(int(days.max()) - lo + 1, np.int64)
+    grid[days - lo] = cnts
+    out = {"lag": [], "n_pairs": [], "acf_num": [],
+           "var_a": [], "var_b": [], "acf": []}
+    for lag in (1, 7):
+        x, y = grid[:-lag], grid[lag:]
+        n = len(x)
+        if n == 0:
+            continue  # lag >= series length: no pairs, no row
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy = int((x * y).sum())
+        sxx = int((x * x).sum())
+        syy = int((y * y).sum())
+        num = n * sxy - sx * sy
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
+        if d1 == 0 or d2 == 0:
+            continue  # constant side: r undefined (dropped both sides)
+        out["lag"].append(lag)
+        out["n_pairs"].append(n)
+        out["acf_num"].append(num)
+        out["var_a"].append(d1)
+        out["var_b"].append(d2)
+        out["acf"].append(float(num) / math.sqrt(float(d1 * d2)))
+    return pa.table({
+        "lag": pa.array(out["lag"], pa.int64()),
+        "n_pairs": pa.array(out["n_pairs"], pa.int64()),
+        "acf_num": pa.array(out["acf_num"], pa.int64()),
+        "var_a": pa.array(out["var_a"], pa.int64()),
+        "var_b": pa.array(out["var_b"], pa.int64()),
+        "acf": pa.array(out["acf"], pa.float64()),
+    })
+
+
+SQL_AUTOCORR_DAILY = """
+WITH c AS (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,
+                  count(*) AS n
+           FROM events GROUP BY 1),
+b AS (SELECT min(d) AS mn, max(d) AS mx FROM c),
+g AS (SELECT days.d,
+             row_number() OVER (ORDER BY days.d) AS i,
+             CAST(coalesce(c.n, 0) AS BIGINT) AS n
+      FROM (SELECT unnest(range(mn, mx + 1)) AS d FROM b) days
+      LEFT JOIN c ON c.d = days.d),
+p AS (SELECT l.lag, a.n AS x, y.n AS y
+      FROM (VALUES (1), (7)) l(lag)
+      JOIN g a ON TRUE
+      JOIN g y ON y.i = a.i + l.lag),
+s AS (SELECT lag,
+             count(*) AS np_,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM p GROUP BY lag)
+SELECT CAST(lag AS BIGINT) AS lag,
+       np_ AS n_pairs,
+       np_ * sxy - sx * sy AS acf_num,
+       np_ * sxx - sx * sx AS var_a,
+       np_ * syy - sy * sy AS var_b,
+       CAST(np_ * sxy - sx * sy AS DOUBLE)
+       / sqrt(CAST(CAST(np_ * sxx - sx * sx AS HUGEINT)
+                   * CAST(np_ * syy - sy * sy AS HUGEINT) AS DOUBLE))
+           AS acf
+FROM s
+WHERE np_ * sxx - sx * sx <> 0 AND np_ * syy - sy * sy <> 0
+"""

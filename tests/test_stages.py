@@ -1727,3 +1727,119 @@ def test_streaming_dedup_double_retry_across_freeze(ray_session, tmp_path):
     # two consecutive retries of batch 1, both post-freeze
     assert ray.get(s.admit.remote(777, h1)) == r1
     assert ray.get(s.admit.remote(777, h1)) == r1
+
+
+def _write_events(tmp_path, uid, ts_us, etype, eid=None, value=None):
+    import pyarrow.parquet as pq
+
+    n = len(uid)
+    t = pa.table({
+        "event_id": pa.array(
+            list(range(1, n + 1)) if eid is None else eid, pa.int64()),
+        "ts": pa.array(ts_us, pa.timestamp("us")),
+        "user_id": pa.array(uid, pa.int64()),
+        "event_type": pa.array(etype, pa.string()),
+        "value": pa.array(value or [1.0] * n, pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def test_event_runs_matches_scalar_reference(ray_session, tmp_path):
+    """Gaps-and-islands RLE: the lexsort + boundary-diff + reduceat
+    kernel must equal the per-user scalar run walk — randomized users
+    with REPEATED timestamps (event_id tie-break), single-event runs,
+    and a user whose whole stream is one run."""
+    import random
+
+    from ocaml_geojson_ray.pipelines.queries import q_event_runs
+
+    rng = random.Random(42)
+    uid, ts, et = [], [], []
+    for u in range(1, 8):
+        for i in range(rng.randint(1, 40)):
+            uid.append(u)
+            # repeated ts values force the event_id tie-break
+            ts.append(1_700_000_000_000_000 + rng.randint(0, 5) * 1000)
+            et.append(rng.choice(["a", "b", "c"]))
+    uid.append(99)  # single-run user
+    ts.append(1_700_000_000_000_000)
+    et.append("a")
+    sf = _write_events(tmp_path, uid, ts, et)
+
+    # scalar reference: walk each user's (ts, event_id)-ordered stream
+    rows = sorted(zip(uid, ts, range(1, len(uid) + 1), et),
+                  key=lambda r: (r[0], r[1], r[2]))
+    runs = {}
+    prev = None
+    for u, t, i, e in rows:
+        if prev is None or prev[0] != u or prev[1] != e:
+            runs.setdefault(e, []).append(1)
+        else:
+            runs[e][-1] += 1
+        prev = (u, e)
+    got = {r["event_type"]: r for r in q_event_runs(sf).to_pylist()}
+    assert set(got) == set(runs)
+    for e, lens in runs.items():
+        assert got[e]["n_runs"] == len(lens)
+        assert got[e]["n_events"] == sum(lens)
+        assert got[e]["max_run"] == max(lens)
+        assert got[e]["avg_run"] == sum(lens) / len(lens)
+
+
+def test_benford_leading_digit_loop_equals_substr(ray_session, tmp_path):
+    """The 18-round vectorized d//10 leading-digit device must equal
+    str(cents)[0] across magnitudes 1 cent .. ~9e17, and prices whose
+    cents round to 0 must fall OUT of the digit-1..9 funnel on both
+    sides (n sums to the kept orders only)."""
+    import pyarrow.parquet as pq
+
+    from ocaml_geojson_ray.pipelines.queries import q_benford_amounts
+
+    prices = [0.004]  # cents -> 0, excluded
+    for mag in range(0, 16):
+        for lead in (1, 2, 5, 9):
+            prices.append(lead * 10 ** mag / 100.0 + 0.001)
+    t = pa.table({
+        "o_orderkey": pa.array(range(len(prices)), pa.int64()),
+        "o_custkey": pa.array([1] * len(prices), pa.int64()),
+        "o_orderstatus": pa.array(["O"] * len(prices), pa.string()),
+        "o_totalprice": pa.array(prices, pa.float64()),
+        "o_orderdate": pa.array([0] * len(prices), pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-X"] * len(prices), pa.string()),
+    })
+    pq.write_table(t, f"{tmp_path}/orders.parquet")
+    out = {r["digit"]: r["n"] for r in
+           q_benford_amounts(str(tmp_path)).to_pylist()}
+
+    expect = {d: 0 for d in range(1, 10)}
+    for p in prices:
+        c = round(p * 100)
+        if c >= 1:
+            expect[int(str(c)[0])] += 1
+    assert out == expect
+    assert sum(out.values()) == len(prices) - 1  # the 0-cent row left
+
+
+def test_autocorr_dense_grid_zero_fill(ray_session, tmp_path):
+    """Missing calendar days must enter the series as ZEROS: a
+    3-events-then-gap fixture where the gap flips the lag-1 sign vs
+    the compacted (gap-dropped) series; pinned against numpy corrcoef
+    on the explicit dense grid."""
+    from ocaml_geojson_ray.pipelines.queries import q_autocorr_daily
+
+    US = 86_400_000_000
+    # days 0,0,0, 2, 4,4 -> dense [3,0,1,0,2]
+    day_of = [0, 0, 0, 2, 4, 4]
+    sf = _write_events(tmp_path, [1] * 6, [d * US + 5 for d in day_of],
+                       ["a"] * 6)
+    dense = np.array([3, 0, 1, 0, 2], dtype=np.float64)
+    out = {r["lag"]: r for r in q_autocorr_daily(sf).to_pylist()}
+    r1 = np.corrcoef(dense[:-1], dense[1:])[0, 1]
+    assert abs(out[1]["acf"] - r1) < 1e-12
+    assert out[1]["n_pairs"] == 4
+    # compacted series would have positive lag-1 here; dense is negative
+    assert out[1]["acf"] < 0
+    # lag 7 exceeds the 5-day grid: degenerate -> no row (both sides)
+    assert set(out) == {1}
