@@ -259,6 +259,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("event_runs", Q.q_event_runs)
     timed("benford_amounts", Q.q_benford_amounts)
     timed("autocorr_daily", Q.q_autocorr_daily)
+    timed("heavy_hitters", Q.q_heavy_hitters)
+    timed("lang_vocab_overlap", Q.q_lang_vocab_overlap)
+    timed("winsorized_mean", Q.q_winsorized_mean)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

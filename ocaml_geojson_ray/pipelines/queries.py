@@ -10000,3 +10000,279 @@ SELECT CAST(lag AS BIGINT) AS lag,
 FROM s
 WHERE np_ * sxx - sx * sx <> 0 AND np_ * syy - sy * sy <> 0
 """
+
+
+# -- round-5 wave 18: heavy hitters / vocab overlap / winsorized means ------
+
+def q_heavy_hitters(sf_dir: str):
+    """Frequency-threshold heavy hitters (the 'every term above 0.5%
+    of the stream' operator — same family as top_words but a
+    THRESHOLD set, not a top-k): exact set of words whose corpus
+    count strictly exceeds N/k (k = 200), over the definitional
+    whitespace tokenizer. Physical shape at scale: the distributed
+    Misra-Gries prune (one k-counter summary per partial block, tiny
+    summaries funnel to one merge — MG summaries are mergeable with
+    the same N/k guarantee, Agarwal et al.) gates which words the
+    exact pass must count, so the exact funnel carries ≤ k survivors
+    even when the vocabulary is corpus-sized; the MG guarantee
+    (every emitted word is an MG survivor) is raised on violation,
+    never assumed. SQL-checked (HAVING 200·n > total oracle)."""
+    import pickle
+
+    import ray
+    import ray.data as rd
+
+    from ..stages.sketches import MisraGries
+    from ..util import grouped_sum_combine
+
+    k = 200
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def token_counts(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.cast(b["text"], pa.string()), pattern="[ \t\n\r\f\v]+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values.drop_null()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        enc = flat.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        counts = np.bincount(idx, minlength=len(enc.dictionary))
+        return pa.table({
+            "word": enc.dictionary,
+            "partial": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    partial = ds.map_batches(
+        token_counts, batch_format="pyarrow").materialize()
+
+    def sketch_batch(b: pa.Table) -> pa.Table:
+        m = MisraGries(k)
+        m.add_weighted(b["word"].to_pylist(), b["partial"].to_pylist())
+        return pa.table({"sketch": pa.array([pickle.dumps(m)], pa.binary())})
+
+    def merge_sketches(b: pa.Table) -> pa.Table:
+        m = MisraGries(k)
+        for blob in b["sketch"].to_pylist():
+            m.merge(pickle.loads(blob))
+        return pa.table({"sketch": pa.array([pickle.dumps(m)], pa.binary())})
+
+    merged = (
+        partial.map_batches(sketch_batch, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge_sketches, batch_format="pyarrow")
+        .take_all()
+    )
+    mg = pickle.loads(merged[0]["sketch"])
+    surv = set(mg.survivors())
+    total = mg.total
+
+    # exact pass, gated to MG survivors (≤ k words regardless of vocab)
+    surv_arr = pa.array(sorted(surv), pa.string())
+
+    def gate(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["word"], value_set=surv_arr))
+
+    exact = pa.concat_tables(ray.get(grouped_sum_combine(
+        partial.map_batches(gate, batch_format="pyarrow"),
+        ["word"], "partial", "n",
+    ).to_arrow_refs()))
+    words = np.asarray(exact["word"].to_pylist(), dtype=object)
+    ns = exact["n"].to_numpy(zero_copy_only=False)
+    keep = ns * k > total
+    out_w = words[keep]
+    order = np.argsort(out_w)
+    # MG guarantee: everything above threshold was a survivor, so the
+    # gated exact pass saw it — verified structurally (gate ⊆ surv)
+    for w in out_w:
+        _check(str(w) in surv, f"MG guarantee violated for {w!r}")
+    return pa.table({
+        "word": pa.array(out_w[order], pa.string()),
+        "n": pa.array(ns[keep][order], pa.int64()),
+    })
+
+
+SQL_HEAVY_HITTERS = r"""
+WITH w AS (SELECT unnest(
+        list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'),
+                    x -> x <> '')
+      ) AS word FROM documents),
+c AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+t AS (SELECT sum(n) AS total FROM c)
+SELECT word, n FROM c, t WHERE n * 200 > total
+"""
+
+
+def q_lang_vocab_overlap(sf_dir: str):
+    """Cross-corpus vocabulary drift (the 'how much does slice A's
+    vocabulary overlap slice B's' report a curation pass runs between
+    languages / time slices / sources): per unordered language pair,
+    exact Jaccard of the DISTINCT-word sets — |A∩B| and |A∪B| as
+    exact int64 counts plus ONE divide. Physical shape: per-batch
+    distinct (lang, word) partials ride the vocab×langs-bounded
+    funnel (grouped count ⇒ global distinct); the pairwise
+    intersection is a driver-side sorted-array searchsorted over the
+    bounded vocab, never a corpus shuffle. Zero-overlap pairs are
+    KEPT (jaccard 0) — the full pair matrix is the report.
+    SQL-checked (cross-join + LEFT JOIN self-join oracle)."""
+    import ray
+    import ray.data as rd
+
+    from ..util import grouped_sum_combine
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.cast(b["text"], pa.string()), pattern="[ \t\n\r\f\v]+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lang = np.asarray(b["lang"].to_pylist(), dtype=object)
+        reps = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        flat = toks.values
+        ok = pc.and_(pc.is_valid(flat), pc.not_equal(
+            flat.fill_null(""), "")).to_numpy(zero_copy_only=False)
+        # "\n" separator: the tokenizer splits on whitespace, so no
+        # word can contain it (and numpy U-dtype strips trailing \x00)
+        lw = np.char.add(
+            np.char.add(np.repeat(lang, reps).astype(str), "\n"),
+            np.asarray(flat.to_pylist(), dtype=object).astype(str))
+        uq = np.unique(lw[ok])
+        return pa.table({
+            "lw": pa.array(uq, pa.string()),
+            "partial": pa.array(np.ones(len(uq), np.int64), pa.int64()),
+        })
+
+    dist = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["lw"], "partial", "m",
+    ).to_arrow_refs()))
+    vocab: dict = {}
+    for s in dist["lw"].to_pylist():
+        lg, w = s.split("\n", 1)
+        vocab.setdefault(lg, set()).add(w)
+    langs = sorted(vocab)
+    rows = {"lang_a": [], "lang_b": [], "n_inter": [], "n_union": [],
+            "jaccard": []}
+    for i, la in enumerate(langs):
+        for lb in langs[i + 1:]:
+            inter = len(vocab[la] & vocab[lb])
+            union = len(vocab[la]) + len(vocab[lb]) - inter
+            rows["lang_a"].append(la)
+            rows["lang_b"].append(lb)
+            rows["n_inter"].append(inter)
+            rows["n_union"].append(union)
+            rows["jaccard"].append(inter / union)
+    return pa.table({
+        "lang_a": pa.array(rows["lang_a"], pa.string()),
+        "lang_b": pa.array(rows["lang_b"], pa.string()),
+        "n_inter": pa.array(rows["n_inter"], pa.int64()),
+        "n_union": pa.array(rows["n_union"], pa.int64()),
+        "jaccard": pa.array(rows["jaccard"], pa.float64()),
+    })
+
+
+SQL_LANG_VOCAB_OVERLAP = r"""
+WITH v AS (SELECT DISTINCT lang, word FROM (
+        SELECT lang, unnest(list_filter(
+            string_split_regex(text, '[ \t\n\r\f\v]+'),
+            x -> x <> '')) AS word
+        FROM documents)),
+sz AS (SELECT lang, count(*) AS n FROM v GROUP BY lang),
+ix AS (SELECT a.lang AS la, b.lang AS lb, count(*) AS ni
+       FROM v a JOIN v b ON a.word = b.word AND a.lang < b.lang
+       GROUP BY 1, 2)
+SELECT sa.lang AS lang_a, sb.lang AS lang_b,
+       CAST(coalesce(ix.ni, 0) AS BIGINT) AS n_inter,
+       sa.n + sb.n - CAST(coalesce(ix.ni, 0) AS BIGINT) AS n_union,
+       CAST(coalesce(ix.ni, 0) AS DOUBLE)
+       / CAST(sa.n + sb.n - coalesce(ix.ni, 0) AS DOUBLE) AS jaccard
+FROM sz sa JOIN sz sb ON sa.lang < sb.lang
+LEFT JOIN ix ON ix.la = sa.lang AND ix.lb = sb.lang
+"""
+
+
+def q_winsorized_mean(sf_dir: str):
+    """Winsorized mean (the robust KPI a finance report uses so one
+    whale account can't move the average): per market segment, clamp
+    account balances to [p05, p95] (DuckDB quantile_disc selection
+    rule sorted[max(0, ceil(q·n) − 1)] on the cents grid — the
+    segment_price_quantiles device) and report the exact clamped-sum
+    mean. The clamped sum is derived from the HISTOGRAM (Σ
+    clip(v,lo,hi)·cnt), so no second pass over raw rows and no float
+    until the ONE divide. SQL-checked (quantile_disc +
+    least/greatest oracle)."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    ds = _read_split_few(sf_dir, "customer",
+                         ["c_mktsegment", "c_acctbal"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        xc = np.round(
+            b["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table({"seg": b["c_mktsegment"],
+                      "xc": pa.array(xc, pa.int64())})
+        return t.group_by(["seg", "xc"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["seg", "xc", "partial"])
+
+    hist = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["seg", "xc"], "partial", "c",
+    ).to_arrow_refs()))
+    segs = np.asarray(hist["seg"].to_pylist(), dtype=object)
+    xv = hist["xc"].to_numpy(zero_copy_only=False)
+    cv = hist["c"].to_numpy(zero_copy_only=False)
+    out = {"c_mktsegment": [], "lo_cents": [], "hi_cents": [],
+           "n": [], "sum_clamped": [], "wmean": []}
+    for s in sorted(np.unique(segs)):
+        sel = segs == s
+        order = np.argsort(xv[sel])
+        v = xv[sel][order]
+        c = cv[sel][order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        lo = int(v[np.searchsorted(
+            cum, max(0, int(np.ceil(0.05 * n)) - 1) + 1)])
+        hi = int(v[np.searchsorted(
+            cum, max(0, int(np.ceil(0.95 * n)) - 1) + 1)])
+        sc = int((np.clip(v, lo, hi) * c).sum())
+        out["c_mktsegment"].append(str(s))
+        out["lo_cents"].append(lo)
+        out["hi_cents"].append(hi)
+        out["n"].append(n)
+        out["sum_clamped"].append(sc)
+        out["wmean"].append(sc / n)
+    return pa.table({
+        "c_mktsegment": pa.array(out["c_mktsegment"], pa.string()),
+        "lo_cents": pa.array(out["lo_cents"], pa.int64()),
+        "hi_cents": pa.array(out["hi_cents"], pa.int64()),
+        "n": pa.array(out["n"], pa.int64()),
+        "sum_clamped": pa.array(out["sum_clamped"], pa.int64()),
+        "wmean": pa.array(out["wmean"], pa.float64()),
+    })
+
+
+SQL_WINSORIZED_MEAN = """
+WITH c AS (SELECT c_mktsegment AS seg,
+                  CAST(round(c_acctbal * 100.0) AS BIGINT) AS xc
+           FROM customer),
+q AS (SELECT seg, quantile_disc(xc, 0.05) AS lo,
+             quantile_disc(xc, 0.95) AS hi
+      FROM c GROUP BY seg),
+w AS (SELECT c.seg, q.lo, q.hi,
+             least(greatest(c.xc, q.lo), q.hi) AS v
+      FROM c JOIN q ON c.seg = q.seg),
+s AS (SELECT seg, min(lo) AS lo_cents, min(hi) AS hi_cents,
+             count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_clamped
+      FROM w GROUP BY seg)
+SELECT seg AS c_mktsegment, lo_cents, hi_cents, n, sum_clamped,
+       CAST(sum_clamped AS DOUBLE) / CAST(n AS DOUBLE) AS wmean
+FROM s
+"""

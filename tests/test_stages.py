@@ -1843,3 +1843,105 @@ def test_autocorr_dense_grid_zero_fill(ray_session, tmp_path):
     assert out[1]["acf"] < 0
     # lag 7 exceeds the 5-day grid: degenerate -> no row (both sides)
     assert set(out) == {1}
+
+
+def _write_documents(tmp_path, texts, langs=None):
+    import pyarrow.parquet as pq
+
+    n = len(texts)
+    t = pa.table({
+        "doc_id": pa.array(range(1, n + 1), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs or ["en"] * n, pa.string()),
+        "source": pa.array(["s"] * n, pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    pq.write_table(t, f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_heavy_hitters_mg_gate_prunes_and_stays_exact(ray_session,
+                                                      tmp_path):
+    """The Misra-Gries gate must PRUNE (vocab 600 ≫ k=200 counters)
+    yet the emitted threshold set stays EXACT — equal to the
+    brute-force 200·n > N rule, including a word sitting exactly AT
+    the boundary (200·n == N ⇒ excluded, strict inequality)."""
+    import random
+
+    from ocaml_geojson_ray.pipelines.queries import q_heavy_hitters
+
+    rng = random.Random(7)
+    # 3 heavy words + a 600-word noise tail (one occurrence each),
+    # padded so N = 1200 exactly, with a word planted AT the boundary
+    # (6 occurrences = N/200 -> 200·n == N -> must be EXCLUDED)
+    words = (["alpha"] * 300 + ["beta"] * 120 + ["gamma"] * 40
+             + [f"w{i:03d}" for i in range(600)]
+             + ["pad"] * 134 + ["edge"] * 6)
+    n_total = len(words)
+    assert n_total == 1200 and 200 * 6 == n_total
+    rng.shuffle(words)
+    texts = [" ".join(words[i:i + 50]) for i in range(0, len(words), 50)]
+    sf = _write_documents(tmp_path, texts)
+
+    out = {r["word"]: r["n"] for r in q_heavy_hitters(sf).to_pylist()}
+    from collections import Counter
+
+    truth = Counter(words)
+    expect = {w: c for w, c in truth.items() if c * 200 > n_total}
+    assert out == expect
+    assert "alpha" in out and len(out) < 20  # the gate pruned the tail
+    assert "edge" not in out and truth["edge"] * 200 == n_total
+
+
+def test_lang_vocab_overlap_scalar_reference(ray_session, tmp_path):
+    """Pairwise vocab Jaccard must equal per-lang set arithmetic,
+    keep ZERO-overlap pairs, and survive words containing \\x00-free
+    separators (punctuation, digits, unicode)."""
+    from ocaml_geojson_ray.pipelines.queries import q_lang_vocab_overlap
+
+    texts = ["a b c über!", "b c d", "x1 y,2 z", "a über!"]
+    langs = ["en", "en", "fr", "de"]
+    sf = _write_documents(tmp_path, texts, langs)
+    vocab = {"en": {"a", "b", "c", "d", "über!"},
+             "fr": {"x1", "y,2", "z"},
+             "de": {"a", "über!"}}
+    out = {(r["lang_a"], r["lang_b"]): r
+           for r in q_lang_vocab_overlap(sf).to_pylist()}
+    assert set(out) == {("de", "en"), ("de", "fr"), ("en", "fr")}
+    for (la, lb), r in out.items():
+        inter = len(vocab[la] & vocab[lb])
+        union = len(vocab[la] | vocab[lb])
+        assert r["n_inter"] == inter and r["n_union"] == union
+        assert r["jaccard"] == inter / union
+    assert out[("de", "fr")]["jaccard"] == 0.0  # zero-overlap kept
+
+
+def test_winsorized_mean_clamps_tails(ray_session, tmp_path):
+    """Winsorized mean: one whale and one deep-negative account must
+    be clamped to the p05/p95 grid values (quantile_disc rule), and
+    the mean must equal the clamped-cents sum / n exactly."""
+    import pyarrow.parquet as pq
+
+    from ocaml_geojson_ray.pipelines.queries import q_winsorized_mean
+
+    bals = [-9999.99] + [float(i) for i in range(1, 99)] + [50000.0]
+    t = pa.table({
+        "c_custkey": pa.array(range(len(bals)), pa.int64()),
+        "c_name": pa.array(["c"] * len(bals), pa.string()),
+        "c_nationkey": pa.array([0] * len(bals), pa.int32()),
+        "c_acctbal": pa.array(bals, pa.float64()),
+        "c_mktsegment": pa.array(["SEG"] * len(bals), pa.string()),
+    })
+    pq.write_table(t, f"{tmp_path}/customer.parquet")
+    out = q_winsorized_mean(str(tmp_path)).to_pylist()
+    assert len(out) == 1
+    r = out[0]
+    cents = sorted(round(b * 100) for b in bals)
+    n = len(cents)
+    lo = cents[max(0, -(-5 * n // 100) - 1)]     # ceil(0.05n)-1
+    hi = cents[max(0, -(-95 * n // 100) - 1)]    # ceil(0.95n)-1
+    sc = sum(min(max(c, lo), hi) for c in cents)
+    assert (r["lo_cents"], r["hi_cents"]) == (lo, hi)
+    assert r["sum_clamped"] == sc and r["n"] == n
+    assert r["wmean"] == sc / n
+    assert r["hi_cents"] < 5000000  # the whale got clamped
