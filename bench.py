@@ -262,6 +262,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("heavy_hitters", Q.q_heavy_hitters)
     timed("lang_vocab_overlap", Q.q_lang_vocab_overlap)
     timed("winsorized_mean", Q.q_winsorized_mean)
+    timed("rollup_revenue", Q.q_rollup_revenue)
+    timed("ecdf_probes", Q.q_ecdf_probes)
+    timed("theilsen_trend", Q.q_theilsen_trend)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

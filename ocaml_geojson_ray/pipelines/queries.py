@@ -10276,3 +10276,265 @@ SELECT seg AS c_mktsegment, lo_cents, hi_cents, n, sum_clamped,
        CAST(sum_clamped AS DOUBLE) / CAST(n AS DOUBLE) AS wmean
 FROM s
 """
+
+
+# -- round-5 wave 19: rollup levels / ECDF probes / Theil-Sen trend ---------
+
+def q_rollup_revenue(sf_dir: str):
+    """ROLLUP aggregation (the subtotal ladder every BI export wants:
+    region+nation, region subtotal, grand total — GROUP BY ROLLUP):
+    order revenue cents per (region, nation) plus the two coarser
+    levels, subtotal rows labeled 'ALL'. Physical shape: customer and
+    nation×region are DIMENSIONS — broadcast once via ray.put as
+    sorted arrays, probed with guarded searchsorted inside the fact
+    scan (inner-join semantics on miss) — so the fact table streams
+    ONCE; coarser levels are derived exactly from the finest-level
+    aggregate (sums re-sum), never by re-scanning. Cents stay int64
+    end-to-end; revenue_usd is the ONE divide per row.
+    SQL-checked (GROUP BY ROLLUP + coalesce oracle)."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    ds = _read_split_few(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust["c_custkey"].to_numpy()
+    cn = cust["c_nationkey"].to_numpy().astype(np.int64)
+    o = np.argsort(ck)
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    nk = nat["n_nationkey"].to_numpy().astype(np.int64)
+    no = np.argsort(nk)
+    nname = np.asarray(nat["n_name"].to_pylist(), dtype=object)[no]
+    nreg = nat["n_regionkey"].to_numpy().astype(np.int64)[no]
+    rk = reg["r_regionkey"].to_numpy().astype(np.int64)
+    ro = np.argsort(rk)
+    rname = np.asarray(reg["r_name"].to_pylist(), dtype=object)[ro]
+    rlookup = dict(zip(rk[ro].tolist(), rname.tolist()))
+    nat_region = np.asarray([rlookup[int(r)] for r in nreg],
+                            dtype=object)
+    dim_ref = ray.put((ck[o], cn[o], nk[no]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        ck_s, cn_s, nk_s = ray.get(dim_ref)
+        cust_k = b["o_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(ck_s, cust_k), len(ck_s) - 1)
+        hit = ck_s[idx] == cust_k
+        nkey = cn_s[idx[hit]]
+        nidx = np.searchsorted(nk_s, nkey)
+        cents = np.round(
+            b["o_totalprice"].to_numpy(zero_copy_only=False)[hit]
+            * 100.0).astype(np.int64)
+        sums = np.zeros(len(nk_s), np.int64)
+        np.add.at(sums, nidx, cents)
+        nz = np.flatnonzero(sums)
+        return pa.table({
+            "nidx": pa.array(nz, pa.int64()),
+            "partial": pa.array(sums[nz], pa.int64()),
+        })
+
+    fine = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["nidx"], "partial", "cents",
+    ).to_arrow_refs()))
+    ni = fine["nidx"].to_numpy(zero_copy_only=False)
+    cents = fine["cents"].to_numpy(zero_copy_only=False)
+    rows: dict = {}
+    for i, c in zip(ni, cents):
+        key = (str(nat_region[i]), str(nname[i]))
+        rows[key] = rows.get(key, 0) + int(c)
+    out: dict = dict(rows)
+    for (r, n), c in rows.items():  # region subtotals from finest
+        out[(r, "ALL")] = out.get((r, "ALL"), 0) + c
+        out[("ALL", "ALL")] = out.get(("ALL", "ALL"), 0) + c
+    keys = sorted(out)
+    return pa.table({
+        "region": pa.array([k[0] for k in keys], pa.string()),
+        "nation": pa.array([k[1] for k in keys], pa.string()),
+        "revenue_cents": pa.array([out[k] for k in keys], pa.int64()),
+        "revenue_usd": pa.array([out[k] / 100.0 for k in keys],
+                                pa.float64()),
+    })
+
+
+SQL_ROLLUP_REVENUE = """
+WITH f AS (SELECT r_name, n_name,
+                  CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey)
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+       CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0
+           AS revenue_usd
+FROM f GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+def q_ecdf_probes(sf_dir: str):
+    """ECDF evaluated at fixed probe points (the calibration readout
+    a pricing team wants: 'what share of orders close under $X' for a
+    ladder of X): per order priority × 9 probe values, the exact
+    count ≤ probe and the ECDF as ONE divide. Physical shape: the
+    (priority, cents) histogram funnel (bounded by the price grid),
+    then probe evaluation is a driver-side cumsum/searchsorted —
+    probes never touch the fact scan. SQL-checked (probe CROSS JOIN
+    FILTER oracle)."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    PROBES = [1_000_00, 5_000_00, 10_000_00, 15_000_00, 20_000_00,
+              25_000_00, 30_000_00, 40_000_00, 50_000_00]
+    ds = _read_split_few(sf_dir, "orders",
+                         ["o_orderpriority", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        xc = np.round(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table({"o_orderpriority": b["o_orderpriority"],
+                      "xc": pa.array(xc, pa.int64())})
+        return t.group_by(["o_orderpriority", "xc"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["o_orderpriority", "xc", "partial"])
+
+    hist = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["o_orderpriority", "xc"], "partial", "c",
+    ).to_arrow_refs()))
+    pr = np.asarray(hist["o_orderpriority"].to_pylist(), dtype=object)
+    xv = hist["xc"].to_numpy(zero_copy_only=False)
+    cv = hist["c"].to_numpy(zero_copy_only=False)
+    out = {"o_orderpriority": [], "probe_cents": [], "n_le": [],
+           "n": [], "ecdf": []}
+    for p in sorted(np.unique(pr)):
+        sel = pr == p
+        order = np.argsort(xv[sel])
+        v = xv[sel][order]
+        cum = np.cumsum(cv[sel][order])
+        n = int(cum[-1])
+        for probe in PROBES:
+            i = int(np.searchsorted(v, probe, side="right"))
+            nle = int(cum[i - 1]) if i else 0
+            out["o_orderpriority"].append(str(p))
+            out["probe_cents"].append(probe)
+            out["n_le"].append(nle)
+            out["n"].append(n)
+            out["ecdf"].append(nle / n)
+    return pa.table({
+        "o_orderpriority": pa.array(out["o_orderpriority"], pa.string()),
+        "probe_cents": pa.array(out["probe_cents"], pa.int64()),
+        "n_le": pa.array(out["n_le"], pa.int64()),
+        "n": pa.array(out["n"], pa.int64()),
+        "ecdf": pa.array(out["ecdf"], pa.float64()),
+    })
+
+
+SQL_ECDF_PROBES = """
+WITH c AS (SELECT o_orderpriority,
+                  CAST(round(o_totalprice * 100.0) AS BIGINT) AS xc
+           FROM orders),
+probes AS (SELECT CAST(p AS BIGINT) AS probe_cents
+           FROM (VALUES (100000), (500000), (1000000), (1500000),
+                        (2000000), (2500000), (3000000), (4000000),
+                        (5000000)) v(p))
+SELECT o_orderpriority, probe_cents,
+       count(*) FILTER (WHERE xc <= probe_cents) AS n_le,
+       count(*) AS n,
+       CAST(count(*) FILTER (WHERE xc <= probe_cents) AS DOUBLE)
+       / CAST(count(*) AS DOUBLE) AS ecdf
+FROM c CROSS JOIN probes
+GROUP BY o_orderpriority, probe_cents
+"""
+
+
+def q_theilsen_trend(sf_dir: str):
+    """Robust trend (Theil–Sen: the median of all pairwise slopes —
+    the estimator a capacity planner trusts when spikes poison OLS):
+    over the DENSE daily event-count series, slope_ij =
+    (c_j − c_i)/(j − i) for every day pair i<j, reported as the
+    quantile_disc median (sorted[ceil(n/2) − 1]) plus the pair count
+    and the OLS slope for contrast (exact int moments, one divide).
+    The pair set is CALENDAR-bounded (D days ⇒ D(D−1)/2 slopes,
+    independent of row count) — the one quadratic step runs on the
+    driver over the bounded grid, never over the corpus; each slope
+    is ONE double divide of exact ints, so the sorted order matches
+    the oracle's bit-for-bit. SQL-checked (grid self-join +
+    quantile_disc oracle)."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    US_PER_DAY = 86_400_000_000
+    ds = _read_split(sf_dir, "events", ["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = (b["ts"].cast(pa.int64())
+             .to_numpy(zero_copy_only=False)) // US_PER_DAY
+        t = pa.table({"day": pa.array(d, pa.int64())})
+        return t.group_by(["day"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["day", "partial"])
+
+    hist = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day"], "partial", "n",
+    ).to_arrow_refs()))
+    days = hist["day"].to_numpy(zero_copy_only=False)
+    cnts = hist["n"].to_numpy(zero_copy_only=False)
+    lo = int(days.min())
+    grid = np.zeros(int(days.max()) - lo + 1, np.int64)
+    grid[days - lo] = cnts
+    D = len(grid)
+    i, j = np.triu_indices(D, k=1)
+    slopes = (grid[j] - grid[i]).astype(np.float64) / (j - i)
+    slopes.sort(kind="stable")
+    npairs = len(slopes)
+    med = float(slopes[max(0, int(np.ceil(0.5 * npairs)) - 1)])
+    # OLS for contrast: x = 0..D-1, exact integer moments
+    x = np.arange(D, dtype=np.int64)
+    sx, sy = int(x.sum()), int(grid.sum())
+    sxy = int((x * grid).sum())
+    sxx = int((x * x).sum())
+    ols = float(D * sxy - sx * sy) / float(D * sxx - sx * sx)
+    return pa.table({
+        "n_days": pa.array([D], pa.int64()),
+        "n_pairs": pa.array([npairs], pa.int64()),
+        "ts_slope": pa.array([med], pa.float64()),
+        "ols_slope": pa.array([ols], pa.float64()),
+    })
+
+
+SQL_THEILSEN_TREND = """
+WITH c AS (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,
+                  count(*) AS n
+           FROM events GROUP BY 1),
+b AS (SELECT min(d) AS mn, max(d) AS mx FROM c),
+g AS (SELECT days.d - b.mn AS i,
+             CAST(coalesce(c.n, 0) AS BIGINT) AS n
+      FROM b, (SELECT unnest(range(mn, mx + 1)) AS d FROM b) days
+      LEFT JOIN c ON c.d = days.d),
+p AS (SELECT CAST(y.n - x.n AS DOUBLE) / CAST(y.i - x.i AS DOUBLE)
+           AS slope
+      FROM g x JOIN g y ON y.i > x.i),
+s AS (SELECT count(*) AS n_pairs,
+             quantile_disc(slope, 0.5) AS med
+      FROM p),
+o AS (SELECT count(*) AS d_,
+             CAST(sum(i) AS BIGINT) AS sx,
+             CAST(sum(n) AS BIGINT) AS sy,
+             CAST(sum(i * n) AS BIGINT) AS sxy,
+             CAST(sum(i * i) AS BIGINT) AS sxx
+      FROM g)
+SELECT o.d_ AS n_days, s.n_pairs, s.med AS ts_slope,
+       CAST(o.d_ * o.sxy - o.sx * o.sy AS DOUBLE)
+       / CAST(o.d_ * o.sxx - o.sx * o.sx AS DOUBLE) AS ols_slope
+FROM s, o
+"""

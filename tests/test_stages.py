@@ -1945,3 +1945,104 @@ def test_winsorized_mean_clamps_tails(ray_session, tmp_path):
     assert r["sum_clamped"] == sc and r["n"] == n
     assert r["wmean"] == sc / n
     assert r["hi_cents"] < 5000000  # the whale got clamped
+
+
+def test_rollup_revenue_levels_consistent(ray_session, tmp_path):
+    """ROLLUP: nation rows must re-sum to their region subtotal and
+    the grand total; an order whose custkey has no customer row DROPS
+    (inner-join semantics, guarded searchsorted probe)."""
+    import pyarrow.parquet as pq
+
+    from ocaml_geojson_ray.pipelines.queries import q_rollup_revenue
+
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0, 1], pa.int64()),
+        "r_name": pa.array(["EAST", "WEST"], pa.string()),
+    }), f"{tmp_path}/region.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([10, 11, 12], pa.int64()),
+        "n_name": pa.array(["A", "B", "C"], pa.string()),
+        "n_regionkey": pa.array([0, 0, 1], pa.int64()),
+    }), f"{tmp_path}/nation.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_name": pa.array(["x", "y", "z"], pa.string()),
+        "c_nationkey": pa.array([10, 11, 12], pa.int32()),
+        "c_acctbal": pa.array([0.0] * 3, pa.float64()),
+        "c_mktsegment": pa.array(["S"] * 3, pa.string()),
+    }), f"{tmp_path}/customer.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "o_custkey": pa.array([1, 1, 2, 3, 999], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 5, pa.string()),
+        "o_totalprice": pa.array([10.0, 5.5, 2.25, 100.0, 777.0],
+                                 pa.float64()),
+        "o_orderdate": pa.array([0] * 5, pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1"] * 5, pa.string()),
+    }), f"{tmp_path}/orders.parquet")
+
+    out = {(r["region"], r["nation"]): r["revenue_cents"]
+           for r in q_rollup_revenue(str(tmp_path)).to_pylist()}
+    assert out[("EAST", "A")] == 1550 and out[("EAST", "B")] == 225
+    assert out[("WEST", "C")] == 10000
+    assert out[("EAST", "ALL")] == 1775          # nations re-sum
+    assert out[("WEST", "ALL")] == 10000
+    assert out[("ALL", "ALL")] == 11775          # custkey 999 dropped
+    assert len(out) == 6
+
+
+def test_ecdf_probes_boundary_inclusive(ray_session, tmp_path):
+    """A value exactly AT a probe must count into n_le (<=, not <)."""
+    import pyarrow.parquet as pq
+
+    from ocaml_geojson_ray.pipelines.queries import q_ecdf_probes
+
+    # one order exactly at the $1,000 probe, one below, two above
+    prices = [1000.00, 999.99, 1000.01, 45000.0]
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(4), pa.int64()),
+        "o_custkey": pa.array([1] * 4, pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 4, pa.string()),
+        "o_totalprice": pa.array(prices, pa.float64()),
+        "o_orderdate": pa.array([0] * 4, pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 4, pa.string()),
+    }), f"{tmp_path}/orders.parquet")
+    out = {r["probe_cents"]: r for r in
+           q_ecdf_probes(str(tmp_path)).to_pylist()}
+    assert out[100000]["n_le"] == 2          # 999.99 and 1000.00
+    assert out[100000]["ecdf"] == 2 / 4
+    assert out[500000]["n_le"] == 3          # all but the $45k order
+    assert out[4000000]["n_le"] == 3         # $45k still above $40k
+    assert out[5000000]["n_le"] == 4         # ... and within $50k
+
+
+def test_theilsen_robust_to_outlier(ray_session, tmp_path):
+    """Theil–Sen median slope must shrug off one spike day that drags
+    OLS; both pinned against direct numpy references."""
+    from ocaml_geojson_ray.pipelines.queries import q_theilsen_trend
+
+    US = 86_400_000_000
+    # daily counts: 1,2,3,4,50,6,7,8 (day 4 is a spike)
+    counts = [1, 2, 3, 4, 50, 6, 7, 8]
+    uid, ts, et = [], [], []
+    eid = 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            eid += 1
+            uid.append(1)
+            ts.append(d * US + eid)
+            et.append("a")
+    sf = _write_events(tmp_path, uid, ts, et)
+    r = q_theilsen_trend(sf).to_pylist()[0]
+    g = np.array(counts, dtype=np.int64)
+    D = len(g)
+    i, j = np.triu_indices(D, k=1)
+    slopes = np.sort((g[j] - g[i]).astype(np.float64) / (j - i))
+    med = slopes[int(np.ceil(0.5 * len(slopes))) - 1]
+    assert r["n_days"] == D and r["n_pairs"] == len(slopes)
+    assert r["ts_slope"] == med
+    x = np.arange(D)
+    ols = (D * (x * g).sum() - x.sum() * g.sum()) / \
+        (D * (x * x).sum() - x.sum() ** 2)
+    assert abs(r["ols_slope"] - ols) < 1e-12
+    assert abs(r["ts_slope"] - 1.0) <= 0.5 and r["ols_slope"] > 1.5
