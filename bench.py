@@ -265,6 +265,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("rollup_revenue", Q.q_rollup_revenue)
     timed("ecdf_probes", Q.q_ecdf_probes)
     timed("theilsen_trend", Q.q_theilsen_trend)
+    timed("active_streaks", Q.q_active_streaks)
+    timed("weighted_median_price", Q.q_weighted_median_price)
+    timed("crosscorr_types", Q.q_crosscorr_types)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

@@ -10538,3 +10538,279 @@ SELECT o.d_ AS n_days, s.n_pairs, s.med AS ts_slope,
        / CAST(o.d_ * o.sxx - o.sx * o.sx AS DOUBLE) AS ols_slope
 FROM s, o
 """
+
+
+# -- round-5 wave 20: streaks / weighted median / cross-correlation ---------
+
+def q_active_streaks(sf_dir: str):
+    """Engagement streaks (the 'longest run of consecutive active
+    days' retention metric): per user, the maximum streak of
+    consecutive calendar days with ≥1 event, reported as the
+    (max_streak → n_users) distribution. Physical shape: ONE shuffle
+    on the Fibonacci user bucket; per bucket the (user, day) pairs
+    dedup via np.unique on a packed key, islands fall out of a
+    vectorized 'day − rank' diff (a streak breaks where the day gap
+    exceeds 1), per-user maxima via maximum.reduceat, then the
+    streak histogram rides the tiny bounded funnel (streak length ≤
+    calendar days). SQL-checked (DISTINCT day − row_number island
+    oracle)."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    US_PER_DAY = 86_400_000_000
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nb = max(4, cpus // 4)
+    ds = split_read(f"{sf_dir}/events.parquet", ["user_id", "ts"], nb)
+    n_buckets = max(64, cpus * 8)
+
+    def pre(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        day = (b["ts"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False)) // US_PER_DAY
+        # map-side (user, day) dedup shrinks the shuffle; pack
+        # (uid, day) into one int64 — epoch day < 2^20 (~year 4840),
+        # so uid must fit 43 bits (raised, not assumed)
+        if (uid >= (1 << 43)).any() or (day >= (1 << 20)).any():
+            raise ValueError("active_streaks pack overflow")
+        packed = np.unique((uid << 20) | day)
+        return pa.table({
+            "bucket": pa.array(
+                fib_bucket(packed >> 20, n_buckets), pa.int64()),
+            "packed": pa.array(packed, pa.int64()),
+        })
+
+    def streaks(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "max_streak": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            })
+        packed = np.unique(g["packed"].to_numpy(zero_copy_only=False))
+        uid = packed >> 20
+        day = packed & ((1 << 20) - 1)
+        # island id: within a user, consecutive days share day - rank
+        brk = np.empty(len(packed), np.bool_)
+        brk[0] = True
+        brk[1:] = (uid[1:] != uid[:-1]) | (day[1:] != day[:-1] + 1)
+        run_id = np.cumsum(brk) - 1
+        lens = np.bincount(run_id)
+        run_uid = uid[brk]
+        # per-user max streak (runs of one user are adjacent)
+        ubrk = np.empty(len(run_uid), np.bool_)
+        ubrk[0] = True
+        ubrk[1:] = run_uid[1:] != run_uid[:-1]
+        umax = np.maximum.reduceat(lens, np.flatnonzero(ubrk))
+        sl, cnt = np.unique(umax, return_counts=True)
+        return pa.table({
+            "max_streak": pa.array(sl.astype(np.int64), pa.int64()),
+            "partial": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    return grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(streaks, batch_format="pyarrow"),
+        ["max_streak"], "partial", "n_users",
+    )
+
+
+SQL_ACTIVE_STREAKS = """
+WITH d AS (SELECT DISTINCT user_id,
+                  CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+           FROM events),
+i AS (SELECT user_id,
+             day - row_number() OVER (PARTITION BY user_id
+                                      ORDER BY day) AS grp
+      FROM d),
+s AS (SELECT user_id, count(*) AS len FROM i GROUP BY user_id, grp),
+m AS (SELECT user_id, max(len) AS max_streak FROM s GROUP BY user_id)
+SELECT CAST(max_streak AS BIGINT) AS max_streak,
+       count(*) AS n_users
+FROM m GROUP BY max_streak
+"""
+
+
+def q_weighted_median_price(sf_dir: str):
+    """WEIGHTED median (the 'median price paid per UNIT, not per
+    line' statistic — each line item weighted by its quantity): per
+    return flag, the smallest price with 2·cumweight ≥ totalweight
+    (the lower weighted median, definitional), from the exact
+    (flag, cents) → Σquantity histogram. Quantities are whole units
+    (exact int64 after round); the wide funnel is price-grid-bounded;
+    the pick is a driver cumsum. No floats anywhere except the
+    reported dollars (ONE divide). SQL-checked (window-cumsum
+    min-pick oracle)."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    ds = _read_split_few(sf_dir, "lineitem",
+                         ["l_returnflag", "l_extendedprice",
+                          "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        xc = np.round(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        w = np.round(
+            b["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        t = pa.table({"l_returnflag": b["l_returnflag"],
+                      "xc": pa.array(xc, pa.int64()),
+                      "w": pa.array(w, pa.int64())})
+        return t.group_by(["l_returnflag", "xc"]) \
+            .aggregate([("w", "sum")]) \
+            .rename_columns(["l_returnflag", "xc", "partial"])
+
+    hist = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "xc"], "partial", "w",
+    ).to_arrow_refs()))
+    rf = np.asarray(hist["l_returnflag"].to_pylist(), dtype=object)
+    xv = hist["xc"].to_numpy(zero_copy_only=False)
+    wv = hist["w"].to_numpy(zero_copy_only=False)
+    out = {"l_returnflag": [], "total_weight": [],
+           "wmedian_cents": [], "wmedian_usd": []}
+    for f in sorted(np.unique(rf)):
+        sel = rf == f
+        order = np.argsort(xv[sel])
+        v = xv[sel][order]
+        cum = np.cumsum(wv[sel][order])
+        tot = int(cum[-1])
+        pick = int(v[np.searchsorted(2 * cum, tot)])
+        out["l_returnflag"].append(str(f))
+        out["total_weight"].append(tot)
+        out["wmedian_cents"].append(pick)
+        out["wmedian_usd"].append(pick / 100.0)
+    return pa.table({
+        "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+        "total_weight": pa.array(out["total_weight"], pa.int64()),
+        "wmedian_cents": pa.array(out["wmedian_cents"], pa.int64()),
+        "wmedian_usd": pa.array(out["wmedian_usd"], pa.float64()),
+    })
+
+
+SQL_WEIGHTED_MEDIAN_PRICE = """
+WITH c AS (SELECT l_returnflag AS rf,
+                  CAST(round(l_extendedprice * 100.0) AS BIGINT) AS xc,
+                  CAST(round(l_quantity) AS BIGINT) AS w
+           FROM lineitem),
+g AS (SELECT rf, xc, CAST(sum(w) AS BIGINT) AS w FROM c GROUP BY rf, xc),
+cw AS (SELECT rf, xc,
+              sum(w) OVER (PARTITION BY rf ORDER BY xc
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+              sum(w) OVER (PARTITION BY rf) AS tot
+       FROM g)
+SELECT rf AS l_returnflag,
+       CAST(min(tot) AS BIGINT) AS total_weight,
+       CAST(min(xc) AS BIGINT) AS wmedian_cents,
+       CAST(CAST(min(xc) AS BIGINT) AS DOUBLE) / 100.0 AS wmedian_usd
+FROM cw WHERE 2 * cum >= tot GROUP BY rf
+"""
+
+
+def q_crosscorr_types(sf_dir: str):
+    """Cross-correlation matrix (the 'do purchases move with views'
+    co-movement readout): Pearson r between every pair of event
+    types' DENSE daily count series (missing days are zeros — shared
+    grid, so all series align). Five moment sums per pair are exact
+    int64 on the calendar×types-bounded grid; r = num / sqrt(d1·d2)
+    with the product in exact integers (HUGEINT parity) and ONE
+    sqrt + ONE divide — the autocorr_daily device applied pairwise.
+    Degenerate (constant) series drop their pairs on both sides.
+    SQL-checked (type×grid cross-join + pair-join oracle)."""
+    import math
+
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    US_PER_DAY = 86_400_000_000
+    ds = _read_split(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = (b["ts"].cast(pa.int64())
+             .to_numpy(zero_copy_only=False)) // US_PER_DAY
+        t = pa.table({"event_type": b["event_type"],
+                      "day": pa.array(d, pa.int64())})
+        return t.group_by(["event_type", "day"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["event_type", "day", "partial"])
+
+    hist = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "day"], "partial", "n",
+    ).to_arrow_refs()))
+    et = np.asarray(hist["event_type"].to_pylist(), dtype=object)
+    days = hist["day"].to_numpy(zero_copy_only=False)
+    cnts = hist["n"].to_numpy(zero_copy_only=False)
+    lo, hi = int(days.min()), int(days.max())
+    D = hi - lo + 1
+    types = sorted(np.unique(et))
+    series = {}
+    for t in types:
+        sel = et == t
+        g = np.zeros(D, np.int64)
+        g[days[sel] - lo] = cnts[sel]
+        series[t] = g
+    out = {"type_a": [], "type_b": [], "n_days": [], "r_num": [],
+           "r": []}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            x, y = series[ta], series[tb]
+            sx, sy = int(x.sum()), int(y.sum())
+            sxy = int((x * y).sum())
+            sxx = int((x * x).sum())
+            syy = int((y * y).sum())
+            num = D * sxy - sx * sy
+            d1 = D * sxx - sx * sx
+            d2 = D * syy - sy * sy
+            if d1 == 0 or d2 == 0:
+                continue
+            out["type_a"].append(str(ta))
+            out["type_b"].append(str(tb))
+            out["n_days"].append(D)
+            out["r_num"].append(num)
+            out["r"].append(float(num) / math.sqrt(float(d1 * d2)))
+    return pa.table({
+        "type_a": pa.array(out["type_a"], pa.string()),
+        "type_b": pa.array(out["type_b"], pa.string()),
+        "n_days": pa.array(out["n_days"], pa.int64()),
+        "r_num": pa.array(out["r_num"], pa.int64()),
+        "r": pa.array(out["r"], pa.float64()),
+    })
+
+
+SQL_CROSSCORR_TYPES = """
+WITH c AS (SELECT event_type,
+                  CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+b AS (SELECT min(d) AS mn, max(d) AS mx FROM c),
+grid AS (SELECT t.event_type, days.d
+         FROM (SELECT DISTINCT event_type FROM events) t
+         CROSS JOIN (SELECT unnest(range(mn, mx + 1)) AS d FROM b)
+             days),
+g AS (SELECT grid.event_type, grid.d,
+             CAST(coalesce(c.n, 0) AS BIGINT) AS n
+      FROM grid LEFT JOIN c
+      ON c.event_type = grid.event_type AND c.d = grid.d),
+p AS (SELECT a.event_type AS ta, y.event_type AS tb,
+             count(*) AS nd,
+             CAST(sum(a.n) AS BIGINT) AS sx,
+             CAST(sum(y.n) AS BIGINT) AS sy,
+             CAST(sum(a.n * y.n) AS BIGINT) AS sxy,
+             CAST(sum(a.n * a.n) AS BIGINT) AS sxx,
+             CAST(sum(y.n * y.n) AS BIGINT) AS syy
+      FROM g a JOIN g y
+      ON a.d = y.d AND a.event_type < y.event_type
+      GROUP BY 1, 2)
+SELECT ta AS type_a, tb AS type_b, nd AS n_days,
+       nd * sxy - sx * sy AS r_num,
+       CAST(nd * sxy - sx * sy AS DOUBLE)
+       / sqrt(CAST(CAST(nd * sxx - sx * sx AS HUGEINT)
+                   * CAST(nd * syy - sy * sy AS HUGEINT) AS DOUBLE))
+           AS r
+FROM p
+WHERE nd * sxx - sx * sx <> 0 AND nd * syy - sy * sy <> 0
+"""

@@ -2046,3 +2046,85 @@ def test_theilsen_robust_to_outlier(ray_session, tmp_path):
         (D * (x * x).sum() - x.sum() ** 2)
     assert abs(r["ols_slope"] - ols) < 1e-12
     assert abs(r["ts_slope"] - 1.0) <= 0.5 and r["ols_slope"] > 1.5
+
+
+def test_active_streaks_islands_and_gaps(ray_session, tmp_path):
+    """Streak detection: multi-event days collapse, a 1-day gap
+    breaks the streak, and the histogram counts each user's MAX
+    streak exactly once."""
+    from ocaml_geojson_ray.pipelines.queries import q_active_streaks
+
+    US = 86_400_000_000
+    rows = []  # (user, day) with duplicates
+    rows += [(1, d) for d in (0, 0, 1, 2, 4, 5)]      # max streak 3
+    rows += [(2, d) for d in (10,)]                   # max streak 1
+    rows += [(3, d) for d in (0, 2, 4, 6)]            # max streak 1
+    rows += [(4, d) for d in (7, 8, 9, 10, 11)]       # max streak 5
+    sf = _write_events(tmp_path, [u for u, _ in rows],
+                       [d * US + 1 for _, d in rows],
+                       ["a"] * len(rows))
+    out = {r["max_streak"]: r["n_users"]
+           for r in q_active_streaks(sf).take_all()}
+    assert out == {3: 1, 1: 2, 5: 1}
+
+
+def test_weighted_median_price_weight_pull(ray_session, tmp_path):
+    """The weighted median must move with quantity weights: one huge-
+    quantity cheap line outweighs many expensive unit lines; ties on
+    2·cum == tot pick the LOWER value (definitional rule)."""
+    import pyarrow.parquet as pq
+
+    from ocaml_geojson_ray.pipelines.queries import \
+        q_weighted_median_price
+
+    # flag A: price 1.00 × qty 10 vs five price-9.00 × qty 1 lines
+    #   -> total weight 15, cum at 1.00 is 10, 2*10 >= 15 -> median 100
+    # flag B: 2.00×2 and 4.00×2 -> tot 4, at 2.00 cum=2, 2*2>=4 ->
+    #   LOWER value 200 picked on the exact tie
+    prices = [1.0] + [9.0] * 5 + [2.0, 4.0]
+    qtys = [10.0] + [1.0] * 5 + [2.0, 2.0]
+    flags = ["A"] * 6 + ["B"] * 2
+    n = len(prices)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(range(n), pa.int64()),
+        "l_partkey": pa.array([1] * n, pa.int64()),
+        "l_suppkey": pa.array([1] * n, pa.int64()),
+        "l_linenumber": pa.array([1] * n, pa.int32()),
+        "l_quantity": pa.array(qtys, pa.float64()),
+        "l_extendedprice": pa.array(prices, pa.float64()),
+        "l_discount": pa.array([0.0] * n, pa.float64()),
+        "l_tax": pa.array([0.0] * n, pa.float64()),
+        "l_returnflag": pa.array(flags, pa.string()),
+        "l_linestatus": pa.array(["O"] * n, pa.string()),
+        "l_shipdate": pa.array([0] * n, pa.timestamp("us")),
+    }), f"{tmp_path}/lineitem.parquet")
+    out = {r["l_returnflag"]: r for r in
+           q_weighted_median_price(str(tmp_path)).to_pylist()}
+    assert out["A"]["wmedian_cents"] == 100
+    assert out["A"]["total_weight"] == 15
+    assert out["B"]["wmedian_cents"] == 200  # exact-tie lower pick
+    assert out["B"]["total_weight"] == 4
+
+
+def test_crosscorr_types_sign_and_alignment(ray_session, tmp_path):
+    """Cross-correlation: anti-phased series must give r = −1 on the
+    shared dense grid, and a type active on DIFFERENT days than
+    another still aligns via zero fill (pinned vs numpy corrcoef)."""
+    from ocaml_geojson_ray.pipelines.queries import q_crosscorr_types
+
+    US = 86_400_000_000
+    rows = []
+    a = [3, 1, 3, 1, 3, 1]
+    b = [1, 3, 1, 3, 1, 3]
+    for d in range(6):
+        rows += [("up", d)] * a[d] + [("down", d)] * b[d]
+    rows += [("sparse", 0)] * 2 + [("sparse", 5)] * 2
+    sf = _write_events(tmp_path, [1] * len(rows),
+                       [d * US + i for i, (_, d) in enumerate(rows)],
+                       [t for t, _ in rows])
+    out = {(r["type_a"], r["type_b"]): r["r"]
+           for r in q_crosscorr_types(sf).to_pylist()}
+    assert abs(out[("down", "up")] + 1.0) < 1e-12
+    sparse = np.array([2, 0, 0, 0, 0, 2], dtype=np.float64)
+    ref = np.corrcoef(sparse, np.array(a, dtype=np.float64))[0, 1]
+    assert abs(out[("sparse", "up")] - ref) < 1e-12
