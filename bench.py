@@ -268,6 +268,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("active_streaks", Q.q_active_streaks)
     timed("weighted_median_price", Q.q_weighted_median_price)
     timed("crosscorr_types", Q.q_crosscorr_types)
+    timed("modal_value", Q.q_modal_value)
+    timed("contingency_type_dow", Q.q_contingency_type_dow)
+    timed("first_last_matrix", Q.q_first_last_matrix)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

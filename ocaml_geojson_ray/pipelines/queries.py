@@ -10814,3 +10814,253 @@ SELECT ta AS type_a, tb AS type_b, nd AS n_days,
 FROM p
 WHERE nd * sxx - sx * sx <> 0 AND nd * syy - sy * sy <> 0
 """
+
+
+# -- round-5 wave 21: mode / contingency / first-last matrix ----------------
+
+def q_modal_value(sf_dir: str):
+    """MODE per group (the 'sticker price' question — the single most
+    common transaction value per event type, ties to the LOWEST
+    value): from the (type, cents) histogram funnel; the argmax is a
+    driver scan of the bounded grid. All int64; n_total makes the
+    share ONE divide. SQL-checked (row_number argmax oracle)."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    ds = _read_split(sf_dir, "events", ["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        xc = np.round(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table({"event_type": b["event_type"],
+                      "xc": pa.array(xc, pa.int64())})
+        return t.group_by(["event_type", "xc"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["event_type", "xc", "partial"])
+
+    hist = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "xc"], "partial", "c",
+    ).to_arrow_refs()))
+    et = np.asarray(hist["event_type"].to_pylist(), dtype=object)
+    xv = hist["xc"].to_numpy(zero_copy_only=False)
+    cv = hist["c"].to_numpy(zero_copy_only=False)
+    out = {"event_type": [], "mode_cents": [], "n_mode": [],
+           "n_total": [], "share": []}
+    for t in sorted(np.unique(et)):
+        sel = et == t
+        v, c = xv[sel], cv[sel]
+        best = np.lexsort((v, -c))[0]
+        tot = int(c.sum())
+        out["event_type"].append(str(t))
+        out["mode_cents"].append(int(v[best]))
+        out["n_mode"].append(int(c[best]))
+        out["n_total"].append(tot)
+        out["share"].append(int(c[best]) / tot)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "mode_cents": pa.array(out["mode_cents"], pa.int64()),
+        "n_mode": pa.array(out["n_mode"], pa.int64()),
+        "n_total": pa.array(out["n_total"], pa.int64()),
+        "share": pa.array(out["share"], pa.float64()),
+    })
+
+
+SQL_MODAL_VALUE = """
+WITH c AS (SELECT event_type,
+                  CAST(round(value * 100.0) AS BIGINT) AS xc,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+      FROM c GROUP BY event_type),
+r AS (SELECT c.event_type, xc, n, tot,
+             row_number() OVER (PARTITION BY c.event_type
+                                ORDER BY n DESC, xc) AS rk
+      FROM c JOIN t ON c.event_type = t.event_type)
+SELECT event_type, xc AS mode_cents, n AS n_mode, tot AS n_total,
+       CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+FROM r WHERE rk = 1
+"""
+
+
+def q_contingency_type_dow(sf_dir: str):
+    """Chi-square CONTINGENCY table (the independence screen between
+    two categoricals — does event mix depend on weekday?): observed
+    counts per (type, dow) cell, the expected count under
+    independence (rowΣ·colΣ exact int64, ONE divide by N), and the
+    per-cell chi term (o−e)²/e with explicit multiply. Cells are
+    emitted individually — no cross-cell float SUM, so there is no
+    accumulation-order hazard at all; a tester sums the bounded cell
+    column if they want the statistic. Zero-count cells of the
+    type×7 grid are KEPT (their term is e) — but a column whose
+    whole MARGINAL is zero is dropped (e undefined) on both sides.
+    SQL-checked (grid cross-join + totals oracle)."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    US_PER_DAY = 86_400_000_000
+    ds = _read_split(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dow = ((us // US_PER_DAY) + 4) % 7  # DuckDB dayofweek parity
+        t = pa.table({"event_type": b["event_type"],
+                      "dow": pa.array(dow, pa.int64())})
+        return t.group_by(["event_type", "dow"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["event_type", "dow", "partial"])
+
+    hist = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "dow"], "partial", "n",
+    ).to_arrow_refs()))
+    et = np.asarray(hist["event_type"].to_pylist(), dtype=object)
+    dw = hist["dow"].to_numpy(zero_copy_only=False)
+    cv = hist["n"].to_numpy(zero_copy_only=False)
+    types = sorted(np.unique(et))
+    obs = {(str(t), int(d)): int(c) for t, d, c in zip(et, dw, cv)}
+    row_tot = {t: sum(obs.get((t, d), 0) for d in range(7))
+               for t in types}
+    col_tot = {d: sum(obs.get((t, d), 0) for t in types)
+               for d in range(7)}
+    N = sum(row_tot.values())
+    out = {"event_type": [], "dow": [], "n": [], "exp_n": [],
+           "chi_term": []}
+    for t in types:
+        for d in range(7):
+            if col_tot[d] == 0:
+                continue  # zero-marginal column: e undefined, dropped
+            o = obs.get((t, d), 0)
+            e = float(row_tot[t] * col_tot[d]) / float(N)
+            diff = float(o) - e
+            out["event_type"].append(t)
+            out["dow"].append(d)
+            out["n"].append(o)
+            out["exp_n"].append(e)
+            out["chi_term"].append(diff * diff / e)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "dow": pa.array(out["dow"], pa.int64()),
+        "n": pa.array(out["n"], pa.int64()),
+        "exp_n": pa.array(out["exp_n"], pa.float64()),
+        "chi_term": pa.array(out["chi_term"], pa.float64()),
+    })
+
+
+SQL_CONTINGENCY_TYPE_DOW = """
+WITH c AS (SELECT event_type,
+                  CAST(dayofweek(ts) AS BIGINT) AS dow,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+grid AS (SELECT t.event_type, d.dow
+         FROM (SELECT DISTINCT event_type FROM events) t
+         CROSS JOIN (SELECT unnest(range(0, 7)) AS dow) d),
+o AS (SELECT grid.event_type, grid.dow,
+             CAST(coalesce(c.n, 0) AS BIGINT) AS n
+      FROM grid LEFT JOIN c
+      ON c.event_type = grid.event_type AND c.dow = grid.dow),
+rt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS r FROM o
+       GROUP BY event_type),
+ct AS (SELECT dow, CAST(sum(n) AS BIGINT) AS cl FROM o GROUP BY dow),
+nn AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM o)
+SELECT o.event_type, o.dow, o.n,
+       CAST(rt.r * ct.cl AS DOUBLE) / CAST(nn.nt AS DOUBLE) AS exp_n,
+       (CAST(o.n AS DOUBLE)
+        - CAST(rt.r * ct.cl AS DOUBLE) / CAST(nn.nt AS DOUBLE))
+       * (CAST(o.n AS DOUBLE)
+          - CAST(rt.r * ct.cl AS DOUBLE) / CAST(nn.nt AS DOUBLE))
+       / (CAST(rt.r * ct.cl AS DOUBLE) / CAST(nn.nt AS DOUBLE))
+           AS chi_term
+FROM o JOIN rt ON o.event_type = rt.event_type
+JOIN ct ON o.dow = ct.dow
+CROSS JOIN nn
+WHERE ct.cl > 0
+"""
+
+
+def q_first_last_matrix(sf_dir: str):
+    """Entry→exit transition matrix (the acquisition/churn surface a
+    product team reads: what users START with vs what they END
+    with): per user, the first and last event type in (ts, event_id)
+    total order, aggregated to (first_type, last_type) → user
+    counts. ONE user-bucket shuffle; per bucket the boundary rows
+    fall out of the lexsort's segment breaks — no per-user Python.
+    The matrix is types²-bounded. SQL-checked (row_number boundary
+    pivot oracle)."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nb = max(4, cpus // 4)
+    ds = split_read(f"{sf_dir}/events.parquet",
+                    ["user_id", "ts", "event_id", "event_type"], nb)
+    n_buckets = max(64, cpus * 8)
+
+    def pre(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(uid, n_buckets), pa.int64()),
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+        })
+
+    def ends(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "fl": pa.array([], pa.string()),
+                "partial": pa.array([], pa.int64()),
+            })
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, uid))
+        u_s, t_s = uid[order], et[order]
+        brk = np.empty(len(order), np.bool_)
+        brk[0] = True
+        brk[1:] = u_s[1:] != u_s[:-1]
+        first_i = np.flatnonzero(brk)
+        last_i = np.append(first_i[1:] - 1, len(order) - 1)
+        # "\n" join is unambiguous: event types never contain it
+        fl = np.char.add(np.char.add(t_s[first_i].astype(str), "\n"),
+                         t_s[last_i].astype(str))
+        uq, cnt = np.unique(fl, return_counts=True)
+        return pa.table({
+            "fl": pa.array(uq, pa.string()),
+            "partial": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    comb = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(ends, batch_format="pyarrow"),
+        ["fl"], "partial", "n_users",
+    ).to_arrow_refs()))
+    pairs = [s.split("\n", 1) for s in comb["fl"].to_pylist()]
+    ns = comb["n_users"].to_pylist()
+    order = sorted(range(len(pairs)), key=lambda i: pairs[i])
+    return pa.table({
+        "first_type": pa.array([pairs[i][0] for i in order], pa.string()),
+        "last_type": pa.array([pairs[i][1] for i in order], pa.string()),
+        "n_users": pa.array([ns[i] for i in order], pa.int64()),
+    })
+
+
+SQL_FIRST_LAST_MATRIX = """
+WITH o AS (SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY user_id) AS cnt
+           FROM events),
+f AS (SELECT user_id,
+             max(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+             max(CASE WHEN rn = cnt THEN event_type END) AS last_type
+      FROM o GROUP BY user_id)
+SELECT first_type, last_type, count(*) AS n_users
+FROM f GROUP BY 1, 2
+"""

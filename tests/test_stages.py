@@ -2128,3 +2128,58 @@ def test_crosscorr_types_sign_and_alignment(ray_session, tmp_path):
     sparse = np.array([2, 0, 0, 0, 0, 2], dtype=np.float64)
     ref = np.corrcoef(sparse, np.array(a, dtype=np.float64))[0, 1]
     assert abs(out[("sparse", "up")] - ref) < 1e-12
+
+
+def test_modal_value_tie_breaks_low(ray_session, tmp_path):
+    """Mode tie (two values at equal top count) must pick the LOWER
+    cents value."""
+    from ocaml_geojson_ray.pipelines.queries import q_modal_value
+
+    vals = [5.00, 5.00, 3.00, 3.00, 9.99]
+    sf = _write_events(tmp_path, [1] * 5,
+                       [1_700_000_000_000_000 + i for i in range(5)],
+                       ["t"] * 5, value=vals)
+    r = q_modal_value(sf).to_pylist()[0]
+    assert r["mode_cents"] == 300 and r["n_mode"] == 2
+    assert r["n_total"] == 5 and r["share"] == 2 / 5
+
+
+def test_contingency_grid_keeps_zero_cells(ray_session, tmp_path):
+    """The type×7 grid must include dows with zero observations, and
+    cell terms must sum to the scipy-style chi2 (computed here by
+    hand on a 2×7)."""
+    from ocaml_geojson_ray.pipelines.queries import \
+        q_contingency_type_dow
+
+    US = 86_400_000_000
+    # Thursday epoch day 0 -> dow 4. Plant events on dows {4,5} only.
+    rows = [("a", 0)] * 6 + [("a", 1)] * 2 + [("b", 0)] * 2 \
+        + [("b", 1)] * 6
+    sf = _write_events(tmp_path, [1] * len(rows),
+                       [d * US + i for i, (_, d) in enumerate(rows)],
+                       [t for t, _ in rows])
+    out = q_contingency_type_dow(sf).to_pylist()
+    # zero-MARGINAL dows are dropped; within kept dows, zero CELLS
+    # would stay — here the 2×2 block is fully populated
+    assert len(out) == 4 and {r["dow"] for r in out} == {4, 5}
+    cells = {(r["event_type"], r["dow"]): r for r in out}
+    assert cells[("a", 4)]["n"] == 6 and cells[("b", 5)]["n"] == 6
+    # hand chi2 on the 2×2 block (marginals 8/8 × 8/8, N=16 -> e=4)
+    chi2 = sum(r["chi_term"] for r in out)
+    exp = sum((o - 4.0) ** 2 / 4.0 for o in (6, 2, 2, 6))
+    assert abs(chi2 - exp) < 1e-12
+
+
+def test_first_last_matrix_boundaries(ray_session, tmp_path):
+    """First/last extraction: a single-event user maps to the
+    diagonal; ts ties at the boundary resolve by event_id."""
+    from ocaml_geojson_ray.pipelines.queries import q_first_last_matrix
+
+    T = 1_700_000_000_000_000
+    uid = [1, 1, 1, 2, 3, 3]
+    ts = [T, T + 5, T + 9, T, T, T]      # user 3: tie on ts
+    et = ["a", "b", "c", "d", "x", "y"]  # -> eid order decides x->y
+    sf = _write_events(tmp_path, uid, ts, et)
+    out = {(r["first_type"], r["last_type"]): r["n_users"]
+           for r in q_first_last_matrix(sf).to_pylist()}
+    assert out == {("a", "c"): 1, ("d", "d"): 1, ("x", "y"): 1}
