@@ -271,6 +271,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("modal_value", Q.q_modal_value)
     timed("contingency_type_dow", Q.q_contingency_type_dow)
     timed("first_last_matrix", Q.q_first_last_matrix)
+    timed("bfs_levels", Q.q_bfs_levels)
+    timed("wow_growth", Q.q_wow_growth)
+    timed("user_churn_sets", Q.q_user_churn_sets)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

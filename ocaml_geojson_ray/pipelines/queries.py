@@ -11064,3 +11064,275 @@ f AS (SELECT user_id,
 SELECT first_type, last_type, count(*) AS n_users
 FROM f GROUP BY 1, 2
 """
+
+
+# -- round-5 wave 22: BFS levels / WoW growth / churn sets ------------------
+
+def q_bfs_levels(sf_dir: str):
+    """Breadth-first search (the 'how far does influence reach'
+    graph primitive, complementing pagerank/triangles/CC): hop
+    distance from the seed (the lowest part node) over the
+    UNDIRECTED part↔supplier bipartite multigraph from lineitem
+    (part p ↦ node 2p, supplier s ↦ node 2s+1 — the same graph the
+    pagerank family walks), capped at 6 hops, reported as the
+    level → node-count histogram. Physical shape: DISTINCT edges
+    derive distributed through the packed-key funnel (map-side
+    unique, edge set ≤ parts×suppliers ≪ lineitem rows); the level
+    sweep is vectorized frontier expansion over the sorted adjacency
+    (searchsorted slices, one pass per level ≤ 6) — the broadcast
+    plan, valid while the EDGE SET fits a worker (the pagerank
+    size-gate argument; the distributed alternative is a per-level
+    frontier⋈edges join). Unreached nodes emit no row on either
+    side. SQL-checked (recursive-CTE min-level oracle)."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    ds = _read_split_few(sf_dir, "lineitem",
+                         ["l_partkey", "l_suppkey"])
+
+    def edge_partial(b: pa.Table) -> pa.Table:
+        p = b["l_partkey"].to_numpy(zero_copy_only=False)
+        s = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        if (p >= (1 << 31)).any() or (s >= (1 << 31)).any():
+            raise ValueError("bfs_levels pack overflow")
+        packed = np.unique(((p * 2) << 32) | (s * 2 + 1))
+        return pa.table({
+            "pk": pa.array(packed, pa.int64()),
+            "partial": pa.array(np.ones(len(packed), np.int64),
+                                pa.int64()),
+        })
+
+    edges = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(edge_partial, batch_format="pyarrow"),
+        ["pk"], "partial", "m",
+    ).to_arrow_refs()))
+    pk = edges["pk"].to_numpy(zero_copy_only=False)
+    a = pk >> 32
+    b = pk & ((1 << 32) - 1)
+    # undirected: both directions, sorted by src for slice probes
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    order = np.argsort(src, kind="stable")
+    src, dst = src[order], dst[order]
+    nodes = np.unique(src)
+    dist = np.full(len(nodes), -1, np.int64)
+    seed = int(a.min())
+    frontier = np.array([seed], np.int64)
+    dist[np.searchsorted(nodes, seed)] = 0
+    for lvl in range(1, 7):
+        lo = np.searchsorted(src, frontier, side="left")
+        hi = np.searchsorted(src, frontier, side="right")
+        if not len(lo):
+            break
+        neigh = np.unique(np.concatenate(
+            [dst[l:h] for l, h in zip(lo, hi)]))
+        ni = np.searchsorted(nodes, neigh)
+        fresh = dist[ni] == -1
+        if not fresh.any():
+            break
+        dist[ni[fresh]] = lvl
+        frontier = neigh[fresh]
+    lv, cnt = np.unique(dist[dist >= 0], return_counts=True)
+    return pa.table({
+        "lvl": pa.array(lv.astype(np.int64), pa.int64()),
+        "n_nodes": pa.array(cnt.astype(np.int64), pa.int64()),
+    })
+
+
+SQL_BFS_LEVELS = """
+WITH RECURSIVE e AS (SELECT DISTINCT l_partkey * 2 AS a,
+                            l_suppkey * 2 + 1 AS b
+                     FROM lineitem),
+ee AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+seed AS (SELECT min(a) AS s FROM e),
+bfs(node, lvl) AS (
+    SELECT s, 0 FROM seed
+    UNION
+    SELECT ee.b, bfs.lvl + 1 FROM bfs JOIN ee ON ee.a = bfs.node
+    WHERE bfs.lvl < 6),
+m AS (SELECT node, min(lvl) AS lvl FROM bfs GROUP BY node)
+SELECT CAST(lvl AS BIGINT) AS lvl, count(*) AS n_nodes
+FROM m GROUP BY lvl
+"""
+
+
+def q_wow_growth(sf_dir: str):
+    """Week-over-week growth (the first line of every growth
+    dashboard): event counts per epoch week on the DENSE week range,
+    and the relative change vs the previous week as exact integer
+    difference / previous count (ONE divide). Weeks whose previous
+    count is ZERO drop (growth undefined — division by an empty
+    baseline), matching the oracle's predicate; zero-count weeks
+    inside the range still appear as baselines AND as n=0 rows when
+    their predecessor was active. All int64 through the
+    weeks-bounded funnel. SQL-checked (range-grid + lag oracle)."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    US_PER_WEEK = 7 * 86_400_000_000
+    ds = _read_split(sf_dir, "events", ["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        w = (b["ts"].cast(pa.int64())
+             .to_numpy(zero_copy_only=False)) // US_PER_WEEK
+        t = pa.table({"week": pa.array(w, pa.int64())})
+        return t.group_by(["week"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["week", "partial"])
+
+    hist = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["week"], "partial", "n",
+    ).to_arrow_refs()))
+    wk = hist["week"].to_numpy(zero_copy_only=False)
+    cv = hist["n"].to_numpy(zero_copy_only=False)
+    lo = int(wk.min())
+    grid = np.zeros(int(wk.max()) - lo + 1, np.int64)
+    grid[wk - lo] = cv
+    out = {"week": [], "n": [], "prev_n": [], "growth": []}
+    for i in range(1, len(grid)):
+        prev, cur = int(grid[i - 1]), int(grid[i])
+        if prev == 0:
+            continue
+        out["week"].append(lo + i)
+        out["n"].append(cur)
+        out["prev_n"].append(prev)
+        out["growth"].append((cur - prev) / prev)
+    return pa.table({
+        "week": pa.array(out["week"], pa.int64()),
+        "n": pa.array(out["n"], pa.int64()),
+        "prev_n": pa.array(out["prev_n"], pa.int64()),
+        "growth": pa.array(out["growth"], pa.float64()),
+    })
+
+
+SQL_WOW_GROWTH = """
+WITH c AS (SELECT CAST(epoch_us(ts) AS BIGINT) // 604800000000 AS w,
+                  count(*) AS n
+           FROM events GROUP BY 1),
+b AS (SELECT min(w) AS mn, max(w) AS mx FROM c),
+g AS (SELECT weeks.w, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+      FROM (SELECT unnest(range(mn, mx + 1)) AS w FROM b) weeks
+      LEFT JOIN c ON c.w = weeks.w),
+l AS (SELECT w, n, lag(n) OVER (ORDER BY w) AS prev_n FROM g)
+SELECT w AS week, n, prev_n,
+       CAST(n - prev_n AS DOUBLE) / CAST(prev_n AS DOUBLE) AS growth
+FROM l WHERE prev_n > 0
+"""
+
+
+def q_user_churn_sets(sf_dir: str):
+    """New / retained / churned user accounting (the set-difference
+    triad under every retention chart): per epoch week w, the count
+    of active users, those also active in week w−1 (retained), the
+    newly-appearing remainder, and the users of w−1 who went silent
+    (churned). Physical shape: ONE user-bucket shuffle; inside a
+    bucket the distinct (user, week) pairs sort once and
+    retained/new/churned fall out of vectorized week-adjacency on
+    the packed key ((uid<<20)|week — users never cross buckets, so
+    per-week partial counts are exact); the weeks-bounded funnel
+    sums bucket partials. Emitted for every week with any activity
+    in w or w−1. SQL-checked (distinct-pair self-join oracle)."""
+    import ray
+
+    from ..util import grouped_sum_combine, grouped_sums_combine
+
+    US_PER_WEEK = 7 * 86_400_000_000
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nb = max(4, cpus // 4)
+    ds = split_read(f"{sf_dir}/events.parquet", ["user_id", "ts"], nb)
+    n_buckets = max(64, cpus * 8)
+
+    def pre(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        wk = (b["ts"].cast(pa.int64())
+              .to_numpy(zero_copy_only=False)) // US_PER_WEEK
+        if (uid >= (1 << 43)).any() or (wk >= (1 << 20)).any():
+            raise ValueError("user_churn_sets pack overflow")
+        packed = np.unique((uid << 20) | wk)
+        return pa.table({
+            "bucket": pa.array(
+                fib_bucket(packed >> 20, n_buckets), pa.int64()),
+            "packed": pa.array(packed, pa.int64()),
+        })
+
+    def tally(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "week": pa.array([], pa.int64()),
+            "active": pa.array([], pa.int64()),
+            "retained": pa.array([], pa.int64()),
+            "churned": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        packed = np.unique(g["packed"].to_numpy(zero_copy_only=False))
+        uid = packed >> 20
+        wk = packed & ((1 << 20) - 1)
+        # adjacent (same user, consecutive week) pairs in the sorted
+        # packed order are exactly the retained transitions
+        ret = (uid[1:] == uid[:-1]) & (wk[1:] == wk[:-1] + 1)
+        act_w, act_c = np.unique(wk, return_counts=True)
+        ret_w, ret_c = np.unique(wk[1:][ret], return_counts=True)
+        # churned out of week w counts toward week w+1
+        chu_w, chu_c = act_w + 1, act_c.copy()
+        ri = np.searchsorted(chu_w, ret_w)
+        chu_c[ri] -= ret_c
+        weeks = np.unique(np.concatenate([act_w, ret_w, chu_w]))
+        t = np.zeros((len(weeks), 3), np.int64)
+        t[np.searchsorted(weeks, act_w), 0] = act_c
+        t[np.searchsorted(weeks, ret_w), 1] = ret_c
+        t[np.searchsorted(weeks, chu_w), 2] = chu_c
+        return pa.table({
+            "week": pa.array(weeks, pa.int64()),
+            "active": pa.array(t[:, 0], pa.int64()),
+            "retained": pa.array(t[:, 1], pa.int64()),
+            "churned": pa.array(t[:, 2], pa.int64()),
+        })
+
+    comb = pa.concat_tables([t for t in ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(tally, batch_format="pyarrow"),
+        ["week"], ["active", "retained", "churned"],
+        ["n_active", "n_retained", "n_churned"],
+    ).to_arrow_refs()) if t.num_columns > 0])
+    wk = comb["week"].to_numpy(zero_copy_only=False)
+    act = comb["n_active"].to_numpy(zero_copy_only=False)
+    ret = comb["n_retained"].to_numpy(zero_copy_only=False)
+    chu = comb["n_churned"].to_numpy(zero_copy_only=False)
+    order = np.argsort(wk)
+    # the +1 spill week past the last active week only carries churn
+    return pa.table({
+        "week": pa.array(wk[order], pa.int64()),
+        "n_active": pa.array(act[order], pa.int64()),
+        "n_new": pa.array((act - ret)[order], pa.int64()),
+        "n_retained": pa.array(ret[order], pa.int64()),
+        "n_churned": pa.array(chu[order], pa.int64()),
+    })
+
+
+SQL_USER_CHURN_SETS = """
+WITH d AS (SELECT DISTINCT user_id,
+                  CAST(epoch_us(ts) AS BIGINT) // 604800000000 AS w
+           FROM events),
+act AS (SELECT w, count(*) AS n_active FROM d GROUP BY w),
+ret AS (SELECT b.w, count(*) AS n_retained
+        FROM d a JOIN d b ON a.user_id = b.user_id
+        AND b.w = a.w + 1 GROUP BY b.w),
+chu AS (SELECT a.w + 1 AS w, count(*) AS n_churned
+        FROM d a LEFT JOIN d b ON a.user_id = b.user_id
+        AND b.w = a.w + 1
+        WHERE b.user_id IS NULL GROUP BY a.w + 1),
+wk AS (SELECT w FROM act UNION SELECT w FROM ret
+       UNION SELECT w FROM chu)
+SELECT wk.w AS week,
+       CAST(coalesce(act.n_active, 0) AS BIGINT) AS n_active,
+       CAST(coalesce(act.n_active, 0)
+            - coalesce(ret.n_retained, 0) AS BIGINT) AS n_new,
+       CAST(coalesce(ret.n_retained, 0) AS BIGINT) AS n_retained,
+       CAST(coalesce(chu.n_churned, 0) AS BIGINT) AS n_churned
+FROM wk LEFT JOIN act ON act.w = wk.w
+LEFT JOIN ret ON ret.w = wk.w
+LEFT JOIN chu ON chu.w = wk.w
+"""

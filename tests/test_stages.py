@@ -2183,3 +2183,82 @@ def test_first_last_matrix_boundaries(ray_session, tmp_path):
     out = {(r["first_type"], r["last_type"]): r["n_users"]
            for r in q_first_last_matrix(sf).to_pylist()}
     assert out == {("a", "c"): 1, ("d", "d"): 1, ("x", "y"): 1}
+
+
+def test_bfs_levels_chain_graph(ray_session, tmp_path):
+    """BFS on a planted PATH graph (p1-s1-p2-s2-p3 ...) must produce
+    one node per level, stop at the 6-hop cap, and leave the
+    disconnected island (p90-s90) out entirely."""
+    import pyarrow.parquet as pq
+
+    from ocaml_geojson_ray.pipelines.queries import q_bfs_levels
+
+    # chain: part i joined to supplier i and supplier i-1 -> a path
+    parts, supps = [], []
+    for i in range(1, 7):
+        parts.append(i), supps.append(i)
+        if i > 1:
+            parts.append(i), supps.append(i - 1)
+    parts.append(90), supps.append(90)  # island (never reached)
+    n = len(parts)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(range(n), pa.int64()),
+        "l_partkey": pa.array(parts, pa.int64()),
+        "l_suppkey": pa.array(supps, pa.int64()),
+        "l_linenumber": pa.array([1] * n, pa.int32()),
+        "l_quantity": pa.array([1.0] * n, pa.float64()),
+        "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+        "l_discount": pa.array([0.0] * n, pa.float64()),
+        "l_tax": pa.array([0.0] * n, pa.float64()),
+        "l_returnflag": pa.array(["A"] * n, pa.string()),
+        "l_linestatus": pa.array(["O"] * n, pa.string()),
+        "l_shipdate": pa.array([0] * n, pa.timestamp("us")),
+    }), f"{tmp_path}/lineitem.parquet")
+    out = {r["lvl"]: r["n_nodes"]
+           for r in q_bfs_levels(str(tmp_path)).to_pylist()}
+    # path p1 s1 p2 s2 p3 s3 p4 ... : levels 0..6 one node each,
+    # nodes beyond the cap (s4-p5-s5-p6-s6 tail past hop 6) cut
+    assert out == {k: 1 for k in range(7)}
+
+
+def test_wow_growth_zero_baseline_drops(ray_session, tmp_path):
+    """A week following an EMPTY week has no growth row (undefined
+    baseline), while an n=0 week after an active one appears with
+    growth −1.0."""
+    from ocaml_geojson_ray.pipelines.queries import q_wow_growth
+
+    US_W = 7 * 86_400_000_000
+    # weeks 0:4 events, 1:2, 2:0, 3:5  -> rows for weeks 1 (-0.5),
+    # 2 (-1.0), and week 3 DROPPED (prev 0)
+    weeks = [0] * 4 + [1] * 2 + [3] * 5
+    sf = _write_events(tmp_path, [1] * len(weeks),
+                       [w * US_W + i for i, w in enumerate(weeks)],
+                       ["a"] * len(weeks))
+    out = {r["week"]: r for r in q_wow_growth(sf).to_pylist()}
+    assert set(out) == {1, 2}
+    assert out[1]["growth"] == -0.5 and out[1]["prev_n"] == 4
+    assert out[2]["n"] == 0 and out[2]["growth"] == -1.0
+
+
+def test_user_churn_sets_triad_balances(ray_session, tmp_path):
+    """new + retained == active, churned(w) == active(w−1) −
+    retained(w), and a fully-silent week still shows its churn."""
+    from ocaml_geojson_ray.pipelines.queries import q_user_churn_sets
+
+    US_W = 7 * 86_400_000_000
+    pairs = [(1, 0), (2, 0), (3, 0),          # week 0: {1,2,3}
+             (1, 1), (4, 1),                  # week 1: {1,4}
+             (4, 3)]                          # week 3: {4} (gap at 2)
+    sf = _write_events(tmp_path, [u for u, _ in pairs],
+                       [w * US_W + i for i, (_, w) in enumerate(pairs)],
+                       ["a"] * len(pairs))
+    out = {r["week"]: r for r in q_user_churn_sets(sf).to_pylist()}
+    w1 = out[1]
+    assert (w1["n_active"], w1["n_new"], w1["n_retained"],
+            w1["n_churned"]) == (2, 1, 1, 2)   # 4 new, 1 kept, 2+3 left
+    w2 = out[2]                                # silent week: churn only
+    assert (w2["n_active"], w2["n_churned"]) == (0, 2)
+    w4 = out[4]                                # spill week after last
+    assert (w4["n_active"], w4["n_churned"]) == (0, 1)
+    for r in out.values():
+        assert r["n_new"] + r["n_retained"] == r["n_active"]
