@@ -274,6 +274,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("bfs_levels", Q.q_bfs_levels)
     timed("wow_growth", Q.q_wow_growth)
     timed("user_churn_sets", Q.q_user_churn_sets)
+    timed("nation_revenue_rank", Q.q_nation_revenue_rank)
+    timed("orders_pagination", Q.q_orders_pagination)
+    timed("above_avg_orders", Q.q_above_avg_orders)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

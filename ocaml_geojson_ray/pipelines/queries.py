@@ -11336,3 +11336,267 @@ FROM wk LEFT JOIN act ON act.w = wk.w
 LEFT JOIN ret ON ret.w = wk.w
 LEFT JOIN chu ON chu.w = wk.w
 """
+
+
+# -- round-5 wave 23: rank family / pagination / correlated predicate -------
+
+def q_nation_revenue_rank(sf_dir: str):
+    """The ranking-function family in one report (rank, dense_rank,
+    percent_rank — the leaderboard shapes): nations ordered by total
+    order revenue. Revenue aggregates distributed (broadcast
+    customer→nation dims, cents partials through the nations-bounded
+    funnel); the rank triple is a driver pass over ≤ nations rows —
+    rank() is competition ranking over (revenue DESC), dense_rank
+    collapses ties, percent_rank = (rank−1)/(N−1) as ONE divide.
+    SQL-checked (window-function oracle)."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    ds = _read_split_few(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust["c_custkey"].to_numpy()
+    cn = cust["c_nationkey"].to_numpy().astype(np.int64)
+    o = np.argsort(ck)
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nk = nat["n_nationkey"].to_numpy().astype(np.int64)
+    no = np.argsort(nk)
+    nname = np.asarray(nat["n_name"].to_pylist(), dtype=object)[no]
+    dim_ref = ray.put((ck[o], cn[o], nk[no]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        ck_s, cn_s, nk_s = ray.get(dim_ref)
+        cust_k = b["o_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(ck_s, cust_k), len(ck_s) - 1)
+        hit = ck_s[idx] == cust_k
+        nidx = np.searchsorted(nk_s, cn_s[idx[hit]])
+        cents = np.round(
+            b["o_totalprice"].to_numpy(zero_copy_only=False)[hit]
+            * 100.0).astype(np.int64)
+        sums = np.zeros(len(nk_s), np.int64)
+        np.add.at(sums, nidx, cents)
+        nz = np.flatnonzero(sums)
+        return pa.table({
+            "nidx": pa.array(nz, pa.int64()),
+            "partial": pa.array(sums[nz], pa.int64()),
+        })
+
+    fine = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["nidx"], "partial", "cents",
+    ).to_arrow_refs()))
+    ni = fine["nidx"].to_numpy(zero_copy_only=False)
+    cents = fine["cents"].to_numpy(zero_copy_only=False)
+    names = nname[ni]
+    order = np.lexsort((names, -cents))
+    names, cents = names[order], cents[order]
+    n = len(names)
+    # competition rank over revenue DESC (ties share the rank)
+    new = np.empty(n, np.bool_)
+    new[0] = True
+    new[1:] = cents[1:] != cents[:-1]
+    rank = np.arange(1, n + 1)[np.flatnonzero(new)][
+        np.cumsum(new) - 1]
+    drank = np.cumsum(new)
+    prk = ((rank - 1) / (n - 1) if n > 1
+           else np.zeros(n)).astype(np.float64)
+    return pa.table({
+        "nation": pa.array(names, pa.string()),
+        "revenue_cents": pa.array(cents, pa.int64()),
+        "rnk": pa.array(rank.astype(np.int64), pa.int64()),
+        "dense_rnk": pa.array(drank.astype(np.int64), pa.int64()),
+        "pct_rnk": pa.array(prk, pa.float64()),
+    })
+
+
+SQL_NATION_REVENUE_RANK = """
+WITH f AS (SELECT n_name AS nation,
+                  CAST(sum(CAST(round(o_totalprice * 100.0)
+                                AS BIGINT)) AS BIGINT) AS revenue_cents
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name)
+SELECT nation, revenue_cents,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS dense_rnk,
+       CAST(rank() OVER w - 1 AS DOUBLE)
+       / CAST(count(*) OVER () - 1 AS DOUBLE) AS pct_rnk
+FROM f WINDOW w AS (ORDER BY revenue_cents DESC)
+"""
+
+
+def q_orders_pagination(sf_dir: str):
+    """Deterministic PAGINATION (ORDER BY … LIMIT 20 OFFSET 40 — the
+    'page 3' contract an API must keep stable across retries): orders
+    by (totalprice DESC, orderkey ASC). Physical shape: every block
+    contributes its local top-60 (page-end bound) through a bounded
+    funnel — top-60 of a union ⊆ union of per-block top-60s — and the
+    driver re-sorts 60·blocks candidate rows and slices [40:60); the
+    full sort never happens. SQL-checked (row_number BETWEEN
+    oracle)."""
+    import heapq
+
+    import ray
+
+    ds = _read_split_few(sf_dir, "orders",
+                         ["o_orderkey", "o_totalprice"])
+    PAGE_END = 60
+
+    def blk_top(b: pa.Table) -> pa.Table:
+        xc = np.round(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        keys = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        keep = heapq.nsmallest(PAGE_END, zip(xc, keys),
+                               key=lambda r: (-r[0], r[1]))
+        return pa.table({
+            "xc": pa.array([r[0] for r in keep], pa.int64()),
+            "o_orderkey": pa.array([r[1] for r in keep], pa.int64()),
+        })
+
+    cand = pa.concat_tables(ray.get(
+        ds.map_batches(blk_top, batch_format="pyarrow")
+        .to_arrow_refs())).to_pylist()
+    top = heapq.nsmallest(PAGE_END, cand,
+                          key=lambda r: (-r["xc"], r["o_orderkey"]))
+    page = top[40:60]
+    return pa.table({
+        "page_pos": pa.array(range(41, 41 + len(page)), pa.int64()),
+        "o_orderkey": pa.array([r["o_orderkey"] for r in page],
+                               pa.int64()),
+        "price_cents": pa.array([r["xc"] for r in page], pa.int64()),
+    })
+
+
+SQL_ORDERS_PAGINATION = """
+WITH r AS (SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100.0) AS BIGINT) AS xc,
+                  row_number() OVER (ORDER BY o_totalprice DESC,
+                                     o_orderkey) AS rn
+           FROM orders)
+SELECT rn AS page_pos, o_orderkey, xc AS price_cents
+FROM r WHERE rn BETWEEN 41 AND 60
+"""
+
+
+def q_above_avg_orders(sf_dir: str):
+    """Correlated-subquery shape ('orders above their OWN customer's
+    average' — the classic per-entity baseline comparison): per
+    market segment, how many orders beat the placing customer's mean
+    order value, with the share. The mean never becomes a float:
+    price > avg ⇔ cents·n_cust > sum_cents, an exact integer
+    cross-multiply (the KS cross-product device). Physical shape:
+    ONE shuffle of orders on the customer bucket (a customer's
+    orders co-locate, so per-customer sums and the per-order
+    comparison are vectorized segment scans); the customer→segment
+    dimension broadcasts; the segment-bounded funnel sums partials.
+    SQL-checked (aggregate-join + integer predicate oracle)."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ..util import grouped_sums_combine
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nb = max(4, cpus // 4)
+    ds = split_read(f"{sf_dir}/orders.parquet",
+                    ["o_custkey", "o_totalprice"], nb)
+    n_buckets = max(64, cpus * 8)
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    ck = cust["c_custkey"].to_numpy()
+    o = np.argsort(ck)
+    seg = np.asarray(cust["c_mktsegment"].to_pylist(), dtype=object)[o]
+    dim_ref = ray.put((ck[o], seg))
+
+    def pre(b: pa.Table) -> pa.Table:
+        uid = b["o_custkey"].to_numpy(zero_copy_only=False)
+        xc = np.round(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(uid, n_buckets), pa.int64()),
+            "ck": pa.array(uid, pa.int64()),
+            "xc": pa.array(xc, pa.int64()),
+        })
+
+    def judge(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "seg": pa.array([], pa.string()),
+            "above": pa.array([], pa.int64()),
+            "total": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        ck_s, seg_s = ray.get(dim_ref)
+        cku = g["ck"].to_numpy(zero_copy_only=False)
+        xc = g["xc"].to_numpy(zero_copy_only=False)
+        order = np.argsort(cku, kind="stable")
+        cku, xc = cku[order], xc[order]
+        brk = np.empty(len(cku), np.bool_)
+        brk[0] = True
+        brk[1:] = cku[1:] != cku[:-1]
+        gid = np.cumsum(brk) - 1
+        csum = np.bincount(gid, weights=xc).astype(np.int64)
+        ccnt = np.bincount(gid)
+        above = (xc * ccnt[gid] > csum[gid]).astype(np.int64)
+        # customer → segment via guarded probe (inner semantics)
+        cust_first = cku[brk]
+        idx = np.minimum(np.searchsorted(ck_s, cust_first),
+                         len(ck_s) - 1)
+        hit = ck_s[idx] == cust_first
+        seg_per_cust = np.where(hit, seg_s[idx], None)
+        seg_rows = seg_per_cust[gid]
+        keep = seg_rows != None  # noqa: E711 (vector compare)
+        su, inv = np.unique(seg_rows[keep].astype(str),
+                            return_inverse=True)
+        return pa.table({
+            "seg": pa.array(su, pa.string()),
+            "above": pa.array(
+                np.bincount(inv, weights=above[keep]).astype(np.int64),
+                pa.int64()),
+            "total": pa.array(np.bincount(inv).astype(np.int64),
+                              pa.int64()),
+        })
+
+    comb = pa.concat_tables([t for t in ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(judge, batch_format="pyarrow"),
+        ["seg"], ["above", "total"], ["n_above", "n_orders"],
+    ).to_arrow_refs()) if t.num_columns > 0])
+    sg = np.asarray(comb["seg"].to_pylist(), dtype=object)
+    ab = comb["n_above"].to_numpy(zero_copy_only=False)
+    tt = comb["n_orders"].to_numpy(zero_copy_only=False)
+    order = np.argsort(sg)
+    return pa.table({
+        "c_mktsegment": pa.array(sg[order], pa.string()),
+        "n_above": pa.array(ab[order], pa.int64()),
+        "n_orders": pa.array(tt[order], pa.int64()),
+        "share": pa.array(
+            (ab[order] / tt[order]).astype(np.float64), pa.float64()),
+    })
+
+
+SQL_ABOVE_AVG_ORDERS = """
+WITH o AS (SELECT o_custkey AS ck,
+                  CAST(round(o_totalprice * 100.0) AS BIGINT) AS xc
+           FROM orders),
+ca AS (SELECT ck, CAST(sum(xc) AS BIGINT) AS s, count(*) AS c
+       FROM o GROUP BY ck),
+j AS (SELECT o.ck,
+             CASE WHEN o.xc * ca.c > ca.s THEN 1 ELSE 0 END AS ab
+      FROM o JOIN ca ON o.ck = ca.ck)
+SELECT c_mktsegment,
+       CAST(sum(ab) AS BIGINT) AS n_above,
+       count(*) AS n_orders,
+       CAST(sum(ab) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS share
+FROM j JOIN customer ON j.ck = c_custkey
+GROUP BY c_mktsegment
+"""

@@ -2262,3 +2262,107 @@ def test_user_churn_sets_triad_balances(ray_session, tmp_path):
     assert (w4["n_active"], w4["n_churned"]) == (0, 1)
     for r in out.values():
         assert r["n_new"] + r["n_retained"] == r["n_active"]
+
+
+def test_nation_revenue_rank_tie_semantics(ray_session, tmp_path):
+    """rank must SKIP after a tie (competition), dense_rank must not,
+    percent_rank = (rank−1)/(N−1) — pinned on planted tied revenues."""
+    import pyarrow.parquet as pq
+
+    from ocaml_geojson_ray.pipelines.queries import q_nation_revenue_rank
+
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1, 2, 3], pa.int64()),
+        "n_name": pa.array(["N0", "N1", "N2", "N3"], pa.string()),
+        "n_regionkey": pa.array([0] * 4, pa.int64()),
+    }), f"{tmp_path}/nation.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_name": pa.array(["a"] * 4, pa.string()),
+        "c_nationkey": pa.array([0, 1, 2, 3], pa.int32()),
+        "c_acctbal": pa.array([0.0] * 4, pa.float64()),
+        "c_mktsegment": pa.array(["S"] * 4, pa.string()),
+    }), f"{tmp_path}/customer.parquet")
+    # revenues: N0=100, N1=50, N2=50, N3=10 -> ranks 1,2,2,4
+    prices = {1: [100.0], 2: [50.0], 3: [30.0, 20.0], 4: [10.0]}
+    ok, cks, ps = [], [], []
+    i = 0
+    for ck, lst in prices.items():
+        for p in lst:
+            i += 1
+            ok.append(i), cks.append(ck), ps.append(p)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(ok, pa.int64()),
+        "o_custkey": pa.array(cks, pa.int64()),
+        "o_orderstatus": pa.array(["O"] * i, pa.string()),
+        "o_totalprice": pa.array(ps, pa.float64()),
+        "o_orderdate": pa.array([0] * i, pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1"] * i, pa.string()),
+    }), f"{tmp_path}/orders.parquet")
+    out = {r["nation"]: r for r in
+           q_nation_revenue_rank(str(tmp_path)).to_pylist()}
+    assert [out[n]["rnk"] for n in ("N0", "N1", "N2", "N3")] \
+        == [1, 2, 2, 4]
+    assert [out[n]["dense_rnk"] for n in ("N0", "N1", "N2", "N3")] \
+        == [1, 2, 2, 3]
+    assert out["N3"]["pct_rnk"] == 1.0 and out["N0"]["pct_rnk"] == 0.0
+    assert out["N1"]["pct_rnk"] == out["N2"]["pct_rnk"] == 1 / 3
+
+
+def test_orders_pagination_stable_page(ray_session, tmp_path):
+    """Page 3 (rows 41-60) must be exact under price ties — orderkey
+    breaks them — and the per-block top-60 funnel must not lose a
+    row that belongs on the page."""
+    import pyarrow.parquet as pq
+
+    from ocaml_geojson_ray.pipelines.queries import q_orders_pagination
+
+    # 100 orders, prices descending in pairs (ties), keys shuffled
+    n = 100
+    keys = list(range(1, n + 1))
+    prices = [float(1000 - (k // 2)) for k in keys]
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(keys, pa.int64()),
+        "o_custkey": pa.array([1] * n, pa.int64()),
+        "o_orderstatus": pa.array(["O"] * n, pa.string()),
+        "o_totalprice": pa.array(prices, pa.float64()),
+        "o_orderdate": pa.array([0] * n, pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1"] * n, pa.string()),
+    }), f"{tmp_path}/orders.parquet")
+    ref = sorted(zip(prices, keys), key=lambda r: (-r[0], r[1]))[40:60]
+    out = q_orders_pagination(str(tmp_path)).to_pylist()
+    assert [r["o_orderkey"] for r in out] == [k for _, k in ref]
+    assert out[0]["page_pos"] == 41 and out[-1]["page_pos"] == 60
+
+
+def test_above_avg_orders_integer_predicate(ray_session, tmp_path):
+    """price > customer mean must use the EXACT integer
+    cross-multiply: a customer with orders [1.00, 2.00, 2.00] has
+    mean 5/3 — both 2.00s count, the 1.00 doesn't, and an order
+    exactly AT the mean (customer [2.00, 4.00], probe 3.00) is NOT
+    above."""
+    import pyarrow.parquet as pq
+
+    from ocaml_geojson_ray.pipelines.queries import q_above_avg_orders
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_name": pa.array(["a", "b"], pa.string()),
+        "c_nationkey": pa.array([0, 0], pa.int32()),
+        "c_acctbal": pa.array([0.0, 0.0], pa.float64()),
+        "c_mktsegment": pa.array(["X", "Y"], pa.string()),
+    }), f"{tmp_path}/customer.parquet")
+    cks = [1, 1, 1, 2, 2, 2]
+    ps = [1.0, 2.0, 2.0, 2.0, 4.0, 3.0]  # cust2 mean exactly 3.00
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(6), pa.int64()),
+        "o_custkey": pa.array(cks, pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 6, pa.string()),
+        "o_totalprice": pa.array(ps, pa.float64()),
+        "o_orderdate": pa.array([0] * 6, pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1"] * 6, pa.string()),
+    }), f"{tmp_path}/orders.parquet")
+    out = {r["c_mktsegment"]: r for r in
+           q_above_avg_orders(str(tmp_path)).to_pylist()}
+    assert out["X"]["n_above"] == 2 and out["X"]["n_orders"] == 3
+    assert out["Y"]["n_above"] == 1  # only the 4.00; 3.00 == mean
