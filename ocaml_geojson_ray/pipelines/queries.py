@@ -11600,3 +11600,278 @@ SELECT c_mktsegment,
 FROM j JOIN customer ON j.ck = c_custkey
 GROUP BY c_mktsegment
 """
+
+
+# -- round-5 wave 24: degree histogram / id gaps / normalized dedup ---------
+
+def q_degree_histogram(sf_dir: str):
+    """Graph degree distribution (the first structural readout of any
+    graph dataset): over the DISTINCT part↔supplier edge set, the
+    (side, degree) → node-count histogram, where side names the
+    bipartite partition the node lives in. Physical shape: per-block
+    distinct packed edges, then ONE shuffle on a NODE bucket key
+    (util.fib_bucket per side, supplier buckets offset by n_buckets;
+    every surviving copy of an edge lands in its node's bucket, so the
+    groupby both finishes the edge dedup AND co-locates each node's
+    full edge list), per-bucket exact degrees collapsed to bounded
+    (side, degree) histogram partials, funnel combine. The driver
+    never sees nodes or edges — only the degree histogram, whose row
+    count is bounded by the number of DISTINCT degrees. SQL-checked
+    (distinct-edge GROUP BY oracle)."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sum_combine
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    MASK = (1 << 32) - 1
+
+    ds = _read_split_few(sf_dir, "lineitem",
+                         ["l_partkey", "l_suppkey"])
+
+    def edge_pairs(b: pa.Table) -> pa.Table:
+        p = b["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = b["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(p) and (int(p.max()) >= (1 << 31)
+                       or int(s.max()) >= (1 << 31)):
+            raise ValueError("degree_histogram pack overflow")
+        packed = np.unique((p << 32) | s)  # map-side edge dedup
+        gb = np.concatenate([
+            fib_bucket(packed >> 32, n_buckets),
+            fib_bucket(packed & MASK, n_buckets) + n_buckets,
+        ])
+        return pa.table({
+            "gb": pa.array(gb, pa.int64()),
+            "pk": pa.array(np.concatenate([packed, packed]),
+                           pa.int64()),
+        })
+
+    def bucket_degrees(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            # empty probe blocks are a Ray-version behavior (see
+            # q_user_paths), not a contract
+            return pa.table({
+                "side": pa.array([], pa.int64()),
+                "degree": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            })
+        side = int(g["gb"][0].as_py()) // n_buckets
+        pk = np.unique(g["pk"].to_numpy(zero_copy_only=False))
+        nodes = (pk >> 32) if side == 0 else (pk & MASK)
+        _, deg = np.unique(nodes, return_counts=True)
+        dv, nn = np.unique(deg, return_counts=True)
+        return pa.table({
+            "side": pa.array(np.full(len(dv), side, np.int64),
+                             pa.int64()),
+            "degree": pa.array(dv.astype(np.int64), pa.int64()),
+            "partial": pa.array(nn.astype(np.int64), pa.int64()),
+        })
+
+    hist = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(edge_pairs, batch_format="pyarrow")
+        .groupby("gb").map_groups(bucket_degrees,
+                                  batch_format="pyarrow"),
+        ["side", "degree"], "partial", "n_nodes",
+    ).to_arrow_refs()))
+    names = pa.array(
+        ["part" if s == 0 else "supplier"
+         for s in hist["side"].to_pylist()], pa.string())
+    return pa.table({
+        "side": names,
+        "degree": hist["degree"],
+        "n_nodes": hist["n_nodes"],
+    })
+
+
+SQL_DEGREE_HISTOGRAM = """
+WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+           FROM lineitem),
+dp AS (SELECT p, count(*) AS d FROM e GROUP BY p),
+ds_ AS (SELECT s, count(*) AS d FROM e GROUP BY s)
+SELECT 'part' AS side, d AS degree, count(*) AS n_nodes
+FROM dp GROUP BY d
+UNION ALL
+SELECT 'supplier' AS side, d AS degree, count(*) AS n_nodes
+FROM ds_ GROUP BY d
+"""
+
+
+def q_id_gaps(sf_dir: str):
+    """Sequence-gap audit (the data-quality check a pipeline runs on
+    an id column that SHOULD be dense: how much is missing, and in
+    how many holes): over the purchase events' id set — min, max,
+    distinct count, total missing ids in [min, max], and the number
+    of maximal GAP RUNS. Physical shape: per-block distinct ids →
+    ONE range shuffle (``Dataset.sort`` on the id — Ray's sort
+    range-partitions, so sorted blocks hold DISJOINT key ranges) →
+    each sorted block reports four ints (min, max, count, internal
+    gap runs, where a run is a maximal missing interval) → the
+    driver folds the ≤nblocks summaries with the same associative
+    merge (runs add; one more run opens wherever the next block's
+    min skips past prev max + 1). No per-group Python cost anywhere
+    and the driver never sees raw ids — the fold is associative, so
+    at cluster scale the same merge tree-combines. Precondition
+    (raised, not assumed): purchase event_ids are globally unique —
+    the engine raises on a duplicate where the oracle's DISTINCT
+    would silently absorb it. SQL-checked (lag window oracle)."""
+    import ray
+
+    ds = _read_split(sf_dir, "events", ["event_id", "event_type"])
+
+    def ids_only(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["event_type"], "purchase")
+        ids = np.unique(
+            b.filter(keep)["event_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"id": pa.array(ids, pa.int64())})
+
+    def block_summary(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({
+                "mn": pa.array([], pa.int64()),
+                "mx": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+                "runs": pa.array([], pa.int64()),
+            })
+        ids = b["id"].to_numpy(zero_copy_only=False)
+        d = np.diff(ids)
+        if (d == 0).any():
+            raise ValueError("duplicate purchase event_id in block")
+        return pa.table({
+            "mn": pa.array([int(ids[0])], pa.int64()),
+            "mx": pa.array([int(ids[-1])], pa.int64()),
+            "cnt": pa.array([len(ids)], pa.int64()),
+            "runs": pa.array([int((d > 1).sum())], pa.int64()),
+        })
+
+    parts = pa.concat_tables(ray.get(
+        ds.map_batches(ids_only, batch_format="pyarrow")
+        .sort("id")
+        .map_batches(block_summary, batch_format="pyarrow")
+        .to_arrow_refs()))
+    if parts.num_rows == 0:
+        # aggregate over an empty id set: count 0, NULL extrema —
+        # exactly what the oracle's aggregate row degenerates to
+        return pa.table({
+            "n_ids": pa.array([0], pa.int64()),
+            "id_min": pa.array([None], pa.int64()),
+            "id_max": pa.array([None], pa.int64()),
+            "n_missing": pa.array([None], pa.int64()),
+            "n_gap_runs": pa.array([None], pa.int64()),
+        })
+    mn = parts["mn"].to_numpy(zero_copy_only=False)
+    mx = parts["mx"].to_numpy(zero_copy_only=False)
+    ct = parts["cnt"].to_numpy(zero_copy_only=False)
+    rn = parts["runs"].to_numpy(zero_copy_only=False)
+    order = np.argsort(mn, kind="stable")
+    mn, mx, ct, rn = mn[order], mx[order], ct[order], rn[order]
+    if (mn[1:] <= mx[:-1]).any():
+        raise ValueError(
+            "id_gaps: sorted block ranges overlap — duplicate ids "
+            "across blocks")
+    n_ids = int(ct.sum())
+    runs = int(rn.sum()) + int((mn[1:] > mx[:-1] + 1).sum())
+    g_min, g_max = int(mn[0]), int(mx[-1])
+    return pa.table({
+        "n_ids": pa.array([n_ids], pa.int64()),
+        "id_min": pa.array([g_min], pa.int64()),
+        "id_max": pa.array([g_max], pa.int64()),
+        "n_missing": pa.array([g_max - g_min + 1 - n_ids],
+                              pa.int64()),
+        "n_gap_runs": pa.array([runs], pa.int64()),
+    })
+
+
+SQL_ID_GAPS = """
+WITH d AS (SELECT DISTINCT event_id AS id FROM events
+           WHERE event_type = 'purchase'),
+l AS (SELECT id, lag(id) OVER (ORDER BY id) AS p FROM d)
+SELECT count(*) AS n_ids,
+       CAST(min(id) AS BIGINT) AS id_min,
+       CAST(max(id) AS BIGINT) AS id_max,
+       CAST(max(id) - min(id) + 1 - count(*) AS BIGINT) AS n_missing,
+       CAST(sum(CASE WHEN p IS NOT NULL AND id - p > 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_runs
+FROM l
+"""
+
+
+def q_normalized_dedup(sf_dir: str):
+    """Canonicalized exact dedup (the 'same text modulo case and
+    punctuation' pass that runs BEFORE fuzzy dedup in a curation
+    pipeline): documents collapse under lower() + [^a-z0-9]+ → ' ' +
+    trim; reported as corpus-level survivorship stats (docs, distinct
+    canonical forms, docs inside multi-doc clusters, largest
+    cluster). Canonicalization is vectorized Arrow (utf8_lower +
+    RE2 replace_substring_regex — the same RE2 the oracle's DuckDB
+    regexp_replace uses); only the md5 hashing walks rows
+    (util.md5_le64, THE shared device). The canonical-form key set
+    is corpus-sized, so the count-per-form step is the honest wide
+    op — a hash-key groupby Sum (the user_paths rule: bounded
+    funnels do NOT apply) — and each grouped output block then
+    collapses to FOUR int partials (docs, forms, dup docs, largest),
+    a funnel of 4-int rows. Collision risk over 2^63 is the standard
+    exact-dedup argument. SQL-checked (regexp_replace canon
+    oracle)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..util import md5_le64
+
+    ds = _read_split_few(sf_dir, "documents", ["text"])
+
+    def canon_hash(b: pa.Table) -> pa.Table:
+        canon = pc.utf8_trim(
+            pc.replace_substring_regex(
+                pc.utf8_lower(b["text"]), "[^a-z0-9]+", " "),
+            " ")
+        texts = canon.to_pylist()
+        hs = np.fromiter(
+            (md5_le64(t.encode()) for t in texts),
+            dtype=np.uint64, count=len(texts)).view(np.int64)
+        t = pa.table({"h": pa.array(hs, pa.int64())})
+        return t.group_by(["h"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["h", "partial"])
+
+    def block_stats(b: pa.Table) -> pa.Table:
+        cv = b["c"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "docs": pa.array([int(cv.sum())], pa.int64()),
+            "forms": pa.array([len(cv)], pa.int64()),
+            "dup_docs": pa.array([int(cv[cv > 1].sum())], pa.int64()),
+            "largest": pa.array(
+                [int(cv.max()) if len(cv) else 0], pa.int64()),
+        })
+
+    stats = pa.concat_tables(ray.get(
+        ds.map_batches(canon_hash, batch_format="pyarrow")
+        .groupby("h").aggregate(Sum("partial", alias_name="c"))
+        .map_batches(block_stats, batch_format="pyarrow")
+        .to_arrow_refs()))
+    return pa.table({
+        "n_docs": pa.array(
+            [int(stats["docs"].to_numpy().sum())], pa.int64()),
+        "n_forms": pa.array(
+            [int(stats["forms"].to_numpy().sum())], pa.int64()),
+        "n_dup_docs": pa.array(
+            [int(stats["dup_docs"].to_numpy().sum())], pa.int64()),
+        "largest_cluster": pa.array(
+            [int(stats["largest"].to_numpy().max())
+             if stats.num_rows else 0], pa.int64()),
+    })
+
+
+SQL_NORMALIZED_DEDUP = """
+WITH c AS (SELECT trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+                                      'g')) AS canon
+           FROM documents),
+g AS (SELECT canon, count(*) AS n FROM c GROUP BY canon)
+SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+       count(*) AS n_forms,
+       CAST(coalesce(sum(n) FILTER (WHERE n > 1), 0) AS BIGINT)
+           AS n_dup_docs,
+       CAST(max(n) AS BIGINT) AS largest_cluster
+FROM g
+"""
