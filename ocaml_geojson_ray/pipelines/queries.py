@@ -11875,3 +11875,305 @@ SELECT CAST(sum(n) AS BIGINT) AS n_docs,
        CAST(max(n) AS BIGINT) AS largest_cluster
 FROM g
 """
+
+
+# -- round-5 wave 25: association rules / set partitions / table checksum ---
+
+def q_assoc_rules(sf_dir: str):
+    """Association-rule mining (the step AFTER pair counting that
+    turns co-occurrence into recommendations): for every ordered
+    brand pair (a < b) co-occurring in an order, support counts plus
+    confidence(a→b) = n_both/n_a and lift = n_both·N / (n_a·n_b).
+    Physical shape: the part→brand map is a DIMENSION broadcast
+    (pq.read driver-side, factorized to int ids, ray.put once,
+    searchsorted per batch — never a shuffle on the big side); then
+    ONE shuffle on an ORDERKEY BUCKET (util.fib_bucket — all rows of
+    an order co-locate, so per-order distinct brand sets are complete
+    in-bucket) with the cooccur_pairs offset-k pair scan; the brand
+    vocabulary is BOUNDED, so pair counts, single counts, and the
+    order total ride one (a, b)-keyed funnel — singles as (a, -1),
+    the order count as (-1, -1). Floats are the single-divide rule:
+    confidence is one divide of exact int64s; lift is one divide of
+    two exact int64 products (overflow-guarded — beyond ~3e9 orders
+    the products need the HUGEINT-style widening the guard names).
+    SQL-checked (distinct-projection self-join oracle)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..util import fib_bucket, grouped_sum_combine
+
+    pt = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_brand"])
+    pk = pt["p_partkey"].to_numpy(zero_copy_only=False)
+    brands, binv = np.unique(
+        np.asarray(pt["p_brand"].to_pylist(), dtype=object),
+        return_inverse=True)
+    order_ = np.argsort(pk)
+    dim_ref = ray.put((pk[order_], binv[order_].astype(np.int64)))
+    n_brands = len(brands)
+    if n_brands >= 256:
+        raise ValueError("assoc_rules brand-id pack assumes < 256")
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        spk, sbid = ray.get(dim_ref)
+        ok_ = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        lpk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        bid = sbid[np.searchsorted(spk, lpk)]
+        packed = np.unique((ok_ << 8) | bid)  # brand ids < 256
+        oks = packed >> 8
+        return pa.table({
+            "bucket": pa.array(fib_bucket(oks, n_buckets), pa.int64()),
+            "ok": pa.array(oks, pa.int64()),
+            "bid": pa.array(packed & 255, pa.int64()),
+        })
+
+    def pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            })
+        ok_ = g["ok"].to_numpy(zero_copy_only=False)
+        bid = g["bid"].to_numpy(zero_copy_only=False)
+        packed = np.unique((ok_ << 8) | bid)  # cross-block dedup
+        oks = packed >> 8
+        bids = packed & 255
+        pair_keys = []
+        k = 1
+        while True:
+            m = oks[k:] == oks[:-k]
+            if not m.any():
+                break
+            # sorted within order → bids[:-k][m] < bids[k:][m]
+            pair_keys.append((bids[:-k][m] << 8) | bids[k:][m])
+            k += 1
+        if pair_keys:
+            pv, pn = np.unique(np.concatenate(pair_keys),
+                               return_counts=True)
+        else:
+            pv = pn = np.array([], np.int64)
+        av, an = np.unique(bids, return_counts=True)
+        none = np.array([-1], np.int64)
+        a_col = np.concatenate([pv >> 8, av, none])
+        b_col = np.concatenate([pv & 255,
+                                np.full(len(av), -1, np.int64), none])
+        n_col = np.concatenate([
+            pn.astype(np.int64), an.astype(np.int64),
+            np.array([len(np.unique(oks))], np.int64)])
+        return pa.table({
+            "a": pa.array(a_col, pa.int64()),
+            "b": pa.array(b_col, pa.int64()),
+            "partial": pa.array(n_col, pa.int64()),
+        })
+
+    tbl = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(pairs, batch_format="pyarrow"),
+        ["a", "b"], "partial", "n",
+    ).to_arrow_refs()))
+    a = tbl["a"].to_numpy(zero_copy_only=False)
+    b = tbl["b"].to_numpy(zero_copy_only=False)
+    n = tbl["n"].to_numpy(zero_copy_only=False)
+    n_orders = int(n[(a == -1) & (b == -1)][0])
+    singles = np.zeros(n_brands, np.int64)
+    sm = (a >= 0) & (b == -1)
+    singles[a[sm]] = n[sm]
+    pm = (a >= 0) & (b >= 0)
+    pa_, pb_, pn_ = a[pm], b[pm], n[pm]
+    n_a = singles[pa_]
+    n_b = singles[pb_]
+    if n_orders > 3_000_000_000:
+        raise ValueError("assoc_rules lift product overflow: widen")
+    conf = pn_.astype(np.float64) / n_a.astype(np.float64)
+    lift = (pn_ * n_orders).astype(np.float64) \
+        / (n_a * n_b).astype(np.float64)
+    return pa.table({
+        "brand_a": pa.array(brands[pa_], pa.string()),
+        "brand_b": pa.array(brands[pb_], pa.string()),
+        "n_both": pa.array(pn_, pa.int64()),
+        "n_a": pa.array(n_a, pa.int64()),
+        "n_b": pa.array(n_b, pa.int64()),
+        "confidence": pa.array(conf, pa.float64()),
+        "lift": pa.array(lift, pa.float64()),
+    })
+
+
+SQL_ASSOC_RULES = """
+WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+            FROM lineitem JOIN part ON l_partkey = p_partkey),
+n AS (SELECT count(DISTINCT ok) AS n_orders FROM ob),
+s AS (SELECT b, count(*) AS nb FROM ob GROUP BY b),
+p AS (SELECT x.b AS ba, y.b AS bb, count(*) AS n_both
+      FROM ob x JOIN ob y ON x.ok = y.ok AND x.b < y.b
+      GROUP BY x.b, y.b)
+SELECT p.ba AS brand_a, p.bb AS brand_b, p.n_both,
+       sa.nb AS n_a, sb.nb AS n_b,
+       CAST(p.n_both AS DOUBLE) / CAST(sa.nb AS DOUBLE)
+           AS confidence,
+       CAST(p.n_both * n.n_orders AS DOUBLE)
+           / CAST(sa.nb * sb.nb AS DOUBLE) AS lift
+FROM p JOIN s sa ON p.ba = sa.b JOIN s sb ON p.bb = sb.b
+CROSS JOIN n
+"""
+
+
+def q_event_type_combos(sf_dir: str):
+    """Exact set-partition counts (the INTERSECT/EXCEPT family in one
+    readout: which combinations of behaviors do users exhibit): for
+    every user, the sorted distinct event-type set as a ','-joined
+    combo string, then users per combo. With T event types the combo
+    space is ≤ 2^T − 1 — BOUNDED — so after ONE user-bucket shuffle
+    (util.fib_bucket; a user's full type set is complete in-bucket)
+    the per-bucket partials ride the (combo)-keyed funnel. Combo
+    assembly is the user_paths segment device: lexsort, segment
+    breaks, join. SQL-checked (string_agg DISTINCT-projection
+    oracle)."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sum_combine
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "events", ["user_id", "event_type"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": b["user_id"],
+            "event_type": b["event_type"],
+        }).group_by(["user_id", "event_type"]).aggregate([])
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(uid, n_buckets), pa.int64()),
+            "user_id": t["user_id"],
+            "event_type": t["event_type"],
+        })
+
+    def combos(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "combo": pa.array([], pa.string()),
+                "partial": pa.array([], pa.int64()),
+            })
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((et, uid))
+        u_s, e_s = uid[order], et[order]
+        # cross-block duplicates of (user, type) pairs still possible
+        dup = np.zeros(len(u_s), np.bool_)
+        dup[1:] = (u_s[1:] == u_s[:-1]) & (e_s[1:] == e_s[:-1])
+        u_s, e_s = u_s[~dup], e_s[~dup]
+        brk = np.flatnonzero(u_s[1:] != u_s[:-1]) + 1
+        segs = np.split(e_s, brk)
+        cs = np.array([",".join(seg) for seg in segs], dtype=object)
+        cv, cn = np.unique(cs, return_counts=True)
+        return pa.table({
+            "combo": pa.array(list(cv), pa.string()),
+            "partial": pa.array(cn.astype(np.int64), pa.int64()),
+        })
+
+    out = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(combos, batch_format="pyarrow"),
+        ["combo"], "partial", "n_users",
+    ).to_arrow_refs()))
+    return out
+
+
+SQL_EVENT_TYPE_COMBOS = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+c AS (SELECT user_id,
+             string_agg(event_type, ',' ORDER BY event_type) AS combo
+      FROM ut GROUP BY user_id)
+SELECT combo, count(*) AS n_users FROM c GROUP BY combo
+"""
+
+
+def q_table_checksum(sf_dir: str):
+    """Order-independent table fingerprints (the migration/replica
+    validation primitive that complements totals_audit's aggregate
+    reconcile: byte-level row content equality without any ordering
+    or co-location requirement): per table, row count plus the sum
+    over rows of util.md5_le64('|'-joined canonical row string),
+    taken mod 2^64 (native uint64 wraparound) and presented mod 2^63
+    (signed int64 for dtype parity). Sum is commutative → every
+    block contributes one (table, partial, rows) row and the funnel
+    is O(#blocks); replicas can be checked shard-by-shard.
+    SQL-checked (md5-LE-64 UBIGINT device, HUGEINT mod-2^64 chain —
+    the hll_distinct_users parity devices)."""
+    import ray
+
+    from ..util import md5_le64
+
+    M64 = 1 << 64
+
+    def partial_fn(cols):
+        def fn(b: pa.Table) -> pa.Table:
+            arrs = [b[c].to_pylist() for c in cols]
+            acc = 0
+            for vals in zip(*arrs):
+                acc += md5_le64(
+                    "|".join(str(v) for v in vals).encode())
+            return pa.table({
+                "partial": pa.array([acc % M64 - (1 << 63)],
+                                    pa.int64()),
+                "rows": pa.array([b.num_rows], pa.int64()),
+            })
+        return fn
+
+    out_names, out_rows, out_sums = [], [], []
+    for name, cols in (
+        ("orders", ["o_orderkey", "o_orderstatus", "o_orderpriority"]),
+        ("lineitem", ["l_orderkey", "l_linenumber", "l_returnflag",
+                      "l_linestatus"]),
+    ):
+        ds = _read_split(sf_dir, name, cols)
+        t = pa.concat_tables(ray.get(
+            ds.map_batches(partial_fn(cols), batch_format="pyarrow")
+            .to_arrow_refs()))
+        ps = t["partial"].to_numpy(zero_copy_only=False)
+        acc = sum(int(p) + (1 << 63) for p in ps) % M64
+        out_names.append(name)
+        out_rows.append(int(t["rows"].to_numpy().sum()))
+        out_sums.append(acc % (1 << 63))
+    return pa.table({
+        "table_name": pa.array(out_names, pa.string()),
+        "n_rows": pa.array(out_rows, pa.int64()),
+        "checksum": pa.array(out_sums, pa.int64()),
+    })
+
+
+SQL_TABLE_CHECKSUM = """
+WITH r1 AS (SELECT md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                       o_orderstatus || '|' || o_orderpriority) AS hx
+            FROM orders),
+h1 AS (SELECT CAST('0x' || substr(hx,15,2) || substr(hx,13,2)
+                        || substr(hx,11,2) || substr(hx,9,2)
+                        || substr(hx,7,2)  || substr(hx,5,2)
+                        || substr(hx,3,2)  || substr(hx,1,2)
+              AS UBIGINT) AS hv
+       FROM r1),
+r2 AS (SELECT md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+                  CAST(l_linenumber AS VARCHAR) || '|' ||
+                  l_returnflag || '|' || l_linestatus) AS hx
+            FROM lineitem),
+h2 AS (SELECT CAST('0x' || substr(hx,15,2) || substr(hx,13,2)
+                        || substr(hx,11,2) || substr(hx,9,2)
+                        || substr(hx,7,2)  || substr(hx,5,2)
+                        || substr(hx,3,2)  || substr(hx,1,2)
+              AS UBIGINT) AS hv
+       FROM r2)
+SELECT 'orders' AS table_name, count(*) AS n_rows,
+       CAST((sum(CAST(hv AS HUGEINT)) % 18446744073709551616)
+            % 9223372036854775808 AS BIGINT) AS checksum
+FROM h1
+UNION ALL
+SELECT 'lineitem' AS table_name, count(*) AS n_rows,
+       CAST((sum(CAST(hv AS HUGEINT)) % 18446744073709551616)
+            % 9223372036854775808 AS BIGINT) AS checksum
+FROM h2
+"""
