@@ -12177,3 +12177,261 @@ SELECT 'lineitem' AS table_name, count(*) AS n_rows,
             % 9223372036854775808 AS BIGINT) AS checksum
 FROM h2
 """
+
+
+# -- round-5 wave 26: PSI drift / grid stencil / systematic sample ----------
+
+def q_psi_drift(sf_dir: str):
+    """Population Stability Index (the drift monitor production
+    scoring pipelines run between a baseline window and live traffic
+    — the PSI companion to ks_statistic's two-sample test): purchase
+    values split into baseline (first 14 days) vs current, binned
+    into 10 equal-width value-cents bins over the GLOBAL range, PSI =
+    Σ (p−q)·ln(p/q) with Laplace-smoothed shares p=(c+1)/(n+10).
+    Two streamed passes: a 3-int extrema funnel (min day, min/max
+    cents — the value_histogram devices: round(value·100) cents,
+    epoch-µs//86400e6 day), then a 20-key (period, bin) count funnel.
+    Float parity: shares are single divides of exact ints; ln is libm
+    both sides (HLL precedent); the ONLY order hazard is the 10-term
+    sum — pinned left-assoc ascending bin, oracle unrolled
+    ``t0 + t1 + …`` (hourly_entropy idiom). SQL-checked."""
+    import math
+
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    US_PER_DAY = 86_400_000_000
+    ds = _read_split(sf_dir, "events",
+                     ["event_type", "ts", "value"])
+
+    def extrema(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["event_type"], "purchase")
+        t = b.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({
+                "mnd": pa.array([], pa.int64()),
+                "mnx": pa.array([], pa.int64()),
+                "mxx": pa.array([], pa.int64()),
+            })
+        ts_us = t["ts"].cast(pa.int64())
+        xc = pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64())
+        day = pc.divide(ts_us, US_PER_DAY)
+        return pa.table({
+            "mnd": pa.array([pc.min(day).as_py()], pa.int64()),
+            "mnx": pa.array([pc.min(xc).as_py()], pa.int64()),
+            "mxx": pa.array([pc.max(xc).as_py()], pa.int64()),
+        })
+
+    ex = pa.concat_tables(ray.get(
+        ds.map_batches(extrema, batch_format="pyarrow")
+        .to_arrow_refs()))
+    if ex.num_rows == 0:
+        raise ValueError("psi_drift: no purchase events")
+    mnd = int(pc.min(ex["mnd"]).as_py())
+    mnx = int(pc.min(ex["mnx"]).as_py())
+    mxx = int(pc.max(ex["mxx"]).as_py())
+    width_den = mxx - mnx + 1
+
+    def bins(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["event_type"], "purchase")
+        t = b.filter(keep)
+        ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        xc = pc.round(pc.multiply(t["value"], 100.0)) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        period = ((ts_us // US_PER_DAY) >= mnd + 14).astype(np.int64)
+        bn = ((xc - mnx) * 10) // width_den
+        vc = pa.table({
+            "period": pa.array(period, pa.int64()),
+            "bin": pa.array(bn, pa.int64()),
+        }).group_by(["period", "bin"]).aggregate([([], "count_all")])
+        return pa.table({
+            "period": vc["period"],
+            "bin": vc["bin"],
+            "partial": vc["count_all"].cast(pa.int64()),
+        })
+
+    hist = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(bins, batch_format="pyarrow"),
+        ["period", "bin"], "partial", "c",
+    ).to_arrow_refs()))
+    cb = np.zeros(10, np.int64)
+    cc = np.zeros(10, np.int64)
+    for r in hist.to_pylist():
+        (cb if r["period"] == 0 else cc)[r["bin"]] = r["c"]
+    n_base, n_cur = int(cb.sum()), int(cc.sum())
+    s = 0.0
+    for i in range(10):  # left-assoc ascending bin — as the oracle
+        p = float(int(cb[i]) + 1) / float(n_base + 10)
+        q = float(int(cc[i]) + 1) / float(n_cur + 10)
+        s += (p - q) * math.log(p / q)
+    return pa.table({
+        "n_base": pa.array([n_base], pa.int64()),
+        "n_cur": pa.array([n_cur], pa.int64()),
+        "psi": pa.array([s], pa.float64()),
+    })
+
+
+SQL_PSI_DRIFT = (
+    "WITH pv AS (SELECT epoch_us(ts) // 86400000000 AS day,\n"
+    "                   CAST(round(value * 100.0) AS BIGINT) AS xc\n"
+    "            FROM events WHERE event_type = 'purchase'),\n"
+    "m AS (SELECT min(day) AS mnd, min(xc) AS mnx, max(xc) AS mxx"
+    " FROM pv),\n"
+    "b AS (SELECT CASE WHEN day >= m.mnd + 14 THEN 1 ELSE 0 END"
+    " AS period,\n"
+    "             ((xc - m.mnx) * 10) // (m.mxx - m.mnx + 1) AS bin\n"
+    "      FROM pv, m),\n"
+    "c AS (SELECT period, bin, count(*) AS c FROM b GROUP BY 1, 2),\n"
+    "p AS (SELECT\n"
+    + ",\n".join(
+        f"  coalesce(max(CASE WHEN period = 0 AND bin = {i} THEN c"
+        f" END), 0) AS b{i},\n"
+        f"  coalesce(max(CASE WHEN period = 1 AND bin = {i} THEN c"
+        f" END), 0) AS c{i}"
+        for i in range(10))
+    + ",\n  coalesce(sum(c) FILTER (WHERE period = 0), 0) AS nb,\n"
+    "  coalesce(sum(c) FILTER (WHERE period = 1), 0) AS nc\n"
+    "  FROM c)\n"
+    "SELECT CAST(nb AS BIGINT) AS n_base, CAST(nc AS BIGINT)"
+    " AS n_cur,\n"
+    + "\n + ".join(
+        f"((CAST(b{i} + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE))"
+        f" - (CAST(c{i} + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE)))"
+        f" * ln((CAST(b{i} + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE))"
+        f" / (CAST(c{i} + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE)))"
+        for i in range(10))
+    + "\n AS psi FROM p"
+)
+
+
+def q_smoothed_cell_density(sf_dir: str):
+    """Grid stencil / convolution (the neighborhood operator behind
+    density smoothing, heatmap blur and focal statistics in raster
+    analytics): per integer lon/lat degree cell of the part-rectangle
+    origins, the raw count and the 3×3 box-sum of neighbor counts.
+    The cell derivation is ALL-INTEGER (the rect_polygons device
+    BEFORE its /100 float step: ((pk·7919) % 34000) // 100), so both
+    sides are hash-exact with zero float ops. The degree grid is
+    bounded (340×160), so per-block partial counts ride the funnel
+    and the stencil is nine vectorized shifted adds on the dense
+    driver grid; at corpus scale the same stencil distributes as a
+    9-neighbor re-emit + second funnel (documented plan, same
+    semantics). SQL-checked (self-join |dx|≤1 ∧ |dy|≤1 oracle)."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    ds = _read_split_few(sf_dir, "part", ["p_partkey"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        pk = b["p_partkey"].to_numpy(zero_copy_only=False)
+        cx = ((pk * 7919) % 34000) // 100
+        cy = ((pk * 104729) % 16000) // 100
+        vc = pa.table({
+            "cell_x": pa.array(cx, pa.int64()),
+            "cell_y": pa.array(cy, pa.int64()),
+        }).group_by(["cell_x", "cell_y"]).aggregate([([], "count_all")])
+        return pa.table({
+            "cell_x": vc["cell_x"],
+            "cell_y": vc["cell_y"],
+            "partial": vc["count_all"].cast(pa.int64()),
+        })
+
+    cnt = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(cells, batch_format="pyarrow"),
+        ["cell_x", "cell_y"], "partial", "n",
+    ).to_arrow_refs()))
+    cx = cnt["cell_x"].to_numpy(zero_copy_only=False)
+    cy = cnt["cell_y"].to_numpy(zero_copy_only=False)
+    n = cnt["n"].to_numpy(zero_copy_only=False)
+    NX, NY = 340, 160
+    grid = np.zeros((NX + 2, NY + 2), np.int64)  # 1-cell halo
+    grid[cx + 1, cy + 1] = n
+    sm = np.zeros_like(grid)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            sm[1:NX + 1, 1:NY + 1] += grid[1 + dx:NX + 1 + dx,
+                                           1 + dy:NY + 1 + dy]
+    return pa.table({
+        "cell_x": pa.array(cx, pa.int64()),
+        "cell_y": pa.array(cy, pa.int64()),
+        "n": pa.array(n, pa.int64()),
+        "smoothed": pa.array(sm[cx + 1, cy + 1], pa.int64()),
+    })
+
+
+SQL_SMOOTHED_CELL_DENSITY = """
+WITH c AS (SELECT ((p_partkey * 7919) % 34000) // 100 AS cell_x,
+                  ((p_partkey * 104729) % 16000) // 100 AS cell_y,
+                  count(*) AS n
+           FROM part GROUP BY 1, 2)
+SELECT a.cell_x, a.cell_y, a.n, CAST(sum(b.n) AS BIGINT) AS smoothed
+FROM c a JOIN c b ON abs(a.cell_x - b.cell_x) <= 1
+                 AND abs(a.cell_y - b.cell_y) <= 1
+GROUP BY a.cell_x, a.cell_y, a.n
+"""
+
+
+def q_systematic_sample(sf_dir: str):
+    """Systematic (every k-th) sampling by global event order — the
+    resume-stable alternative to random sampling when a pipeline
+    needs an evenly-spaced audit slice, and the first consumer of
+    util.block_rank_offsets, THE distributed row_number device: sort
+    on the unique (ts_us, event_id) key (range shuffle), fold
+    per-block counts into global block offsets on the driver
+    (O(#blocks) ints — rows never leave the workers), broadcast the
+    offset map, then each block filters its own ``offset + arange``
+    ranks to the k-grid. Two passes over the SAME materialized sort
+    so blocks align. k = 500. SQL-checked (row_number oracle)."""
+    import ray
+
+    from ..util import block_rank_offsets
+
+    K = 500
+    ds = _read_split(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+        })
+
+    mat = ds.map_batches(pre, batch_format="pyarrow") \
+        .sort(["ts_us", "event_id"]).materialize()
+    offsets, _total = block_rank_offsets(mat, ["ts_us", "event_id"])
+    off_ref = ray.put(offsets)
+
+    def pick(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({
+                "rnk": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "ts_us": pa.array([], pa.int64()),
+            })
+        off = ray.get(off_ref)[
+            (b["ts_us"][0].as_py(), b["event_id"][0].as_py())]
+        rk = off + np.arange(b.num_rows, dtype=np.int64)
+        keep = (rk % K) == 0
+        t = b.filter(pa.array(keep))
+        return pa.table({
+            "rnk": pa.array(rk[keep] + 1, pa.int64()),
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts_us": t["ts_us"],
+        })
+
+    return pa.concat_tables(ray.get(
+        mat.map_batches(pick, batch_format="pyarrow",
+                        batch_size=None).to_arrow_refs()))
+
+
+SQL_SYSTEMATIC_SAMPLE = """
+WITH r AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                  row_number() OVER (ORDER BY ts, event_id) AS rk
+           FROM events)
+SELECT rk AS rnk, event_id, user_id, ts_us FROM r
+WHERE (rk - 1) % 500 = 0
+"""

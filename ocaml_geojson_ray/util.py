@@ -277,3 +277,51 @@ def fib_bucket(keys, n_buckets: int):
     return ((np.asarray(keys).astype(np.uint64)
              * np.uint64(0x9E3779B97F4A7C15))
             % np.uint64(n_buckets)).astype(np.int64)
+
+
+def block_rank_offsets(mat_ds, key_cols):
+    """THE distributed row_number device: global 0-based row offsets
+    for the blocks of a SORTED, MATERIALIZED dataset.
+
+    Contract: ``mat_ds`` is the materialized output of
+    ``.sort(key_cols)`` with a UNIQUE composite key (no key can span
+    a block boundary, so a block's first key identifies it). Ray's
+    sort range-partitions, so block key ranges are disjoint and the
+    per-block row counts fold into exact global offsets with one
+    O(#blocks) driver pass — rows never leave the workers.
+
+    Returns ``(offsets, total)`` where ``offsets`` maps each
+    non-empty block's first-key tuple → its global starting offset.
+    Broadcast it (``ray.put``) and look it up inside a
+    ``batch_size=None`` ``map_batches`` over the SAME materialized
+    dataset (one batch == one block in Ray 2.49); a batch's global
+    rank vector is then ``offset + arange(len(batch))``.
+    """
+    import ray
+
+    key_cols = list(key_cols)
+
+    def summary(b: pa.Table) -> pa.Table:
+        cols = {}
+        if b.num_rows == 0:
+            for c in key_cols:
+                cols[c] = b[c]
+            cols["__n"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        for c in key_cols:
+            cols[c] = b[c].slice(0, 1)
+        cols["__n"] = pa.array([b.num_rows], pa.int64())
+        return pa.table(cols)
+
+    rows = pa.concat_tables(ray.get(
+        mat_ds.map_batches(summary, batch_format="pyarrow",
+                           batch_size=None).to_arrow_refs()))
+    recs = sorted(
+        (tuple(rows[c][i].as_py() for c in key_cols),
+         int(rows["__n"][i].as_py()))
+        for i in range(rows.num_rows))
+    offsets, acc = {}, 0
+    for key, n in recs:
+        offsets[key] = acc
+        acc += n
+    return offsets, acc

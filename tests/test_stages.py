@@ -2366,3 +2366,50 @@ def test_above_avg_orders_integer_predicate(ray_session, tmp_path):
            q_above_avg_orders(str(tmp_path)).to_pylist()}
     assert out["X"]["n_above"] == 2 and out["X"]["n_orders"] == 3
     assert out["Y"]["n_above"] == 1  # only the 4.00; 3.00 == mean
+
+
+def test_block_rank_offsets_device(ray_session):
+    """util.block_rank_offsets is THE distributed row_number device
+    (systematic_sample; rfm-style global NTILE). Its two load-bearing
+    assumptions are Ray-version-sensitive and pinned here: (a) sorted
+    blocks hold disjoint key ranges so per-block counts fold into
+    exact global offsets; (b) ``batch_size=None`` map_batches over the
+    SAME materialized dataset yields one batch per block, so every
+    batch's first key hits the offset map."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from ocaml_geojson_ray.util import block_rank_offsets
+
+    rng = np.random.default_rng(7)
+    k1 = rng.permutation(997).astype(np.int64)
+    k2 = rng.integers(0, 1 << 40, 997).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"a": k1, "b": k2})) \
+        .repartition(8)
+    mat = ds.sort(["a", "b"]).materialize()
+    offsets, total = block_rank_offsets(mat, ["a", "b"])
+    assert total == 997
+    off_ref = ray.put(offsets)
+
+    def ranks(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "rk": pa.array([], pa.int64())})
+        off = ray.get(off_ref)[(b["a"][0].as_py(), b["b"][0].as_py())]
+        return pa.table({
+            "a": b["a"],
+            "rk": pa.array(off + np.arange(b.num_rows, dtype=np.int64),
+                           pa.int64()),
+        })
+
+    out = pa.concat_tables(ray.get(
+        mat.map_batches(ranks, batch_format="pyarrow",
+                        batch_size=None).to_arrow_refs()))
+    a = out["a"].to_numpy(zero_copy_only=False)
+    rk = out["rk"].to_numpy(zero_copy_only=False)
+    assert sorted(rk.tolist()) == list(range(997))
+    # keys are unique on 'a' alone here, so rank order == a order
+    a_by_rank = a[np.argsort(rk)]
+    assert (np.sort(a) == a_by_rank).all()
