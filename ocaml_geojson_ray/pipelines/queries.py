@@ -12435,3 +12435,367 @@ WITH r AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
 SELECT rk AS rnk, event_id, user_id, ts_us FROM r
 WHERE (rk - 1) % 500 = 0
 """
+
+
+# -- round-5 wave 27: RFM scoring / keyness / stratified sampling -----------
+
+def q_rfm_segments(sf_dir: str):
+    """RFM customer scoring (the classic marketing segmentation:
+    recency/frequency/monetary quintiles): per purchasing user,
+    last-purchase day, purchase count and cents sum, each scored with
+    a GLOBAL ntile(5) (ORDER BY metric, user_id — a unique composite,
+    so ranks are total) and reported as (r_q, f_q, m_q) cell counts.
+    Physical shape: one USER-BUCKET shuffle builds the per-user
+    table; then per metric, ONE sort + util.block_rank_offsets (the
+    pinned distributed row_number device) — but instead of ranking
+    every row, only the FOUR ntile boundary keys are extracted (the
+    block owning boundary rank b emits its key; driver sees 12
+    tuples), and a final broadcast-threshold pass assigns all three
+    quintiles per user and folds the bounded 125-cell histogram
+    through the funnel. Exact ANSI ntile size rule: first n%5 tiles
+    get ⌈n/5⌉ rows. All-integer. SQL-checked (triple-window ntile
+    oracle)."""
+    import ray
+
+    from ..util import (block_rank_offsets, fib_bucket,
+                        grouped_sum_combine)
+
+    US_PER_DAY = 86_400_000_000
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "events",
+                     ["user_id", "event_type", "ts", "value"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], "purchase"))
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(uid, n_buckets), pa.int64()),
+            "user_id": t["user_id"],
+            "day": pc.divide(t["ts"].cast(pa.int64()), US_PER_DAY),
+            "cents": pc.round(pc.multiply(t["value"], 100.0))
+            .cast(pa.int64()),
+        })
+
+    def user_agg(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "last_day": pa.array([], pa.int64()),
+                "f": pa.array([], pa.int64()),
+                "m": pa.array([], pa.int64()),
+            })
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        order = np.argsort(uid, kind="stable")
+        u_s, d_s, c_s = uid[order], day[order], cents[order]
+        brk = np.zeros(len(u_s), np.bool_)
+        brk[0] = True
+        brk[1:] = u_s[1:] != u_s[:-1]
+        starts = np.flatnonzero(brk)
+        gid = np.cumsum(brk) - 1
+        last = np.full(len(starts), np.iinfo(np.int64).min)
+        np.maximum.at(last, gid, d_s)
+        return pa.table({
+            "user_id": pa.array(u_s[starts], pa.int64()),
+            "last_day": pa.array(last, pa.int64()),
+            "f": pa.array(np.diff(np.append(starts, len(u_s)))
+                          .astype(np.int64), pa.int64()),
+            "m": pa.array(np.add.reduceat(c_s, starts), pa.int64()),
+        })
+
+    users = ds.map_batches(pre, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(user_agg, batch_format="pyarrow") \
+        .materialize()
+
+    def ntile_bounds(n: int, k: int = 5):
+        sizes = [n // k + (1 if i < n % k else 0) for i in range(k)]
+        out, acc = [], 0
+        for s in sizes[:-1]:
+            acc += s
+            out.append(acc)
+        return out  # 1-based ranks of the last row of tiles 1..k-1
+
+    thresholds = {}
+    for metric in ("last_day", "f", "m"):
+        srt = users.sort([metric, "user_id"]).materialize()
+        offsets, n = block_rank_offsets(srt, [metric, "user_id"])
+        if n == 0:
+            raise ValueError("rfm_segments: no purchasing users")
+        bounds = ntile_bounds(n)
+        off_ref = ray.put(offsets)
+        bnd_ref = ray.put(bounds)
+
+        def boundary_keys(b: pa.Table, _m=metric) -> pa.Table:
+            empty = pa.table({
+                "x": pa.array([], pa.int64()),
+                "u": pa.array([], pa.int64()),
+                "r": pa.array([], pa.int64()),
+            })
+            if b.num_rows == 0:
+                return empty
+            off = ray.get(off_ref)[
+                (b[_m][0].as_py(), b["user_id"][0].as_py())]
+            rows = [(b[_m][r - off - 1].as_py(),
+                     b["user_id"][r - off - 1].as_py(), r)
+                    for r in ray.get(bnd_ref)
+                    if off < r <= off + b.num_rows]
+            if not rows:
+                return empty
+            return pa.table({
+                "x": pa.array([r[0] for r in rows], pa.int64()),
+                "u": pa.array([r[1] for r in rows], pa.int64()),
+                "r": pa.array([r[2] for r in rows], pa.int64()),
+            })
+
+        # Ray passes schemaless empty blocks through WITHOUT calling
+        # the UDF — filter them before concat (same in util.
+        # block_rank_offsets)
+        bt = pa.concat_tables([
+            t for t in ray.get(
+                srt.map_batches(boundary_keys, batch_format="pyarrow",
+                                batch_size=None).to_arrow_refs())
+            if t.num_rows])
+        recs = sorted(zip(bt["r"].to_pylist(), bt["x"].to_pylist(),
+                          bt["u"].to_pylist()))
+        thresholds[metric] = [(x, u) for _, x, u in recs]
+
+    thr_ref = ray.put(thresholds)
+
+    def assign(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or b.num_columns == 0:
+            return pa.table({
+                "r_q": pa.array([], pa.int64()),
+                "f_q": pa.array([], pa.int64()),
+                "m_q": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            })
+        thr = ray.get(thr_ref)
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        qs = {}
+        for metric in ("last_day", "f", "m"):
+            xv = b[metric].to_numpy(zero_copy_only=False)
+            q = np.ones(len(xv), np.int64)
+            for tx, tu in thr[metric]:
+                q += (xv > tx) | ((xv == tx) & (uid > tu))
+            qs[metric] = q
+        cell = ((qs["last_day"] - 1) * 25 + (qs["f"] - 1) * 5
+                + (qs["m"] - 1))
+        cv, cn = np.unique(cell, return_counts=True)
+        return pa.table({
+            "r_q": pa.array(cv // 25 + 1, pa.int64()),
+            "f_q": pa.array((cv // 5) % 5 + 1, pa.int64()),
+            "m_q": pa.array(cv % 5 + 1, pa.int64()),
+            "partial": pa.array(cn.astype(np.int64), pa.int64()),
+        })
+
+    return pa.concat_tables(ray.get(grouped_sum_combine(
+        users.map_batches(assign, batch_format="pyarrow"),
+        ["r_q", "f_q", "m_q"], "partial", "n_users",
+    ).to_arrow_refs()))
+
+
+SQL_RFM_SEGMENTS = """
+WITH pu AS (SELECT user_id,
+        max(epoch_us(ts) // 86400000000) AS last_day,
+        count(*) AS f,
+        sum(CAST(round(value * 100.0) AS BIGINT)) AS m
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+q AS (SELECT user_id,
+        ntile(5) OVER (ORDER BY last_day, user_id) AS r_q,
+        ntile(5) OVER (ORDER BY f, user_id) AS f_q,
+        ntile(5) OVER (ORDER BY m, user_id) AS m_q
+      FROM pu)
+SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+       CAST(m_q AS BIGINT) AS m_q, count(*) AS n_users
+FROM q GROUP BY 1, 2, 3
+"""
+
+
+def q_keyness_terms(sf_dir: str):
+    """Corpus-linguistics keyness (which words make a language's
+    documents DISTINCTIVE — the log-likelihood / G² keyword test,
+    Dunning 1993): per language, the 5 most overused terms by
+    G² = 2·(a·ln(aN/(Nₐt)) + b·ln(bN/(N_b t))) where a/b are the
+    term's in/out-of-language counts, t = a + b, against the
+    definitional whitespace tokenizer shared with top_words. The
+    (lang, term) key space is vocab-bounded (tfidf contract), so
+    counts ride map-side dictionary-encoded partials → the funnel;
+    all G² math happens on the bounded table driver-side with exact
+    int64 counts, single-divide ratios, libm ln, and the fixed
+    two-term sum. SQL-checked (QUALIFY windowed oracle; b = 0 terms
+    contribute a zero second term on both sides)."""
+    import math
+
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    ds = _read_split_few(sf_dir, "documents", ["lang", "text"])
+
+    def lang_token_counts(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.cast(b["text"], pa.string()), pattern="[ \t\n\r\f\v]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False)
+        parent = np.repeat(np.arange(len(lengths)), lengths)
+        flat = toks.values
+        keep = pc.and_kleene(flat.is_valid(),
+                             pc.not_equal(flat, "")).to_numpy(
+            zero_copy_only=False).astype(bool)
+        flat = flat.filter(pa.array(keep))
+        parent = parent[keep]
+        langs = pa.array(
+            np.asarray(b["lang"].to_pylist(), dtype=object)[parent],
+            pa.string())
+        vc = pa.table({"lang": langs, "term": flat}) \
+            .group_by(["lang", "term"]).aggregate([([], "count_all")])
+        return pa.table({
+            "lang": vc["lang"],
+            "term": vc["term"],
+            "partial": vc["count_all"].cast(pa.int64()),
+        })
+
+    cnt = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(lang_token_counts, batch_format="pyarrow"),
+        ["lang", "term"], "partial", "a",
+    ).to_arrow_refs()))
+    langs = np.asarray(cnt["lang"].to_pylist(), dtype=object)
+    terms = np.asarray(cnt["term"].to_pylist(), dtype=object)
+    a = cnt["a"].to_numpy(zero_copy_only=False)
+    n_total = int(a.sum())
+    ul, linv = np.unique(langs, return_inverse=True)
+    na = np.bincount(linv, weights=a).astype(np.int64)
+    ut, tinv = np.unique(terms, return_inverse=True)
+    tw = np.bincount(tinv, weights=a).astype(np.int64)
+    if n_total > 3_000_000_000:
+        raise ValueError("keyness_terms G² product overflow: widen")
+    rows = []
+    for i in range(len(a)):
+        ai = int(a[i])
+        t = int(tw[tinv[i]])
+        bi = t - ai
+        nai = int(na[linv[i]])
+        nbi = n_total - nai
+        ra = float(ai * n_total) / float(nai * t)
+        if ra <= 1.0:
+            continue
+        t1 = float(ai) * math.log(ra)
+        t2 = 0.0 if bi == 0 else float(bi) * math.log(
+            float(bi * n_total) / float(nbi * t))
+        rows.append((langs[i], terms[i], ai, bi, 2.0 * (t1 + t2)))
+    rows.sort(key=lambda r: (r[0], -r[4], r[1]))
+    out, seen = [], {}
+    for r in rows:
+        c = seen.get(r[0], 0)
+        if c < 5:
+            out.append(r)
+            seen[r[0]] = c + 1
+    return pa.table({
+        "lang": pa.array([r[0] for r in out], pa.string()),
+        "term": pa.array([r[1] for r in out], pa.string()),
+        "n_in": pa.array([r[2] for r in out], pa.int64()),
+        "n_out": pa.array([r[3] for r in out], pa.int64()),
+        "g2": pa.array([r[4] for r in out], pa.float64()),
+    })
+
+
+SQL_KEYNESS_TERMS = r"""
+WITH w AS (SELECT lang, unnest(
+        list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'),
+                    x -> x <> '')) AS term FROM documents),
+c AS (SELECT lang, term, count(*) AS a FROM w GROUP BY 1, 2),
+tl AS (SELECT lang, sum(a) AS na FROM c GROUP BY lang),
+tw AS (SELECT term, sum(a) AS t FROM c GROUP BY term),
+n AS (SELECT sum(a) AS n FROM c),
+g AS (SELECT c.lang, c.term, c.a, tw.t - c.a AS b, tl.na,
+             n.n - tl.na AS nb, n.n AS n, tw.t AS t
+      FROM c JOIN tl USING (lang) JOIN tw USING (term) CROSS JOIN n),
+s AS (SELECT lang, term, a, b,
+        CAST(a * n AS DOUBLE) / CAST(na * t AS DOUBLE) AS ra,
+        CAST(a AS DOUBLE)
+          * ln(CAST(a * n AS DOUBLE) / CAST(na * t AS DOUBLE)) AS t1,
+        CASE WHEN b = 0 THEN 0.0 ELSE CAST(b AS DOUBLE)
+          * ln(CAST(b * n AS DOUBLE) / CAST(nb * t AS DOUBLE)) END
+          AS t2
+      FROM g)
+SELECT lang, term, a AS n_in, CAST(b AS BIGINT) AS n_out,
+       2.0 * (t1 + t2) AS g2
+FROM s WHERE ra > 1.0
+QUALIFY row_number() OVER (PARTITION BY lang
+                           ORDER BY 2.0 * (t1 + t2) DESC, term) <= 5
+"""
+
+
+def q_stratified_sample(sf_dir: str):
+    """Stratified deterministic sampling (exact per-stratum quotas —
+    the 'balance the eval slice across languages' curation step):
+    per language, the 100 documents with the LOWEST util.md5_le64
+    hash of the doc id (the hash_sample device — resume-stable,
+    seedless, and a uniform draw under the hash's mixing). Per-block
+    per-lang partial bottom-100s funnel (langs bounded → O(langs·100)
+    rows per block), driver re-bottoms the union — bottom-k of a
+    union ⊆ union of per-fragment bottom-ks. SQL-checked (UBIGINT
+    hash-order window oracle)."""
+    import ray
+
+    from ..util import md5_le64
+
+    K = 100
+    ds = _read_split_few(sf_dir, "documents", ["doc_id", "lang"])
+
+    def bottoms(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        hv = np.fromiter(
+            (md5_le64(str(i).encode("ascii")) for i in ids),
+            dtype=np.uint64, count=len(ids))
+        langs = np.asarray(b["lang"].to_pylist(), dtype=object)
+        out_l, out_d, out_h = [], [], []
+        for lg in np.unique(langs):
+            m = langs == lg
+            order = np.lexsort((ids[m], hv[m]))[:K]
+            out_l += [lg] * len(order)
+            out_d.append(ids[m][order])
+            out_h.append(hv[m][order])
+        return pa.table({
+            "lang": pa.array(out_l, pa.string()),
+            "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+            "hv": pa.array(np.concatenate(out_h).view(np.int64),
+                           pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(
+        ds.map_batches(bottoms, batch_format="pyarrow")
+        .to_arrow_refs()))
+    langs = np.asarray(t["lang"].to_pylist(), dtype=object)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    hv = t["hv"].to_numpy(zero_copy_only=False).view(np.uint64)
+    out_l, out_d = [], []
+    for lg in np.unique(langs):
+        m = langs == lg
+        order = np.lexsort((ids[m], hv[m]))[:K]
+        out_l += [lg] * len(order)
+        out_d.append(ids[m][order])
+    return pa.table({
+        "lang": pa.array(out_l, pa.string()),
+        "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+    })
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH g AS (SELECT lang, doc_id, md5(doc_id::VARCHAR) AS hx
+           FROM documents),
+h AS (SELECT lang, doc_id,
+        CAST('0x' || substr(hx,15,2) || substr(hx,13,2)
+                  || substr(hx,11,2) || substr(hx,9,2)
+                  || substr(hx,7,2)  || substr(hx,5,2)
+                  || substr(hx,3,2)  || substr(hx,1,2)
+             AS UBIGINT) AS hv
+      FROM g)
+SELECT lang, doc_id FROM h
+QUALIFY row_number() OVER (PARTITION BY lang
+                           ORDER BY hv, doc_id) <= 100
+"""

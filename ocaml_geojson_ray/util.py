@@ -302,24 +302,26 @@ def block_rank_offsets(mat_ds, key_cols):
     key_cols = list(key_cols)
 
     def summary(b: pa.Table) -> pa.Table:
-        cols = {}
-        if b.num_rows == 0:
-            for c in key_cols:
-                cols[c] = b[c]
-            cols["__n"] = pa.array([], pa.int64())
-            return pa.table(cols)
-        for c in key_cols:
-            cols[c] = b[c].slice(0, 1)
+        if b.num_rows == 0 or b.num_columns == 0:
+            # empty blocks can arrive SCHEMALESS (zero columns — a
+            # map_groups/Ray behavior); emit a zero-row marker that
+            # the driver filters before concat
+            return pa.table({"__n": pa.array([], pa.int64())})
+        cols = {c: b[c].slice(0, 1) for c in key_cols}
         cols["__n"] = pa.array([b.num_rows], pa.int64())
         return pa.table(cols)
 
-    rows = pa.concat_tables(ray.get(
+    tabs = [t for t in ray.get(
         mat_ds.map_batches(summary, batch_format="pyarrow",
-                           batch_size=None).to_arrow_refs()))
-    recs = sorted(
-        (tuple(rows[c][i].as_py() for c in key_cols),
-         int(rows["__n"][i].as_py()))
-        for i in range(rows.num_rows))
+                           batch_size=None).to_arrow_refs())
+        if t.num_rows]
+    recs = []
+    if tabs:
+        rows = pa.concat_tables(tabs)
+        recs = sorted(
+            (tuple(rows[c][i].as_py() for c in key_cols),
+             int(rows["__n"][i].as_py()))
+            for i in range(rows.num_rows))
     offsets, acc = {}, 0
     for key, n in recs:
         offsets[key] = acc
