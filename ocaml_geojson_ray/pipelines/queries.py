@@ -12799,3 +12799,264 @@ SELECT lang, doc_id FROM h
 QUALIFY row_number() OVER (PARTITION BY lang
                            ORDER BY hv, doc_id) <= 100
 """
+
+
+# -- round-5 wave 28: sequence motifs / join cardinality / ER blocking ------
+
+def q_sequence_motifs(sf_dir: str):
+    """Sequential pattern mining (frequent length-3 behavior motifs —
+    the n-gram view of event streams that complements user_paths'
+    whole-path counts): every CONSECUTIVE event-type trigram within a
+    (user, day) sequence ordered by (ts, event_id), global top-20 by
+    (count DESC, motif ASC). ONE user-bucket shuffle (a user-day's
+    sequence is complete in-bucket), vectorized segment scan (two
+    shifted same-segment masks), and — the motif space being
+    |types|³-BOUNDED — per-bucket motif-string partials ride the
+    funnel; the driver re-tops 20. SQL-checked (double self-join on
+    rank oracle)."""
+    import heapq
+
+    import ray
+
+    from ..util import fib_bucket, grouped_sum_combine
+
+    US_PER_DAY = 86_400_000_000
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "events",
+                     ["user_id", "ts", "event_id", "event_type"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64())
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(uid, n_buckets), pa.int64()),
+            "user_id": b["user_id"],
+            "day": pc.divide(ts_us, US_PER_DAY),
+            "ts_us": ts_us,
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+        })
+
+    def motifs(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "motif": pa.array([], pa.string()),
+            "partial": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        types, tid = np.unique(et, return_inverse=True)
+        order = np.lexsort((eid, ts, day, uid))
+        u_s, d_s, t_s = uid[order], day[order], tid[order]
+        if len(u_s) < 3:
+            return empty
+        same1 = (u_s[1:] == u_s[:-1]) & (d_s[1:] == d_s[:-1])
+        ok3 = same1[:-1] & same1[1:]
+        if not ok3.any():
+            return empty
+        nt = len(types)
+        packed = (t_s[:-2] * nt * nt + t_s[1:-1] * nt + t_s[2:])[ok3]
+        mv, mn = np.unique(packed, return_counts=True)
+        names = [f"{types[m // (nt * nt)]}>"
+                 f"{types[(m // nt) % nt]}>{types[m % nt]}"
+                 for m in mv]
+        return pa.table({
+            "motif": pa.array(names, pa.string()),
+            "partial": pa.array(mn.astype(np.int64), pa.int64()),
+        })
+
+    agg = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(motifs, batch_format="pyarrow"),
+        ["motif"], "partial", "n",
+    ).to_arrow_refs()))
+    rows = list(zip(agg["motif"].to_pylist(), agg["n"].to_pylist()))
+    top = heapq.nsmallest(20, rows, key=lambda r: (-r[1], r[0]))
+    return pa.table({
+        "motif": pa.array([r[0] for r in top], pa.string()),
+        "n": pa.array([r[1] for r in top], pa.int64()),
+    })
+
+
+SQL_SEQUENCE_MOTIFS = """
+WITH r AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                  event_type,
+                  row_number() OVER (
+                      PARTITION BY user_id, epoch_us(ts) // 86400000000
+                      ORDER BY ts, event_id) AS rk
+           FROM events),
+t AS (SELECT a.event_type || '>' || b.event_type || '>' ||
+             c.event_type AS motif
+      FROM r a
+      JOIN r b ON a.user_id = b.user_id AND a.day = b.day
+              AND b.rk = a.rk + 1
+      JOIN r c ON a.user_id = c.user_id AND a.day = c.day
+              AND c.rk = a.rk + 2)
+SELECT motif, count(*) AS n FROM t GROUP BY motif
+ORDER BY n DESC, motif LIMIT 20
+"""
+
+
+def q_join_cardinality(sf_dir: str):
+    """Join-cardinality statistics (the optimizer/ANALYZE primitive
+    that prices a join BEFORE running it — exact |L ⋈ R| is
+    Σ_k c_L(k)·c_R(k), the quantity a histogram-based estimator
+    approximates): for lineitem ⋈ orders on orderkey — row counts,
+    per-side distinct keys, matched keys, exact join cardinality and
+    the max single-key fanout. Physical shape: the totals_audit
+    two-table CO-BUCKET device (tagged union, ONE fib_bucket shuffle
+    on the join key — a key's rows from both sides meet in exactly
+    one bucket) → per-bucket vectorized per-key counts and products →
+    a 7-int row per bucket → driver fold (sums + max). The join
+    itself is never materialized. SQL-checked (counts-join oracle)."""
+    import ray
+
+    from ..util import fib_bucket
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nb = max(4, cpus // 4)
+    n_buckets = max(64, cpus * 8)
+    lines = split_read(f"{sf_dir}/lineitem.parquet",
+                       ["l_orderkey"], nb)
+    orders = split_read(f"{sf_dir}/orders.parquet",
+                        ["o_orderkey"], nb)
+
+    def pre(col, is_right):
+        def fn(b: pa.Table) -> pa.Table:
+            k = b[col].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "bucket": pa.array(fib_bucket(k, n_buckets),
+                                   pa.int64()),
+                "k": pa.array(k, pa.int64()),
+                "is_right": pa.array(
+                    np.full(len(k), is_right, bool)),
+            })
+        return fn
+
+    def bucket_stats(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in (
+                "n_left", "n_right", "n_keys_left", "n_keys_right",
+                "n_keys_both", "n_join", "max_fanout")})
+        k = g["k"].to_numpy(zero_copy_only=False)
+        isr = g["is_right"].to_numpy(zero_copy_only=False)
+        lk, lc = np.unique(k[~isr], return_counts=True)
+        rk, rc = np.unique(k[isr], return_counts=True)
+        common, li, ri = np.intersect1d(lk, rk, assume_unique=True,
+                                        return_indices=True)
+        prod = lc[li].astype(np.int64) * rc[ri].astype(np.int64)
+        return pa.table({
+            "n_left": pa.array([int(lc.sum())], pa.int64()),
+            "n_right": pa.array([int(rc.sum())], pa.int64()),
+            "n_keys_left": pa.array([len(lk)], pa.int64()),
+            "n_keys_right": pa.array([len(rk)], pa.int64()),
+            "n_keys_both": pa.array([len(common)], pa.int64()),
+            "n_join": pa.array([int(prod.sum())], pa.int64()),
+            "max_fanout": pa.array(
+                [int(prod.max()) if len(prod) else 0], pa.int64()),
+        })
+
+    t = pa.concat_tables([x for x in ray.get(
+        lines.map_batches(pre("l_orderkey", False),
+                          batch_format="pyarrow")
+        .union(orders.map_batches(pre("o_orderkey", True),
+                                  batch_format="pyarrow"))
+        .groupby("bucket").map_groups(bucket_stats,
+                                      batch_format="pyarrow")
+        .to_arrow_refs()) if x.num_rows])
+    s = {c: int(t[c].to_numpy().sum()) for c in t.column_names}
+    return pa.table({
+        "n_left": pa.array([s["n_left"]], pa.int64()),
+        "n_right": pa.array([s["n_right"]], pa.int64()),
+        "n_keys_left": pa.array([s["n_keys_left"]], pa.int64()),
+        "n_keys_right": pa.array([s["n_keys_right"]], pa.int64()),
+        "n_keys_both": pa.array([s["n_keys_both"]], pa.int64()),
+        "n_join": pa.array([s["n_join"]], pa.int64()),
+        "max_fanout": pa.array(
+            [int(t["max_fanout"].to_numpy().max())], pa.int64()),
+    })
+
+
+SQL_JOIN_CARDINALITY = """
+WITH l AS (SELECT l_orderkey AS k, count(*) AS c
+           FROM lineitem GROUP BY 1),
+r AS (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1),
+j AS (SELECT l.c AS cl, r.c AS cr FROM l JOIN r USING (k))
+SELECT (SELECT count(*) FROM lineitem) AS n_left,
+       (SELECT count(*) FROM orders) AS n_right,
+       (SELECT count(*) FROM l) AS n_keys_left,
+       (SELECT count(*) FROM r) AS n_keys_right,
+       count(*) AS n_keys_both,
+       CAST(coalesce(sum(cl * cr), 0) AS BIGINT) AS n_join,
+       CAST(coalesce(max(cl * cr), 0) AS BIGINT) AS max_fanout
+FROM j
+"""
+
+
+def q_blocking_stats(sf_dir: str):
+    """Entity-resolution blocking quality (the first number a record-
+    linkage pipeline reports: how far does the blocking key cut the
+    O(N²) comparison space): blocks on (p_brand, p_size) over part —
+    records, non-empty blocks, largest block, candidate pairs
+    Σ n_b(n_b−1)/2, total pairs N(N−1)/2, and the reduction ratio
+    1 − candidates/total. The block-key space is BOUNDED (brands ×
+    sizes), so per-block partial counts ride the funnel and all pair
+    math is exact int64 driver-side; the ratio is the single-divide
+    rule, mirrored op-for-op (1.0 − cast/cast). SQL-checked."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    ds = _read_split_few(sf_dir, "part", ["p_brand", "p_size"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        vc = pa.table({
+            "brand": b["p_brand"],
+            "size": b["p_size"].cast(pa.int64()),
+        }).group_by(["brand", "size"]).aggregate([([], "count_all")])
+        return pa.table({
+            "brand": vc["brand"],
+            "size": vc["size"],
+            "partial": vc["count_all"].cast(pa.int64()),
+        })
+
+    blocks = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["brand", "size"], "partial", "n",
+    ).to_arrow_refs()))
+    nb_ = blocks["n"].to_numpy(zero_copy_only=False)
+    n = int(nb_.sum())
+    cand = int((nb_ * (nb_ - 1) // 2).sum())
+    total = n * (n - 1) // 2
+    return pa.table({
+        "n_records": pa.array([n], pa.int64()),
+        "n_blocks": pa.array([len(nb_)], pa.int64()),
+        "largest_block": pa.array(
+            [int(nb_.max()) if len(nb_) else 0], pa.int64()),
+        "candidate_pairs": pa.array([cand], pa.int64()),
+        "total_pairs": pa.array([total], pa.int64()),
+        "reduction_ratio": pa.array(
+            [1.0 - float(cand) / float(total)], pa.float64()),
+    })
+
+
+SQL_BLOCKING_STATS = """
+WITH b AS (SELECT p_brand, p_size, count(*) AS n
+           FROM part GROUP BY 1, 2),
+s AS (SELECT CAST(sum(n) AS BIGINT) AS n_records,
+             count(*) AS n_blocks,
+             CAST(max(n) AS BIGINT) AS largest_block,
+             CAST(sum(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs
+      FROM b)
+SELECT n_records, n_blocks, largest_block, candidate_pairs,
+       CAST(n_records * (n_records - 1) // 2 AS BIGINT) AS total_pairs,
+       1.0 - CAST(candidate_pairs AS DOUBLE)
+           / CAST(n_records * (n_records - 1) // 2 AS DOUBLE)
+           AS reduction_ratio
+FROM s
+"""
