@@ -13060,3 +13060,303 @@ SELECT n_records, n_blocks, largest_block, candidate_pairs,
            AS reduction_ratio
 FROM s
 """
+
+
+# -- round-5 wave 29: attribution / stickiness / debounce -------------------
+
+def q_first_touch_attribution(sf_dir: str):
+    """First-touch revenue attribution (the marketing question 'which
+    entry behavior do purchase dollars trace back to'): every
+    purchase's cents attribute to the type of its user's FIRST event
+    ever (ordered by ts, event_id — unique, so the first touch is
+    well-defined); per touch type, attributed purchasing users,
+    purchases and cents. ONE user-bucket shuffle (a user's history is
+    complete in-bucket), vectorized segment-first extraction,
+    per-bucket (touch_type)-bounded partials → funnel. Cents is the
+    value_histogram round(value·100) device; sums are exact int64.
+    SQL-checked (first_value window oracle)."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sums_combine
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "events",
+                     ["user_id", "ts", "event_id", "event_type",
+                      "value"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(uid, n_buckets), pa.int64()),
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+            "cents": pc.round(pc.multiply(b["value"], 100.0))
+            .cast(pa.int64()),
+        })
+
+    def attrib(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "touch_type": pa.array([], pa.string()),
+            "pu": pa.array([], pa.int64()),
+            "pn": pa.array([], pa.int64()),
+            "pc_": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u_s = uid[order]
+        brk = np.zeros(len(u_s), np.bool_)
+        brk[0] = True
+        brk[1:] = u_s[1:] != u_s[:-1]
+        gid = np.cumsum(brk) - 1
+        first_touch = et[order][brk]  # first (ts, eid) row per user
+        is_p = et[order] == "purchase"
+        tt = first_touch[gid[is_p]]
+        pcents = cents[order][is_p]
+        pgid = gid[is_p]
+        ut, tinv = np.unique(tt, return_inverse=True)
+        pn = np.bincount(tinv, minlength=len(ut)).astype(np.int64)
+        pcs = np.zeros(len(ut), np.int64)
+        np.add.at(pcs, tinv, pcents)
+        # attributed users: distinct purchasing users per touch type
+        pusers = np.unique(pgid)
+        uat, uinv = np.unique(first_touch[pusers],
+                              return_inverse=True)
+        pu_map = dict(zip(uat, np.bincount(uinv).astype(np.int64)))
+        return pa.table({
+            "touch_type": pa.array(list(ut), pa.string()),
+            "pu": pa.array([int(pu_map[t]) for t in ut], pa.int64()),
+            "pn": pa.array(pn, pa.int64()),
+            "pc_": pa.array(pcs, pa.int64()),
+        })
+
+    return pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(attrib, batch_format="pyarrow"),
+        ["touch_type"], ["pu", "pn", "pc_"],
+        ["n_users", "n_purchases", "cents"],
+    ).to_arrow_refs()))
+
+
+SQL_FIRST_TOUCH_ATTRIBUTION = """
+WITH ft AS (SELECT user_id,
+        first_value(event_type) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS touch_type,
+        event_type,
+        CAST(round(value * 100.0) AS BIGINT) AS cents
+      FROM events),
+p AS (SELECT user_id, touch_type, cents FROM ft
+      WHERE event_type = 'purchase')
+SELECT touch_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       count(*) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM p GROUP BY touch_type
+"""
+
+
+def q_dau_mau_stickiness(sf_dir: str):
+    """Product engagement metrics (DAU/MAU 'stickiness' — the
+    standard growth-team readout): per 30-day bucket (day // 30 —
+    deterministic, no calendar lib), monthly active users, summed
+    daily-active counts, days observed, and stickiness =
+    (Σ DAU / days) / MAU mirrored op-for-op as the literal
+    two-divide form. Distinct counting never funnels raw pairs: ONE
+    user-bucket shuffle, then per-bucket distinct (user, day) /
+    (user, month) sets emit calendar-BOUNDED (month, day)-keyed DAU
+    partials and (month, −1)-keyed MAU partials (exact because a
+    user lives in exactly one bucket), one funnel. SQL-checked."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sums_combine
+
+    US_PER_DAY = 86_400_000_000
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "events", ["user_id", "ts"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        day = (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // US_PER_DAY)
+        if (day >= (1 << 20)).any() or (day < 0).any() \
+                or (uid >= (1 << 42)).any():
+            raise ValueError("dau_mau pack overflow")
+        packed = np.unique((uid << 20) | day)
+        return pa.table({
+            "bucket": pa.array(
+                fib_bucket(packed >> 20, n_buckets), pa.int64()),
+            "pk": pa.array(packed, pa.int64()),
+        })
+
+    def counts(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "month": pa.array([], pa.int64()),
+                "day": pa.array([], pa.int64()),
+                "dau_partial": pa.array([], pa.int64()),
+                "mau_partial": pa.array([], pa.int64()),
+            })
+        pk = np.unique(g["pk"].to_numpy(zero_copy_only=False))
+        uid = pk >> 20
+        day = pk & ((1 << 20) - 1)
+        month = day // 30
+        dv, dc = np.unique(day, return_counts=True)  # DAU partials
+        um = np.unique((uid << 20) | month)
+        mm, mc = np.unique(um & ((1 << 20) - 1), return_counts=True)
+        return pa.table({
+            "month": pa.array(np.concatenate([dv // 30, mm]),
+                              pa.int64()),
+            "day": pa.array(np.concatenate(
+                [dv, np.full(len(mm), -1, np.int64)]), pa.int64()),
+            "dau_partial": pa.array(np.concatenate(
+                [dc.astype(np.int64), np.zeros(len(mm), np.int64)]),
+                pa.int64()),
+            "mau_partial": pa.array(np.concatenate(
+                [np.zeros(len(dv), np.int64), mc.astype(np.int64)]),
+                pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(counts, batch_format="pyarrow"),
+        ["month", "day"], ["dau_partial", "mau_partial"],
+        ["dau", "mau"],
+    ).to_arrow_refs()))
+    month = t["month"].to_numpy(zero_copy_only=False)
+    day = t["day"].to_numpy(zero_copy_only=False)
+    dau = t["dau"].to_numpy(zero_copy_only=False)
+    mau = t["mau"].to_numpy(zero_copy_only=False)
+    dm = day >= 0
+    um_, uinv = np.unique(month[dm], return_inverse=True)
+    dau_sum = np.zeros(len(um_), np.int64)
+    np.add.at(dau_sum, uinv, dau[dm])
+    n_days = np.bincount(uinv, minlength=len(um_)).astype(np.int64)
+    mau_map = dict(zip(month[~dm].tolist(), mau[~dm].tolist()))
+    mau_v = np.array([mau_map[m] for m in um_], np.int64)
+    stick = (dau_sum.astype(np.float64) / n_days.astype(np.float64)) \
+        / mau_v.astype(np.float64)
+    return pa.table({
+        "month": pa.array(um_, pa.int64()),
+        "n_days": pa.array(n_days, pa.int64()),
+        "dau_sum": pa.array(dau_sum, pa.int64()),
+        "mau": pa.array(mau_v, pa.int64()),
+        "stickiness": pa.array(stick, pa.float64()),
+    })
+
+
+SQL_DAU_MAU_STICKINESS = """
+WITH ud AS (SELECT DISTINCT user_id,
+                   epoch_us(ts) // 86400000000 AS day
+            FROM events),
+d AS (SELECT day // 30 AS month, day, count(*) AS dau
+      FROM ud GROUP BY 1, 2),
+m AS (SELECT day // 30 AS month, count(DISTINCT user_id) AS mau
+      FROM ud GROUP BY 1),
+s AS (SELECT d.month, count(*) AS n_days,
+             CAST(sum(d.dau) AS BIGINT) AS dau_sum
+      FROM d GROUP BY d.month)
+SELECT s.month, s.n_days, s.dau_sum, CAST(m.mau AS BIGINT) AS mau,
+       (CAST(s.dau_sum AS DOUBLE) / CAST(s.n_days AS DOUBLE))
+           / CAST(m.mau AS DOUBLE) AS stickiness
+FROM s JOIN m USING (month)
+"""
+
+
+def q_debounce_events(sf_dir: str):
+    """Repeat suppression / throttling (the stream-cleaning pass
+    that drops redundant re-fires): an event repeating the SAME
+    (user, type) within 24 h of the PREVIOUS event of that pair is
+    suppressed; per event type, kept and dropped counts. The rule is the lag form (gap to
+    the previous raw event — the distributed-friendly variant window
+    engines implement, and exactly what the oracle's lag() states),
+    fully vectorized: ONE user-bucket shuffle, lexsort (user, type,
+    ts, event_id), one shifted same-pair mask + one diff, and a
+    (type)-bounded funnel. SQL-checked."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sums_combine
+
+    GAP_US = 86_400_000_000
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "events",
+                     ["user_id", "ts", "event_id", "event_type"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(uid, n_buckets), pa.int64()),
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+        })
+
+    def debounce(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "event_type": pa.array([], pa.string()),
+            "kept": pa.array([], pa.int64()),
+            "dropped": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        types, tid = np.unique(et, return_inverse=True)
+        order = np.lexsort((eid, ts, tid, uid))
+        u_s, t_s, ts_s = uid[order], tid[order], ts[order]
+        same = np.zeros(len(u_s), np.bool_)
+        same[1:] = (u_s[1:] == u_s[:-1]) & (t_s[1:] == t_s[:-1])
+        gap = np.empty(len(u_s), np.int64)
+        gap[0] = GAP_US
+        gap[1:] = ts_s[1:] - ts_s[:-1]
+        keep = ~same | (gap >= GAP_US)
+        kt, kc = np.unique(t_s[keep], return_counts=True)
+        dt_, dc = np.unique(t_s[~keep], return_counts=True)
+        allt = np.unique(np.concatenate([kt, dt_]))
+        kmap = dict(zip(kt, kc))
+        dmap = dict(zip(dt_, dc))
+        return pa.table({
+            "event_type": pa.array([types[t] for t in allt],
+                                   pa.string()),
+            "kept": pa.array([int(kmap.get(t, 0)) for t in allt],
+                             pa.int64()),
+            "dropped": pa.array([int(dmap.get(t, 0)) for t in allt],
+                                pa.int64()),
+        })
+
+    return pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(debounce,
+                                      batch_format="pyarrow"),
+        ["event_type"], ["kept", "dropped"], ["kept", "dropped"],
+    ).to_arrow_refs()))
+
+
+SQL_DEBOUNCE_EVENTS = """
+WITH l AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                  lag(epoch_us(ts)) OVER (
+                      PARTITION BY user_id, event_type
+                      ORDER BY ts, event_id) AS prev_us
+           FROM events),
+k AS (SELECT event_type,
+             CASE WHEN prev_us IS NULL
+                       OR ts_us - prev_us >= 86400000000
+                  THEN 1 ELSE 0 END AS kept
+      FROM l)
+SELECT event_type,
+       CAST(sum(kept) AS BIGINT) AS kept,
+       CAST(sum(1 - kept) AS BIGINT) AS dropped
+FROM k GROUP BY event_type
+"""
