@@ -13360,3 +13360,252 @@ SELECT event_type,
        CAST(sum(1 - kept) AS BIGINT) AS dropped
 FROM k GROUP BY event_type
 """
+
+
+# -- round-5 wave 30: langid confusion / scan pruning / concentration -------
+
+def q_langid_confusion(sf_dir: str):
+    """Classifier evaluation as a pipeline op (the confusion matrix a
+    curation team reviews before trusting a language filter): labeled
+    lang × predicted lang (the stages/textstats.LangId stopword-
+    profile heuristic, oracle-mirrored in SQL down to its strict
+    `s > best` first-wins tie-break) → doc counts. Prediction is
+    embarrassingly parallel; the (lang, pred) key space is
+    profile-BOUNDED, so counts ride the funnel. SQL-checked."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.textstats import LangId
+    from ..util import grouped_sum_combine
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        scored = LangId()(b)
+        vc = pa.table({
+            "lang": scored["lang"],
+            "lang_pred": scored["lang_pred"],
+        }).group_by(["lang", "lang_pred"]).aggregate([([], "count_all")])
+        return pa.table({
+            "lang": vc["lang"],
+            "lang_pred": vc["lang_pred"],
+            "partial": vc["count_all"].cast(pa.int64()),
+        })
+
+    return pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["lang", "lang_pred"], "partial", "n_docs",
+    ).to_arrow_refs()))
+
+
+def _sql_langid_confusion() -> str:
+    return r"""
+WITH toks AS (SELECT doc_id, lang,
+        [lower(x) for x in regexp_extract_all(text, '\w+')] AS tk
+      FROM documents),
+langs(plang, ord, prof) AS (VALUES %s),
+scores AS (
+  SELECT t.doc_id, t.lang, l.plang, l.ord,
+         CASE WHEN len(t.tk) = 0 THEN 0.0
+              ELSE len(list_filter(t.tk, x -> list_contains(l.prof, x)))::DOUBLE / len(t.tk)
+         END AS s
+  FROM toks t CROSS JOIN langs l),
+best AS (
+  SELECT doc_id, lang, plang, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, ord ASC) AS rn
+  FROM scores),
+pred AS (
+  SELECT lang, CASE WHEN s > 0 THEN plang ELSE 'und' END AS lang_pred
+  FROM best WHERE rn = 1)
+SELECT lang, lang_pred, count(*) AS n_docs
+FROM pred GROUP BY lang, lang_pred
+""" % _langid_profiles_sql()
+
+
+def q_partition_pruning(sf_dir: str):
+    """Scan planning / partition pruning simulation (the min-max
+    zone-map mechanic behind every lakehouse scan planner): parts
+    shard by physical layout (p_partkey // 50) with per-shard
+    min/max price-cents zone maps; for a fixed ladder of 8 price
+    probes, how many shards the planner reads vs prunes, how many
+    reads are FALSE (zone map overlaps, zero matching rows — the
+    clustering-quality signal), and the matched row count. The
+    fixture's price is piecewise-banded in partkey, so pruning is
+    genuinely partial. Two bounded funnels (per-shard extrema,
+    per-(probe, shard) matched counts — both o(n/50) keys,
+    documented); probe evaluation is driver math on the zone-map
+    table, exactly what a planner does. SQL-checked."""
+    import ray
+
+    from ..util import grouped_sum_combine, grouped_sums_combine
+
+    PROBES = [(90000 + i * 1200, 90000 + i * 1200 + 900)
+              for i in range(8)]
+    ds = _read_split_few(sf_dir, "part",
+                         ["p_partkey", "p_retailprice"])
+
+    def zone_partials(b: pa.Table) -> pa.Table:
+        shard = (b["p_partkey"].to_numpy(zero_copy_only=False) // 50)
+        cents = pc.round(pc.multiply(b["p_retailprice"], 100.0)) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        us, inv = np.unique(shard, return_inverse=True)
+        mn = np.full(len(us), np.iinfo(np.int64).max)
+        mx = np.full(len(us), np.iinfo(np.int64).min)
+        np.minimum.at(mn, inv, cents)
+        np.maximum.at(mx, inv, cents)
+        # matched counts per (probe, shard)
+        pl, ps, pn = [], [], []
+        for i, (lo, hi) in enumerate(PROBES):
+            m = (cents >= lo) & (cents <= hi)
+            if m.any():
+                sv, sc = np.unique(shard[m], return_counts=True)
+                pl += [i] * len(sv)
+                ps.append(sv)
+                pn.append(sc.astype(np.int64))
+        return pa.table({
+            "kind": pa.array(
+                np.concatenate([np.zeros(len(us), np.int64),
+                                np.ones(len(pl), np.int64)]),
+                pa.int64()),
+            "probe": pa.array(np.concatenate(
+                [np.full(len(us), -1, np.int64),
+                 np.asarray(pl, np.int64)]), pa.int64()),
+            "shard": pa.array(np.concatenate(
+                [us, np.concatenate(ps) if pl else
+                 np.array([], np.int64)]), pa.int64()),
+            "mn": pa.array(np.concatenate(
+                [mn, np.zeros(len(pl), np.int64)]), pa.int64()),
+            "mx": pa.array(np.concatenate(
+                [mx, np.zeros(len(pl), np.int64)]), pa.int64()),
+            "n": pa.array(np.concatenate(
+                [np.zeros(len(us), np.int64),
+                 np.concatenate(pn) if pl else
+                 np.array([], np.int64)]), pa.int64()),
+        })
+
+    # one funnel carries both row kinds: zone maps fold by min/max,
+    # matched counts by sum — combine manually on the driver-side
+    # bounded table (o(n/50) keys)
+    raw = pa.concat_tables([t for t in ray.get(
+        ds.map_batches(zone_partials, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows])
+    kind = raw["kind"].to_numpy(zero_copy_only=False)
+    probe = raw["probe"].to_numpy(zero_copy_only=False)
+    shard = raw["shard"].to_numpy(zero_copy_only=False)
+    mn = raw["mn"].to_numpy(zero_copy_only=False)
+    mx = raw["mx"].to_numpy(zero_copy_only=False)
+    nv = raw["n"].to_numpy(zero_copy_only=False)
+    zm = kind == 0
+    zs, zinv = np.unique(shard[zm], return_inverse=True)
+    zmn = np.full(len(zs), np.iinfo(np.int64).max)
+    zmx = np.full(len(zs), np.iinfo(np.int64).min)
+    np.minimum.at(zmn, zinv, mn[zm])
+    np.maximum.at(zmx, zinv, mx[zm])
+    hm = ~zm
+    hk, hinv = np.unique(probe[hm] * (int(zs.max()) + 2)
+                         + shard[hm], return_inverse=True)
+    hn = np.zeros(len(hk), np.int64)
+    np.add.at(hn, hinv, nv[hm])
+    hmap = dict(zip(hk.tolist(), hn.tolist()))
+    rows = []
+    for i, (lo, hi) in enumerate(PROBES):
+        read = (zmn <= hi) & (zmx >= lo)
+        nread = int(read.sum())
+        if nread == 0:
+            continue
+        matched = np.array(
+            [hmap.get(i * (int(zs.max()) + 2) + int(s), 0)
+             for s in zs[read]], np.int64)
+        rows.append((lo, hi, nread, len(zs) - nread,
+                     int((matched == 0).sum()), int(matched.sum())))
+    return pa.table({
+        "lo": pa.array([r[0] for r in rows], pa.int64()),
+        "hi": pa.array([r[1] for r in rows], pa.int64()),
+        "n_shards_read": pa.array([r[2] for r in rows], pa.int64()),
+        "n_shards_pruned": pa.array([r[3] for r in rows], pa.int64()),
+        "n_false_reads": pa.array([r[4] for r in rows], pa.int64()),
+        "n_rows_matched": pa.array([r[5] for r in rows], pa.int64()),
+    })
+
+
+SQL_PARTITION_PRUNING = """
+WITH c AS (SELECT p_partkey // 50 AS shard,
+                  CAST(round(p_retailprice * 100.0) AS BIGINT) AS pc
+           FROM part),
+st AS (SELECT shard, min(pc) AS mn, max(pc) AS mx FROM c GROUP BY 1),
+pr(lo, hi) AS (VALUES (90000, 90900), (91200, 92100),
+                      (92400, 93300), (93600, 94500),
+                      (94800, 95700), (96000, 96900),
+                      (97200, 98100), (98400, 99300)),
+reads AS (SELECT pr.lo, pr.hi, st.shard FROM pr
+          JOIN st ON st.mn <= pr.hi AND st.mx >= pr.lo),
+hits AS (SELECT pr.lo, pr.hi, c.shard, count(*) AS n
+         FROM pr JOIN c ON c.pc BETWEEN pr.lo AND pr.hi
+         GROUP BY 1, 2, 3),
+tot AS (SELECT count(*) AS ns FROM st)
+SELECT CAST(r.lo AS BIGINT) AS lo, CAST(r.hi AS BIGINT) AS hi,
+       count(*) AS n_shards_read,
+       t.ns - count(*) AS n_shards_pruned,
+       CAST(count(*) FILTER (WHERE h.n IS NULL) AS BIGINT)
+           AS n_false_reads,
+       CAST(coalesce(sum(h.n), 0) AS BIGINT) AS n_rows_matched
+FROM reads r LEFT JOIN hits h
+  ON r.lo = h.lo AND r.hi = h.hi AND r.shard = h.shard
+CROSS JOIN tot t
+GROUP BY r.lo, r.hi, t.ns
+"""
+
+
+def q_source_concentration(sf_dir: str):
+    """Source concentration (the Herfindahl–Hirschman index a data
+    lead checks before a corpus becomes one-crawl-dominated): doc
+    counts per source reduced to sources, docs, the top source's
+    share, and HHI = Σ nᵢ² / N² — BOTH floats are single divides of
+    exact int64s (Σ nᵢ² stays integer, so no float-sum order hazard
+    exists at all). Source-bounded funnel. SQL-checked."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    ds = _read_split_few(sf_dir, "documents", ["source"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        vc = pa.table({"source": b["source"]}) \
+            .group_by(["source"]).aggregate([([], "count_all")])
+        return pa.table({
+            "source": vc["source"],
+            "partial": vc["count_all"].cast(pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["source"], "partial", "n",
+    ).to_arrow_refs()))
+    n = t["n"].to_numpy(zero_copy_only=False)
+    total = int(n.sum())
+    top = int(n.max()) if len(n) else 0
+    sq = int((n * n).sum())
+    return pa.table({
+        "n_sources": pa.array([len(n)], pa.int64()),
+        "n_docs": pa.array([total], pa.int64()),
+        "top_n": pa.array([top], pa.int64()),
+        "top_share": pa.array([float(top) / float(total)],
+                              pa.float64()),
+        "hhi": pa.array([float(sq) / float(total * total)],
+                        pa.float64()),
+    })
+
+
+SQL_SOURCE_CONCENTRATION = """
+WITH s AS (SELECT source, count(*) AS n FROM documents
+           GROUP BY source),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_sources,
+             CAST(max(n) AS BIGINT) AS top_n,
+             CAST(sum(n * n) AS BIGINT) AS sq
+      FROM s)
+SELECT n_sources, total AS n_docs, top_n,
+       CAST(top_n AS DOUBLE) / CAST(total AS DOUBLE) AS top_share,
+       CAST(sq AS DOUBLE) / CAST(total * total AS DOUBLE) AS hhi
+FROM t
+"""
