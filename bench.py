@@ -277,6 +277,30 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("nation_revenue_rank", Q.q_nation_revenue_rank)
     timed("orders_pagination", Q.q_orders_pagination)
     timed("above_avg_orders", Q.q_above_avg_orders)
+    timed("degree_histogram", Q.q_degree_histogram)
+    timed("id_gaps", Q.q_id_gaps)
+    timed("normalized_dedup", Q.q_normalized_dedup)
+    timed("assoc_rules", Q.q_assoc_rules)
+    timed("event_type_combos", Q.q_event_type_combos)
+    timed("table_checksum", Q.q_table_checksum)
+    timed("psi_drift", Q.q_psi_drift)
+    timed("smoothed_cell_density", Q.q_smoothed_cell_density)
+    timed("systematic_sample", Q.q_systematic_sample)
+    timed("rfm_segments", Q.q_rfm_segments)
+    timed("keyness_terms", Q.q_keyness_terms)
+    timed("stratified_sample", Q.q_stratified_sample)
+    timed("sequence_motifs", Q.q_sequence_motifs)
+    timed("join_cardinality", Q.q_join_cardinality)
+    timed("blocking_stats", Q.q_blocking_stats)
+    timed("first_touch_attribution", Q.q_first_touch_attribution)
+    timed("dau_mau_stickiness", Q.q_dau_mau_stickiness)
+    timed("debounce_events", Q.q_debounce_events)
+    timed("langid_confusion", Q.q_langid_confusion)
+    timed("partition_pruning", Q.q_partition_pruning)
+    timed("source_concentration", Q.q_source_concentration)
+    timed("degree_correlation", Q.q_degree_correlation)
+    timed("trending_brands", Q.q_trending_brands)
+    timed("dedup_cluster_sizes", Q.q_dedup_cluster_sizes)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

@@ -13609,3 +13609,302 @@ SELECT n_sources, total AS n_docs, top_n,
        CAST(sq AS DOUBLE) / CAST(total * total AS DOUBLE) AS hhi
 FROM t
 """
+
+
+# -- round-5 wave 31: degree correlation / trending / cluster sizes ---------
+
+def q_degree_correlation(sf_dir: str):
+    """Degree correlation K_nn(k) (the network-science assortativity
+    readout: do high-degree parts connect to high-degree suppliers?):
+    over the DISTINCT part↔supplier edge set, for each part-degree k,
+    the number of parts and the mean supplier-neighbor degree —
+    exact int sums, single divide. Physical shape: TWO node-bucket
+    shuffles chained on the same packed-edge stream (the
+    degree_histogram device): pass A buckets by SUPPLIER to compute
+    each supplier's exact degree and re-emits edges annotated with
+    it; pass B buckets by PART to fold Σ neighbor-degree and part
+    degree, collapsing immediately to the (k)-bounded histogram
+    funnel. The driver sees only the k-table. SQL-checked
+    (two-join oracle)."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sums_combine
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    MASK = (1 << 32) - 1
+    ds = _read_split_few(sf_dir, "lineitem",
+                         ["l_partkey", "l_suppkey"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        p = b["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = b["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(p) and (int(p.max()) >= (1 << 31)
+                       or int(s.max()) >= (1 << 31)):
+            raise ValueError("degree_correlation pack overflow")
+        packed = np.unique((p << 32) | s)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(packed & MASK, n_buckets),
+                               pa.int64()),
+            "pk": pa.array(packed, pa.int64()),
+        })
+
+    def supp_degree(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "bucket": pa.array([], pa.int64()),
+                "pk": pa.array([], pa.int64()),
+                "sdeg": pa.array([], pa.int64()),
+            })
+        pk = np.unique(g["pk"].to_numpy(zero_copy_only=False))
+        sup = pk & MASK
+        us, inv, cnt = np.unique(sup, return_inverse=True,
+                                 return_counts=True)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(pk >> 32, n_buckets),
+                               pa.int64()),
+            "pk": pa.array(pk, pa.int64()),
+            "sdeg": pa.array(cnt[inv].astype(np.int64), pa.int64()),
+        })
+
+    def part_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "k": pa.array([], pa.int64()),
+                "n_parts": pa.array([], pa.int64()),
+                "sdeg_sum": pa.array([], pa.int64()),
+            })
+        pk = g["pk"].to_numpy(zero_copy_only=False)
+        sdeg = g["sdeg"].to_numpy(zero_copy_only=False)
+        part = pk >> 32
+        up, inv, k = np.unique(part, return_inverse=True,
+                               return_counts=True)
+        ssum = np.zeros(len(up), np.int64)
+        np.add.at(ssum, inv, sdeg)
+        kv, kinv, kn = np.unique(k, return_inverse=True,
+                                 return_counts=True)
+        kss = np.zeros(len(kv), np.int64)
+        np.add.at(kss, kinv, ssum)
+        return pa.table({
+            "k": pa.array(kv.astype(np.int64), pa.int64()),
+            "n_parts": pa.array(kn.astype(np.int64), pa.int64()),
+            "sdeg_sum": pa.array(kss, pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(edges, batch_format="pyarrow")
+        .groupby("bucket").map_groups(supp_degree,
+                                      batch_format="pyarrow")
+        .groupby("bucket").map_groups(part_fold,
+                                      batch_format="pyarrow"),
+        ["k"], ["n_parts", "sdeg_sum"], ["n_parts", "sdeg_sum"],
+    ).to_arrow_refs()))
+    k = t["k"].to_numpy(zero_copy_only=False)
+    nparts = t["n_parts"].to_numpy(zero_copy_only=False)
+    ss = t["sdeg_sum"].to_numpy(zero_copy_only=False)
+    # mean neighbor degree per part-degree: Σ sdeg / (k · n_parts)
+    knn = ss.astype(np.float64) / (k * nparts).astype(np.float64)
+    return pa.table({
+        "k": pa.array(k, pa.int64()),
+        "n_parts": pa.array(nparts, pa.int64()),
+        "sdeg_sum": pa.array(ss, pa.int64()),
+        "knn": pa.array(knn, pa.float64()),
+    })
+
+
+SQL_DEGREE_CORRELATION = """
+WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+           FROM lineitem),
+sd AS (SELECT s, count(*) AS d FROM e GROUP BY s),
+pd AS (SELECT e.p, count(*) AS k,
+              CAST(sum(sd.d) AS BIGINT) AS ssum
+       FROM e JOIN sd ON e.s = sd.s GROUP BY e.p)
+SELECT k, count(*) AS n_parts,
+       CAST(sum(ssum) AS BIGINT) AS sdeg_sum,
+       CAST(sum(ssum) AS DOUBLE)
+           / CAST(k * count(*) AS DOUBLE) AS knn
+FROM pd GROUP BY k
+"""
+
+
+def q_trending_brands(sf_dir: str):
+    """Windowed trending (the 'top movers this week' leaderboard):
+    per 7-day week of o_orderdate, the top-3 part brands by distinct
+    ORDER count, rank included, ties broken by brand ASC. Part→brand
+    is a true DIMENSION broadcast (assoc_rules device), but orders
+    is a FACT table — its week column joins via the totals_audit
+    CO-BUCKET device instead (tagged union, ONE fib_bucket shuffle
+    on orderkey; an order's header week and its line-side brand
+    pairs meet in exactly one bucket). The (week, brand) key space
+    is calendar×brand-BOUNDED, so per-bucket counts ride one funnel
+    and the driver ranks ≤ weeks×3 rows. SQL-checked (row_number
+    window oracle)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..util import fib_bucket, grouped_sum_combine
+
+    US_PER_DAY = 86_400_000_000
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nb = max(4, cpus // 4)
+    n_buckets = max(64, cpus * 8)
+
+    pt = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_brand"])
+    pk = pt["p_partkey"].to_numpy(zero_copy_only=False)
+    brands, binv = np.unique(
+        np.asarray(pt["p_brand"].to_pylist(), dtype=object),
+        return_inverse=True)
+    if len(brands) >= 256:
+        raise ValueError("trending_brands brand-id pack assumes <256")
+    order_p = np.argsort(pk)
+    dim_ref = ray.put((pk[order_p], binv[order_p].astype(np.int64)))
+
+    lines = split_read(f"{sf_dir}/lineitem.parquet",
+                       ["l_orderkey", "l_partkey"], nb)
+    orders = split_read(f"{sf_dir}/orders.parquet",
+                        ["o_orderkey", "o_orderdate"], nb)
+
+    def pre_lines(b: pa.Table) -> pa.Table:
+        spk, sbid = ray.get(dim_ref)
+        okv = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        lpk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        bid = sbid[np.searchsorted(spk, lpk)]
+        packed = np.unique((okv << 8) | bid)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(packed >> 8, n_buckets),
+                               pa.int64()),
+            "ok": pa.array(packed >> 8, pa.int64()),
+            "bid": pa.array(packed & 255, pa.int64()),
+            "week": pa.array(np.full(len(packed), -1, np.int64),
+                             pa.int64()),
+        })
+
+    def pre_orders(b: pa.Table) -> pa.Table:
+        okv = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        wk = (b["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // US_PER_DAY) // 7
+        return pa.table({
+            "bucket": pa.array(fib_bucket(okv, n_buckets), pa.int64()),
+            "ok": pa.array(okv, pa.int64()),
+            "bid": pa.array(np.full(len(okv), -1, np.int64),
+                            pa.int64()),
+            "week": pa.array(wk, pa.int64()),
+        })
+
+    def week_counts(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "week": pa.array([], pa.int64()),
+                "brand_id": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            })
+        ok_ = g["ok"].to_numpy(zero_copy_only=False)
+        bid = g["bid"].to_numpy(zero_copy_only=False)
+        wk = g["week"].to_numpy(zero_copy_only=False)
+        iso = bid == -1
+        sok = ok_[iso]
+        swk = wk[iso]
+        o = np.argsort(sok)
+        sok, swk = sok[o], swk[o]
+        pairs = np.unique((ok_[~iso] << 8) | bid[~iso])
+        lok = pairs >> 8
+        lwk = swk[np.searchsorted(sok, lok)]
+        kv, kc = np.unique((lwk << 8) | (pairs & 255),
+                           return_counts=True)
+        return pa.table({
+            "week": pa.array(kv >> 8, pa.int64()),
+            "brand_id": pa.array(kv & 255, pa.int64()),
+            "partial": pa.array(kc.astype(np.int64), pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sum_combine(
+        lines.map_batches(pre_lines, batch_format="pyarrow")
+        .union(orders.map_batches(pre_orders, batch_format="pyarrow"))
+        .groupby("bucket").map_groups(week_counts,
+                                      batch_format="pyarrow"),
+        ["week", "brand_id"], "partial", "n",
+    ).to_arrow_refs()))
+    wk = t["week"].to_numpy(zero_copy_only=False)
+    bid = t["brand_id"].to_numpy(zero_copy_only=False)
+    n = t["n"].to_numpy(zero_copy_only=False)
+    rows = []
+    for w in np.unique(wk):
+        m = wk == w
+        recs = sorted(zip(-n[m], brands[bid[m]]))[:3]
+        for r, (negn, br) in enumerate(recs, 1):
+            rows.append((int(w), br, int(-negn), r))
+    return pa.table({
+        "week": pa.array([r[0] for r in rows], pa.int64()),
+        "brand": pa.array([r[1] for r in rows], pa.string()),
+        "n_orders": pa.array([r[2] for r in rows], pa.int64()),
+        "rnk": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+SQL_TRENDING_BRANDS = """
+WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+            FROM lineitem JOIN part ON l_partkey = p_partkey),
+w AS (SELECT (epoch_us(o_orderdate) // 86400000000) // 7 AS week,
+             ob.brand, count(*) AS n_orders
+      FROM ob JOIN orders ON ob.ok = o_orderkey
+      GROUP BY 1, 2),
+r AS (SELECT week, brand, n_orders,
+             row_number() OVER (PARTITION BY week
+                                ORDER BY n_orders DESC, brand) AS rnk
+      FROM w)
+SELECT week, brand, n_orders, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+"""
+
+
+def q_dedup_cluster_sizes(sf_dir: str):
+    """Duplicate-cluster size distribution (the histogram a dedup
+    report leads with: how many exact-duplicate clusters of each
+    size): documents keyed by util.md5_le64(text), cluster sizes
+    folded to a (size)-bounded histogram. The hash-key groupby Sum
+    is the honest wide op (normalized_dedup rule); each grouped
+    block then collapses to size-histogram partials → funnel.
+    SQL-checked (two-level GROUP BY oracle — md5 equality stands in
+    for text equality on both sides, the standard exact-dedup
+    argument)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..util import grouped_sum_combine, md5_le64
+
+    ds = _read_split_few(sf_dir, "documents", ["text"])
+
+    def h(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        hs = np.fromiter(
+            (md5_le64(t.encode()) for t in texts),
+            dtype=np.uint64, count=len(texts)).view(np.int64)
+        t = pa.table({"h": pa.array(hs, pa.int64())})
+        return t.group_by(["h"]).aggregate([([], "count_all")]) \
+            .rename_columns(["h", "partial"])
+
+    def size_hist(b: pa.Table) -> pa.Table:
+        cv = b["c"].to_numpy(zero_copy_only=False)
+        sv, sn = np.unique(cv, return_counts=True)
+        return pa.table({
+            "cluster_size": pa.array(sv, pa.int64()),
+            "partial": pa.array(sn.astype(np.int64), pa.int64()),
+        })
+
+    return pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(h, batch_format="pyarrow")
+        .groupby("h").aggregate(Sum("partial", alias_name="c"))
+        .map_batches(size_hist, batch_format="pyarrow"),
+        ["cluster_size"], "partial", "n_clusters",
+    ).to_arrow_refs()))
+
+
+SQL_DEDUP_CLUSTER_SIZES = """
+WITH g AS (SELECT md5(text) AS h, count(*) AS n FROM documents
+           GROUP BY md5(text))
+SELECT n AS cluster_size, count(*) AS n_clusters
+FROM g GROUP BY n
+"""
