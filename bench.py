@@ -301,6 +301,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("degree_correlation", Q.q_degree_correlation)
     timed("trending_brands", Q.q_trending_brands)
     timed("dedup_cluster_sizes", Q.q_dedup_cluster_sizes)
+    timed("duplication_by_source", Q.q_duplication_by_source)
+    timed("pareto_share", Q.q_pareto_share)
+    timed("item_recommendations", Q.q_item_recommendations)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

@@ -13862,14 +13862,16 @@ FROM r WHERE rnk <= 3
 
 def q_dedup_cluster_sizes(sf_dir: str):
     """Duplicate-cluster size distribution (the histogram a dedup
-    report leads with: how many exact-duplicate clusters of each
-    size): documents keyed by util.md5_le64(text), cluster sizes
-    folded to a (size)-bounded histogram. The hash-key groupby Sum
-    is the honest wide op (normalized_dedup rule); each grouped
-    block then collapses to size-histogram partials → funnel.
-    SQL-checked (two-level GROUP BY oracle — md5 equality stands in
-    for text equality on both sides, the standard exact-dedup
-    argument)."""
+    report leads with: how many duplicate clusters of each size):
+    documents keyed by util.md5_le64 of the 16-char content-prefix
+    FINGERPRINT (the fixture's full texts are all unique — the
+    truncated key is the standard cheap near-key, and it produces
+    real 2- and 3-clusters), cluster sizes folded to a
+    (size)-bounded histogram. The hash-key groupby Sum is the honest
+    wide op (normalized_dedup rule); each grouped block then
+    collapses to size-histogram partials → funnel. SQL-checked
+    (two-level GROUP BY oracle — 64-bit hash equality stands in for
+    key equality, the standard exact-dedup argument)."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -13880,7 +13882,7 @@ def q_dedup_cluster_sizes(sf_dir: str):
     def h(b: pa.Table) -> pa.Table:
         texts = b["text"].to_pylist()
         hs = np.fromiter(
-            (md5_le64(t.encode()) for t in texts),
+            (md5_le64(t[:16].encode()) for t in texts),
             dtype=np.uint64, count=len(texts)).view(np.int64)
         t = pa.table({"h": pa.array(hs, pa.int64())})
         return t.group_by(["h"]).aggregate([([], "count_all")]) \
@@ -13903,8 +13905,312 @@ def q_dedup_cluster_sizes(sf_dir: str):
 
 
 SQL_DEDUP_CLUSTER_SIZES = """
-WITH g AS (SELECT md5(text) AS h, count(*) AS n FROM documents
-           GROUP BY md5(text))
+WITH g AS (SELECT substr(text, 1, 16) AS k, count(*) AS n
+           FROM documents GROUP BY 1)
 SELECT n AS cluster_size, count(*) AS n_clusters
 FROM g GROUP BY n
+"""
+
+
+# -- round-5 wave 32: per-source duplication / Pareto / recommendations -----
+
+def q_duplication_by_source(sf_dir: str):
+    """Per-source duplication report (where do the duplicates come
+    FROM — the attribution a crawl team needs before blaming a
+    source): documents fingerprinted by util.md5_le64 of the 16-char
+    content prefix (the dedup_cluster_sizes near-key; full fixture
+    texts are all unique); a doc is duplicated when its fingerprint's
+    GLOBAL count (across all sources) exceeds 1. ONE fingerprint-
+    bucket shuffle (util.fib_bucket on the hash — every copy of a
+    fingerprint co-locates, so the global count is complete
+    in-bucket and each doc row is seen exactly once), per-bucket
+    (source)-bounded partials → funnel; share is the single-divide
+    rule. SQL-checked (hash-join-back oracle)."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sums_combine, md5_le64
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split_few(sf_dir, "documents", ["text", "source"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        hs = np.fromiter(
+            (md5_le64(t[:16].encode()) for t in texts),
+            dtype=np.uint64, count=len(texts)).view(np.int64)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(hs, n_buckets), pa.int64()),
+            "h": pa.array(hs, pa.int64()),
+            "source": b["source"],
+        })
+
+    def per_source(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "source": pa.array([], pa.string()),
+                "nd": pa.array([], pa.int64()),
+                "dd": pa.array([], pa.int64()),
+            })
+        h = g["h"].to_numpy(zero_copy_only=False)
+        src = np.asarray(g["source"].to_pylist(), dtype=object)
+        uh, hinv, hc = np.unique(h, return_inverse=True,
+                                 return_counts=True)
+        dup = hc[hinv] > 1
+        us, sinv = np.unique(src, return_inverse=True)
+        nd = np.bincount(sinv, minlength=len(us)).astype(np.int64)
+        dd = np.zeros(len(us), np.int64)
+        np.add.at(dd, sinv, dup.astype(np.int64))
+        return pa.table({
+            "source": pa.array(list(us), pa.string()),
+            "nd": pa.array(nd, pa.int64()),
+            "dd": pa.array(dd, pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(per_source,
+                                      batch_format="pyarrow"),
+        ["source"], ["nd", "dd"], ["n_docs", "n_dup_docs"],
+    ).to_arrow_refs()))
+    nd = t["n_docs"].to_numpy(zero_copy_only=False)
+    dd = t["n_dup_docs"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "source": t["source"],
+        "n_docs": t["n_docs"],
+        "n_dup_docs": t["n_dup_docs"],
+        "dup_share": pa.array(
+            dd.astype(np.float64) / nd.astype(np.float64),
+            pa.float64()),
+    })
+
+
+SQL_DUPLICATION_BY_SOURCE = """
+WITH h AS (SELECT source, substr(text, 1, 16) AS k FROM documents),
+c AS (SELECT k, count(*) AS n FROM h GROUP BY k),
+j AS (SELECT h.source, CASE WHEN c.n > 1 THEN 1 ELSE 0 END AS dup
+      FROM h JOIN c USING (k))
+SELECT source, count(*) AS n_docs,
+       CAST(sum(dup) AS BIGINT) AS n_dup_docs,
+       CAST(sum(dup) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS dup_share
+FROM j GROUP BY source
+"""
+
+
+def q_pareto_share(sf_dir: str):
+    """Pareto concentration (the '80/20' readout: what share of all
+    events do the top-decile users generate): users ranked by event
+    count (DESC, user_id tie-break), the top n//10 users' event
+    share. The rank itself is never materialized — the top-k SUM is
+    tie-insensitive (any k users at the boundary count contribute
+    equally), so the answer folds from the (count-value)-keyed
+    histogram funnel: Σ counts above the boundary value + remainder ×
+    boundary. Per-user counts come from ONE user-bucket shuffle;
+    the count-value histogram is o(distinct activity levels).
+    Single-divide share. SQL-checked (row_number LIMIT oracle)."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sum_combine
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "events", ["user_id"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        uu, uc = np.unique(uid, return_counts=True)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(uu, n_buckets), pa.int64()),
+            "user_id": pa.array(uu, pa.int64()),
+            "c": pa.array(uc.astype(np.int64), pa.int64()),
+        })
+
+    def hist(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "cnt": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            })
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        uu, uinv = np.unique(uid, return_inverse=True)
+        tot = np.zeros(len(uu), np.int64)
+        np.add.at(tot, uinv, c)
+        cv, cn = np.unique(tot, return_counts=True)
+        return pa.table({
+            "cnt": pa.array(cv, pa.int64()),
+            "partial": pa.array(cn.astype(np.int64), pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(hist, batch_format="pyarrow"),
+        ["cnt"], "partial", "n_users",
+    ).to_arrow_refs()))
+    cv = t["cnt"].to_numpy(zero_copy_only=False)
+    nu = t["n_users"].to_numpy(zero_copy_only=False)
+    order = np.argsort(-cv)
+    cv, nu = cv[order], nu[order]
+    n = int(nu.sum())
+    total = int((cv * nu).sum())
+    k = n // 10
+    rem, top_events = k, 0
+    for c, m in zip(cv, nu):
+        take = min(rem, int(m))
+        top_events += take * int(c)
+        rem -= take
+        if rem == 0:
+            break
+    return pa.table({
+        "n_users": pa.array([n], pa.int64()),
+        "top_users": pa.array([k], pa.int64()),
+        "events_total": pa.array([total], pa.int64()),
+        "events_top": pa.array([top_events], pa.int64()),
+        "top_share": pa.array(
+            [float(top_events) / float(total)], pa.float64()),
+    })
+
+
+SQL_PARETO_SHARE = """
+WITH u AS (SELECT user_id, count(*) AS n FROM events
+           GROUP BY user_id),
+k AS (SELECT count(*) // 10 AS k, count(*) AS n_users,
+             CAST(sum(n) AS BIGINT) AS events_total
+      FROM u),
+r AS (SELECT n, row_number() OVER (ORDER BY n DESC, user_id) AS rk
+      FROM u),
+t AS (SELECT CAST(coalesce(sum(r.n), 0) AS BIGINT) AS events_top
+      FROM r, k WHERE r.rk <= k.k)
+SELECT k.n_users, CAST(k.k AS BIGINT) AS top_users, k.events_total,
+       t.events_top,
+       CAST(t.events_top AS DOUBLE) / CAST(k.events_total AS DOUBLE)
+           AS top_share
+FROM k CROSS JOIN t
+"""
+
+
+def q_item_recommendations(sf_dir: str):
+    """Item-item collaborative recommendations (the 'customers also
+    bought' table): for every part, the 3 most co-ordered OTHER
+    parts by shared-order support (min support 2), ties by
+    recommended part ASC. Physical shape extends cooccur_pairs: the
+    ORDERKEY-bucket shuffle + offset-k pair scan emits each pair in
+    BOTH directions, a SECOND shuffle shards on the focal ITEM
+    (pair counts are complete within an item's shard), and each
+    shard finishes its items' exact counts + top-3 locally — output
+    is o(items·3), never the pair space. SQL-checked (window-rank
+    oracle)."""
+    import ray
+
+    from ..util import fib_bucket
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nb = max(4, cpus // 4)
+    n_buckets = max(64, cpus * 8)
+    ds = split_read(f"{sf_dir}/lineitem.parquet",
+                    ["l_orderkey", "l_partkey"], nb)
+
+    def pre(b: pa.Table) -> pa.Table:
+        ok_ = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        if len(pk) and int(pk.max()) >= (1 << 21):
+            raise ValueError("item_recommendations pack overflow")
+        packed = np.unique((ok_ << 21) | pk)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(packed >> 21, n_buckets),
+                               pa.int64()),
+            "pk": pa.array(packed, pa.int64()),
+        })
+
+    M21 = (1 << 21) - 1
+
+    def pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "shard": pa.array([], pa.int64()),
+                "pair": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            })
+        packed = np.unique(g["pk"].to_numpy(zero_copy_only=False))
+        oks = packed >> 21
+        its = packed & M21
+        fwd = []
+        k = 1
+        while True:
+            m = oks[k:] == oks[:-k]
+            if not m.any():
+                break
+            fwd.append((its[:-k][m] << 21) | its[k:][m])
+            k += 1
+        if not fwd:
+            return pa.table({
+                "shard": pa.array([], pa.int64()),
+                "pair": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            })
+        f = np.concatenate(fwd)
+        both = np.concatenate([f, ((f & M21) << 21) | (f >> 21)])
+        pv, pn = np.unique(both, return_counts=True)
+        return pa.table({
+            "shard": pa.array(fib_bucket(pv >> 21, n_buckets),
+                              pa.int64()),
+            "pair": pa.array(pv, pa.int64()),
+            "partial": pa.array(pn.astype(np.int64), pa.int64()),
+        })
+
+    def shard_top(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "part": pa.array([], pa.int64()),
+                "rec": pa.array([], pa.int64()),
+                "support": pa.array([], pa.int64()),
+                "rnk": pa.array([], pa.int64()),
+            })
+        pv = g["pair"].to_numpy(zero_copy_only=False)
+        pn = g["partial"].to_numpy(zero_copy_only=False)
+        upv, pinv = np.unique(pv, return_inverse=True)
+        cnt = np.zeros(len(upv), np.int64)
+        np.add.at(cnt, pinv, pn)
+        keep = cnt >= 2
+        upv, cnt = upv[keep], cnt[keep]
+        item = upv >> 21
+        rec = upv & M21
+        order = np.lexsort((rec, -cnt, item))
+        it_s = item[order]
+        brk = np.zeros(len(it_s), np.bool_)
+        if len(it_s):
+            brk[0] = True
+            brk[1:] = it_s[1:] != it_s[:-1]
+        gid = np.cumsum(brk) - 1
+        pos = np.arange(len(it_s)) - np.flatnonzero(brk)[gid]
+        top = pos < 3
+        return pa.table({
+            "part": pa.array(item[order][top], pa.int64()),
+            "rec": pa.array(rec[order][top], pa.int64()),
+            "support": pa.array(cnt[order][top], pa.int64()),
+            "rnk": pa.array((pos[top] + 1).astype(np.int64),
+                            pa.int64()),
+        })
+
+    return pa.concat_tables([t for t in ray.get(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(pairs, batch_format="pyarrow")
+        .groupby("shard").map_groups(shard_top,
+                                     batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows])
+
+
+SQL_ITEM_RECOMMENDATIONS = """
+WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+            FROM lineitem),
+pr AS (SELECT a.p AS part, b.p AS rec, count(*) AS support
+       FROM op a JOIN op b ON a.ok = b.ok AND a.p <> b.p
+       GROUP BY 1, 2),
+r AS (SELECT part, rec, support,
+             row_number() OVER (PARTITION BY part
+                                ORDER BY support DESC, rec) AS rnk
+      FROM pr WHERE support >= 2)
+SELECT part, rec, support, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
 """
