@@ -304,6 +304,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("duplication_by_source", Q.q_duplication_by_source)
     timed("pareto_share", Q.q_pareto_share)
     timed("item_recommendations", Q.q_item_recommendations)
+    timed("best_price_supplier", Q.q_best_price_supplier)
+    timed("simpsons_check", Q.q_simpsons_check)
+    timed("partitioned_export", Q.q_partitioned_export)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

@@ -14214,3 +14214,292 @@ r AS (SELECT part, rec, support,
 SELECT part, rec, support, CAST(rnk AS BIGINT) AS rnk
 FROM r WHERE rnk <= 3
 """
+
+
+# -- round-5 wave 33: argmin join / Simpson audit / partitioned sink --------
+
+def q_best_price_supplier(sf_dir: str):
+    """Argmin join (the 'cheapest supplier per part' lookup — the
+    per-group argmin that a naive engine writes as a self-join on
+    the group minimum): per part, the supplier offering the lowest
+    observed unit cost over its lineitem rows, ties by supplier ASC,
+    plus the offer count. Unit cost is ALL-INTEGER — (price-cents ×
+    100) // round(qty) — so the argmin needs no float compare
+    anywhere (the cross-multiply-free variant: scaled integer
+    division is deterministic and identical to the oracle's `//`).
+    ONE part-bucket shuffle, per-bucket lexsort segment-first.
+    SQL-checked (row_number window oracle)."""
+    import ray
+
+    from ..util import fib_bucket
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "lineitem",
+                     ["l_partkey", "l_suppkey", "l_extendedprice",
+                      "l_quantity"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        ep = pc.round(pc.multiply(b["l_extendedprice"], 100.0)) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        qty = pc.round(b["l_quantity"]).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(pk, n_buckets), pa.int64()),
+            "part": pa.array(pk, pa.int64()),
+            "s": b["l_suppkey"],
+            "cost": pa.array((ep * 100) // qty, pa.int64()),
+        })
+
+    def argmin(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "part": pa.array([], pa.int64()),
+                "supplier": pa.array([], pa.int64()),
+                "unit_cost_scaled": pa.array([], pa.int64()),
+                "n_offers": pa.array([], pa.int64()),
+            })
+        part = g["part"].to_numpy(zero_copy_only=False)
+        s = g["s"].to_numpy(zero_copy_only=False)
+        cost = g["cost"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, cost, part))
+        p_s = part[order]
+        brk = np.zeros(len(p_s), np.bool_)
+        brk[0] = True
+        brk[1:] = p_s[1:] != p_s[:-1]
+        gid = np.cumsum(brk) - 1
+        return pa.table({
+            "part": pa.array(p_s[brk], pa.int64()),
+            "supplier": pa.array(s[order][brk], pa.int64()),
+            "unit_cost_scaled": pa.array(cost[order][brk], pa.int64()),
+            "n_offers": pa.array(np.bincount(gid).astype(np.int64),
+                                 pa.int64()),
+        })
+
+    return pa.concat_tables([t for t in ray.get(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(argmin, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows])
+
+
+SQL_BEST_PRICE_SUPPLIER = """
+WITH c AS (SELECT l_partkey AS part, l_suppkey AS s,
+        (CAST(round(l_extendedprice * 100.0) AS BIGINT) * 100)
+            // CAST(round(l_quantity) AS BIGINT) AS cost
+      FROM lineitem),
+r AS (SELECT part, s, cost,
+        row_number() OVER (PARTITION BY part
+                           ORDER BY cost, s) AS rk,
+        count(*) OVER (PARTITION BY part) AS n_offers
+      FROM c)
+SELECT part, s AS supplier, cost AS unit_cost_scaled,
+       CAST(n_offers AS BIGINT) AS n_offers
+FROM r WHERE rk = 1
+"""
+
+
+def q_simpsons_check(sf_dir: str):
+    """Simpson's-paradox audit (the analytics-integrity check that
+    catches a winning aggregate losing every day): A/B arms by the
+    ab_experiment device (md5_le64(user_id) % 2 — resume-stable),
+    per (arm, day) distinct active and purchasing users; the
+    aggregate conversion winner (ratio of sums) vs the count of
+    per-day winners, ALL comparisons as integer cross-multiplies —
+    zero float ops in the whole query. Days where only one arm is
+    active drop on both sides (inner-join rule). ONE user-bucket
+    shuffle, calendar-bounded (arm, day) funnel. SQL-checked."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sums_combine, md5_le64
+
+    US_PER_DAY = 86_400_000_000
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "events",
+                     ["user_id", "ts", "event_type"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        day = (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // US_PER_DAY)
+        isp = pc.equal(b["event_type"], "purchase") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        packed = np.unique((uid << 21) | (day << 1) | isp)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(packed >> 21, n_buckets),
+                               pa.int64()),
+            "pk": pa.array(packed, pa.int64()),
+        })
+
+    def counts(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "day": pa.array([], pa.int64()),
+                "arm": pa.array([], pa.int64()),
+                "au": pa.array([], pa.int64()),
+                "pu": pa.array([], pa.int64()),
+            })
+        pk = np.unique(g["pk"].to_numpy(zero_copy_only=False))
+        M20 = (1 << 20) - 1
+        arm_of = {int(u): md5_le64(str(int(u)).encode("ascii")) % 2
+                  for u in np.unique(pk >> 21)}
+        # active = distinct (user, day) regardless of the isp bit
+        ud = np.unique(pk >> 1)  # (uid << 20) | day
+        aarm = np.fromiter((arm_of[int(u)] for u in ud >> 20),
+                           np.int64, len(ud))
+        kv, kc = np.unique(((ud & M20) << 1) | aarm,
+                           return_counts=True)
+        # purchasing = distinct (user, day) among isp = 1 rows
+        pud = np.unique(pk[(pk & 1) == 1] >> 1)
+        parm = np.fromiter((arm_of[int(u)] for u in pud >> 20),
+                           np.int64, len(pud))
+        pv, pn = np.unique(((pud & M20) << 1) | parm,
+                           return_counts=True)
+        pmap = dict(zip(pv.tolist(), pn.tolist()))
+        return pa.table({
+            "day": pa.array(kv >> 1, pa.int64()),
+            "arm": pa.array(kv & 1, pa.int64()),
+            "au": pa.array(kc.astype(np.int64), pa.int64()),
+            "pu": pa.array([int(pmap.get(int(k), 0)) for k in kv],
+                           pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(counts, batch_format="pyarrow"),
+        ["day", "arm"], ["au", "pu"], ["au", "pu"],
+    ).to_arrow_refs()))
+    day = t["day"].to_numpy(zero_copy_only=False)
+    arm = t["arm"].to_numpy(zero_copy_only=False)
+    au = t["au"].to_numpy(zero_copy_only=False)
+    pu = t["pu"].to_numpy(zero_copy_only=False)
+    d0 = {int(d): (int(a), int(p))
+          for d, a, p in zip(day[arm == 0], au[arm == 0],
+                             pu[arm == 0])}
+    d1 = {int(d): (int(a), int(p))
+          for d, a, p in zip(day[arm == 1], au[arm == 1],
+                             pu[arm == 1])}
+    both = sorted(set(d0) & set(d1))
+    a0 = sum(d0[d][0] for d in both)
+    p0 = sum(d0[d][1] for d in both)
+    a1 = sum(d1[d][0] for d in both)
+    p1 = sum(d1[d][1] for d in both)
+    days_a = sum(1 for d in both
+                 if d0[d][1] * d1[d][0] > d1[d][1] * d0[d][0])
+    days_b = sum(1 for d in both
+                 if d1[d][1] * d0[d][0] > d0[d][1] * d1[d][0])
+    agg_winner = ("A" if p0 * a1 > p1 * a0
+                  else "B" if p1 * a0 > p0 * a1 else "tie")
+    paradox = int((p0 * a1 > p1 * a0 and days_b > days_a)
+                  or (p1 * a0 > p0 * a1 and days_a > days_b))
+    return pa.table({
+        "a0": pa.array([a0], pa.int64()),
+        "p0": pa.array([p0], pa.int64()),
+        "a1": pa.array([a1], pa.int64()),
+        "p1": pa.array([p1], pa.int64()),
+        "days_a": pa.array([days_a], pa.int64()),
+        "days_b": pa.array([days_b], pa.int64()),
+        "n_days": pa.array([len(both)], pa.int64()),
+        "agg_winner": pa.array([agg_winner], pa.string()),
+        "paradox": pa.array([paradox], pa.int64()),
+    })
+
+
+SQL_SIMPSONS_CHECK = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+arm AS (SELECT user_id,
+        CAST(CAST('0x' || substr(md5(user_id::VARCHAR),15,2)
+                       || substr(md5(user_id::VARCHAR),13,2)
+                       || substr(md5(user_id::VARCHAR),11,2)
+                       || substr(md5(user_id::VARCHAR),9,2)
+                       || substr(md5(user_id::VARCHAR),7,2)
+                       || substr(md5(user_id::VARCHAR),5,2)
+                       || substr(md5(user_id::VARCHAR),3,2)
+                       || substr(md5(user_id::VARCHAR),1,2)
+             AS UBIGINT) % 2 AS BIGINT) AS arm
+        FROM u),
+ud AS (SELECT DISTINCT e.user_id,
+              epoch_us(ts) // 86400000000 AS day, arm.arm
+       FROM events e JOIN arm USING (user_id)),
+pd AS (SELECT DISTINCT e.user_id,
+              epoch_us(ts) // 86400000000 AS day, arm.arm
+       FROM events e JOIN arm USING (user_id)
+       WHERE event_type = 'purchase'),
+a AS (SELECT day, arm, count(*) AS au FROM ud GROUP BY 1, 2),
+p AS (SELECT day, arm, count(*) AS pu FROM pd GROUP BY 1, 2),
+j AS (SELECT a.day, a.arm, a.au, coalesce(p.pu, 0) AS pu
+      FROM a LEFT JOIN p ON a.day = p.day AND a.arm = p.arm),
+w AS (SELECT j0.day, j0.au AS a0d, j0.pu AS p0d,
+             j1.au AS a1d, j1.pu AS p1d
+      FROM j j0 JOIN j j1 ON j0.day = j1.day
+      WHERE j0.arm = 0 AND j1.arm = 1),
+agg AS (SELECT CAST(sum(a0d) AS BIGINT) AS a0,
+               CAST(sum(p0d) AS BIGINT) AS p0,
+               CAST(sum(a1d) AS BIGINT) AS a1,
+               CAST(sum(p1d) AS BIGINT) AS p1,
+               CAST(sum(CASE WHEN p0d * a1d > p1d * a0d
+                        THEN 1 ELSE 0 END) AS BIGINT) AS days_a,
+               CAST(sum(CASE WHEN p1d * a0d > p0d * a1d
+                        THEN 1 ELSE 0 END) AS BIGINT) AS days_b,
+               count(*) AS n_days
+        FROM w)
+SELECT a0, p0, a1, p1, days_a, days_b, n_days,
+       CASE WHEN p0 * a1 > p1 * a0 THEN 'A'
+            WHEN p1 * a0 > p0 * a1 THEN 'B' ELSE 'tie' END
+           AS agg_winner,
+       CAST(CASE WHEN (p0 * a1 > p1 * a0 AND days_b > days_a)
+                   OR (p1 * a0 > p0 * a1 AND days_a > days_b)
+            THEN 1 ELSE 0 END AS BIGINT) AS paradox
+FROM agg
+"""
+
+
+def q_partitioned_export(sf_dir: str):
+    """Partitioned sink with manifest (the resumable-output contract
+    SCALE.md requires: one directory per partition key so a failed
+    run can skip finished partitions): documents stream to
+    hive-partitioned parquet (``lang=<v>/``) under /tmp, then the
+    written files themselves are re-scanned (parquet FOOTERS only)
+    into a (lang, n_rows, n_files) manifest — the check is on the
+    SINK's actual output, not the input. The row-count oracle is the
+    input GROUP BY; a mismatch (lost or duplicated rows in the sink)
+    fails the hash check. n_files is environment-dependent (block
+    count) so it stays engine-side only."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    out = "/tmp/ogr_export/documents_by_lang"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    ds.write_parquet(out, partition_cols=["lang"])
+    rows = []
+    for d in sorted(os.listdir(out)):
+        if not d.startswith("lang="):
+            continue
+        lang = d.split("=", 1)[1]
+        n, files = 0, 0
+        for f in sorted(os.listdir(os.path.join(out, d))):
+            if f.endswith(".parquet"):
+                n += pq.read_metadata(
+                    os.path.join(out, d, f)).num_rows
+                files += 1
+        if files == 0:
+            raise ValueError(f"partitioned_export: empty dir {d}")
+        rows.append((lang, n))
+    if not rows:
+        raise ValueError("partitioned_export wrote nothing")
+    return pa.table({
+        "lang": pa.array([r[0] for r in rows], pa.string()),
+        "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
+SQL_PARTITIONED_EXPORT = """
+SELECT lang, count(*) AS n_rows FROM documents GROUP BY lang
+"""
