@@ -307,6 +307,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("best_price_supplier", Q.q_best_price_supplier)
     timed("simpsons_check", Q.q_simpsons_check)
     timed("partitioned_export", Q.q_partitioned_export)
+    timed("shipping_sla", Q.q_shipping_sla)
+    timed("resample_linear", Q.q_resample_linear)
+    timed("pps_sample", Q.q_pps_sample)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

@@ -14503,3 +14503,323 @@ def q_partitioned_export(sf_dir: str):
 SQL_PARTITIONED_EXPORT = """
 SELECT lang, count(*) AS n_rows FROM documents GROUP BY lang
 """
+
+
+# -- round-5 wave 34: shipping SLA / linear resample / PPS sample -----------
+
+def q_shipping_sla(sf_dir: str):
+    """Order-to-ship SLA distribution (the fulfilment histogram an
+    ops dashboard leads with): per order priority, line-level
+    ship-lag days (l_shipdate day − o_orderdate day, exact int64)
+    bucketed into a (priority, lag_days) histogram. The order header
+    is a FACT side — its date joins via the totals_audit CO-BUCKET
+    device (tagged union, ONE orderkey shuffle), and the histogram
+    key space is priority×lag-BOUNDED → funnel. SQL-checked."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sum_combine
+
+    US_PER_DAY = 86_400_000_000
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nb = max(4, cpus // 4)
+    n_buckets = max(64, cpus * 8)
+    lines = split_read(f"{sf_dir}/lineitem.parquet",
+                       ["l_orderkey", "l_shipdate"], nb)
+    orders = split_read(f"{sf_dir}/orders.parquet",
+                        ["o_orderkey", "o_orderdate",
+                         "o_orderpriority"], nb)
+
+    def pre_lines(b: pa.Table) -> pa.Table:
+        ok_ = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        sd = (b["l_shipdate"].cast(pa.int64())
+              .to_numpy(zero_copy_only=False) // US_PER_DAY)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(ok_, n_buckets), pa.int64()),
+            "ok": pa.array(ok_, pa.int64()),
+            "day": pa.array(sd, pa.int64()),
+            "prio": pa.array([""] * len(ok_), pa.string()),
+            "is_order": pa.array(np.zeros(len(ok_), bool)),
+        })
+
+    def pre_orders(b: pa.Table) -> pa.Table:
+        ok_ = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        od = (b["o_orderdate"].cast(pa.int64())
+              .to_numpy(zero_copy_only=False) // US_PER_DAY)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(ok_, n_buckets), pa.int64()),
+            "ok": pa.array(ok_, pa.int64()),
+            "day": pa.array(od, pa.int64()),
+            "prio": b["o_orderpriority"],
+            "is_order": pa.array(np.ones(len(ok_), bool)),
+        })
+
+    def sla(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "o_orderpriority": pa.array([], pa.string()),
+                "lag_days": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            })
+        ok_ = g["ok"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        iso = g["is_order"].to_numpy(zero_copy_only=False)
+        prio = np.asarray(g["prio"].to_pylist(), dtype=object)
+        sok = ok_[iso]
+        o = np.argsort(sok)
+        sok, oday, oprio = sok[o], day[iso][o], prio[iso][o]
+        pos = np.searchsorted(sok, ok_[~iso])
+        if len(sok) == 0 or (pos >= len(sok)).any() \
+                or (sok[np.clip(pos, 0, len(sok) - 1)]
+                    != ok_[~iso]).any():
+            raise ValueError("shipping_sla: line without order header")
+        lag = day[~iso] - oday[pos]
+        pr = oprio[pos]
+        up, pinv = np.unique(pr, return_inverse=True)
+        key = pinv.astype(np.int64) * 100000 + (lag + 50000)
+        kv, kc = np.unique(key, return_counts=True)
+        return pa.table({
+            "o_orderpriority": pa.array(
+                [up[k // 100000] for k in kv], pa.string()),
+            "lag_days": pa.array(kv % 100000 - 50000, pa.int64()),
+            "partial": pa.array(kc.astype(np.int64), pa.int64()),
+        })
+
+    return pa.concat_tables(ray.get(grouped_sum_combine(
+        lines.map_batches(pre_lines, batch_format="pyarrow")
+        .union(orders.map_batches(pre_orders, batch_format="pyarrow"))
+        .groupby("bucket").map_groups(sla, batch_format="pyarrow"),
+        ["o_orderpriority", "lag_days"], "partial", "n_lines",
+    ).to_arrow_refs()))
+
+
+SQL_SHIPPING_SLA = """
+SELECT o_orderpriority,
+       epoch_us(l_shipdate) // 86400000000
+           - epoch_us(o_orderdate) // 86400000000 AS lag_days,
+       count(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
+def q_resample_linear(sf_dir: str):
+    """Time-series resample + LINEAR interpolation (resample_ffill's
+    companion — the gridding rule for continuous signals): each
+    user's hourly grid point h takes
+    v₀ + (v₁−v₀)·(h−h₀) // (h₁−h₀) between its surrounding hour
+    representatives (rep = the hour's last event by (ts, event_id);
+    exact hits take v₀) — INTEGER floor interpolation, so the
+    per-user sums stay exact int64 and no float-summation order
+    exists on either side. Same physical shape as resample_ffill:
+    ONE user-bucket shuffle, packed user·2²⁰+hour keys, two global
+    searchsorteds (backward rep, forward rep). SQL-checked (double
+    ASOF JOIN oracle — backward plus negated-key forward)."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sums_combine
+
+    US_PER_HOUR = 3_600_000_000
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nb = max(4, cpus // 4)
+    n_buckets = max(64, cpus * 8)
+    ds = split_read(f"{sf_dir}/events.parquet",
+                    ["user_id", "ts", "event_id", "value"], nb)
+
+    def pre(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        xc = np.round(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(uid, n_buckets), pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "hour": pa.array(ts // US_PER_HOUR, pa.int64()),
+            "ts_us": pa.array(ts, pa.int64()),
+            "event_id": b["event_id"],
+            "xc": pa.array(xc, pa.int64()),
+        })
+
+    def lerp(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "n_grid_hours": pa.array([], pa.int64()),
+            "lerp_cents_sum": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        hr = g["hour"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        xc = g["xc"].to_numpy(zero_copy_only=False)
+        if (hr >= (1 << 20)).any():
+            raise ValueError("resample_linear hour pack overflow")
+        order = np.lexsort((eid, ts, hr, uid))
+        u_s, h_s, x_s = uid[order], hr[order], xc[order]
+        last = np.ones(len(u_s), np.bool_)
+        last[:-1] = (u_s[1:] != u_s[:-1]) | (h_s[1:] != h_s[:-1])
+        ru, rh, rx = u_s[last], h_s[last], x_s[last]
+        uu, st = np.unique(ru, return_index=True)
+        en = np.append(st[1:], len(ru))
+        first_h = rh[st]
+        last_h = rh[en - 1]
+        glen = (last_h - first_h + 1).astype(np.int64)
+        grid_u = np.repeat(uu, glen)
+        grid_h = (np.arange(int(glen.sum()), dtype=np.int64)
+                  - np.repeat(np.cumsum(glen) - glen, glen)
+                  + np.repeat(first_h, glen))
+        rep_key = ru * (1 << 20) + rh
+        grid_key = grid_u * (1 << 20) + grid_h
+        i0 = np.searchsorted(rep_key, grid_key, side="right") - 1
+        i1 = np.searchsorted(rep_key, grid_key, side="left")
+        h0, v0 = rh[i0], rx[i0]
+        h1, v1 = rh[i1], rx[i1]
+        span = np.where(h1 > h0, h1 - h0, 1)
+        num = (v1 - v0) * (grid_h - h0)
+        # DuckDB // TRUNCATES toward zero; numpy floors — mirror the
+        # oracle exactly (sign-proof division, the duration-modulo
+        # precedent)
+        q = np.where(num >= 0, num // span, -((-num) // span))
+        v = np.where(
+            grid_key == rep_key[np.clip(i1, 0, len(rep_key) - 1)],
+            v1, v0 + q)
+        us2, uinv2 = np.unique(grid_u, return_inverse=True)
+        sums = np.zeros(len(us2), np.int64)
+        np.add.at(sums, uinv2, v)
+        return pa.table({
+            "user_id": pa.array(us2, pa.int64()),
+            "n_grid_hours": pa.array(
+                np.bincount(uinv2).astype(np.int64), pa.int64()),
+            "lerp_cents_sum": pa.array(sums, pa.int64()),
+        })
+
+    return pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(lerp, batch_format="pyarrow"),
+        ["user_id"], ["n_grid_hours", "lerp_cents_sum"],
+        ["n_grid_hours", "lerp_cents_sum"],
+    ).to_arrow_refs()))
+
+
+SQL_RESAMPLE_LINEAR = """
+WITH e AS (SELECT user_id,
+        epoch_us(ts) // 3600000000 AS hour, epoch_us(ts) AS ts_us,
+        event_id, CAST(round(value * 100.0) AS BIGINT) AS xc
+      FROM events),
+reps AS (SELECT user_id, hour, xc FROM (
+        SELECT user_id, hour, xc,
+               row_number() OVER (PARTITION BY user_id, hour
+                                  ORDER BY ts_us DESC, event_id DESC)
+                   AS rn
+        FROM e) WHERE rn = 1),
+span AS (SELECT user_id, min(hour) AS mn, max(hour) AS mx
+         FROM reps GROUP BY user_id),
+grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS h
+         FROM span),
+b AS (SELECT g.user_id, g.h, r.hour AS h0, r.xc AS v0
+      FROM grid g ASOF JOIN reps r
+        ON g.user_id = r.user_id AND g.h >= r.hour),
+f AS (SELECT g.user_id, g.h, r.hour AS h1, r.xc AS v1
+      FROM grid g ASOF JOIN (SELECT user_id, -hour AS nh, hour, xc
+                             FROM reps) r
+        ON g.user_id = r.user_id AND -g.h >= r.nh),
+v AS (SELECT b.user_id, b.h,
+        CASE WHEN f.h1 = b.h THEN f.v1
+             ELSE b.v0 + ((f.v1 - b.v0) * (b.h - b.h0))
+                  // (CASE WHEN f.h1 > b.h0 THEN f.h1 - b.h0
+                           ELSE 1 END)
+        END AS val
+      FROM b JOIN f ON b.user_id = f.user_id AND b.h = f.h)
+SELECT user_id, count(*) AS n_grid_hours,
+       CAST(sum(val) AS BIGINT) AS lerp_cents_sum
+FROM v GROUP BY user_id
+"""
+
+
+def q_pps_sample(sf_dir: str):
+    """Systematic PPS sampling (probability-proportional-to-size —
+    the audit-sampling standard ISA 530 calls monetary-unit
+    sampling): 100 evenly spaced positions in the cumulative
+    order-cents space select the orders covering them (big orders
+    can absorb several positions → n_hits). Deterministic, seedless,
+    resume-stable. Physical shape: sort by orderkey, then
+    util.block_rank_offsets in PREFIX-SUM mode (per-block cents
+    totals fold into exclusive global offsets — cents never leave
+    the workers), broadcast the 100 thresholds, and each block emits
+    only its own covered orders via two searchsorteds. SQL-checked
+    (window cumulative-sum oracle)."""
+    import ray
+
+    from ..util import block_rank_offsets
+
+    K = 100
+    ds = _read_split(sf_dir, "orders",
+                     ["o_orderkey", "o_totalprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "cents": pc.round(pc.multiply(b["o_totalprice"], 100.0))
+            .cast(pa.int64()),
+        })
+
+    mat = ds.map_batches(pre, batch_format="pyarrow") \
+        .sort("o_orderkey").materialize()
+    offsets, total = block_rank_offsets(mat, ["o_orderkey"],
+                                        val_col="cents")
+    if total >= (1 << 62) // K:
+        raise ValueError("pps_sample threshold product overflow")
+    thresholds = np.array([(j * total) // K for j in range(K)],
+                          np.int64)
+    off_ref = ray.put(offsets)
+    th_ref = ray.put(thresholds)
+
+    def pick(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "o_orderkey": pa.array([], pa.int64()),
+            "cents": pa.array([], pa.int64()),
+            "n_hits": pa.array([], pa.int64()),
+        })
+        if b.num_rows == 0 or b.num_columns == 0:
+            return empty
+        off = ray.get(off_ref)[(b["o_orderkey"][0].as_py(),)]
+        cents = b["cents"].to_numpy(zero_copy_only=False)
+        cum = off + np.cumsum(cents)  # inclusive end positions
+        th = ray.get(th_ref)
+        lo = np.searchsorted(th, off, side="left")
+        hi = np.searchsorted(th, cum[-1] - 1, side="right")
+        if lo == hi:
+            return empty
+        tpos = th[lo:hi]
+        idx = np.searchsorted(cum, tpos, side="right")
+        uv, un = np.unique(idx, return_counts=True)
+        t = b.take(pa.array(uv, pa.int64()))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "cents": t["cents"],
+            "n_hits": pa.array(un.astype(np.int64), pa.int64()),
+        })
+
+    return pa.concat_tables([t for t in ray.get(
+        mat.map_batches(pick, batch_format="pyarrow",
+                        batch_size=None).to_arrow_refs())
+        if t.num_rows])
+
+
+SQL_PPS_SAMPLE = """
+WITH c AS (SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+           FROM orders),
+w AS (SELECT o_orderkey, cents,
+        coalesce(sum(cents) OVER (ORDER BY o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS cb
+      FROM c),
+t AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM c),
+th AS (SELECT (g.j * t.tot) // 100 AS pos
+       FROM generate_series(0, 99) AS g(j), t)
+SELECT w.o_orderkey, w.cents, count(*) AS n_hits
+FROM th JOIN w ON th.pos >= w.cb AND th.pos < w.cb + w.cents
+GROUP BY 1, 2
+"""

@@ -279,9 +279,11 @@ def fib_bucket(keys, n_buckets: int):
             % np.uint64(n_buckets)).astype(np.int64)
 
 
-def block_rank_offsets(mat_ds, key_cols):
-    """THE distributed row_number device: global 0-based row offsets
-    for the blocks of a SORTED, MATERIALIZED dataset.
+def block_rank_offsets(mat_ds, key_cols, val_col=None):
+    """THE distributed row_number / prefix-sum device: global
+    0-based offsets for the blocks of a SORTED, MATERIALIZED
+    dataset — row offsets by default, or exclusive PREFIX-SUM
+    offsets of ``val_col`` when given (the PPS-sampling form).
 
     Contract: ``mat_ds`` is the materialized output of
     ``.sort(key_cols)`` with a UNIQUE composite key (no key can span
@@ -308,7 +310,9 @@ def block_rank_offsets(mat_ds, key_cols):
             # the driver filters before concat
             return pa.table({"__n": pa.array([], pa.int64())})
         cols = {c: b[c].slice(0, 1) for c in key_cols}
-        cols["__n"] = pa.array([b.num_rows], pa.int64())
+        n = (int(b[val_col].to_numpy(zero_copy_only=False).sum())
+             if val_col else b.num_rows)
+        cols["__n"] = pa.array([n], pa.int64())
         return pa.table(cols)
 
     tabs = [t for t in ray.get(
