@@ -310,6 +310,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("shipping_sla", Q.q_shipping_sla)
     timed("resample_linear", Q.q_resample_linear)
     timed("pps_sample", Q.q_pps_sample)
+    timed("borda_parts", Q.q_borda_parts)
+    timed("bounce_rate", Q.q_bounce_rate)
+    timed("purchase_context", Q.q_purchase_context)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

@@ -14823,3 +14823,277 @@ SELECT w.o_orderkey, w.cents, count(*) AS n_hits
 FROM th JOIN w ON th.pos >= w.cb AND th.pos < w.cb + w.cents
 GROUP BY 1, 2
 """
+
+
+# -- round-5 wave 35: rank fusion / bounce rate / context window join -------
+
+def q_borda_parts(sf_dir: str):
+    """Rank fusion (Borda count — the multi-objective 'best overall'
+    list built from single-metric leaderboards): parts ranked twice
+    (total ordered quantity DESC; total revenue cents DESC; partkey
+    tie-break), fused by rank sum, top-20 by (borda ASC, partkey).
+    Per-part partials fold map-side and ride the funnel under the
+    DIMENSION contract (parts are the broadcastable dimension
+    everywhere in this suite — the o(parts) driver table is the same
+    size as the part broadcasts); ranks and fusion are then exact
+    integer driver math. SQL-checked (double-window oracle)."""
+    import ray
+
+    from ..util import grouped_sums_combine
+
+    ds = _read_split(sf_dir, "lineitem",
+                     ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        qty = pc.round(b["l_quantity"]).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        rev = pc.round(pc.multiply(b["l_extendedprice"], 100.0)) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        up, inv = np.unique(pk, return_inverse=True)
+        qs = np.zeros(len(up), np.int64)
+        rs = np.zeros(len(up), np.int64)
+        np.add.at(qs, inv, qty)
+        np.add.at(rs, inv, rev)
+        return pa.table({
+            "part": pa.array(up, pa.int64()),
+            "q": pa.array(qs, pa.int64()),
+            "r": pa.array(rs, pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["part"], ["q", "r"], ["q", "r"],
+    ).to_arrow_refs()))
+    part = t["part"].to_numpy(zero_copy_only=False)
+    q = t["q"].to_numpy(zero_copy_only=False)
+    r = t["r"].to_numpy(zero_copy_only=False)
+    rank_q = np.empty(len(part), np.int64)
+    rank_q[np.lexsort((part, -q))] = np.arange(1, len(part) + 1)
+    rank_r = np.empty(len(part), np.int64)
+    rank_r[np.lexsort((part, -r))] = np.arange(1, len(part) + 1)
+    borda = rank_q + rank_r
+    top = np.lexsort((part, borda))[:20]
+    return pa.table({
+        "part": pa.array(part[top], pa.int64()),
+        "qty_sum": pa.array(q[top], pa.int64()),
+        "rev_cents": pa.array(r[top], pa.int64()),
+        "rank_qty": pa.array(rank_q[top], pa.int64()),
+        "rank_rev": pa.array(rank_r[top], pa.int64()),
+        "borda": pa.array(borda[top], pa.int64()),
+    })
+
+
+SQL_BORDA_PARTS = """
+WITH a AS (SELECT l_partkey AS part,
+        CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+            AS qty_sum,
+        CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))
+            AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY 1),
+r AS (SELECT part, qty_sum, rev_cents,
+        row_number() OVER (ORDER BY qty_sum DESC, part) AS rank_qty,
+        row_number() OVER (ORDER BY rev_cents DESC, part) AS rank_rev
+      FROM a)
+SELECT part, qty_sum, rev_cents,
+       CAST(rank_qty AS BIGINT) AS rank_qty,
+       CAST(rank_rev AS BIGINT) AS rank_rev,
+       CAST(rank_qty + rank_rev AS BIGINT) AS borda
+FROM r ORDER BY rank_qty + rank_rev, part LIMIT 20
+"""
+
+
+def q_bounce_rate(sf_dir: str):
+    """Visit bounce rate by entry behavior (the engagement metric
+    behind every landing-page report): events sessionize per user
+    with a 12 h inactivity gap (lag rule, ordered by ts, event_id);
+    a visit bouncing means it contains exactly ONE event; per visit
+    ENTRY type — sessions, bounces, bounce rate (single divide).
+    ONE user-bucket shuffle, vectorized new-visit mask + segment
+    first/size, (type)-bounded funnel. SQL-checked (two-level window
+    oracle: gap flag → cumulative visit id → per-visit aggregate)."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sums_combine
+
+    GAP_US = 12 * 3_600_000_000
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "events",
+                     ["user_id", "ts", "event_id", "event_type"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(uid, n_buckets), pa.int64()),
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+        })
+
+    def visits(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "entry_type": pa.array([], pa.string()),
+                "ns": pa.array([], pa.int64()),
+                "nb": pa.array([], pa.int64()),
+            })
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, uid))
+        u_s, t_s = uid[order], ts[order]
+        new = np.ones(len(u_s), np.bool_)
+        new[1:] = (u_s[1:] != u_s[:-1]) \
+            | (t_s[1:] - t_s[:-1] >= GAP_US)
+        gid = np.cumsum(new) - 1
+        sizes = np.bincount(gid).astype(np.int64)
+        entry = et[order][new]
+        ue, einv = np.unique(entry, return_inverse=True)
+        ns = np.bincount(einv, minlength=len(ue)).astype(np.int64)
+        nb = np.zeros(len(ue), np.int64)
+        np.add.at(nb, einv, (sizes == 1).astype(np.int64))
+        return pa.table({
+            "entry_type": pa.array(list(ue), pa.string()),
+            "ns": pa.array(ns, pa.int64()),
+            "nb": pa.array(nb, pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(visits, batch_format="pyarrow"),
+        ["entry_type"], ["ns", "nb"], ["n_sessions", "n_bounces"],
+    ).to_arrow_refs()))
+    ns = t["n_sessions"].to_numpy(zero_copy_only=False)
+    nb = t["n_bounces"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "entry_type": t["entry_type"],
+        "n_sessions": t["n_sessions"],
+        "n_bounces": t["n_bounces"],
+        "bounce_rate": pa.array(
+            nb.astype(np.float64) / ns.astype(np.float64),
+            pa.float64()),
+    })
+
+
+SQL_BOUNCE_RATE = """
+WITH l AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                  event_id,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS prev_us
+           FROM events),
+s AS (SELECT user_id, event_type, ts_us, event_id,
+             sum(CASE WHEN prev_us IS NULL
+                      OR ts_us - prev_us >= 43200000000
+                      THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id
+                       ORDER BY ts_us, event_id) AS visit
+      FROM l),
+v AS (SELECT user_id, visit, count(*) AS sz,
+             min(ts_us) AS t0, min(event_id) AS e0
+      FROM s GROUP BY 1, 2),
+e AS (SELECT v.user_id, v.visit, v.sz, s.event_type AS entry_type
+      FROM v JOIN s ON v.user_id = s.user_id AND v.visit = s.visit
+                   AND s.ts_us = v.t0
+      QUALIFY row_number() OVER (PARTITION BY v.user_id, v.visit
+                                 ORDER BY s.event_id) = 1)
+SELECT entry_type, count(*) AS n_sessions,
+       CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounces,
+       CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS bounce_rate
+FROM e GROUP BY entry_type
+"""
+
+
+def q_purchase_context(sf_dir: str):
+    """Context window join (the behavioral-context feature a
+    propensity model eats: how many views preceded each purchase):
+    for every purchase, the count of the SAME user's view events in
+    the 24 h before it (t−24h ≤ view < t), reported as the
+    (n_views_24h → n_purchases) histogram. ONE user-bucket shuffle;
+    per user the window count is TWO searchsorteds over the sorted
+    view timestamps — no pairwise join ever materializes. Histogram
+    is window-BOUNDED → funnel. SQL-checked (range self-join
+    oracle)."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sum_combine
+
+    WIN_US = 86_400_000_000
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "events",
+                     ["user_id", "ts", "event_type"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"],
+                        value_set=pa.array(["view", "purchase"]))
+        t = b.filter(keep)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(uid, n_buckets), pa.int64()),
+            "user_id": t["user_id"],
+            "ts_us": t["ts"].cast(pa.int64()),
+            "is_view": pc.equal(t["event_type"], "view"),
+        })
+
+    def ctx(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "n_views_24h": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            })
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        isv = g["is_view"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, isv, uid))  # views sorted per user
+        vm = isv[order]
+        u_v, t_v = uid[order][vm], ts[order][vm]
+        u_p, t_p = uid[order][~vm], ts[order][~vm]
+        # per-user isolation via packed keys (ts_us < 2^62 headroom:
+        # pack (user_rank << 44) would overflow; use user-major
+        # searchsorted on (uid, ts) pairs via np.lexsort-ordered
+        # arrays + np.searchsorted over a combined structured order)
+        uu = np.unique(uid)
+        uid_rank_v = np.searchsorted(uu, u_v)
+        uid_rank_p = np.searchsorted(uu, u_p)
+        SPAN = np.int64(1) << 51  # ts_us < 2^51 (year ~2041)
+        if (ts >= SPAN).any():
+            raise ValueError("purchase_context ts pack overflow")
+        kv = uid_rank_v * SPAN + t_v
+        hi = np.searchsorted(kv, uid_rank_p * SPAN + t_p,
+                             side="left")
+        lo = np.searchsorted(kv, uid_rank_p * SPAN
+                             + np.maximum(t_p - WIN_US, 0),
+                             side="left")
+        n = (hi - lo).astype(np.int64)
+        cv, cn = np.unique(n, return_counts=True)
+        return pa.table({
+            "n_views_24h": pa.array(cv, pa.int64()),
+            "partial": pa.array(cn.astype(np.int64), pa.int64()),
+        })
+
+    return pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(ctx, batch_format="pyarrow"),
+        ["n_views_24h"], "partial", "n_purchases",
+    ).to_arrow_refs()))
+
+
+SQL_PURCHASE_CONTEXT = """
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+      WHERE event_type = 'view'),
+c AS (SELECT p.event_id, p.user_id, p.ts_us,
+             count(v.ts_us) AS n_views
+      FROM p LEFT JOIN v ON p.user_id = v.user_id
+        AND v.ts_us >= p.ts_us - 86400000000
+        AND v.ts_us < p.ts_us
+      GROUP BY 1, 2, 3)
+SELECT n_views AS n_views_24h, count(*) AS n_purchases
+FROM c GROUP BY 1
+"""
