@@ -313,6 +313,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("borda_parts", Q.q_borda_parts)
     timed("bounce_rate", Q.q_bounce_rate)
     timed("purchase_context", Q.q_purchase_context)
+    timed("burst_users", Q.q_burst_users)
+    timed("linkage_scores", Q.q_linkage_scores)
+    timed("feature_scaling_stats", Q.q_feature_scaling_stats)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

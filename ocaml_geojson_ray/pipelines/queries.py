@@ -15097,3 +15097,265 @@ c AS (SELECT p.event_id, p.user_id, p.ts_us,
 SELECT n_views AS n_views_24h, count(*) AS n_purchases
 FROM c GROUP BY 1
 """
+
+
+# -- round-5 wave 36: burst detection / ER scoring / feature scaling --------
+
+def q_burst_users(sf_dir: str):
+    """Burst / rate-limit detection (the abuse-monitoring primitive:
+    who exceeded N events in ANY trailing 24 h window): per user, the
+    maximum trailing-24h event count anchored at each event
+    (t−24h < e.ts ≤ t), users with max ≥ 8 reported with their peak.
+    ONE user-bucket shuffle; per user the anchored window count is
+    ONE vectorized searchsorted over the user's sorted timestamps
+    (packed user-rank·2⁵¹+ts keys — the purchase_context device), no
+    pairwise self-join. SQL-checked (range self-join oracle)."""
+    import ray
+
+    from ..util import fib_bucket
+
+    WIN_US = 86_400_000_000
+    THRESH = 8
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "events", ["user_id", "ts"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(uid, n_buckets), pa.int64()),
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+        })
+
+    def bursts(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "max_24h_events": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        SPAN = np.int64(1) << 51
+        if (ts >= SPAN).any():
+            raise ValueError("burst_users ts pack overflow")
+        order = np.lexsort((ts, uid))
+        u_s, t_s = uid[order], ts[order]
+        uu = np.unique(u_s)
+        key = np.searchsorted(uu, u_s) * SPAN + t_s
+        # anchored trailing count over (t−24h, t]: i − first index
+        # with ts STRICTLY above t−24h (side=right mirrors the
+        # oracle's b.ts > a.ts − 24h)
+        lo = np.searchsorted(key, key - WIN_US, side="right")
+        n = np.arange(len(key)) - lo + 1
+        mx = np.full(len(uu), 0, np.int64)
+        np.maximum.at(mx, np.searchsorted(uu, u_s), n)
+        keep = mx >= THRESH
+        return pa.table({
+            "user_id": pa.array(uu[keep], pa.int64()),
+            "max_24h_events": pa.array(mx[keep], pa.int64()),
+        })
+
+    return pa.concat_tables([t for t in ray.get(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(bursts, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows])
+
+
+SQL_BURST_USERS = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+c AS (SELECT a.user_id, a.ts_us, count(*) AS n
+      FROM e a JOIN e b ON a.user_id = b.user_id
+        AND b.ts_us > a.ts_us - 86400000000
+        AND b.ts_us <= a.ts_us
+      GROUP BY 1, 2),
+m AS (SELECT user_id, CAST(max(n) AS BIGINT) AS max_24h_events
+      FROM c GROUP BY 1)
+SELECT user_id, max_24h_events FROM m WHERE max_24h_events >= 8
+"""
+
+
+def q_linkage_scores(sf_dir: str):
+    """Record-linkage scoring (the Fellegi–Sunter-style step AFTER
+    blocking_stats: score every candidate pair on field agreements):
+    within each (p_brand, p_size) block, unordered part pairs score
+    +3 for same name first-token, +2 for same p_type, +1 for retail
+    prices within 10 cents — reported as the (score → n_pairs)
+    histogram plus matches (score ≥ 5). Pair explosion is BLOCK-
+    LOCAL (the blocking invariant: Σ n_b² — bounded by the
+    blocking_stats reduction ratio), one block-key shuffle, score
+    space is [0, 6]-bounded → funnel. All-integer comparisons.
+    SQL-checked (block self-join oracle)."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sum_combine, md5_le64
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split_few(sf_dir, "part",
+                         ["p_partkey", "p_brand", "p_size", "p_type",
+                          "p_name", "p_retailprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        brand = np.asarray(b["p_brand"].to_pylist(), dtype=object)
+        size = b["p_size"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        bk = np.fromiter(
+            (md5_le64(f"{br}|{sz}".encode()) for br, sz
+             in zip(brand, size)),
+            dtype=np.uint64, count=len(size)).view(np.int64)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(bk, n_buckets), pa.int64()),
+            "bk": pa.array(bk, pa.int64()),
+            "pk": b["p_partkey"],
+            "tok": pa.array(
+                [n.split(" ", 1)[0] for n in b["p_name"].to_pylist()],
+                pa.string()),
+            "typ": b["p_type"],
+            "cents": pc.round(pc.multiply(b["p_retailprice"], 100.0))
+            .cast(pa.int64()),
+        })
+
+    def score(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "score": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            })
+        bk = g["bk"].to_numpy(zero_copy_only=False)
+        pk = g["pk"].to_numpy(zero_copy_only=False)
+        tok = np.asarray(g["tok"].to_pylist(), dtype=object)
+        typ = np.asarray(g["typ"].to_pylist(), dtype=object)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, bk))
+        bk, pk = bk[order], pk[order]
+        tok, typ, cents = tok[order], typ[order], cents[order]
+        scores = []
+        k = 1
+        while True:
+            m = bk[k:] == bk[:-k]
+            if not m.any():
+                break
+            s = (3 * (tok[k:][m] == tok[:-k][m]).astype(np.int64)
+                 + 2 * (typ[k:][m] == typ[:-k][m]).astype(np.int64)
+                 + (np.abs(cents[k:][m] - cents[:-k][m]) <= 10)
+                 .astype(np.int64))
+            scores.append(s)
+            k += 1
+        if not scores:
+            return pa.table({
+                "score": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            })
+        sv, sn = np.unique(np.concatenate(scores),
+                           return_counts=True)
+        return pa.table({
+            "score": pa.array(sv, pa.int64()),
+            "partial": pa.array(sn.astype(np.int64), pa.int64()),
+        })
+
+    return pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(score, batch_format="pyarrow"),
+        ["score"], "partial", "n_pairs",
+    ).to_arrow_refs()))
+
+
+SQL_LINKAGE_SCORES = """
+WITH p AS (SELECT p_partkey, p_brand, p_size, p_type,
+        split_part(p_name, ' ', 1) AS tok,
+        CAST(round(p_retailprice * 100.0) AS BIGINT) AS cents
+      FROM part),
+s AS (SELECT
+        CAST(CASE WHEN a.tok = b.tok THEN 3 ELSE 0 END
+           + CASE WHEN a.p_type = b.p_type THEN 2 ELSE 0 END
+           + CASE WHEN abs(a.cents - b.cents) <= 10 THEN 1 ELSE 0 END
+         AS BIGINT) AS score
+      FROM p a JOIN p b
+        ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       AND a.p_partkey < b.p_partkey)
+SELECT score, count(*) AS n_pairs FROM s GROUP BY score
+"""
+
+
+def q_feature_scaling_stats(sf_dir: str):
+    """Group-wise feature scaling statistics (the min-max normalize
+    every feature pipeline fits before training): per language over
+    n_chars — count, min, max, exact int sum, and the scaled mean
+    ((sum/count − min) / (max − min), mirrored op-for-op as two
+    divides; degenerate max == min groups emit NULL on both sides).
+    Map-side (lang)-bounded extrema/sum partials → funnel.
+    SQL-checked."""
+    import ray
+
+    from ..util import grouped_sums_combine
+
+    ds = _read_split_few(sf_dir, "documents", ["lang", "n_chars"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        langs = np.asarray(b["lang"].to_pylist(), dtype=object)
+        nc = b["n_chars"].to_numpy(zero_copy_only=False)
+        ul, inv = np.unique(langs, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(ul)).astype(np.int64)
+        sm = np.zeros(len(ul), np.int64)
+        np.add.at(sm, inv, nc)
+        mn = np.full(len(ul), np.iinfo(np.int64).max)
+        mx = np.full(len(ul), np.iinfo(np.int64).min)
+        np.minimum.at(mn, inv, nc)
+        np.maximum.at(mx, inv, nc)
+        # extrema fold through a sum funnel via min = -sum of ...
+        # no — extrema need min/max folds; emit per-block rows and
+        # fold driver-side (lang-bounded)
+        return pa.table({
+            "lang": pa.array(list(ul), pa.string()),
+            "cnt": pa.array(cnt, pa.int64()),
+            "sm": pa.array(sm, pa.int64()),
+            "mn": pa.array(mn, pa.int64()),
+            "mx": pa.array(mx, pa.int64()),
+        })
+
+    raw = pa.concat_tables([t for t in ray.get(
+        ds.map_batches(pre, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows])
+    langs = np.asarray(raw["lang"].to_pylist(), dtype=object)
+    ul, inv = np.unique(langs, return_inverse=True)
+    cnt = np.bincount(inv, weights=raw["cnt"].to_numpy()) \
+        .astype(np.int64)
+    sm = np.bincount(inv, weights=raw["sm"].to_numpy()) \
+        .astype(np.int64)
+    mn = np.full(len(ul), np.iinfo(np.int64).max)
+    mx = np.full(len(ul), np.iinfo(np.int64).min)
+    np.minimum.at(mn, inv, raw["mn"].to_numpy(zero_copy_only=False))
+    np.maximum.at(mx, inv, raw["mx"].to_numpy(zero_copy_only=False))
+    scaled = []
+    for i in range(len(ul)):
+        if mx[i] == mn[i]:
+            scaled.append(None)
+        else:
+            mean = float(sm[i]) / float(cnt[i])
+            scaled.append((mean - float(mn[i]))
+                          / float(mx[i] - mn[i]))
+    return pa.table({
+        "lang": pa.array(list(ul), pa.string()),
+        "n_docs": pa.array(cnt, pa.int64()),
+        "nc_min": pa.array(mn, pa.int64()),
+        "nc_max": pa.array(mx, pa.int64()),
+        "nc_sum": pa.array(sm, pa.int64()),
+        "scaled_mean": pa.array(scaled, pa.float64()),
+    })
+
+
+SQL_FEATURE_SCALING_STATS = """
+SELECT lang, count(*) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS nc_min,
+       CAST(max(n_chars) AS BIGINT) AS nc_max,
+       CAST(sum(n_chars) AS BIGINT) AS nc_sum,
+       CASE WHEN max(n_chars) = min(n_chars) THEN NULL
+            ELSE (CAST(sum(n_chars) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE)
+                  - CAST(min(n_chars) AS DOUBLE))
+                 / CAST(max(n_chars) - min(n_chars) AS DOUBLE)
+       END AS scaled_mean
+FROM documents GROUP BY lang
+"""
