@@ -316,6 +316,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("burst_users", Q.q_burst_users)
     timed("linkage_scores", Q.q_linkage_scores)
     timed("feature_scaling_stats", Q.q_feature_scaling_stats)
+    timed("cohort_ltv", Q.q_cohort_ltv)
+    timed("grid_coverage", Q.q_grid_coverage)
+    timed("weekend_effect", Q.q_weekend_effect)
+    timed("all_lines_shipped", Q.q_all_lines_shipped)
+    timed("moments_by_lang", Q.q_moments_by_lang)
+    timed("substring_scan", Q.q_substring_scan)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

@@ -15359,3 +15359,518 @@ SELECT lang, count(*) AS n_docs,
        END AS scaled_mean
 FROM documents GROUP BY lang
 """
+
+
+# -- round-5 wave 37: cohort LTV / grid coverage / calendar effect ----------
+
+def q_cohort_ltv(sf_dir: str):
+    """Cohort lifetime value (the LTV matrix a growth model trains
+    on): users cohorted by FIRST-event 30-day month; per (cohort,
+    month-age) the active purchasing users and exact purchase cents
+    — cumulative value read left-to-right. ONE user-bucket shuffle
+    (first touch and all purchases co-locate), calendar²-BOUNDED
+    (cohort, age) funnel. SQL-checked (min-window + group oracle)."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sums_combine
+
+    US_PER_DAY = 86_400_000_000
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "events",
+                     ["user_id", "ts", "event_type", "value"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(uid, n_buckets), pa.int64()),
+            "user_id": b["user_id"],
+            "month": pc.divide(
+                pc.divide(b["ts"].cast(pa.int64()), US_PER_DAY), 30),
+            "is_p": pc.equal(b["event_type"], "purchase"),
+            "cents": pc.round(pc.multiply(b["value"], 100.0))
+            .cast(pa.int64()),
+        })
+
+    def ltv(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "cohort": pa.array([], pa.int64()),
+                "age": pa.array([], pa.int64()),
+                "pu": pa.array([], pa.int64()),
+                "pc_": pa.array([], pa.int64()),
+            })
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        mon = g["month"].to_numpy(zero_copy_only=False)
+        isp = g["is_p"].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        uu, uinv = np.unique(uid, return_inverse=True)
+        first = np.full(len(uu), np.iinfo(np.int64).max)
+        np.minimum.at(first, uinv, mon)
+        age = mon - first[uinv]
+        pm = isp
+        key = first[uinv][pm] * 4096 + age[pm]  # ages < 4096
+        if (age >= 4096).any():
+            raise ValueError("cohort_ltv age pack overflow")
+        # purchasing users: distinct (user, cohort, age)
+        upk = np.unique(uinv[pm] * (1 << 24) + key)
+        ukv, ukn = np.unique(upk & ((1 << 24) - 1),
+                             return_counts=True)
+        kv, kinv = np.unique(key, return_inverse=True)
+        cs = np.zeros(len(kv), np.int64)
+        np.add.at(cs, kinv, cents[pm])
+        umap = dict(zip(ukv.tolist(), ukn.tolist()))
+        return pa.table({
+            "cohort": pa.array(kv // 4096, pa.int64()),
+            "age": pa.array(kv % 4096, pa.int64()),
+            "pu": pa.array([int(umap.get(int(k), 0)) for k in kv],
+                           pa.int64()),
+            "pc_": pa.array(cs, pa.int64()),
+        })
+
+    return pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(ltv, batch_format="pyarrow"),
+        ["cohort", "age"], ["pu", "pc_"],
+        ["n_purchasing_users", "cents"],
+    ).to_arrow_refs()))
+
+
+SQL_COHORT_LTV = """
+WITH e AS (SELECT user_id,
+        (epoch_us(ts) // 86400000000) // 30 AS month,
+        event_type, CAST(round(value * 100.0) AS BIGINT) AS cents
+      FROM events),
+f AS (SELECT user_id, min(month) AS cohort FROM e GROUP BY 1),
+p AS (SELECT f.cohort, e.month - f.cohort AS age, e.user_id,
+             e.cents
+      FROM e JOIN f USING (user_id) WHERE e.event_type = 'purchase')
+SELECT cohort, age,
+       CAST(count(DISTINCT user_id) AS BIGINT)
+           AS n_purchasing_users,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM p GROUP BY 1, 2
+"""
+
+
+def q_grid_coverage(sf_dir: str):
+    """Spatial coverage profiling (where is the data EMPTY — the gap
+    map that drives acquisition): the part-origin integer degree
+    grid (smoothed_cell_density device) rolled up to 10°×10° macro
+    cells; per macro cell, occupied fine cells out of 100 and the
+    coverage ratio (single divide). Fine-cell funnel (bounded
+    340×160), macro math driver-side. SQL-checked."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    ds = _read_split_few(sf_dir, "part", ["p_partkey"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        pk = b["p_partkey"].to_numpy(zero_copy_only=False)
+        cx = ((pk * 7919) % 34000) // 100
+        cy = ((pk * 104729) % 16000) // 100
+        vc = pa.table({
+            "cell_x": pa.array(cx, pa.int64()),
+            "cell_y": pa.array(cy, pa.int64()),
+        }).group_by(["cell_x", "cell_y"]).aggregate([([], "count_all")])
+        return pa.table({
+            "cell_x": vc["cell_x"],
+            "cell_y": vc["cell_y"],
+            "partial": vc["count_all"].cast(pa.int64()),
+        })
+
+    cnt = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(cells, batch_format="pyarrow"),
+        ["cell_x", "cell_y"], "partial", "n",
+    ).to_arrow_refs()))
+    cx = cnt["cell_x"].to_numpy(zero_copy_only=False)
+    cy = cnt["cell_y"].to_numpy(zero_copy_only=False)
+    n = cnt["n"].to_numpy(zero_copy_only=False)
+    mk = (cx // 10) * 100 + (cy // 10)
+    uv, uinv = np.unique(mk, return_inverse=True)
+    occ = np.bincount(uinv, minlength=len(uv)).astype(np.int64)
+    pts = np.zeros(len(uv), np.int64)
+    np.add.at(pts, uinv, n)
+    return pa.table({
+        "macro_x": pa.array(uv // 100, pa.int64()),
+        "macro_y": pa.array(uv % 100, pa.int64()),
+        "n_points": pa.array(pts, pa.int64()),
+        "n_occupied_cells": pa.array(occ, pa.int64()),
+        "coverage": pa.array(occ.astype(np.float64) / 100.0,
+                             pa.float64()),
+    })
+
+
+SQL_GRID_COVERAGE = """
+WITH c AS (SELECT ((p_partkey * 7919) % 34000) // 100 AS cell_x,
+                  ((p_partkey * 104729) % 16000) // 100 AS cell_y,
+                  count(*) AS n
+           FROM part GROUP BY 1, 2)
+SELECT cell_x // 10 AS macro_x, cell_y // 10 AS macro_y,
+       CAST(sum(n) AS BIGINT) AS n_points,
+       count(*) AS n_occupied_cells,
+       CAST(count(*) AS DOUBLE) / 100.0 AS coverage
+FROM c GROUP BY 1, 2
+"""
+
+
+def q_weekend_effect(sf_dir: str):
+    """Calendar-effect analysis (the weekend-vs-weekday lift every
+    commerce dashboard reports): per event type — weekday and
+    weekend event counts and purchase-value cents, plus the
+    weekend/weekday average-value lift as the op-for-op mirrored
+    two-divide ratio (NULL when a side has no events). dow is the
+    (epoch_day + 4) % 7 DuckDB-dayofweek device (Sunday = 0).
+    Zero shuffles — (type × 2)-bounded partial funnel.
+    SQL-checked."""
+    import ray
+
+    from ..util import grouped_sums_combine
+
+    US_PER_DAY = 86_400_000_000
+    ds = _read_split(sf_dir, "events",
+                     ["event_type", "ts", "value"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dow = ((us // US_PER_DAY) + 4) % 7  # DuckDB dayofweek parity
+        wkd = ((dow == 0) | (dow == 6)).astype(np.int64)
+        cents = pc.round(pc.multiply(b["value"], 100.0)) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = np.asarray(b["event_type"].to_pylist(), dtype=object)
+        key = np.char.add(np.char.add(et.astype(str), "|"),
+                          wkd.astype(str))
+        uk, kinv = np.unique(key, return_inverse=True)
+        cn = np.bincount(kinv, minlength=len(uk)).astype(np.int64)
+        cs = np.zeros(len(uk), np.int64)
+        np.add.at(cs, kinv, cents)
+        et_out = [k.rsplit("|", 1)[0] for k in uk]
+        we_out = [int(k.rsplit("|", 1)[1]) for k in uk]
+        return pa.table({
+            "event_type": pa.array(et_out, pa.string()),
+            "is_weekend": pa.array(we_out, pa.int64()),
+            "n": pa.array(cn, pa.int64()),
+            "cents": pa.array(cs, pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["event_type", "is_weekend"], ["n", "cents"], ["n", "cents"],
+    ).to_arrow_refs()))
+    et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+    we = t["is_weekend"].to_numpy(zero_copy_only=False)
+    n = t["n"].to_numpy(zero_copy_only=False)
+    cents = t["cents"].to_numpy(zero_copy_only=False)
+    types = np.unique(et)
+    rows = []
+    for ty in types:
+        wd = [(int(n[i]), int(cents[i])) for i in range(len(et))
+              if et[i] == ty and we[i] == 0]
+        wk = [(int(n[i]), int(cents[i])) for i in range(len(et))
+              if et[i] == ty and we[i] == 1]
+        nwd, cwd = wd[0] if wd else (0, 0)
+        nwk, cwk = wk[0] if wk else (0, 0)
+        if nwd > 0 and nwk > 0:
+            lift = (float(cwk) / float(nwk)) \
+                / (float(cwd) / float(nwd))
+        else:
+            lift = None
+        rows.append((ty, nwd, cwd, nwk, cwk, lift))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "n_weekday": pa.array([r[1] for r in rows], pa.int64()),
+        "cents_weekday": pa.array([r[2] for r in rows], pa.int64()),
+        "n_weekend": pa.array([r[3] for r in rows], pa.int64()),
+        "cents_weekend": pa.array([r[4] for r in rows], pa.int64()),
+        "weekend_lift": pa.array([r[5] for r in rows], pa.float64()),
+    })
+
+
+SQL_WEEKEND_EFFECT = """
+WITH e AS (SELECT event_type,
+        CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS wkd,
+        CAST(round(value * 100.0) AS BIGINT) AS cents
+      FROM events),
+g AS (SELECT event_type,
+        CAST(coalesce(sum(CASE WHEN wkd = 0 THEN 1 END), 0)
+             AS BIGINT) AS n_weekday,
+        CAST(coalesce(sum(CASE WHEN wkd = 0 THEN cents END), 0)
+             AS BIGINT) AS cents_weekday,
+        CAST(coalesce(sum(CASE WHEN wkd = 1 THEN 1 END), 0)
+             AS BIGINT) AS n_weekend,
+        CAST(coalesce(sum(CASE WHEN wkd = 1 THEN cents END), 0)
+             AS BIGINT) AS cents_weekend
+      FROM e GROUP BY event_type)
+SELECT event_type, n_weekday, cents_weekday, n_weekend,
+       cents_weekend,
+       CASE WHEN n_weekday > 0 AND n_weekend > 0
+            THEN (CAST(cents_weekend AS DOUBLE)
+                      / CAST(n_weekend AS DOUBLE))
+                 / (CAST(cents_weekday AS DOUBLE)
+                      / CAST(n_weekday AS DOUBLE))
+       END AS weekend_lift
+FROM g
+"""
+
+
+# -- round-5 wave 38: ALL-quantifier / higher moments / LIKE scan -----------
+
+def q_all_lines_shipped(sf_dir: str):
+    """Relational division / universal quantifier (orders where EVERY
+    line satisfies the predicate — the ALL() shape that trips up
+    naive join rewrites): per priority, orders whose every line
+    shipped within 60 days of the order date, plus the share
+    (single divide). The totals_audit CO-BUCKET device joins header
+    dates to lines (one orderkey shuffle); the ALL() folds per order
+    as max(lag) ≤ 60 — exact ints. Orders with NO lines count as
+    NOT fully shipped on both sides (inner-join + HAVING rule keeps
+    them out of the numerator, the header row keeps them in the
+    denominator). SQL-checked."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sums_combine
+
+    US_PER_DAY = 86_400_000_000
+    LIMIT_DAYS = 60
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nb = max(4, cpus // 4)
+    n_buckets = max(64, cpus * 8)
+    lines = split_read(f"{sf_dir}/lineitem.parquet",
+                       ["l_orderkey", "l_shipdate"], nb)
+    orders = split_read(f"{sf_dir}/orders.parquet",
+                        ["o_orderkey", "o_orderdate",
+                         "o_orderpriority"], nb)
+
+    def pre_lines(b: pa.Table) -> pa.Table:
+        ok_ = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        sd = (b["l_shipdate"].cast(pa.int64())
+              .to_numpy(zero_copy_only=False) // US_PER_DAY)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(ok_, n_buckets), pa.int64()),
+            "ok": pa.array(ok_, pa.int64()),
+            "day": pa.array(sd, pa.int64()),
+            "prio": pa.array([""] * len(ok_), pa.string()),
+            "is_order": pa.array(np.zeros(len(ok_), bool)),
+        })
+
+    def pre_orders(b: pa.Table) -> pa.Table:
+        ok_ = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        od = (b["o_orderdate"].cast(pa.int64())
+              .to_numpy(zero_copy_only=False) // US_PER_DAY)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(ok_, n_buckets), pa.int64()),
+            "ok": pa.array(ok_, pa.int64()),
+            "day": pa.array(od, pa.int64()),
+            "prio": b["o_orderpriority"],
+            "is_order": pa.array(np.ones(len(ok_), bool)),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "o_orderpriority": pa.array([], pa.string()),
+                "no": pa.array([], pa.int64()),
+                "nf": pa.array([], pa.int64()),
+            })
+        ok_ = g["ok"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        iso = g["is_order"].to_numpy(zero_copy_only=False)
+        prio = np.asarray(g["prio"].to_pylist(), dtype=object)
+        sok = ok_[iso]
+        o = np.argsort(sok)
+        sok, oday, oprio = sok[o], day[iso][o], prio[iso][o]
+        # per order: max ship day over its lines
+        lk, linv = np.unique(ok_[~iso], return_inverse=True)
+        lmax = np.full(len(lk), np.iinfo(np.int64).min)
+        np.maximum.at(lmax, linv, day[~iso])
+        lcnt = np.bincount(linv, minlength=len(lk)).astype(np.int64)
+        pos = np.searchsorted(sok, lk)
+        if len(sok) == 0 or (pos >= len(sok)).any() \
+                or (sok[np.clip(pos, 0, len(sok) - 1)] != lk).any():
+            raise ValueError("all_lines_shipped: orphan lines")
+        full = (lmax - oday[pos] <= LIMIT_DAYS) & (lcnt > 0)
+        up, pinv = np.unique(oprio, return_inverse=True)
+        no = np.bincount(pinv, minlength=len(up)).astype(np.int64)
+        nf = np.zeros(len(up), np.int64)
+        fpr = pinv[pos][full]
+        np.add.at(nf, fpr, 1)
+        return pa.table({
+            "o_orderpriority": pa.array(list(up), pa.string()),
+            "no": pa.array(no, pa.int64()),
+            "nf": pa.array(nf, pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sums_combine(
+        lines.map_batches(pre_lines, batch_format="pyarrow")
+        .union(orders.map_batches(pre_orders, batch_format="pyarrow"))
+        .groupby("bucket").map_groups(fold, batch_format="pyarrow"),
+        ["o_orderpriority"], ["no", "nf"],
+        ["n_orders", "n_fully_shipped"],
+    ).to_arrow_refs()))
+    no = t["n_orders"].to_numpy(zero_copy_only=False)
+    nf = t["n_fully_shipped"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "o_orderpriority": t["o_orderpriority"],
+        "n_orders": t["n_orders"],
+        "n_fully_shipped": t["n_fully_shipped"],
+        "share": pa.array(nf.astype(np.float64) / no.astype(np.float64),
+                          pa.float64()),
+    })
+
+
+SQL_ALL_LINES_SHIPPED = """
+WITH f AS (SELECT l_orderkey AS ok FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY l_orderkey
+           HAVING max(epoch_us(l_shipdate) // 86400000000
+                      - epoch_us(o_orderdate) // 86400000000) <= 60),
+o AS (SELECT o_orderpriority, count(*) AS n_orders,
+             CAST(sum(CASE WHEN f.ok IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_fully_shipped
+      FROM orders LEFT JOIN f ON o_orderkey = f.ok
+      GROUP BY o_orderpriority)
+SELECT o_orderpriority, n_orders, n_fully_shipped,
+       CAST(n_fully_shipped AS DOUBLE) / CAST(n_orders AS DOUBLE)
+           AS share
+FROM o
+"""
+
+
+def q_moments_by_lang(sf_dir: str):
+    """Higher-moment profiling (skewness and excess kurtosis — the
+    distribution-shape features beyond zscore_outliers' first two
+    moments): per language over n_chars, exact integer power sums
+    (Σx, Σx², Σx³, Σx⁴ — n_chars ≤ ~600 keeps Σx⁴ far inside
+    int64) folded through the funnel, then the textbook closed
+    forms evaluated op-for-op in both engines: m_k = Σ(x-µ)^k/n via
+    binomial expansion over the EXACT integer sums, skew =
+    m₃/m₂^1.5, kurt = m₄/m₂² − 3. SQL-checked."""
+    import ray
+
+    from ..util import grouped_sums_combine
+
+    ds = _read_split_few(sf_dir, "documents", ["lang", "n_chars"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        langs = np.asarray(b["lang"].to_pylist(), dtype=object)
+        x = b["n_chars"].to_numpy(zero_copy_only=False)
+        if len(x) and int(x.max()) > 40000:
+            raise ValueError("moments_by_lang Σx⁴ overflow risk")
+        ul, inv = np.unique(langs, return_inverse=True)
+        out = {"lang": pa.array(list(ul), pa.string())}
+        out["cnt"] = pa.array(
+            np.bincount(inv, minlength=len(ul)).astype(np.int64),
+            pa.int64())
+        for k in (1, 2, 3, 4):
+            s = np.zeros(len(ul), np.int64)
+            np.add.at(s, inv, x.astype(np.int64) ** k)
+            out[f"s{k}"] = pa.array(s, pa.int64())
+        return pa.table(out)
+
+    t = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["lang"], ["cnt", "s1", "s2", "s3", "s4"],
+        ["n", "s1", "s2", "s3", "s4"],
+    ).to_arrow_refs()))
+    rows = []
+    for r in t.to_pylist():
+        n = float(r["n"])
+        s1, s2, s3, s4 = (float(r["s1"]), float(r["s2"]),
+                          float(r["s3"]), float(r["s4"]))
+        mu = s1 / n
+        m2 = s2 / n - mu * mu
+        m3 = s3 / n - 3.0 * mu * (s2 / n) + 2.0 * mu * mu * mu
+        # mu*mu*mu*mu, NOT mu**4: pow() may differ in the last ulp
+        # from the oracle's explicit product chain
+        m4 = (s4 / n - 4.0 * mu * (s3 / n)
+              + 6.0 * mu * mu * (s2 / n) - 3.0 * mu * mu * mu * mu)
+        skew = m3 / m2 ** 1.5
+        kurt = m4 / (m2 * m2) - 3.0
+        rows.append((r["lang"], r["n"], skew, kurt))
+    rows.sort()
+    return pa.table({
+        "lang": pa.array([r[0] for r in rows], pa.string()),
+        "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+        "skewness": pa.array([r[2] for r in rows], pa.float64()),
+        "kurtosis_excess": pa.array([r[3] for r in rows],
+                                    pa.float64()),
+    })
+
+
+SQL_MOMENTS_BY_LANG = """
+WITH s AS (SELECT lang, count(*) AS n,
+        CAST(sum(n_chars) AS BIGINT) AS s1,
+        CAST(sum(n_chars * n_chars) AS BIGINT) AS s2,
+        CAST(sum(n_chars * n_chars * n_chars) AS BIGINT) AS s3,
+        CAST(sum(n_chars * n_chars * n_chars * n_chars) AS BIGINT)
+            AS s4
+      FROM documents GROUP BY lang),
+m AS (SELECT lang, n,
+        CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+        CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+        CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS e4
+      FROM s),
+c AS (SELECT lang, n, mu,
+        e2 - mu * mu AS m2,
+        e3 - 3.0 * mu * e2 + 2.0 * mu * mu * mu AS m3,
+        e4 - 4.0 * mu * e3 + 6.0 * mu * mu * e2
+           - 3.0 * mu * mu * mu * mu AS m4
+      FROM m)
+SELECT lang, n AS n_docs,
+       m3 / pow(m2, 1.5) AS skewness,
+       m4 / (m2 * m2) - 3.0 AS kurtosis_excess
+FROM c
+"""
+
+
+def q_substring_scan(sf_dir: str):
+    """Predicate-pushdown LIKE scan (the substring containment count
+    behind every '%term%' filter — the scan pattern a text engine
+    must make cheap because indexes don't help): for a fixed probe
+    ladder of 8 substrings, the number of documents containing each,
+    per language. Vectorized pc.match_substring per batch (Arrow's
+    SIMD scan — never a Python loop), (probe × lang)-bounded funnel.
+    SQL-checked (LIKE oracle)."""
+    import ray
+
+    from ..util import grouped_sums_combine
+
+    PROBES = ["data", "spark merge", "window", "vector join",
+              "the batch", "slow", "group query", "zzz-absent"]
+    ds = _read_split_few(sf_dir, "documents", ["lang", "text"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        langs = np.asarray(b["lang"].to_pylist(), dtype=object)
+        ul, inv = np.unique(langs, return_inverse=True)
+        probes, lout, nout = [], [], []
+        for p in PROBES:
+            m = pc.match_substring(b["text"], p) \
+                .to_numpy(zero_copy_only=False).astype(bool)
+            cnt = np.zeros(len(ul), np.int64)
+            np.add.at(cnt, inv[m], 1)
+            probes += [p] * len(ul)
+            lout += list(ul)
+            nout.append(cnt)
+        return pa.table({
+            "probe": pa.array(probes, pa.string()),
+            "lang": pa.array(lout, pa.string()),
+            "partial": pa.array(np.concatenate(nout), pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["probe", "lang"], ["partial"], ["n_docs"],
+    ).to_arrow_refs()))
+    return t.filter(pc.greater(t["n_docs"], 0))
+
+
+SQL_SUBSTRING_SCAN = """
+WITH pr(probe) AS (VALUES ('data'), ('spark merge'), ('window'),
+                          ('vector join'), ('the batch'), ('slow'),
+                          ('group query'), ('zzz-absent'))
+SELECT pr.probe, d.lang, count(*) AS n_docs
+FROM pr JOIN documents d ON d.text LIKE '%' || pr.probe || '%'
+GROUP BY 1, 2
+"""
