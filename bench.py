@@ -322,6 +322,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("all_lines_shipped", Q.q_all_lines_shipped)
     timed("moments_by_lang", Q.q_moments_by_lang)
     timed("substring_scan", Q.q_substring_scan)
+    timed("abc_classification", Q.q_abc_classification)
+    timed("process_conformance", Q.q_process_conformance)
+    timed("forecast_next_day", Q.q_forecast_next_day)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

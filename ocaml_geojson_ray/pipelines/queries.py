@@ -15874,3 +15874,283 @@ SELECT pr.probe, d.lang, count(*) AS n_docs
 FROM pr JOIN documents d ON d.text LIKE '%' || pr.probe || '%'
 GROUP BY 1, 2
 """
+
+
+# -- round-5 wave 39: ABC classification / process mining / forecast --------
+
+def q_abc_classification(sf_dir: str):
+    """ABC inventory classification (the Pareto-banded catalog split
+    purchasing teams run weekly): parts ranked by revenue cents
+    (DESC, partkey tie-break); class A = parts whose INCLUSIVE
+    cumulative revenue stays ≤ 80% of total, B = ≤ 95%, C = rest —
+    both cutoffs evaluated as INTEGER cross-multiplies (cum·5 ≤
+    total·4, cum·20 ≤ total·19), zero float compares. Per-part
+    partials fold map-side under the DIMENSION contract
+    (borda_parts rule); the cumulative walk is exact int64 driver
+    math. Output: per class, parts and revenue. SQL-checked (window
+    cumsum oracle)."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    ds = _read_split(sf_dir, "lineitem",
+                     ["l_partkey", "l_extendedprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        rev = pc.round(pc.multiply(b["l_extendedprice"], 100.0)) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        up, inv = np.unique(pk, return_inverse=True)
+        rs = np.zeros(len(up), np.int64)
+        np.add.at(rs, inv, rev)
+        return pa.table({
+            "part": pa.array(up, pa.int64()),
+            "partial": pa.array(rs, pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["part"], "partial", "rev",
+    ).to_arrow_refs()))
+    part = t["part"].to_numpy(zero_copy_only=False)
+    rev = t["rev"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((part, -rev))
+    rev_s = rev[order]
+    total = int(rev_s.sum())
+    if total >= (1 << 57):
+        raise ValueError("abc_classification cutoff product overflow")
+    cum = np.cumsum(rev_s)
+    a = cum * 5 <= total * 4
+    b_ = ~a & (cum * 20 <= total * 19)
+    c = ~a & ~b_
+    rows = []
+    for name, m in (("A", a), ("B", b_), ("C", c)):
+        rows.append((name, int(m.sum()), int(rev_s[m].sum())))
+    return pa.table({
+        "abc": pa.array([r[0] for r in rows], pa.string()),
+        "n_parts": pa.array([r[1] for r in rows], pa.int64()),
+        "rev_cents": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+SQL_ABC_CLASSIFICATION = """
+WITH p AS (SELECT l_partkey AS part,
+        CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))
+             AS BIGINT) AS rev
+      FROM lineitem GROUP BY 1),
+t AS (SELECT CAST(sum(rev) AS BIGINT) AS total FROM p),
+w AS (SELECT part, rev,
+        CAST(sum(rev) OVER (ORDER BY rev DESC, part
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS cum
+      FROM p),
+k AS (SELECT rev,
+        CASE WHEN cum * 5 <= t.total * 4 THEN 'A'
+             WHEN cum * 20 <= t.total * 19 THEN 'B'
+             ELSE 'C' END AS abc
+      FROM w CROSS JOIN t)
+SELECT abc, count(*) AS n_parts,
+       CAST(sum(rev) AS BIGINT) AS rev_cents
+FROM k GROUP BY abc
+"""
+
+
+def q_process_conformance(sf_dir: str):
+    """Process-mining conformance checking (does observed behavior
+    follow the designed funnel): each (user, day) event-type path
+    (the user_paths '>' assembly, ordered by ts, event_id) checks
+    against the reference process view → click → purchase as an
+    in-order SUBSEQUENCE (exactly SQL's greedy
+    LIKE '%view%click%purchase%' — type names are not
+    substrings of one another, so segment matching is token
+    matching); per day, sequences, conformant count, rate (single
+    divide). ONE user-bucket shuffle, calendar-bounded funnel.
+    SQL-checked (LIKE oracle)."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sums_combine
+
+    US_PER_DAY = 86_400_000_000
+    STEPS = ["view", "click", "purchase"]
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "events",
+                     ["user_id", "ts", "event_id", "event_type"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        ts_us = b["ts"].cast(pa.int64())
+        return pa.table({
+            "bucket": pa.array(fib_bucket(uid, n_buckets), pa.int64()),
+            "user_id": b["user_id"],
+            "day": pc.divide(ts_us, US_PER_DAY),
+            "ts_us": ts_us,
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+        })
+
+    def conform(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "day": pa.array([], pa.int64()),
+                "ns": pa.array([], pa.int64()),
+                "nc": pa.array([], pa.int64()),
+            })
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, day, uid))
+        u_s, d_s = uid[order], day[order]
+        brk = (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1])
+        segs = np.split(et[order], np.flatnonzero(brk) + 1)
+        starts = np.flatnonzero(np.concatenate([[True], brk]))
+        seg_day = d_s[starts]
+        out = {}
+        for seg, dy in zip(segs, seg_day):
+            p = ">".join(seg)
+            pos, ok = 0, True
+            for tok in STEPS:
+                pos = p.find(tok, pos)
+                if pos < 0:
+                    ok = False
+                    break
+                pos += len(tok)
+            ns, nc = out.get(int(dy), (0, 0))
+            out[int(dy)] = (ns + 1, nc + (1 if ok else 0))
+        days = sorted(out)
+        return pa.table({
+            "day": pa.array(days, pa.int64()),
+            "ns": pa.array([out[d][0] for d in days], pa.int64()),
+            "nc": pa.array([out[d][1] for d in days], pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(conform, batch_format="pyarrow"),
+        ["day"], ["ns", "nc"], ["n_sequences", "n_conformant"],
+    ).to_arrow_refs()))
+    ns = t["n_sequences"].to_numpy(zero_copy_only=False)
+    nc = t["n_conformant"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "day": t["day"],
+        "n_sequences": t["n_sequences"],
+        "n_conformant": t["n_conformant"],
+        "conformance_rate": pa.array(
+            nc.astype(np.float64) / ns.astype(np.float64),
+            pa.float64()),
+    })
+
+
+SQL_PROCESS_CONFORMANCE = """
+WITH seq AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM events GROUP BY 1, 2),
+c AS (SELECT day,
+        CASE WHEN path LIKE '%view%click%purchase%'
+             THEN 1 ELSE 0 END AS ok
+      FROM seq)
+SELECT day, count(*) AS n_sequences,
+       CAST(sum(ok) AS BIGINT) AS n_conformant,
+       CAST(sum(ok) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS conformance_rate
+FROM c GROUP BY day
+"""
+
+
+def q_forecast_next_day(sf_dir: str):
+    """One-step forecasting (the capacity-planning readout on top of
+    the trend family): per event type, OLS over the DENSE daily
+    count series (zero-filled [global min day, max day] — the
+    autocorr grid rule) with exact integer moment sums, then
+    ŷ(next) = intercept + slope · x_next evaluated op-for-op on
+    both sides (the regression_trend float discipline: integer
+    numerator/denominator, one divide each, fixed op order).
+    Calendar×type-bounded funnel. SQL-checked (generate_series
+    dense-grid oracle)."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    US_PER_DAY = 86_400_000_000
+    ds = _read_split(sf_dir, "events", ["event_type", "ts"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        day = pc.divide(b["ts"].cast(pa.int64()), US_PER_DAY)
+        vc = pa.table({
+            "event_type": b["event_type"],
+            "day": day,
+        }).group_by(["event_type", "day"]).aggregate([([], "count_all")])
+        return pa.table({
+            "event_type": vc["event_type"],
+            "day": vc["day"],
+            "partial": vc["count_all"].cast(pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["event_type", "day"], "partial", "c",
+    ).to_arrow_refs()))
+    et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+    day = t["day"].to_numpy(zero_copy_only=False)
+    cv = t["c"].to_numpy(zero_copy_only=False)
+    d0, d1 = int(day.min()), int(day.max())
+    nd = d1 - d0 + 1
+    types = np.unique(et)
+    rows = []
+    for ty in types:
+        y = np.zeros(nd, np.int64)
+        m = et == ty
+        y[day[m] - d0] = cv[m]
+        x = np.arange(nd, dtype=np.int64)
+        n = nd
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy = int((x * y).sum())
+        sxx = int((x * x).sum())
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        slope = float(num) / float(den)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+        rows.append((ty, n, slope, intercept,
+                     intercept + slope * float(nd)))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "n_days": pa.array([r[1] for r in rows], pa.int64()),
+        "slope": pa.array([r[2] for r in rows], pa.float64()),
+        "intercept": pa.array([r[3] for r in rows], pa.float64()),
+        "forecast_next": pa.array([r[4] for r in rows],
+                                  pa.float64()),
+    })
+
+
+SQL_FORECAST_NEXT_DAY = """
+WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day
+           FROM events),
+b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+g AS (SELECT t.event_type, d.day
+      FROM (SELECT DISTINCT event_type FROM e) t
+      CROSS JOIN (SELECT unnest(generate_series(d0, d1)) AS day
+                  FROM b) d),
+c AS (SELECT g.event_type, g.day - b.d0 AS x,
+             CAST(coalesce(cnt.n, 0) AS BIGINT) AS y
+      FROM g CROSS JOIN b
+      LEFT JOIN (SELECT event_type, day, count(*) AS n FROM e
+                 GROUP BY 1, 2) cnt
+        ON g.event_type = cnt.event_type AND g.day = cnt.day),
+m AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM c GROUP BY event_type),
+s AS (SELECT event_type, n,
+        CAST(n * sxy - sx * sy AS DOUBLE)
+          / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+        sx, sy
+      FROM m)
+SELECT event_type, CAST(n AS BIGINT) AS n_days, slope,
+       (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS intercept,
+       (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) + slope * CAST(n AS DOUBLE)
+           AS forecast_next
+FROM s
+"""
