@@ -325,6 +325,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("abc_classification", Q.q_abc_classification)
     timed("process_conformance", Q.q_process_conformance)
     timed("forecast_next_day", Q.q_forecast_next_day)
+    timed("weekly_percentiles", Q.q_weekly_percentiles)
+    timed("kl_terms_by_source", Q.q_kl_terms_by_source)
+    timed("return_rates_by_brand", Q.q_return_rates_by_brand)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

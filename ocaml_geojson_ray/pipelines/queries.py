@@ -16154,3 +16154,217 @@ SELECT event_type, CAST(n AS BIGINT) AS n_days, slope,
            AS forecast_next
 FROM s
 """
+
+
+# -- round-5 wave 40: weekly percentiles / KL terms / return rates ----------
+
+def q_weekly_percentiles(sf_dir: str):
+    """Percentile bands over time (the p50/p90 ribbon on every SLA
+    dashboard): per order week, exact discrete percentiles of the
+    order-total cents — the quantile_disc selection rule
+    sorted[max(0, ⌈q·n⌉ − 1)] (the quantile_filter device, pinned
+    against DuckDB). Weeks are calendar-BOUNDED, so ONE week-keyed
+    groupby co-locates each week's cents and every group reduces to
+    3 ints; no corpus-sized funnel anywhere. SQL-checked
+    (quantile_disc oracle)."""
+    import math
+
+    import ray
+
+    US_PER_DAY = 86_400_000_000
+    ds = _read_split(sf_dir, "orders",
+                     ["o_orderdate", "o_totalprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        day = (b["o_orderdate"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // US_PER_DAY)
+        return pa.table({
+            "week": pa.array(day // 7, pa.int64()),
+            "cents": pc.round(pc.multiply(b["o_totalprice"], 100.0))
+            .cast(pa.int64()),
+        })
+
+    def pcts(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "week": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "p50_cents": pa.array([], pa.int64()),
+                "p90_cents": pa.array([], pa.int64()),
+            })
+        cents = np.sort(g["cents"].to_numpy(zero_copy_only=False))
+        n = len(cents)
+        p50 = int(cents[max(0, math.ceil(0.5 * n) - 1)])
+        p90 = int(cents[max(0, math.ceil(0.9 * n) - 1)])
+        return pa.table({
+            "week": pa.array([int(g["week"][0].as_py())], pa.int64()),
+            "n": pa.array([n], pa.int64()),
+            "p50_cents": pa.array([p50], pa.int64()),
+            "p90_cents": pa.array([p90], pa.int64()),
+        })
+
+    return pa.concat_tables([t for t in ray.get(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("week").map_groups(pcts, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows])
+
+
+SQL_WEEKLY_PERCENTILES = """
+WITH c AS (SELECT (epoch_us(o_orderdate) // 86400000000) // 7
+               AS week,
+           CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+      FROM orders)
+SELECT week, count(*) AS n,
+       CAST(quantile_disc(cents, 0.5) AS BIGINT) AS p50_cents,
+       CAST(quantile_disc(cents, 0.9) AS BIGINT) AS p90_cents
+FROM c GROUP BY week
+"""
+
+
+def q_kl_terms_by_source(sf_dir: str):
+    """Distribution-divergence audit per source (which crawls skew
+    the language mix): per (source, lang), the source-local share p,
+    the corpus share q, and the KL contribution p·ln(p/q) — reported
+    as PER-CELL terms (the contingency_type_dow rule: elementwise
+    floats dodge the float-sum order hazard entirely; the reader
+    sums). Counts are exact int64 through the (source × lang)-BOUNDED
+    funnel; p and q are single divides; ln is libm both sides.
+    SQL-checked."""
+    import math
+
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    ds = _read_split_few(sf_dir, "documents", ["source", "lang"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        vc = pa.table({
+            "source": b["source"],
+            "lang": b["lang"],
+        }).group_by(["source", "lang"]).aggregate([([], "count_all")])
+        return pa.table({
+            "source": vc["source"],
+            "lang": vc["lang"],
+            "partial": vc["count_all"].cast(pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["source", "lang"], "partial", "n",
+    ).to_arrow_refs()))
+    src = np.asarray(t["source"].to_pylist(), dtype=object)
+    lang = np.asarray(t["lang"].to_pylist(), dtype=object)
+    n = t["n"].to_numpy(zero_copy_only=False)
+    N = int(n.sum())
+    us, sinv = np.unique(src, return_inverse=True)
+    ns = np.bincount(sinv, weights=n).astype(np.int64)
+    ul, linv = np.unique(lang, return_inverse=True)
+    nl = np.bincount(linv, weights=n).astype(np.int64)
+    p = n.astype(np.float64) / ns[sinv].astype(np.float64)
+    q = nl[linv].astype(np.float64) / float(N)
+    kl = np.array([pi * math.log(pi / qi)
+                   for pi, qi in zip(p, q)], np.float64)
+    return pa.table({
+        "source": t["source"],
+        "lang": t["lang"],
+        "n": t["n"],
+        "p": pa.array(p, pa.float64()),
+        "q": pa.array(q, pa.float64()),
+        "kl_term": pa.array(kl, pa.float64()),
+    })
+
+
+SQL_KL_TERMS_BY_SOURCE = """
+WITH c AS (SELECT source, lang, count(*) AS n FROM documents
+           GROUP BY 1, 2),
+s AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM c GROUP BY 1),
+l AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl FROM c GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c)
+SELECT c.source, c.lang, c.n,
+       CAST(c.n AS DOUBLE) / CAST(s.ns AS DOUBLE) AS p,
+       CAST(l.nl AS DOUBLE) / CAST(t.nt AS DOUBLE) AS q,
+       (CAST(c.n AS DOUBLE) / CAST(s.ns AS DOUBLE))
+         * ln((CAST(c.n AS DOUBLE) / CAST(s.ns AS DOUBLE))
+              / (CAST(l.nl AS DOUBLE) / CAST(t.nt AS DOUBLE)))
+           AS kl_term
+FROM c JOIN s USING (source) JOIN l USING (lang) CROSS JOIN t
+"""
+
+
+def q_return_rates_by_brand(sf_dir: str):
+    """Return-rate analysis with lift (the merchandising question
+    'which brands come back'): per brand over lineitem — lines,
+    returned lines (l_returnflag = 'R'), the return rate, and the
+    lift vs the corpus rate as ONE divide of two exact int64
+    products (nr·N / n·NR — the assoc_rules lift discipline,
+    overflow-guarded). Part→brand is the dimension broadcast;
+    (brand)-bounded funnel. SQL-checked."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..util import grouped_sums_combine
+
+    pt = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_brand"])
+    pk = pt["p_partkey"].to_numpy(zero_copy_only=False)
+    brands, binv = np.unique(
+        np.asarray(pt["p_brand"].to_pylist(), dtype=object),
+        return_inverse=True)
+    order_ = np.argsort(pk)
+    dim_ref = ray.put((pk[order_], binv[order_].astype(np.int64)))
+
+    ds = _read_split(sf_dir, "lineitem",
+                     ["l_partkey", "l_returnflag"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        spk, sbid = ray.get(dim_ref)
+        bid = sbid[np.searchsorted(
+            spk, b["l_partkey"].to_numpy(zero_copy_only=False))]
+        isr = pc.equal(b["l_returnflag"], "R") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(bid, minlength=len(brands)) \
+            .astype(np.int64)
+        ret = np.zeros(len(brands), np.int64)
+        np.add.at(ret, bid, isr)
+        keep = cnt > 0
+        return pa.table({
+            "bid": pa.array(np.flatnonzero(keep), pa.int64()),
+            "cnt": pa.array(cnt[keep], pa.int64()),
+            "ret": pa.array(ret[keep], pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["bid"], ["cnt", "ret"], ["n_lines", "n_returned"],
+    ).to_arrow_refs()))
+    bid = t["bid"].to_numpy(zero_copy_only=False)
+    n = t["n_lines"].to_numpy(zero_copy_only=False)
+    nr = t["n_returned"].to_numpy(zero_copy_only=False)
+    N, NR = int(n.sum()), int(nr.sum())
+    if N > 3_000_000_000:
+        raise ValueError("return_rates lift product overflow: widen")
+    rate = nr.astype(np.float64) / n.astype(np.float64)
+    lift = (nr * N).astype(np.float64) / (n * NR).astype(np.float64)
+    return pa.table({
+        "brand": pa.array(brands[bid], pa.string()),
+        "n_lines": t["n_lines"],
+        "n_returned": t["n_returned"],
+        "return_rate": pa.array(rate, pa.float64()),
+        "lift": pa.array(lift, pa.float64()),
+    })
+
+
+SQL_RETURN_RATES_BY_BRAND = """
+WITH c AS (SELECT p_brand AS brand, count(*) AS n,
+        CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+             AS BIGINT) AS nr
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+             CAST(sum(nr) AS BIGINT) AS nrt FROM c)
+SELECT brand, n AS n_lines, nr AS n_returned,
+       CAST(nr AS DOUBLE) / CAST(n AS DOUBLE) AS return_rate,
+       CAST(nr * t.nt AS DOUBLE) / CAST(n * t.nrt AS DOUBLE) AS lift
+FROM c CROSS JOIN t
+"""
