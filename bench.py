@@ -328,6 +328,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("weekly_percentiles", Q.q_weekly_percentiles)
     timed("kl_terms_by_source", Q.q_kl_terms_by_source)
     timed("return_rates_by_brand", Q.q_return_rates_by_brand)
+    timed("error_purchase_sync", Q.q_error_purchase_sync)
+    timed("visit_transitions", Q.q_visit_transitions)
+    timed("decile_lift", Q.q_decile_lift)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

@@ -16368,3 +16368,277 @@ SELECT brand, n AS n_lines, nr AS n_returned,
        CAST(nr * t.nt AS DOUBLE) / CAST(n * t.nrt AS DOUBLE) AS lift
 FROM c CROSS JOIN t
 """
+
+
+# -- round-5 wave 41: temporal sync join / visit Markov / decile lift -------
+
+def q_error_purchase_sync(sf_dir: str):
+    """Cross-type temporal correlation (did failures cluster around
+    conversions — the incident-impact reconciliation an SRE review
+    asks for): for every purchase event, the count of the SAME
+    user's ERROR events dated within ±1 day, reported as the
+    (n_errors_1d → n_purchases) histogram. ONE user-bucket shuffle;
+    per bucket the window count is TWO searchsorteds over packed
+    key-rank·2⁵¹+day keys (the purchase_context device) — never a
+    pairwise join. Histogram-BOUNDED funnel. SQL-checked (range
+    join oracle)."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sum_combine
+
+    US_PER_DAY = 86_400_000_000
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "events",
+                     ["user_id", "ts", "event_type"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"],
+                        value_set=pa.array(["error", "purchase"]))
+        t = b.filter(keep)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        day = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // US_PER_DAY)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(uid, n_buckets), pa.int64()),
+            "k": pa.array(uid, pa.int64()),
+            "day": pa.array(day, pa.int64()),
+            "is_err": pc.equal(t["event_type"], "error"),
+        })
+
+    def sync(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "n_errors_1d": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            })
+        k = g["k"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        ise = g["is_err"].to_numpy(zero_copy_only=False)
+        SPAN = np.int64(1) << 51
+        uu = np.unique(k)
+        ke = np.sort(np.searchsorted(uu, k[ise]) * SPAN + day[ise])
+        kp = np.searchsorted(uu, k[~ise]) * SPAN + day[~ise]
+        lo = np.searchsorted(ke, kp - 1, side="left")
+        hi = np.searchsorted(ke, kp + 1, side="right")
+        n = (hi - lo).astype(np.int64)
+        cv, cn = np.unique(n, return_counts=True)
+        return pa.table({
+            "n_errors_1d": pa.array(cv, pa.int64()),
+            "partial": pa.array(cn.astype(np.int64), pa.int64()),
+        })
+
+    return pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(sync, batch_format="pyarrow"),
+        ["n_errors_1d"], "partial", "n_purchases",
+    ).to_arrow_refs()))
+
+
+SQL_ERROR_PURCHASE_SYNC = """
+WITH p AS (SELECT event_id, user_id,
+                  epoch_us(ts) // 86400000000 AS day
+           FROM events WHERE event_type = 'purchase'),
+e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events WHERE event_type = 'error'),
+c AS (SELECT p.event_id, count(e.day) AS n
+      FROM p LEFT JOIN e ON p.user_id = e.user_id
+        AND e.day BETWEEN p.day - 1 AND p.day + 1
+      GROUP BY p.event_id)
+SELECT n AS n_errors_1d, count(*) AS n_purchases
+FROM c GROUP BY n
+"""
+
+
+def q_visit_transitions(sf_dir: str):
+    """Visit-level Markov transitions (how one visit's entry behavior
+    predicts the NEXT visit's — the coarser cousin of event-level
+    lead_transitions): visits = the bounce_rate 12 h sessionization;
+    per user, consecutive visit entry-type pairs counted into the
+    |types|²-BOUNDED transition matrix. ONE user-bucket shuffle,
+    segment entries by the visit mask, one shifted same-user pair
+    scan. SQL-checked (two-level window oracle: visit id → entry →
+    lead)."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sum_combine
+
+    GAP_US = 12 * 3_600_000_000
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "events",
+                     ["user_id", "ts", "event_id", "event_type"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(uid, n_buckets), pa.int64()),
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+        })
+
+    def trans(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "from_type": pa.array([], pa.string()),
+                "to_type": pa.array([], pa.string()),
+                "partial": pa.array([], pa.int64()),
+            })
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, uid))
+        u_s, t_s = uid[order], ts[order]
+        new = np.ones(len(u_s), np.bool_)
+        new[1:] = (u_s[1:] != u_s[:-1]) \
+            | (t_s[1:] - t_s[:-1] >= GAP_US)
+        vu = u_s[new]
+        ve = et[order][new]
+        same = vu[1:] == vu[:-1]
+        pairs = np.char.add(np.char.add(
+            ve[:-1][same].astype(str), ">"), ve[1:][same].astype(str))
+        pv, pn = np.unique(pairs, return_counts=True)
+        return pa.table({
+            "from_type": pa.array(
+                [p.split(">", 1)[0] for p in pv], pa.string()),
+            "to_type": pa.array(
+                [p.split(">", 1)[1] for p in pv], pa.string()),
+            "partial": pa.array(pn.astype(np.int64), pa.int64()),
+        })
+
+    return pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(trans, batch_format="pyarrow"),
+        ["from_type", "to_type"], "partial", "n",
+    ).to_arrow_refs()))
+
+
+SQL_VISIT_TRANSITIONS = """
+WITH l AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                  event_id,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS prev_us
+           FROM events),
+s AS (SELECT user_id, event_type, ts_us, event_id,
+             sum(CASE WHEN prev_us IS NULL
+                      OR ts_us - prev_us >= 43200000000
+                      THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id
+                       ORDER BY ts_us, event_id) AS visit
+      FROM l),
+e AS (SELECT user_id, visit, event_type AS entry
+      FROM s QUALIFY row_number() OVER (PARTITION BY user_id, visit
+                                        ORDER BY ts_us, event_id) = 1),
+t AS (SELECT entry AS from_type,
+             lead(entry) OVER (PARTITION BY user_id
+                               ORDER BY visit) AS to_type
+      FROM e)
+SELECT from_type, to_type, count(*) AS n
+FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q_decile_lift(sf_dir: str):
+    """Decile lift table (the model-evaluation table every targeting
+    model ships with — here scored by the n_chars length proxy,
+    labeled by lang = 'en'): documents ranked by (n_chars, doc_id)
+    into exact ntile(10) deciles (ANSI size rule), per decile — docs,
+    positives, rate, and lift = (pos·N)/(n·POS) as one divide of
+    exact int64 products. The FOURTH consumer of
+    util.block_rank_offsets: sort + block offsets assign global
+    ranks; per-block (decile, label) partials ride the funnel.
+    SQL-checked (ntile window oracle)."""
+    import ray
+
+    from ..util import block_rank_offsets, grouped_sums_combine
+
+    K = 10
+    ds = _read_split_few(sf_dir, "documents",
+                         ["doc_id", "n_chars", "lang"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_chars": b["n_chars"],
+            "doc_id": b["doc_id"],
+            "pos": pc.equal(b["lang"], "en").cast(pa.int64()),
+        })
+
+    mat = ds.map_batches(pre, batch_format="pyarrow") \
+        .sort(["n_chars", "doc_id"]).materialize()
+    offsets, n = block_rank_offsets(mat, ["n_chars", "doc_id"])
+    if n == 0:
+        raise ValueError("decile_lift: empty corpus")
+    base = n // K
+    extra = n % K  # first `extra` tiles get base+1 rows
+    cut = extra * (base + 1)
+    off_ref = ray.put(offsets)
+
+    def fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or b.num_columns == 0:
+            return pa.table({
+                "decile": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+            })
+        off = ray.get(off_ref)[
+            (b["n_chars"][0].as_py(), b["doc_id"][0].as_py())]
+        rk = off + np.arange(b.num_rows, dtype=np.int64)  # 0-based
+        if base == 0:
+            dec = rk + 1
+        else:
+            dec = np.where(
+                rk < cut, rk // (base + 1) + 1,
+                extra + (rk - cut) // base + 1)
+        pos = b["pos"].to_numpy(zero_copy_only=False)
+        kv, kinv = np.unique(dec, return_inverse=True)
+        cnt = np.bincount(kinv, minlength=len(kv)).astype(np.int64)
+        ps = np.zeros(len(kv), np.int64)
+        np.add.at(ps, kinv, pos)
+        return pa.table({
+            "decile": pa.array(kv, pa.int64()),
+            "cnt": pa.array(cnt, pa.int64()),
+            "pos": pa.array(ps, pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sums_combine(
+        mat.map_batches(fold, batch_format="pyarrow",
+                        batch_size=None),
+        ["decile"], ["cnt", "pos"], ["n_docs", "n_positive"],
+    ).to_arrow_refs()))
+    cnt = t["n_docs"].to_numpy(zero_copy_only=False)
+    ps = t["n_positive"].to_numpy(zero_copy_only=False)
+    N, POS = int(cnt.sum()), int(ps.sum())
+    if N > 3_000_000_000:
+        raise ValueError("decile_lift product overflow: widen")
+    rate = ps.astype(np.float64) / cnt.astype(np.float64)
+    lift = (ps * N).astype(np.float64) / (cnt * POS).astype(np.float64)
+    return pa.table({
+        "decile": t["decile"],
+        "n_docs": t["n_docs"],
+        "n_positive": t["n_positive"],
+        "rate": pa.array(rate, pa.float64()),
+        "lift": pa.array(lift, pa.float64()),
+    })
+
+
+SQL_DECILE_LIFT = """
+WITH d AS (SELECT doc_id, n_chars,
+        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents),
+q AS (SELECT pos,
+        ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+      FROM d),
+g AS (SELECT decile, count(*) AS n_docs,
+        CAST(sum(pos) AS BIGINT) AS n_positive
+      FROM q GROUP BY decile),
+t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nt,
+             CAST(sum(n_positive) AS BIGINT) AS pt FROM g)
+SELECT CAST(decile AS BIGINT) AS decile, n_docs, n_positive,
+       CAST(n_positive AS DOUBLE) / CAST(n_docs AS DOUBLE) AS rate,
+       CAST(n_positive * t.nt AS DOUBLE)
+           / CAST(n_docs * t.pt AS DOUBLE) AS lift
+FROM g CROSS JOIN t
+"""
