@@ -11721,9 +11721,12 @@ def q_id_gaps(sf_dir: str):
     ds = _read_split(sf_dir, "events", ["event_id", "event_type"])
 
     def ids_only(b: pa.Table) -> pa.Table:
+        # NO per-block unique: a same-block duplicate would be
+        # silently absorbed while a cross-block one raised — the
+        # sort co-partitions equal ids, so block_summary's d == 0
+        # check now raises for EVERY duplicate, layout-independent
         keep = pc.equal(b["event_type"], "purchase")
-        ids = np.unique(
-            b.filter(keep)["event_id"].to_numpy(zero_copy_only=False))
+        ids = b.filter(keep)["event_id"].to_numpy(zero_copy_only=False)
         return pa.table({"id": pa.array(ids, pa.int64())})
 
     def block_summary(b: pa.Table) -> pa.Table:
@@ -12305,6 +12308,48 @@ SQL_PSI_DRIFT = (
 )
 
 
+def part_cell_xy(pk):
+    """THE integer degree-cell device (the rect_polygons derivation
+    BEFORE its /100 float step) — shared by smoothed_cell_density and
+    grid_coverage; like md5_le64/fib_bucket, never inline a copy."""
+    return ((pk * 7919) % 34000) // 100, ((pk * 104729) % 16000) // 100
+
+
+PART_CELLS_SQL = (
+    "SELECT ((p_partkey * 7919) % 34000) // 100 AS cell_x,\n"
+    "       ((p_partkey * 104729) % 16000) // 100 AS cell_y,\n"
+    "       count(*) AS n\n"
+    "FROM part GROUP BY 1, 2")
+
+
+def _part_cell_counts(sf_dir: str):
+    """Fine-cell counts table (cell_x, cell_y, n) for the part-origin
+    grid — the shared read+funnel behind both grid queries."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    ds = _read_split_few(sf_dir, "part", ["p_partkey"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        pk = b["p_partkey"].to_numpy(zero_copy_only=False)
+        cx, cy = part_cell_xy(pk)
+        vc = pa.table({
+            "cell_x": pa.array(cx, pa.int64()),
+            "cell_y": pa.array(cy, pa.int64()),
+        }).group_by(["cell_x", "cell_y"]).aggregate([([], "count_all")])
+        return pa.table({
+            "cell_x": vc["cell_x"],
+            "cell_y": vc["cell_y"],
+            "partial": vc["count_all"].cast(pa.int64()),
+        })
+
+    return pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(cells, batch_format="pyarrow"),
+        ["cell_x", "cell_y"], "partial", "n",
+    ).to_arrow_refs()))
+
+
 def q_smoothed_cell_density(sf_dir: str):
     """Grid stencil / convolution (the neighborhood operator behind
     density smoothing, heatmap blur and focal statistics in raster
@@ -12318,30 +12363,7 @@ def q_smoothed_cell_density(sf_dir: str):
     driver grid; at corpus scale the same stencil distributes as a
     9-neighbor re-emit + second funnel (documented plan, same
     semantics). SQL-checked (self-join |dx|≤1 ∧ |dy|≤1 oracle)."""
-    import ray
-
-    from ..util import grouped_sum_combine
-
-    ds = _read_split_few(sf_dir, "part", ["p_partkey"])
-
-    def cells(b: pa.Table) -> pa.Table:
-        pk = b["p_partkey"].to_numpy(zero_copy_only=False)
-        cx = ((pk * 7919) % 34000) // 100
-        cy = ((pk * 104729) % 16000) // 100
-        vc = pa.table({
-            "cell_x": pa.array(cx, pa.int64()),
-            "cell_y": pa.array(cy, pa.int64()),
-        }).group_by(["cell_x", "cell_y"]).aggregate([([], "count_all")])
-        return pa.table({
-            "cell_x": vc["cell_x"],
-            "cell_y": vc["cell_y"],
-            "partial": vc["count_all"].cast(pa.int64()),
-        })
-
-    cnt = pa.concat_tables(ray.get(grouped_sum_combine(
-        ds.map_batches(cells, batch_format="pyarrow"),
-        ["cell_x", "cell_y"], "partial", "n",
-    ).to_arrow_refs()))
+    cnt = _part_cell_counts(sf_dir)
     cx = cnt["cell_x"].to_numpy(zero_copy_only=False)
     cy = cnt["cell_y"].to_numpy(zero_copy_only=False)
     n = cnt["n"].to_numpy(zero_copy_only=False)
@@ -12361,11 +12383,8 @@ def q_smoothed_cell_density(sf_dir: str):
     })
 
 
-SQL_SMOOTHED_CELL_DENSITY = """
-WITH c AS (SELECT ((p_partkey * 7919) % 34000) // 100 AS cell_x,
-                  ((p_partkey * 104729) % 16000) // 100 AS cell_y,
-                  count(*) AS n
-           FROM part GROUP BY 1, 2)
+SQL_SMOOTHED_CELL_DENSITY = f"""
+WITH c AS ({PART_CELLS_SQL})
 SELECT a.cell_x, a.cell_y, a.n, CAST(sum(b.n) AS BIGINT) AS smoothed
 FROM c a JOIN c b ON abs(a.cell_x - b.cell_x) <= 1
                  AND abs(a.cell_y - b.cell_y) <= 1
@@ -12668,9 +12687,11 @@ def q_keyness_terms(sf_dir: str):
     a = cnt["a"].to_numpy(zero_copy_only=False)
     n_total = int(a.sum())
     ul, linv = np.unique(langs, return_inverse=True)
-    na = np.bincount(linv, weights=a).astype(np.int64)
+    na = np.zeros(len(ul), np.int64)
+    np.add.at(na, linv, a)  # exact int64 — float64 weights lose bits past 2^53
     ut, tinv = np.unique(terms, return_inverse=True)
-    tw = np.bincount(tinv, weights=a).astype(np.int64)
+    tw = np.zeros(len(ut), np.int64)
+    np.add.at(tw, tinv, a)
     if n_total > 3_000_000_000:
         raise ValueError("keyness_terms G² product overflow: widen")
     rows = []
@@ -13033,6 +13054,8 @@ def q_blocking_stats(sf_dir: str):
     n = int(nb_.sum())
     cand = int((nb_ * (nb_ - 1) // 2).sum())
     total = n * (n - 1) // 2
+    if total == 0:
+        raise ValueError("blocking_stats: fewer than two records")
     return pa.table({
         "n_records": pa.array([n], pa.int64()),
         "n_blocks": pa.array([len(nb_)], pa.int64()),
@@ -14325,6 +14348,9 @@ def q_simpsons_check(sf_dir: str):
                // US_PER_DAY)
         isp = pc.equal(b["event_type"], "purchase") \
             .to_numpy(zero_copy_only=False).astype(np.int64)
+        if (day >= (1 << 20)).any() or (day < 0).any() \
+                or (uid >= (1 << 42)).any():
+            raise ValueError("simpsons_check pack overflow")
         packed = np.unique((uid << 21) | (day << 1) | isp)
         return pa.table({
             "bucket": pa.array(fib_bucket(packed >> 21, n_buckets),
@@ -14507,27 +14533,14 @@ SELECT lang, count(*) AS n_rows FROM documents GROUP BY lang
 
 # -- round-5 wave 34: shipping SLA / linear resample / PPS sample -----------
 
-def q_shipping_sla(sf_dir: str):
-    """Order-to-ship SLA distribution (the fulfilment histogram an
-    ops dashboard leads with): per order priority, line-level
-    ship-lag days (l_shipdate day − o_orderdate day, exact int64)
-    bucketed into a (priority, lag_days) histogram. The order header
-    is a FACT side — its date joins via the totals_audit CO-BUCKET
-    device (tagged union, ONE orderkey shuffle), and the histogram
-    key space is priority×lag-BOUNDED → funnel. SQL-checked."""
-    import ray
-
-    from ..util import fib_bucket, grouped_sum_combine
-
+def _order_day_cobucket_pres(n_buckets: int):
+    """Shared tagged-union pre-stages for the orderkey CO-BUCKET
+    device carrying (day, priority): lines emit l_shipdate days,
+    orders emit o_orderdate days + o_orderpriority (the totals_audit
+    pattern). shipping_sla and all_lines_shipped consume these
+    verbatim — single-sourced like fib_bucket/md5_le64 so the
+    sentinel and tagging conventions cannot drift."""
     US_PER_DAY = 86_400_000_000
-    cpus = int(ray.cluster_resources().get("CPU", 4))
-    nb = max(4, cpus // 4)
-    n_buckets = max(64, cpus * 8)
-    lines = split_read(f"{sf_dir}/lineitem.parquet",
-                       ["l_orderkey", "l_shipdate"], nb)
-    orders = split_read(f"{sf_dir}/orders.parquet",
-                        ["o_orderkey", "o_orderdate",
-                         "o_orderpriority"], nb)
 
     def pre_lines(b: pa.Table) -> pa.Table:
         ok_ = b["l_orderkey"].to_numpy(zero_copy_only=False)
@@ -14552,6 +14565,33 @@ def q_shipping_sla(sf_dir: str):
             "prio": b["o_orderpriority"],
             "is_order": pa.array(np.ones(len(ok_), bool)),
         })
+
+    return pre_lines, pre_orders
+
+
+def q_shipping_sla(sf_dir: str):
+    """Order-to-ship SLA distribution (the fulfilment histogram an
+    ops dashboard leads with): per order priority, line-level
+    ship-lag days (l_shipdate day − o_orderdate day, exact int64)
+    bucketed into a (priority, lag_days) histogram. The order header
+    is a FACT side — its date joins via the totals_audit CO-BUCKET
+    device (tagged union, ONE orderkey shuffle), and the histogram
+    key space is priority×lag-BOUNDED → funnel. SQL-checked."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sum_combine
+
+    US_PER_DAY = 86_400_000_000
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nb = max(4, cpus // 4)
+    n_buckets = max(64, cpus * 8)
+    lines = split_read(f"{sf_dir}/lineitem.parquet",
+                       ["l_orderkey", "l_shipdate"], nb)
+    orders = split_read(f"{sf_dir}/orders.parquet",
+                        ["o_orderkey", "o_orderdate",
+                         "o_orderpriority"], nb)
+
+    pre_lines, pre_orders = _order_day_cobucket_pres(n_buckets)
 
     def sla(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
@@ -15320,10 +15360,10 @@ def q_feature_scaling_stats(sf_dir: str):
         if t.num_rows])
     langs = np.asarray(raw["lang"].to_pylist(), dtype=object)
     ul, inv = np.unique(langs, return_inverse=True)
-    cnt = np.bincount(inv, weights=raw["cnt"].to_numpy()) \
-        .astype(np.int64)
-    sm = np.bincount(inv, weights=raw["sm"].to_numpy()) \
-        .astype(np.int64)
+    cnt = np.zeros(len(ul), np.int64)
+    np.add.at(cnt, inv, raw["cnt"].to_numpy(zero_copy_only=False))
+    sm = np.zeros(len(ul), np.int64)
+    np.add.at(sm, inv, raw["sm"].to_numpy(zero_copy_only=False))
     mn = np.full(len(ul), np.iinfo(np.int64).max)
     mx = np.full(len(ul), np.iinfo(np.int64).min)
     np.minimum.at(mn, inv, raw["mn"].to_numpy(zero_copy_only=False))
@@ -15409,9 +15449,12 @@ def q_cohort_ltv(sf_dir: str):
         np.minimum.at(first, uinv, mon)
         age = mon - first[uinv]
         pm = isp
-        key = first[uinv][pm] * 4096 + age[pm]  # ages < 4096
-        if (age >= 4096).any():
-            raise ValueError("cohort_ltv age pack overflow")
+        key = first[uinv][pm] * 4096 + age[pm]
+        # BOTH halves of the pack are bounded, and key must stay
+        # under the 2^24 user-pack slot below
+        if (age >= 4096).any() or (first >= 4096).any() \
+                or (first < 0).any():
+            raise ValueError("cohort_ltv cohort/age pack overflow")
         # purchasing users: distinct (user, cohort, age)
         upk = np.unique(uinv[pm] * (1 << 24) + key)
         ukv, ukn = np.unique(upk & ((1 << 24) - 1),
@@ -15460,30 +15503,7 @@ def q_grid_coverage(sf_dir: str):
     cells; per macro cell, occupied fine cells out of 100 and the
     coverage ratio (single divide). Fine-cell funnel (bounded
     340×160), macro math driver-side. SQL-checked."""
-    import ray
-
-    from ..util import grouped_sum_combine
-
-    ds = _read_split_few(sf_dir, "part", ["p_partkey"])
-
-    def cells(b: pa.Table) -> pa.Table:
-        pk = b["p_partkey"].to_numpy(zero_copy_only=False)
-        cx = ((pk * 7919) % 34000) // 100
-        cy = ((pk * 104729) % 16000) // 100
-        vc = pa.table({
-            "cell_x": pa.array(cx, pa.int64()),
-            "cell_y": pa.array(cy, pa.int64()),
-        }).group_by(["cell_x", "cell_y"]).aggregate([([], "count_all")])
-        return pa.table({
-            "cell_x": vc["cell_x"],
-            "cell_y": vc["cell_y"],
-            "partial": vc["count_all"].cast(pa.int64()),
-        })
-
-    cnt = pa.concat_tables(ray.get(grouped_sum_combine(
-        ds.map_batches(cells, batch_format="pyarrow"),
-        ["cell_x", "cell_y"], "partial", "n",
-    ).to_arrow_refs()))
+    cnt = _part_cell_counts(sf_dir)
     cx = cnt["cell_x"].to_numpy(zero_copy_only=False)
     cy = cnt["cell_y"].to_numpy(zero_copy_only=False)
     n = cnt["n"].to_numpy(zero_copy_only=False)
@@ -15502,11 +15522,8 @@ def q_grid_coverage(sf_dir: str):
     })
 
 
-SQL_GRID_COVERAGE = """
-WITH c AS (SELECT ((p_partkey * 7919) % 34000) // 100 AS cell_x,
-                  ((p_partkey * 104729) % 16000) // 100 AS cell_y,
-                  count(*) AS n
-           FROM part GROUP BY 1, 2)
+SQL_GRID_COVERAGE = f"""
+WITH c AS ({PART_CELLS_SQL})
 SELECT cell_x // 10 AS macro_x, cell_y // 10 AS macro_y,
        CAST(sum(n) AS BIGINT) AS n_points,
        count(*) AS n_occupied_cells,
@@ -15642,29 +15659,7 @@ def q_all_lines_shipped(sf_dir: str):
                         ["o_orderkey", "o_orderdate",
                          "o_orderpriority"], nb)
 
-    def pre_lines(b: pa.Table) -> pa.Table:
-        ok_ = b["l_orderkey"].to_numpy(zero_copy_only=False)
-        sd = (b["l_shipdate"].cast(pa.int64())
-              .to_numpy(zero_copy_only=False) // US_PER_DAY)
-        return pa.table({
-            "bucket": pa.array(fib_bucket(ok_, n_buckets), pa.int64()),
-            "ok": pa.array(ok_, pa.int64()),
-            "day": pa.array(sd, pa.int64()),
-            "prio": pa.array([""] * len(ok_), pa.string()),
-            "is_order": pa.array(np.zeros(len(ok_), bool)),
-        })
-
-    def pre_orders(b: pa.Table) -> pa.Table:
-        ok_ = b["o_orderkey"].to_numpy(zero_copy_only=False)
-        od = (b["o_orderdate"].cast(pa.int64())
-              .to_numpy(zero_copy_only=False) // US_PER_DAY)
-        return pa.table({
-            "bucket": pa.array(fib_bucket(ok_, n_buckets), pa.int64()),
-            "ok": pa.array(ok_, pa.int64()),
-            "day": pa.array(od, pa.int64()),
-            "prio": b["o_orderpriority"],
-            "is_order": pa.array(np.ones(len(ok_), bool)),
-        })
+    pre_lines, pre_orders = _order_day_cobucket_pres(n_buckets)
 
     def fold(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
@@ -15755,8 +15750,13 @@ def q_moments_by_lang(sf_dir: str):
     def pre(b: pa.Table) -> pa.Table:
         langs = np.asarray(b["lang"].to_pylist(), dtype=object)
         x = b["n_chars"].to_numpy(zero_copy_only=False)
-        if len(x) and int(x.max()) > 40000:
-            raise ValueError("moments_by_lang Σx⁴ overflow risk")
+        # guard the SUM, not the element: np.add.at wraps silently.
+        # 2^50 per block leaves 13 bits (8k blocks) of funnel
+        # headroom; past that, widen to two-limb sums
+        if len(x) and float(len(x)) * float(int(x.max())) ** 4 \
+                >= float(1 << 50):
+            raise ValueError(
+                "moments_by_lang Σx⁴ block-sum overflow risk: widen")
         ul, inv = np.unique(langs, return_inverse=True)
         out = {"lang": pa.array(list(ul), pa.string())}
         out["cnt"] = pa.array(
@@ -15925,7 +15925,8 @@ def q_abc_classification(sf_dir: str):
     c = ~a & ~b_
     rows = []
     for name, m in (("A", a), ("B", b_), ("C", c)):
-        rows.append((name, int(m.sum()), int(rev_s[m].sum())))
+        if m.any():  # the oracle's GROUP BY emits no empty-class row
+            rows.append((name, int(m.sum()), int(rev_s[m].sum())))
     return pa.table({
         "abc": pa.array([r[0] for r in rows], pa.string()),
         "n_parts": pa.array([r[1] for r in rows], pa.int64()),
@@ -16110,6 +16111,9 @@ def q_forecast_next_day(sf_dir: str):
         sxx = int((x * x).sum())
         num = n * sxy - sx * sy
         den = n * sxx - sx * sx
+        if den == 0:
+            raise ValueError(
+                "forecast_next_day: single-day corpus has no trend")
         slope = float(num) / float(den)
         intercept = (float(sy) - slope * float(sx)) / float(n)
         rows.append((ty, n, slope, intercept,
@@ -16258,9 +16262,11 @@ def q_kl_terms_by_source(sf_dir: str):
     n = t["n"].to_numpy(zero_copy_only=False)
     N = int(n.sum())
     us, sinv = np.unique(src, return_inverse=True)
-    ns = np.bincount(sinv, weights=n).astype(np.int64)
+    ns = np.zeros(len(us), np.int64)
+    np.add.at(ns, sinv, n)
     ul, linv = np.unique(lang, return_inverse=True)
-    nl = np.bincount(linv, weights=n).astype(np.int64)
+    nl = np.zeros(len(ul), np.int64)
+    np.add.at(nl, linv, n)
     p = n.astype(np.float64) / ns[sinv].astype(np.float64)
     q = nl[linv].astype(np.float64) / float(N)
     kl = np.array([pi * math.log(pi / qi)
