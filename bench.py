@@ -331,6 +331,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("error_purchase_sync", Q.q_error_purchase_sync)
     timed("visit_transitions", Q.q_visit_transitions)
     timed("decile_lift", Q.q_decile_lift)
+    timed("priority_inversion", Q.q_priority_inversion)
+    timed("lexical_richness", Q.q_lexical_richness)
+    timed("order_size_dispersion", Q.q_order_size_dispersion)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

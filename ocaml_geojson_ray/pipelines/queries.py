@@ -12632,21 +12632,10 @@ FROM q GROUP BY 1, 2, 3
 """
 
 
-def q_keyness_terms(sf_dir: str):
-    """Corpus-linguistics keyness (which words make a language's
-    documents DISTINCTIVE — the log-likelihood / G² keyword test,
-    Dunning 1993): per language, the 5 most overused terms by
-    G² = 2·(a·ln(aN/(Nₐt)) + b·ln(bN/(N_b t))) where a/b are the
-    term's in/out-of-language counts, t = a + b, against the
-    definitional whitespace tokenizer shared with top_words. The
-    (lang, term) key space is vocab-bounded (tfidf contract), so
-    counts ride map-side dictionary-encoded partials → the funnel;
-    all G² math happens on the bounded table driver-side with exact
-    int64 counts, single-divide ratios, libm ln, and the fixed
-    two-term sum. SQL-checked (QUALIFY windowed oracle; b = 0 terms
-    contribute a zero second term on both sides)."""
-    import math
-
+def _lang_term_counts(sf_dir: str):
+    """(lang, term, a) exact counts over the definitional whitespace
+    tokenizer — the shared vocab-bounded funnel behind keyness_terms
+    and lexical_richness (single-sourced like the other devices)."""
     import ray
 
     from ..util import grouped_sum_combine
@@ -12678,10 +12667,28 @@ def q_keyness_terms(sf_dir: str):
             "partial": vc["count_all"].cast(pa.int64()),
         })
 
-    cnt = pa.concat_tables(ray.get(grouped_sum_combine(
+    return pa.concat_tables(ray.get(grouped_sum_combine(
         ds.map_batches(lang_token_counts, batch_format="pyarrow"),
         ["lang", "term"], "partial", "a",
     ).to_arrow_refs()))
+
+
+def q_keyness_terms(sf_dir: str):
+    """Corpus-linguistics keyness (which words make a language's
+    documents DISTINCTIVE — the log-likelihood / G² keyword test,
+    Dunning 1993): per language, the 5 most overused terms by
+    G² = 2·(a·ln(aN/(Nₐt)) + b·ln(bN/(N_b t))) where a/b are the
+    term's in/out-of-language counts, t = a + b, against the
+    definitional whitespace tokenizer shared with top_words. The
+    (lang, term) key space is vocab-bounded (tfidf contract), so
+    counts ride map-side dictionary-encoded partials → the funnel;
+    all G² math happens on the bounded table driver-side with exact
+    int64 counts, single-divide ratios, libm ln, and the fixed
+    two-term sum. SQL-checked (QUALIFY windowed oracle; b = 0 terms
+    contribute a zero second term on both sides)."""
+    import math
+
+    cnt = _lang_term_counts(sf_dir)
     langs = np.asarray(cnt["lang"].to_pylist(), dtype=object)
     terms = np.asarray(cnt["term"].to_pylist(), dtype=object)
     a = cnt["a"].to_numpy(zero_copy_only=False)
@@ -16647,4 +16654,245 @@ SELECT CAST(decile AS BIGINT) AS decile, n_docs, n_positive,
        CAST(n_positive * t.nt AS DOUBLE)
            / CAST(n_docs * t.pt AS DOUBLE) AS lift
 FROM g CROSS JOIN t
+"""
+
+
+# -- round-5 wave 42: priority inversion / lexical richness / dispersion ----
+
+def q_priority_inversion(sf_dir: str):
+    """Priority-inversion audit (does the fulfilment system actually
+    honor priority — the ops follow-up to shipping_sla): per order
+    priority, the MEDIAN ship lag (quantile_disc selection on the
+    bounded (priority, lag_days) histogram — medians come off the
+    funnel, never a per-row sort) plus an inverted flag: slower
+    median than '1-URGENT'. Reuses the shared order-day co-bucket
+    pre-stages. All-integer. SQL-checked."""
+    import math
+
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nb = max(4, cpus // 4)
+    n_buckets = max(64, cpus * 8)
+    lines = split_read(f"{sf_dir}/lineitem.parquet",
+                       ["l_orderkey", "l_shipdate"], nb)
+    orders = split_read(f"{sf_dir}/orders.parquet",
+                        ["o_orderkey", "o_orderdate",
+                         "o_orderpriority"], nb)
+    pre_lines, pre_orders = _order_day_cobucket_pres(n_buckets)
+
+    def sla(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "prio": pa.array([], pa.string()),
+                "lag": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            })
+        ok_ = g["ok"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        iso = g["is_order"].to_numpy(zero_copy_only=False)
+        prio = np.asarray(g["prio"].to_pylist(), dtype=object)
+        sok = ok_[iso]
+        o = np.argsort(sok)
+        sok, oday, oprio = sok[o], day[iso][o], prio[iso][o]
+        pos = np.searchsorted(sok, ok_[~iso])
+        if len(sok) == 0 or (pos >= len(sok)).any() \
+                or (sok[np.clip(pos, 0, len(sok) - 1)]
+                    != ok_[~iso]).any():
+            raise ValueError("priority_inversion: orphan lines")
+        lag = day[~iso] - oday[pos]
+        pr = oprio[pos]
+        up, pinv = np.unique(pr, return_inverse=True)
+        key = pinv.astype(np.int64) * 100000 + (lag + 50000)
+        kv, kc = np.unique(key, return_counts=True)
+        return pa.table({
+            "prio": pa.array([up[k // 100000] for k in kv],
+                             pa.string()),
+            "lag": pa.array(kv % 100000 - 50000, pa.int64()),
+            "partial": pa.array(kc.astype(np.int64), pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sum_combine(
+        lines.map_batches(pre_lines, batch_format="pyarrow")
+        .union(orders.map_batches(pre_orders, batch_format="pyarrow"))
+        .groupby("bucket").map_groups(sla, batch_format="pyarrow"),
+        ["prio", "lag"], "partial", "n",
+    ).to_arrow_refs()))
+    prio = np.asarray(t["prio"].to_pylist(), dtype=object)
+    lag = t["lag"].to_numpy(zero_copy_only=False)
+    n = t["n"].to_numpy(zero_copy_only=False)
+    med = {}
+    for p in np.unique(prio):
+        m = prio == p
+        order = np.argsort(lag[m])
+        lv, nv = lag[m][order], n[m][order]
+        tot = int(nv.sum())
+        target = max(0, math.ceil(0.5 * tot) - 1)  # quantile_disc
+        med[p] = int(lv[np.searchsorted(np.cumsum(nv) - 1, target)])
+    base = med.get("1-URGENT")
+    if base is None:
+        raise ValueError("priority_inversion: no 1-URGENT orders")
+    ps = sorted(med)
+    return pa.table({
+        "o_orderpriority": pa.array(ps, pa.string()),
+        "median_lag_days": pa.array([med[p] for p in ps], pa.int64()),
+        "inverted": pa.array(
+            [int(med[p] < base) for p in ps], pa.int64()),
+    })
+
+
+SQL_PRIORITY_INVERSION = """
+WITH l AS (SELECT o_orderpriority AS prio,
+        epoch_us(l_shipdate) // 86400000000
+            - epoch_us(o_orderdate) // 86400000000 AS lag
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+m AS (SELECT prio, CAST(quantile_disc(lag, 0.5) AS BIGINT) AS med
+      FROM l GROUP BY prio),
+b AS (SELECT med AS base FROM m WHERE prio = '1-URGENT')
+SELECT m.prio AS o_orderpriority, m.med AS median_lag_days,
+       CAST(CASE WHEN m.med < b.base THEN 1 ELSE 0 END AS BIGINT)
+           AS inverted
+FROM m CROSS JOIN b
+"""
+
+
+def q_lexical_richness(sf_dir: str):
+    """Lexical richness profiling (the type-token metrics a corpus
+    card reports: vocabulary size, hapax legomena, TTR): per
+    language over the definitional whitespace tokenizer — tokens,
+    vocabulary, hapax count (terms seen once), type-token ratio and
+    hapax rate (single divides of exact int64s). Rides the same
+    vocab-bounded (lang, term) count funnel as keyness_terms.
+    SQL-checked."""
+    cnt = _lang_term_counts(sf_dir)
+    langs = np.asarray(cnt["lang"].to_pylist(), dtype=object)
+    a = cnt["a"].to_numpy(zero_copy_only=False)
+    ul, linv = np.unique(langs, return_inverse=True)
+    toks = np.zeros(len(ul), np.int64)
+    np.add.at(toks, linv, a)
+    vocab = np.bincount(linv, minlength=len(ul)).astype(np.int64)
+    hapax = np.zeros(len(ul), np.int64)
+    np.add.at(hapax, linv, (a == 1).astype(np.int64))
+    return pa.table({
+        "lang": pa.array(list(ul), pa.string()),
+        "n_tokens": pa.array(toks, pa.int64()),
+        "n_vocab": pa.array(vocab, pa.int64()),
+        "n_hapax": pa.array(hapax, pa.int64()),
+        "ttr": pa.array(vocab.astype(np.float64)
+                        / toks.astype(np.float64), pa.float64()),
+        "hapax_rate": pa.array(hapax.astype(np.float64)
+                               / vocab.astype(np.float64),
+                               pa.float64()),
+    })
+
+
+SQL_LEXICAL_RICHNESS = r"""
+WITH w AS (SELECT lang, unnest(
+        list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'),
+                    x -> x <> '')) AS term FROM documents),
+c AS (SELECT lang, term, count(*) AS a FROM w GROUP BY 1, 2),
+g AS (SELECT lang, CAST(sum(a) AS BIGINT) AS n_tokens,
+             count(*) AS n_vocab,
+             CAST(sum(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_hapax
+      FROM c GROUP BY lang)
+SELECT lang, n_tokens, n_vocab, n_hapax,
+       CAST(n_vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+       CAST(n_hapax AS DOUBLE) / CAST(n_vocab AS DOUBLE)
+           AS hapax_rate
+FROM g
+"""
+
+
+def q_order_size_dispersion(sf_dir: str):
+    """Count-dispersion diagnostics (is order size Poisson-like or
+    bursty — the Fano factor every queueing model starts from): the
+    lines-per-order histogram plus mean and variance-to-mean ratio,
+    BOTH from exact integer moments of the bounded histogram (Σk,
+    Σk² over order sizes; the single-divide rule, variance as the
+    op-for-op (Σk²/n − µ²) population form). One ORDERKEY-bucket
+    shuffle → per-order counts → size-BOUNDED histogram funnel.
+    Output: one row per size + the moments repeated on none — just
+    the summary row shape: (size, n_orders) rows plus summary
+    columns would mix shapes, so the histogram IS the output and
+    mean/fano ride a single summary row with size = −1.
+    SQL-checked."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sum_combine
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "lineitem", ["l_orderkey"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        ok_ = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        uo, uc = np.unique(ok_, return_counts=True)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(uo, n_buckets), pa.int64()),
+            "ok": pa.array(uo, pa.int64()),
+            "c": pa.array(uc.astype(np.int64), pa.int64()),
+        })
+
+    def hist(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "size": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            })
+        ok_ = g["ok"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        uo, uinv = np.unique(ok_, return_inverse=True)
+        tot = np.zeros(len(uo), np.int64)
+        np.add.at(tot, uinv, c)
+        sv, sn = np.unique(tot, return_counts=True)
+        return pa.table({
+            "size": pa.array(sv, pa.int64()),
+            "partial": pa.array(sn.astype(np.int64), pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(hist, batch_format="pyarrow"),
+        ["size"], "partial", "n_orders",
+    ).to_arrow_refs()))
+    sz = t["size"].to_numpy(zero_copy_only=False)
+    n = t["n_orders"].to_numpy(zero_copy_only=False)
+    ntot = int(n.sum())
+    s1 = int((sz * n).sum())
+    s2 = int((sz * sz * n).sum())
+    mean = float(s1) / float(ntot)
+    var = float(s2) / float(ntot) - mean * mean
+    fano = var / mean
+    order = np.argsort(sz)
+    return pa.table({
+        "size": pa.array(np.append(sz[order], [-1]), pa.int64()),
+        "n_orders": pa.array(np.append(n[order], [ntot]), pa.int64()),
+        "mean_size": pa.array(
+            [None] * len(sz) + [mean], pa.float64()),
+        "fano": pa.array([None] * len(sz) + [fano], pa.float64()),
+    })
+
+
+SQL_ORDER_SIZE_DISPERSION = """
+WITH c AS (SELECT l_orderkey, count(*) AS sz FROM lineitem
+           GROUP BY 1),
+h AS (SELECT sz AS size, count(*) AS n_orders FROM c GROUP BY 1),
+m AS (SELECT CAST(sum(n_orders) AS BIGINT) AS nt,
+             CAST(sum(size * n_orders) AS BIGINT) AS s1,
+             CAST(sum(size * size * n_orders) AS BIGINT) AS s2
+      FROM h)
+SELECT size, n_orders, CAST(NULL AS DOUBLE) AS mean_size,
+       CAST(NULL AS DOUBLE) AS fano
+FROM h
+UNION ALL
+SELECT -1, m.nt,
+       CAST(m.s1 AS DOUBLE) / CAST(m.nt AS DOUBLE),
+       (CAST(m.s2 AS DOUBLE) / CAST(m.nt AS DOUBLE)
+        - (CAST(m.s1 AS DOUBLE) / CAST(m.nt AS DOUBLE))
+          * (CAST(m.s1 AS DOUBLE) / CAST(m.nt AS DOUBLE)))
+       / (CAST(m.s1 AS DOUBLE) / CAST(m.nt AS DOUBLE))
+FROM m
 """
