@@ -334,6 +334,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("priority_inversion", Q.q_priority_inversion)
     timed("lexical_richness", Q.q_lexical_richness)
     timed("order_size_dispersion", Q.q_order_size_dispersion)
+    timed("survival_risk_table", Q.q_survival_risk_table)
+    timed("low_quality_by_source", Q.q_low_quality_by_source)
+    timed("ranking_stability", Q.q_ranking_stability)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

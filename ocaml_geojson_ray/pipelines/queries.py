@@ -13759,18 +13759,10 @@ FROM pd GROUP BY k
 """
 
 
-def q_trending_brands(sf_dir: str):
-    """Windowed trending (the 'top movers this week' leaderboard):
-    per 7-day week of o_orderdate, the top-3 part brands by distinct
-    ORDER count, rank included, ties broken by brand ASC. Part→brand
-    is a true DIMENSION broadcast (assoc_rules device), but orders
-    is a FACT table — its week column joins via the totals_audit
-    CO-BUCKET device instead (tagged union, ONE fib_bucket shuffle
-    on orderkey; an order's header week and its line-side brand
-    pairs meet in exactly one bucket). The (week, brand) key space
-    is calendar×brand-BOUNDED, so per-bucket counts ride one funnel
-    and the driver ranks ≤ weeks×3 rows. SQL-checked (row_number
-    window oracle)."""
+def _week_brand_order_counts(sf_dir: str):
+    """(week, brand_id, n) distinct-order counts plus the brand name
+    vocabulary — the shared co-bucketed fact-join funnel behind
+    trending_brands and ranking_stability (single-sourced)."""
     import pyarrow.parquet as pq
     import ray
 
@@ -13857,6 +13849,22 @@ def q_trending_brands(sf_dir: str):
                                       batch_format="pyarrow"),
         ["week", "brand_id"], "partial", "n",
     ).to_arrow_refs()))
+    return t, brands
+
+
+def q_trending_brands(sf_dir: str):
+    """Windowed trending (the 'top movers this week' leaderboard):
+    per 7-day week of o_orderdate, the top-3 part brands by distinct
+    ORDER count, rank included, ties broken by brand ASC. Part→brand
+    is a true DIMENSION broadcast (assoc_rules device), but orders
+    is a FACT table — its week column joins via the totals_audit
+    CO-BUCKET device instead (tagged union, ONE fib_bucket shuffle
+    on orderkey; an order's header week and its line-side brand
+    pairs meet in exactly one bucket). The (week, brand) key space
+    is calendar×brand-BOUNDED, so per-bucket counts ride one funnel
+    and the driver ranks ≤ weeks×3 rows. SQL-checked (row_number
+    window oracle)."""
+    t, brands = _week_brand_order_counts(sf_dir)
     wk = t["week"].to_numpy(zero_copy_only=False)
     bid = t["brand_id"].to_numpy(zero_copy_only=False)
     n = t["n"].to_numpy(zero_copy_only=False)
@@ -16895,4 +16903,276 @@ SELECT -1, m.nt,
           * (CAST(m.s1 AS DOUBLE) / CAST(m.nt AS DOUBLE)))
        / (CAST(m.s1 AS DOUBLE) / CAST(m.nt AS DOUBLE))
 FROM m
+"""
+
+
+# -- round-5 wave 43: survival table / quality gate / rank stability --------
+
+def q_survival_risk_table(sf_dir: str):
+    """Survival-analysis risk table (the Kaplan–Meier INPUT — at-risk
+    counts, events, censorings per duration; the estimator itself is
+    an ordered product, so the table is the exchange format): per
+    signed-up user, duration = first purchase day ON/AFTER the first
+    signup day minus signup day (event), else censored at the global
+    last observed day. Pass 1 is a 1-int extrema funnel (global max
+    day); pass 2 ONE user-bucket shuffle → per-user (duration,
+    event) → calendar-bounded histogram funnel; the reverse
+    cumulative at-risk count is exact int driver math. SQL-checked
+    (reverse-window cumsum oracle)."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sums_combine
+
+    US_PER_DAY = 86_400_000_000
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "events",
+                     ["user_id", "ts", "event_type"])
+
+    def maxday(b: pa.Table) -> pa.Table:
+        d = (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+             // US_PER_DAY)
+        return pa.table({"mx": pa.array(
+            [int(d.max())] if len(d) else [], pa.int64())})
+
+    mx = pa.concat_tables([t for t in ray.get(
+        ds.map_batches(maxday, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows])
+    if mx.num_rows == 0:
+        raise ValueError("survival_risk_table: empty events")
+    last_day = int(pc.max(mx["mx"]).as_py())
+
+    def pre(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"],
+                        value_set=pa.array(["signup", "purchase"]))
+        t = b.filter(keep)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        day = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // US_PER_DAY)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(uid, n_buckets), pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "day": pa.array(day, pa.int64()),
+            "is_signup": pc.equal(t["event_type"], "signup"),
+        })
+
+    def durations(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "t": pa.array([], pa.int64()),
+                "ev": pa.array([], pa.int64()),
+                "cs": pa.array([], pa.int64()),
+            })
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        iss = g["is_signup"].to_numpy(zero_copy_only=False)
+        su = uid[iss]
+        us, sinv = np.unique(su, return_inverse=True)
+        first_s = np.full(len(us), np.iinfo(np.int64).max)
+        np.minimum.at(first_s, sinv, day[iss])
+        # first purchase ON/AFTER the user's signup day
+        pu = uid[~iss]
+        pd_ = day[~iss]
+        pos = np.searchsorted(us, pu)
+        valid = (pos < len(us)) & (us[np.clip(pos, 0, len(us) - 1)]
+                                   == pu)
+        pos_v = pos[valid]
+        pd_v = pd_[valid]
+        after = pd_v >= first_s[pos_v]
+        first_p = np.full(len(us), np.iinfo(np.int64).max)
+        np.minimum.at(first_p, pos_v[after], pd_v[after])
+        has_p = first_p < np.iinfo(np.int64).max
+        dur = np.where(has_p, first_p - first_s,
+                       last_day - first_s)
+        ev = has_p.astype(np.int64)
+        key = dur * 2 + ev
+        kv, kc = np.unique(key, return_counts=True)
+        return pa.table({
+            "t": pa.array(kv // 2, pa.int64()),
+            "ev": pa.array(np.where(kv % 2 == 1, kc, 0)
+                           .astype(np.int64), pa.int64()),
+            "cs": pa.array(np.where(kv % 2 == 0, kc, 0)
+                           .astype(np.int64), pa.int64()),
+        })
+
+    tbl = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(durations,
+                                      batch_format="pyarrow"),
+        ["t"], ["ev", "cs"], ["n_events", "n_censored"],
+    ).to_arrow_refs()))
+    t_ = tbl["t"].to_numpy(zero_copy_only=False)
+    ev = tbl["n_events"].to_numpy(zero_copy_only=False)
+    cs = tbl["n_censored"].to_numpy(zero_copy_only=False)
+    order = np.argsort(-t_)
+    at_risk = np.cumsum((ev + cs)[order])
+    inv = np.empty(len(t_), np.int64)
+    inv[order] = np.arange(len(t_))
+    order2 = np.argsort(t_)
+    return pa.table({
+        "t": pa.array(t_[order2], pa.int64()),
+        "n_events": pa.array(ev[order2], pa.int64()),
+        "n_censored": pa.array(cs[order2], pa.int64()),
+        "n_at_risk": pa.array(at_risk[inv][order2], pa.int64()),
+    })
+
+
+SQL_SURVIVAL_RISK_TABLE = """
+WITH s AS (SELECT user_id,
+        min(epoch_us(ts) // 86400000000) AS sday
+      FROM events WHERE event_type = 'signup' GROUP BY 1),
+p AS (SELECT e.user_id,
+        min(epoch_us(e.ts) // 86400000000) AS pday
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) // 86400000000 >= s.sday
+      GROUP BY 1),
+m AS (SELECT max(epoch_us(ts) // 86400000000) AS mx FROM events),
+u AS (SELECT s.user_id,
+        CASE WHEN p.pday IS NOT NULL THEN p.pday - s.sday
+             ELSE m.mx - s.sday END AS t,
+        CASE WHEN p.pday IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM s LEFT JOIN p USING (user_id) CROSS JOIN m),
+h AS (SELECT t, CAST(sum(ev) AS BIGINT) AS n_events,
+             CAST(sum(1 - ev) AS BIGINT) AS n_censored
+      FROM u GROUP BY t)
+SELECT t, n_events, n_censored,
+       CAST(sum(n_events + n_censored) OVER (ORDER BY t DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS n_at_risk
+FROM h
+"""
+
+
+def q_low_quality_by_source(sf_dir: str):
+    """Quality-gate attribution (which sources feed the filter's
+    reject pile): per source, docs scored below τ = 0.8 by the
+    MIRRORED stages/textstats.QualityScore heuristic (the same
+    component-for-component SQL replay langid_confusion leans on),
+    plus the share (single divide). Scoring is embarrassingly
+    parallel; (source)-bounded funnel. SQL-checked."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.textstats import QualityScore
+    from ..util import grouped_sums_combine
+
+    TAU = 0.8
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        scored = QualityScore()(b)
+        src = np.asarray(scored["source"].to_pylist(), dtype=object)
+        low = (scored["quality"].to_numpy(zero_copy_only=False)
+               < TAU).astype(np.int64)
+        us, inv = np.unique(src, return_inverse=True)
+        nd = np.bincount(inv, minlength=len(us)).astype(np.int64)
+        nl = np.zeros(len(us), np.int64)
+        np.add.at(nl, inv, low)
+        return pa.table({
+            "source": pa.array(list(us), pa.string()),
+            "nd": pa.array(nd, pa.int64()),
+            "nl": pa.array(nl, pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["source"], ["nd", "nl"], ["n_docs", "n_low"],
+    ).to_arrow_refs()))
+    nd = t["n_docs"].to_numpy(zero_copy_only=False)
+    nl = t["n_low"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "source": t["source"],
+        "n_docs": t["n_docs"],
+        "n_low": t["n_low"],
+        "low_share": pa.array(nl.astype(np.float64)
+                              / nd.astype(np.float64), pa.float64()),
+    })
+
+
+def _sql_low_quality() -> str:
+    return """
+WITH q AS (%s)
+SELECT d.source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN q.quality < 0.8 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low,
+       CAST(sum(CASE WHEN q.quality < 0.8 THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS low_share
+FROM q JOIN documents d USING (doc_id)
+GROUP BY d.source
+""" % _sql_quality()
+
+
+def q_ranking_stability(sf_dir: str):
+    """Ranking stability week over week (Kendall-τ_a between
+    consecutive weekly brand leaderboards — the list-churn metric a
+    trending feed is tuned by): for each consecutive week pair, over
+    brand pairs present in BOTH weeks, strictly concordant and
+    discordant count-order pairs and τ = (C − D)/n_pairs (single
+    divide; ties count in neither C nor D). Rides the shared
+    _week_brand_order_counts funnel; all pair math is driver-side on
+    the weeks×brands-BOUNDED table. SQL-checked (double self-join
+    oracle)."""
+    t, brands = _week_brand_order_counts(sf_dir)
+    wk = t["week"].to_numpy(zero_copy_only=False)
+    bid = t["brand_id"].to_numpy(zero_copy_only=False)
+    n = t["n"].to_numpy(zero_copy_only=False)
+    weeks = np.unique(wk)
+    by_week = {int(w): dict(zip(bid[wk == w].tolist(),
+                                n[wk == w].tolist()))
+               for w in weeks}
+    rows = []
+    for w in weeks:
+        if int(w) + 1 not in by_week:
+            continue
+        a, b = by_week[int(w)], by_week[int(w) + 1]
+        common = sorted(set(a) & set(b))
+        C = D = P = 0
+        for i in range(len(common)):
+            for j in range(i + 1, len(common)):
+                d1 = a[common[i]] - a[common[j]]
+                d2 = b[common[i]] - b[common[j]]
+                P += 1
+                if d1 * d2 > 0:
+                    C += 1
+                elif d1 * d2 < 0:
+                    D += 1
+        if P == 0:
+            continue
+        rows.append((int(w), int(w) + 1, P, C, D,
+                     float(C - D) / float(P)))
+    return pa.table({
+        "week_from": pa.array([r[0] for r in rows], pa.int64()),
+        "week_to": pa.array([r[1] for r in rows], pa.int64()),
+        "n_pairs": pa.array([r[2] for r in rows], pa.int64()),
+        "n_concordant": pa.array([r[3] for r in rows], pa.int64()),
+        "n_discordant": pa.array([r[4] for r in rows], pa.int64()),
+        "tau": pa.array([r[5] for r in rows], pa.float64()),
+    })
+
+
+SQL_RANKING_STABILITY = """
+WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+            FROM lineitem JOIN part ON l_partkey = p_partkey),
+wb AS (SELECT (epoch_us(o_orderdate) // 86400000000) // 7 AS week,
+              ob.brand, count(*) AS n
+       FROM ob JOIN orders ON ob.ok = o_orderkey
+       GROUP BY 1, 2),
+pr AS (SELECT a.week, a.brand AS b1, b.brand AS b2,
+              a.n - b.n AS d
+       FROM wb a JOIN wb b ON a.week = b.week AND a.brand < b.brand),
+j AS (SELECT p1.week AS week_from, p1.week + 1 AS week_to,
+             p1.d AS d1, p2.d AS d2
+      FROM pr p1 JOIN pr p2 ON p2.week = p1.week + 1
+                           AND p1.b1 = p2.b1 AND p1.b2 = p2.b2)
+SELECT week_from, week_to, count(*) AS n_pairs,
+       CAST(sum(CASE WHEN d1 * d2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_concordant,
+       CAST(sum(CASE WHEN d1 * d2 < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_discordant,
+       CAST(sum(CASE WHEN d1 * d2 > 0 THEN 1 ELSE 0 END)
+            - sum(CASE WHEN d1 * d2 < 0 THEN 1 ELSE 0 END)
+         AS DOUBLE) / CAST(count(*) AS DOUBLE) AS tau
+FROM j GROUP BY 1, 2
 """
