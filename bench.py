@@ -337,6 +337,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("survival_risk_table", Q.q_survival_risk_table)
     timed("low_quality_by_source", Q.q_low_quality_by_source)
     timed("ranking_stability", Q.q_ranking_stability)
+    timed("peak_days", Q.q_peak_days)
+    timed("uniqueness_audit", Q.q_uniqueness_audit)
+    timed("activity_ccdf", Q.q_activity_ccdf)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

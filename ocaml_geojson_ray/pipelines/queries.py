@@ -17176,3 +17176,287 @@ SELECT week_from, week_to, count(*) AS n_pairs,
          AS DOUBLE) / CAST(count(*) AS DOUBLE) AS tau
 FROM j GROUP BY 1, 2
 """
+
+
+# -- round-5 wave 44: peak detection / uniqueness audit / CCDF --------------
+
+def q_peak_days(sf_dir: str):
+    """Peak detection over the daily series (the alerting primitive
+    behind every traffic-spike page): per event type, days that are
+    STRICT local maxima on the dense zero-filled grid AND at least
+    2× the trailing-7-day mean — the mean compare as the integer
+    cross-multiply c·7 ≥ 2·Σtrailing (zscore discipline, zero float
+    ops; days 1-7 have no full window and never fire, matching the
+    oracle's 7-PRECEDING frame count filter). Calendar×type-bounded
+    count funnel; the scan is driver math on the dense grid.
+    SQL-checked (window-frame oracle)."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    US_PER_DAY = 86_400_000_000
+    ds = _read_split(sf_dir, "events", ["event_type", "ts"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        day = pc.divide(b["ts"].cast(pa.int64()), US_PER_DAY)
+        vc = pa.table({
+            "event_type": b["event_type"],
+            "day": day,
+        }).group_by(["event_type", "day"]).aggregate([([], "count_all")])
+        return pa.table({
+            "event_type": vc["event_type"],
+            "day": vc["day"],
+            "partial": vc["count_all"].cast(pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["event_type", "day"], "partial", "c",
+    ).to_arrow_refs()))
+    et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+    day = t["day"].to_numpy(zero_copy_only=False)
+    cv = t["c"].to_numpy(zero_copy_only=False)
+    d0, d1 = int(day.min()), int(day.max())
+    nd = d1 - d0 + 1
+    rows = []
+    for ty in np.unique(et):
+        y = np.zeros(nd, np.int64)
+        m = et == ty
+        y[day[m] - d0] = cv[m]
+        if nd < 9:
+            continue
+        c = y[7:-1]          # candidate days 7..nd-2 (0-based)
+        prev = y[6:-2]
+        nxt = y[8:]
+        cum = np.cumsum(np.concatenate([[0], y]))
+        trail = cum[7:-2] - cum[:-9]  # Σ y[i-7..i-1] for i=7..nd-2
+        peak = (c > prev) & (c > nxt) & (c * 7 >= 2 * trail)
+        for i in np.flatnonzero(peak):
+            rows.append((ty, d0 + 7 + int(i), int(c[i])))
+    rows.sort()
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "day": pa.array([r[1] for r in rows], pa.int64()),
+        "n": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+SQL_PEAK_DAYS = """
+WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day
+           FROM events),
+b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+g AS (SELECT t.event_type, d.day
+      FROM (SELECT DISTINCT event_type FROM e) t
+      CROSS JOIN (SELECT unnest(generate_series(d0, d1)) AS day
+                  FROM b) d),
+c AS (SELECT g.event_type, g.day,
+             CAST(coalesce(cnt.n, 0) AS BIGINT) AS n
+      FROM g LEFT JOIN (SELECT event_type, day, count(*) AS n
+                        FROM e GROUP BY 1, 2) cnt
+        ON g.event_type = cnt.event_type AND g.day = cnt.day),
+w AS (SELECT event_type, day, n,
+        lag(n) OVER (PARTITION BY event_type ORDER BY day) AS p,
+        lead(n) OVER (PARTITION BY event_type ORDER BY day) AS x,
+        sum(n) OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+            AS trail,
+        count(*) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+            AS wn
+      FROM c)
+SELECT event_type, day, n
+FROM w
+WHERE p IS NOT NULL AND x IS NOT NULL AND wn = 7
+  AND n > p AND n > x AND n * 7 >= 2 * trail
+"""
+
+
+def q_uniqueness_audit(sf_dir: str):
+    """Key-uniqueness constraint audit (the nightly check before any
+    table is trusted as a join side): for each declared key —
+    events.event_id, orders.o_orderkey, part.p_partkey,
+    lineitem.(l_orderkey, l_linenumber) — total rows, distinct keys,
+    and rows in violation. Distinct counting never funnels raw keys:
+    ONE fib_bucket shuffle per table co-locates every copy of a key,
+    per-bucket exact (distinct, dup-row) partials sum to globals.
+    SQL-checked."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sums_combine
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+
+    def audit(table, cols, keyfn):
+        ds = _read_split(sf_dir, table, cols)
+
+        def pre(b: pa.Table) -> pa.Table:
+            k = keyfn(b)
+            uk, uc = np.unique(k, return_counts=True)
+            return pa.table({
+                "bucket": pa.array(fib_bucket(uk, n_buckets),
+                                   pa.int64()),
+                "k": pa.array(uk, pa.int64()),
+                "c": pa.array(uc.astype(np.int64), pa.int64()),
+            })
+
+        def fold(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0:
+                return pa.table({
+                    "one": pa.array([], pa.int64()),
+                    "rows_": pa.array([], pa.int64()),
+                    "keys_": pa.array([], pa.int64()),
+                    "dups": pa.array([], pa.int64()),
+                })
+            k = g["k"].to_numpy(zero_copy_only=False)
+            c = g["c"].to_numpy(zero_copy_only=False)
+            uk, uinv = np.unique(k, return_inverse=True)
+            tot = np.zeros(len(uk), np.int64)
+            np.add.at(tot, uinv, c)
+            return pa.table({
+                "one": pa.array([1], pa.int64()),
+                "rows_": pa.array([int(tot.sum())], pa.int64()),
+                "keys_": pa.array([len(uk)], pa.int64()),
+                "dups": pa.array([int(tot[tot > 1].sum())],
+                                 pa.int64()),
+            })
+
+        t = pa.concat_tables(ray.get(grouped_sums_combine(
+            ds.map_batches(pre, batch_format="pyarrow")
+            .groupby("bucket").map_groups(fold,
+                                          batch_format="pyarrow"),
+            ["one"], ["rows_", "keys_", "dups"],
+            ["rows_", "keys_", "dups"],
+        ).to_arrow_refs()))
+        return (int(t["rows_"][0].as_py()), int(t["keys_"][0].as_py()),
+                int(t["dups"][0].as_py()))
+
+    specs = [
+        ("events.event_id", "events", ["event_id"],
+         lambda b: b["event_id"].to_numpy(zero_copy_only=False)),
+        ("lineitem.l_orderkey+l_linenumber", "lineitem",
+         ["l_orderkey", "l_linenumber"],
+         lambda b: (b["l_orderkey"].to_numpy(zero_copy_only=False)
+                    << 8) | b["l_linenumber"].cast(pa.int64())
+         .to_numpy(zero_copy_only=False)),
+        ("orders.o_orderkey", "orders", ["o_orderkey"],
+         lambda b: b["o_orderkey"].to_numpy(zero_copy_only=False)),
+        ("part.p_partkey", "part", ["p_partkey"],
+         lambda b: b["p_partkey"].to_numpy(zero_copy_only=False)),
+    ]
+    rows = [(name,) + audit(tbl, cols, fn)
+            for name, tbl, cols, fn in specs]
+    return pa.table({
+        "key_name": pa.array([r[0] for r in rows], pa.string()),
+        "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+        "n_keys": pa.array([r[2] for r in rows], pa.int64()),
+        "n_violating_rows": pa.array([r[3] for r in rows],
+                                     pa.int64()),
+    })
+
+
+SQL_UNIQUENESS_AUDIT = """
+WITH a AS (SELECT 'events.event_id' AS key_name, count(*) AS n_rows,
+        count(DISTINCT event_id) AS n_keys,
+        CAST(count(*) - (SELECT count(*) FROM (
+            SELECT event_id FROM events GROUP BY event_id
+            HAVING count(*) = 1)) AS BIGINT) AS n_violating_rows
+      FROM events),
+b AS (SELECT 'lineitem.l_orderkey+l_linenumber', count(*),
+        count(DISTINCT l_orderkey * 256 + l_linenumber),
+        CAST(count(*) - (SELECT count(*) FROM (
+            SELECT l_orderkey, l_linenumber FROM lineitem
+            GROUP BY 1, 2 HAVING count(*) = 1)) AS BIGINT)
+      FROM lineitem),
+c AS (SELECT 'orders.o_orderkey', count(*),
+        count(DISTINCT o_orderkey),
+        CAST(count(*) - (SELECT count(*) FROM (
+            SELECT o_orderkey FROM orders GROUP BY 1
+            HAVING count(*) = 1)) AS BIGINT)
+      FROM orders),
+d AS (SELECT 'part.p_partkey', count(*), count(DISTINCT p_partkey),
+        CAST(count(*) - (SELECT count(*) FROM (
+            SELECT p_partkey FROM part GROUP BY 1
+            HAVING count(*) = 1)) AS BIGINT)
+      FROM part)
+SELECT * FROM a UNION ALL SELECT * FROM b
+UNION ALL SELECT * FROM c UNION ALL SELECT * FROM d
+"""
+
+
+def q_activity_ccdf(sf_dir: str):
+    """Heavy-tail diagnostic (the CCDF-at-powers-of-two readout that
+    distinguishes power-law from Poisson user activity — the plot
+    behind every 'whales' analysis): P(events-per-user ≥ 2^k) for
+    k = 0..12 — users at-or-above each threshold and the share
+    (single divide). Per-user counts from ONE user-bucket shuffle →
+    activity-level histogram funnel → driver threshold scan; probes
+    with zero users drop on both sides. SQL-checked."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sum_combine
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "events", ["user_id"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        uu, uc = np.unique(uid, return_counts=True)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(uu, n_buckets), pa.int64()),
+            "user_id": pa.array(uu, pa.int64()),
+            "c": pa.array(uc.astype(np.int64), pa.int64()),
+        })
+
+    def hist(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "cnt": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            })
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        uu, uinv = np.unique(uid, return_inverse=True)
+        tot = np.zeros(len(uu), np.int64)
+        np.add.at(tot, uinv, c)
+        cv, cn = np.unique(tot, return_counts=True)
+        return pa.table({
+            "cnt": pa.array(cv, pa.int64()),
+            "partial": pa.array(cn.astype(np.int64), pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(hist, batch_format="pyarrow"),
+        ["cnt"], "partial", "n_users",
+    ).to_arrow_refs()))
+    cv = t["cnt"].to_numpy(zero_copy_only=False)
+    nu = t["n_users"].to_numpy(zero_copy_only=False)
+    n = int(nu.sum())
+    rows = []
+    for k in range(13):
+        thr = 1 << k
+        ge = int(nu[cv >= thr].sum())
+        if ge > 0:
+            rows.append((thr, ge, float(ge) / float(n)))
+    return pa.table({
+        "threshold": pa.array([r[0] for r in rows], pa.int64()),
+        "n_users_ge": pa.array([r[1] for r in rows], pa.int64()),
+        "share": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+SQL_ACTIVITY_CCDF = """
+WITH u AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+t AS (SELECT count(*) AS n FROM u),
+p AS (SELECT CAST(power(2, g.k) AS BIGINT) AS threshold
+      FROM (SELECT unnest(generate_series(0, 12)) AS k) g),
+s AS (SELECT p.threshold,
+             CAST(count(*) FILTER (WHERE u.c >= p.threshold)
+                  AS BIGINT) AS n_users_ge
+      FROM p CROSS JOIN u GROUP BY p.threshold)
+SELECT s.threshold, s.n_users_ge,
+       CAST(s.n_users_ge AS DOUBLE) / CAST(t.n AS DOUBLE) AS share
+FROM s CROSS JOIN t WHERE s.n_users_ge > 0
+"""
