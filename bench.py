@@ -340,6 +340,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("peak_days", Q.q_peak_days)
     timed("uniqueness_audit", Q.q_uniqueness_audit)
     timed("activity_ccdf", Q.q_activity_ccdf)
+    timed("milestone_days", Q.q_milestone_days)
+    timed("dup_cross_source", Q.q_dup_cross_source)
+    timed("revenue_drawdown", Q.q_revenue_drawdown)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

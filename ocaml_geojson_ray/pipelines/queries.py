@@ -17460,3 +17460,296 @@ SELECT s.threshold, s.n_users_ge,
        CAST(s.n_users_ge AS DOUBLE) / CAST(t.n AS DOUBLE) AS share
 FROM s CROSS JOIN t WHERE s.n_users_ge > 0
 """
+
+
+# -- round-5 wave 45: milestones / cross-source dups / drawdown -------------
+
+def q_milestone_days(sf_dir: str):
+    """Milestone timing (days from signup to the k-th purchase — the
+    activation ladder a lifecycle team tracks): for k = 1, 2, 3,
+    users who reached the milestone and the MEDIAN days from first
+    signup to the k-th purchase on/after it (quantile_disc selection
+    on the (k, days)-bounded histogram funnel). ONE user-bucket
+    shuffle; the k-th purchase falls out of the per-user sorted
+    segment. SQL-checked (row_number window oracle)."""
+    import math
+
+    import ray
+
+    from ..util import fib_bucket, grouped_sum_combine
+
+    US_PER_DAY = 86_400_000_000
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "events",
+                     ["user_id", "ts", "event_id", "event_type"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"],
+                        value_set=pa.array(["signup", "purchase"]))
+        t = b.filter(keep)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(uid, n_buckets), pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "day": pa.array(
+                t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                // US_PER_DAY, pa.int64()),
+            "ts_us": t["ts"].cast(pa.int64()),
+            "event_id": t["event_id"],
+            "is_signup": pc.equal(t["event_type"], "signup"),
+        })
+
+    def milestones(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "k": pa.array([], pa.int64()),
+                "days": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            })
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        iss = g["is_signup"].to_numpy(zero_copy_only=False)
+        su = uid[iss]
+        us, sinv = np.unique(su, return_inverse=True)
+        first_s = np.full(len(us), np.iinfo(np.int64).max)
+        np.minimum.at(first_s, sinv, day[iss])
+        pm = ~iss
+        pu, pd_, pts, pei = uid[pm], day[pm], ts[pm], eid[pm]
+        pos = np.searchsorted(us, pu)
+        ok = (pos < len(us)) & (us[np.clip(pos, 0, len(us) - 1)]
+                                == pu)
+        ok &= pd_ >= first_s[np.clip(pos, 0, len(us) - 1)]
+        pu, pd_, pts, pei, pos = (pu[ok], pd_[ok], pts[ok],
+                                  pei[ok], pos[ok])
+        order = np.lexsort((pei, pts, pu))
+        pu_s, pd_s = pu[order], pd_[order]
+        brk = np.zeros(len(pu_s), np.bool_)
+        if len(pu_s):
+            brk[0] = True
+            brk[1:] = pu_s[1:] != pu_s[:-1]
+        gid = np.cumsum(brk) - 1
+        rank = np.arange(len(pu_s)) - np.flatnonzero(brk)[gid] + 1
+        km = rank <= 3
+        days = pd_s[km] - first_s[pos[order][km]]
+        key = rank[km] * 100000 + days
+        kv, kc = np.unique(key, return_counts=True)
+        return pa.table({
+            "k": pa.array(kv // 100000, pa.int64()),
+            "days": pa.array(kv % 100000, pa.int64()),
+            "partial": pa.array(kc.astype(np.int64), pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(milestones,
+                                      batch_format="pyarrow"),
+        ["k", "days"], "partial", "n",
+    ).to_arrow_refs()))
+    kk = t["k"].to_numpy(zero_copy_only=False)
+    dd = t["days"].to_numpy(zero_copy_only=False)
+    nn = t["n"].to_numpy(zero_copy_only=False)
+    rows = []
+    for k in (1, 2, 3):
+        m = kk == k
+        if not m.any():
+            continue
+        order = np.argsort(dd[m])
+        dv, nv = dd[m][order], nn[m][order]
+        tot = int(nv.sum())
+        target = max(0, math.ceil(0.5 * tot) - 1)  # quantile_disc
+        med = int(dv[np.searchsorted(np.cumsum(nv) - 1, target)])
+        rows.append((k, tot, med))
+    return pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "n_users": pa.array([r[1] for r in rows], pa.int64()),
+        "median_days": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+SQL_MILESTONE_DAYS = """
+WITH s AS (SELECT user_id,
+        min(epoch_us(ts) // 86400000000) AS sday
+      FROM events WHERE event_type = 'signup' GROUP BY 1),
+p AS (SELECT e.user_id,
+        epoch_us(e.ts) // 86400000000 AS pday,
+        row_number() OVER (PARTITION BY e.user_id
+                           ORDER BY e.ts, e.event_id) AS k
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) // 86400000000 >= s.sday),
+d AS (SELECT p.k, p.pday - s.sday AS days
+      FROM p JOIN s USING (user_id) WHERE p.k <= 3)
+SELECT k, count(*) AS n_users,
+       CAST(quantile_disc(days, 0.5) AS BIGINT) AS median_days
+FROM d GROUP BY k
+"""
+
+
+def q_dup_cross_source(sf_dir: str):
+    """Cross-source duplicate forensics (are duplicates within-feed
+    re-crawls or cross-feed syndication — the question that decides
+    WHERE dedup runs): over the 16-char prefix-fingerprint clusters
+    (the dedup_cluster_sizes near-key), multi-doc clusters split by
+    whether they span more than one source, plus the doc mass in
+    each. ONE fingerprint-bucket shuffle (every copy co-locates),
+    4-int funnel. SQL-checked."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sums_combine, md5_le64
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split_few(sf_dir, "documents", ["text", "source"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        hs = np.fromiter(
+            (md5_le64(t[:16].encode()) for t in texts),
+            dtype=np.uint64, count=len(texts)).view(np.int64)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(hs, n_buckets), pa.int64()),
+            "h": pa.array(hs, pa.int64()),
+            "source": b["source"],
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "one": pa.array([], pa.int64()),
+                "mc": pa.array([], pa.int64()),
+                "md": pa.array([], pa.int64()),
+                "xc": pa.array([], pa.int64()),
+                "xd": pa.array([], pa.int64()),
+            })
+        h = g["h"].to_numpy(zero_copy_only=False)
+        src = np.asarray(g["source"].to_pylist(), dtype=object)
+        order = np.lexsort((src, h))
+        h_s, s_s = h[order], src[order]
+        brk = np.zeros(len(h_s), np.bool_)
+        brk[0] = True
+        brk[1:] = h_s[1:] != h_s[:-1]
+        gid = np.cumsum(brk) - 1
+        size = np.bincount(gid).astype(np.int64)
+        # distinct sources per cluster: count of (h, source) breaks
+        sbrk = brk.copy()
+        sbrk[1:] |= s_s[1:] != s_s[:-1]
+        nsrc = np.bincount(gid[sbrk]).astype(np.int64)
+        multi = size > 1
+        cross = multi & (nsrc > 1)
+        within = multi & ~cross
+        return pa.table({
+            "one": pa.array([1], pa.int64()),
+            "mc": pa.array([int(within.sum())], pa.int64()),
+            "md": pa.array([int(size[within].sum())], pa.int64()),
+            "xc": pa.array([int(cross.sum())], pa.int64()),
+            "xd": pa.array([int(size[cross].sum())], pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(fold, batch_format="pyarrow"),
+        ["one"], ["mc", "md", "xc", "xd"],
+        ["n_within_clusters", "n_within_docs",
+         "n_cross_clusters", "n_cross_docs"],
+    ).to_arrow_refs()))
+    return pa.table({
+        "n_within_clusters": t["n_within_clusters"],
+        "n_within_docs": t["n_within_docs"],
+        "n_cross_clusters": t["n_cross_clusters"],
+        "n_cross_docs": t["n_cross_docs"],
+    })
+
+
+SQL_DUP_CROSS_SOURCE = """
+WITH c AS (SELECT substr(text, 1, 16) AS k, source FROM documents),
+g AS (SELECT k, count(*) AS size,
+             count(DISTINCT source) AS nsrc
+      FROM c GROUP BY k)
+SELECT CAST(coalesce(sum(CASE WHEN size > 1 AND nsrc = 1
+                 THEN 1 END), 0) AS BIGINT) AS n_within_clusters,
+       CAST(coalesce(sum(CASE WHEN size > 1 AND nsrc = 1
+                 THEN size END), 0) AS BIGINT) AS n_within_docs,
+       CAST(coalesce(sum(CASE WHEN size > 1 AND nsrc > 1
+                 THEN 1 END), 0) AS BIGINT) AS n_cross_clusters,
+       CAST(coalesce(sum(CASE WHEN size > 1 AND nsrc > 1
+                 THEN size END), 0) AS BIGINT) AS n_cross_docs
+FROM g
+"""
+
+
+def q_revenue_drawdown(sf_dir: str):
+    """Maximum drawdown of the daily revenue series (the
+    finance-style worst-slide readout, applied to order totals):
+    over the dense zero-filled daily order-cents series, the largest
+    peak-to-trough drop — max over days of (running peak − value) —
+    with the EARLIEST peak/trough days as deterministic tie-breaks.
+    All int64; calendar-bounded funnel + driver scan. SQL-checked
+    (running-max window oracle)."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    US_PER_DAY = 86_400_000_000
+    ds = _read_split(sf_dir, "orders",
+                     ["o_orderdate", "o_totalprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        day = (b["o_orderdate"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // US_PER_DAY)
+        cents = pc.round(pc.multiply(b["o_totalprice"], 100.0)) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uv, uinv = np.unique(day, return_inverse=True)
+        cs = np.zeros(len(uv), np.int64)
+        np.add.at(cs, uinv, cents)
+        return pa.table({
+            "day": pa.array(uv, pa.int64()),
+            "partial": pa.array(cs, pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["day"], "partial", "cents",
+    ).to_arrow_refs()))
+    day = t["day"].to_numpy(zero_copy_only=False)
+    cents = t["cents"].to_numpy(zero_copy_only=False)
+    d0, d1 = int(day.min()), int(day.max())
+    y = np.zeros(d1 - d0 + 1, np.int64)
+    y[day - d0] = cents
+    peak = np.maximum.accumulate(y)
+    dd = peak - y
+    ti = int(np.argmax(dd))  # earliest max-drawdown trough
+    # earliest day achieving the running peak at the trough
+    pi = int(np.flatnonzero(y[:ti + 1] == peak[ti])[0])
+    return pa.table({
+        "max_drawdown_cents": pa.array([int(dd[ti])], pa.int64()),
+        "peak_day": pa.array([d0 + pi], pa.int64()),
+        "trough_day": pa.array([d0 + ti], pa.int64()),
+    })
+
+
+SQL_REVENUE_DRAWDOWN = """
+WITH o AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT))
+             AS BIGINT) AS cents
+      FROM orders GROUP BY 1),
+b AS (SELECT min(day) AS d0, max(day) AS d1 FROM o),
+g AS (SELECT d.day, CAST(coalesce(o.cents, 0) AS BIGINT) AS cents
+      FROM (SELECT unnest(generate_series(d0, d1)) AS day FROM b) d
+      LEFT JOIN o USING (day)),
+w AS (SELECT day, cents,
+        max(cents) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS peak
+      FROM g),
+t AS (SELECT day AS trough_day, peak - cents AS dd, peak
+      FROM w ORDER BY peak - cents DESC, day ASC LIMIT 1)
+SELECT CAST(t.dd AS BIGINT) AS max_drawdown_cents,
+       (SELECT min(day) FROM w
+        WHERE w.cents = t.peak AND w.day <= t.trough_day)
+           AS peak_day,
+       t.trough_day
+FROM t
+"""
