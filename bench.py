@@ -343,6 +343,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("milestone_days", Q.q_milestone_days)
     timed("dup_cross_source", Q.q_dup_cross_source)
     timed("revenue_drawdown", Q.q_revenue_drawdown)
+    timed("conversion_windows", Q.q_conversion_windows)
+    timed("smoothed_brand_rates", Q.q_smoothed_brand_rates)
+    timed("price_ending_bias", Q.q_price_ending_bias)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

@@ -17753,3 +17753,242 @@ SELECT CAST(t.dd AS BIGINT) AS max_drawdown_cents,
        t.trough_day
 FROM t
 """
+
+
+# -- round-5 wave 46: conversion windows / EB smoothing / price endings -----
+
+def q_conversion_windows(sf_dir: str):
+    """Time-boxed conversion rates (the 1/7/30-day activation numbers
+    on every growth dashboard): among signed-up users, the share
+    whose first purchase ON/AFTER signup lands within k days, for
+    k = 1, 7, 30 (durations from the survival_risk_table machinery;
+    converted-within-k = event AND duration ≤ k; single-divide
+    rates). ONE user-bucket shuffle → per-user (duration, event) →
+    duration-histogram funnel → driver threshold scan.
+    SQL-checked."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sums_combine
+
+    US_PER_DAY = 86_400_000_000
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "events",
+                     ["user_id", "ts", "event_type"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"],
+                        value_set=pa.array(["signup", "purchase"]))
+        t = b.filter(keep)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(uid, n_buckets), pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "day": pa.array(
+                t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                // US_PER_DAY, pa.int64()),
+            "is_signup": pc.equal(t["event_type"], "signup"),
+        })
+
+    def durations(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "dur": pa.array([], pa.int64()),
+                "users": pa.array([], pa.int64()),
+            })
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        iss = g["is_signup"].to_numpy(zero_copy_only=False)
+        us, sinv = np.unique(uid[iss], return_inverse=True)
+        first_s = np.full(len(us), np.iinfo(np.int64).max)
+        np.minimum.at(first_s, sinv, day[iss])
+        pu, pd_ = uid[~iss], day[~iss]
+        pos = np.searchsorted(us, pu)
+        ok = (pos < len(us)) & (us[np.clip(pos, 0, len(us) - 1)]
+                                == pu)
+        ok &= pd_ >= first_s[np.clip(pos, 0, len(us) - 1)]
+        first_p = np.full(len(us), np.iinfo(np.int64).max)
+        np.minimum.at(first_p, pos[ok], pd_[ok])
+        has_p = first_p < np.iinfo(np.int64).max
+        dur = np.where(has_p, first_p - first_s, -1)  # -1 = never
+        dv, dn = np.unique(dur, return_counts=True)
+        return pa.table({
+            "dur": pa.array(dv, pa.int64()),
+            "users": pa.array(dn.astype(np.int64), pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(durations,
+                                      batch_format="pyarrow"),
+        ["dur"], ["users"], ["n_users"],
+    ).to_arrow_refs()))
+    dur = t["dur"].to_numpy(zero_copy_only=False)
+    nu = t["n_users"].to_numpy(zero_copy_only=False)
+    n = int(nu.sum())
+    rows = []
+    for k in (1, 7, 30):
+        conv = int(nu[(dur >= 0) & (dur <= k)].sum())
+        rows.append((k, n, conv, float(conv) / float(n)))
+    return pa.table({
+        "window_days": pa.array([r[0] for r in rows], pa.int64()),
+        "n_users": pa.array([r[1] for r in rows], pa.int64()),
+        "n_converted": pa.array([r[2] for r in rows], pa.int64()),
+        "rate": pa.array([r[3] for r in rows], pa.float64()),
+    })
+
+
+SQL_CONVERSION_WINDOWS = """
+WITH s AS (SELECT user_id,
+        min(epoch_us(ts) // 86400000000) AS sday
+      FROM events WHERE event_type = 'signup' GROUP BY 1),
+p AS (SELECT e.user_id,
+        min(epoch_us(e.ts) // 86400000000) AS pday
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) // 86400000000 >= s.sday
+      GROUP BY 1),
+u AS (SELECT s.user_id,
+        CASE WHEN p.pday IS NOT NULL THEN p.pday - s.sday
+             ELSE -1 END AS dur
+      FROM s LEFT JOIN p USING (user_id)),
+k AS (SELECT unnest([1, 7, 30]) AS window_days)
+SELECT CAST(k.window_days AS BIGINT) AS window_days,
+       (SELECT count(*) FROM u) AS n_users,
+       CAST(count(*) FILTER (WHERE u.dur >= 0
+                             AND u.dur <= k.window_days)
+            AS BIGINT) AS n_converted,
+       CAST(count(*) FILTER (WHERE u.dur >= 0
+                             AND u.dur <= k.window_days) AS DOUBLE)
+           / CAST((SELECT count(*) FROM u) AS DOUBLE) AS rate
+FROM k CROSS JOIN u GROUP BY k.window_days
+"""
+
+
+def q_smoothed_brand_rates(sf_dir: str):
+    """Empirical-Bayes rate smoothing (the shrinkage device that
+    keeps rare categories from posting 0% or 100% rates): per brand,
+    the raw return rate and the α = 20 pseudo-count shrunk rate
+    (nr + α·R_global) / (n + α), mirrored op-for-op (global rate is
+    ONE divide, reused; numerator one multiply + add; one final
+    divide). Same dimension-broadcast funnel as
+    return_rates_by_brand. SQL-checked."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..util import grouped_sums_combine
+
+    ALPHA = 20.0
+    pt = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_brand"])
+    pk = pt["p_partkey"].to_numpy(zero_copy_only=False)
+    brands, binv = np.unique(
+        np.asarray(pt["p_brand"].to_pylist(), dtype=object),
+        return_inverse=True)
+    order_ = np.argsort(pk)
+    dim_ref = ray.put((pk[order_], binv[order_].astype(np.int64)))
+
+    ds = _read_split(sf_dir, "lineitem",
+                     ["l_partkey", "l_returnflag"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        spk, sbid = ray.get(dim_ref)
+        bid = sbid[np.searchsorted(
+            spk, b["l_partkey"].to_numpy(zero_copy_only=False))]
+        isr = pc.equal(b["l_returnflag"], "R") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(bid, minlength=len(brands)) \
+            .astype(np.int64)
+        ret = np.zeros(len(brands), np.int64)
+        np.add.at(ret, bid, isr)
+        keep = cnt > 0
+        return pa.table({
+            "bid": pa.array(np.flatnonzero(keep), pa.int64()),
+            "cnt": pa.array(cnt[keep], pa.int64()),
+            "ret": pa.array(ret[keep], pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["bid"], ["cnt", "ret"], ["n_lines", "n_returned"],
+    ).to_arrow_refs()))
+    bid = t["bid"].to_numpy(zero_copy_only=False)
+    n = t["n_lines"].to_numpy(zero_copy_only=False)
+    nr = t["n_returned"].to_numpy(zero_copy_only=False)
+    rg = float(int(nr.sum())) / float(int(n.sum()))
+    raw = nr.astype(np.float64) / n.astype(np.float64)
+    shrunk = (nr.astype(np.float64) + ALPHA * rg) \
+        / (n.astype(np.float64) + ALPHA)
+    return pa.table({
+        "brand": pa.array(brands[bid], pa.string()),
+        "n_lines": t["n_lines"],
+        "raw_rate": pa.array(raw, pa.float64()),
+        "shrunk_rate": pa.array(shrunk, pa.float64()),
+    })
+
+
+SQL_SMOOTHED_BRAND_RATES = """
+WITH c AS (SELECT p_brand AS brand, count(*) AS n,
+        CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+             AS BIGINT) AS nr
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1),
+t AS (SELECT CAST(sum(nr) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS rg
+      FROM c)
+SELECT brand, n AS n_lines,
+       CAST(nr AS DOUBLE) / CAST(n AS DOUBLE) AS raw_rate,
+       (CAST(nr AS DOUBLE) + 20.0 * t.rg)
+           / (CAST(n AS DOUBLE) + 20.0) AS shrunk_rate
+FROM c CROSS JOIN t
+"""
+
+
+def q_price_ending_bias(sf_dir: str):
+    """Psychological-pricing audit (are retail prices clustered on
+    .99/.00 endings — the Benford-style ending-digit test): the
+    cents % 100 histogram of part retail prices, the top-5 endings
+    by (count DESC, ending ASC), and each ending's observed share
+    (single divide; a uniform ending distribution would sit at
+    1/100). Ending-BOUNDED funnel. SQL-checked."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    ds = _read_split_few(sf_dir, "part", ["p_retailprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(b["p_retailprice"], 100.0)) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ev, en = np.unique(cents % 100, return_counts=True)
+        return pa.table({
+            "ending": pa.array(ev, pa.int64()),
+            "partial": pa.array(en.astype(np.int64), pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["ending"], "partial", "n",
+    ).to_arrow_refs()))
+    ev = t["ending"].to_numpy(zero_copy_only=False)
+    n = t["n"].to_numpy(zero_copy_only=False)
+    total = int(n.sum())
+    top = np.lexsort((ev, -n))[:5]
+    return pa.table({
+        "ending": pa.array(ev[top], pa.int64()),
+        "n": pa.array(n[top], pa.int64()),
+        "share": pa.array(n[top].astype(np.float64) / float(total),
+                          pa.float64()),
+    })
+
+
+SQL_PRICE_ENDING_BIAS = """
+WITH c AS (SELECT CAST(round(p_retailprice * 100.0) AS BIGINT) % 100
+               AS ending
+      FROM part),
+h AS (SELECT ending, count(*) AS n FROM c GROUP BY ending),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM h)
+SELECT ending, n,
+       CAST(n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+FROM h CROSS JOIN t
+ORDER BY n DESC, ending LIMIT 5
+"""
