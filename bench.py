@@ -346,6 +346,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("conversion_windows", Q.q_conversion_windows)
     timed("smoothed_brand_rates", Q.q_smoothed_brand_rates)
     timed("price_ending_bias", Q.q_price_ending_bias)
+    timed("k_anonymity", Q.q_k_anonymity)
+    timed("growth_accounting", Q.q_growth_accounting)
+    timed("shard_skew", Q.q_shard_skew)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

@@ -17992,3 +17992,226 @@ SELECT ending, n,
 FROM h CROSS JOIN t
 ORDER BY n DESC, ending LIMIT 5
 """
+
+
+# -- round-5 wave 47: k-anonymity / growth accounting / shard skew ----------
+
+def q_k_anonymity(sf_dir: str):
+    """k-anonymity audit (the privacy gate before a table leaves the
+    trust boundary: does any quasi-identifier combination isolate
+    fewer than k people): over customer (c_nationkey, c_mktsegment)
+    equivalence classes — classes, smallest class, classes below
+    k = 10, and rows at re-identification risk (members of those
+    classes). QI-bounded funnel, exact ints. SQL-checked."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    K = 10
+    ds = _read_split_few(sf_dir, "customer",
+                         ["c_nationkey", "c_mktsegment"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        vc = pa.table({
+            "nk": b["c_nationkey"].cast(pa.int64()),
+            "seg": b["c_mktsegment"],
+        }).group_by(["nk", "seg"]).aggregate([([], "count_all")])
+        return pa.table({
+            "nk": vc["nk"],
+            "seg": vc["seg"],
+            "partial": vc["count_all"].cast(pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["nk", "seg"], "partial", "n",
+    ).to_arrow_refs()))
+    n = t["n"].to_numpy(zero_copy_only=False)
+    small = n < K
+    return pa.table({
+        "n_classes": pa.array([len(n)], pa.int64()),
+        "min_class_size": pa.array(
+            [int(n.min()) if len(n) else 0], pa.int64()),
+        "n_classes_lt_k": pa.array([int(small.sum())], pa.int64()),
+        "n_rows_at_risk": pa.array([int(n[small].sum())],
+                                   pa.int64()),
+    })
+
+
+SQL_K_ANONYMITY = """
+WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+           FROM customer GROUP BY 1, 2)
+SELECT count(*) AS n_classes,
+       CAST(min(n) AS BIGINT) AS min_class_size,
+       CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_classes_lt_k,
+       CAST(coalesce(sum(n) FILTER (WHERE n < 10), 0) AS BIGINT)
+           AS n_rows_at_risk
+FROM g
+"""
+
+
+def q_growth_accounting(sf_dir: str):
+    """Growth accounting (the MAU decomposition a board deck leads
+    with: new + retained + RESURRECTED − churned): per 30-day month,
+    users split into new (first month ever), retained (active last
+    month too), resurrected (inactive last month but seen before)
+    — plus churned-out-of-this-month (active this month, inactive
+    next). ONE user-bucket shuffle; a user's full month set is
+    in-bucket, so its per-month classification is exact local work;
+    calendar-bounded funnel. SQL-checked (lag-over-months oracle)."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sums_combine
+
+    US_PER_DAY = 86_400_000_000
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "events", ["user_id", "ts"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        mon = (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // US_PER_DAY) // 30
+        if (mon >= (1 << 20)).any() or (mon < 0).any() \
+                or (uid >= (1 << 42)).any():
+            raise ValueError("growth_accounting pack overflow")
+        packed = np.unique((uid << 20) | mon)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(packed >> 20, n_buckets),
+                               pa.int64()),
+            "pk": pa.array(packed, pa.int64()),
+        })
+
+    def classify(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "month": pa.array([], pa.int64()),
+                "nw": pa.array([], pa.int64()),
+                "rt": pa.array([], pa.int64()),
+                "rs": pa.array([], pa.int64()),
+                "ch": pa.array([], pa.int64()),
+            })
+        pk = np.unique(g["pk"].to_numpy(zero_copy_only=False))
+        uid = pk >> 20
+        mon = pk & ((1 << 20) - 1)
+        brk = np.zeros(len(pk), np.bool_)
+        brk[0] = True
+        brk[1:] = uid[1:] != uid[:-1]
+        first = np.zeros(len(pk), np.bool_)
+        first[np.flatnonzero(brk)] = True
+        prev_active = np.zeros(len(pk), np.bool_)
+        prev_active[1:] = ~brk[1:] & (mon[1:] == mon[:-1] + 1)
+        next_active = np.zeros(len(pk), np.bool_)
+        next_active[:-1] = ~brk[1:] & (mon[1:] == mon[:-1] + 1)
+        is_new = first
+        is_ret = prev_active
+        is_res = ~first & ~prev_active
+        is_ch = ~next_active  # churned out of this month
+        out = {}
+        for m, nw, rt, rs, ch in zip(mon, is_new, is_ret, is_res,
+                                     is_ch):
+            a = out.setdefault(int(m), [0, 0, 0, 0])
+            a[0] += int(nw)
+            a[1] += int(rt)
+            a[2] += int(rs)
+            a[3] += int(ch)
+        months = sorted(out)
+        return pa.table({
+            "month": pa.array(months, pa.int64()),
+            "nw": pa.array([out[m][0] for m in months], pa.int64()),
+            "rt": pa.array([out[m][1] for m in months], pa.int64()),
+            "rs": pa.array([out[m][2] for m in months], pa.int64()),
+            "ch": pa.array([out[m][3] for m in months], pa.int64()),
+        })
+
+    return pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(classify,
+                                      batch_format="pyarrow"),
+        ["month"], ["nw", "rt", "rs", "ch"],
+        ["n_new", "n_retained", "n_resurrected", "n_churning"],
+    ).to_arrow_refs()))
+
+
+SQL_GROWTH_ACCOUNTING = """
+WITH um AS (SELECT DISTINCT user_id,
+        (epoch_us(ts) // 86400000000) // 30 AS month
+      FROM events),
+w AS (SELECT user_id, month,
+        lag(month) OVER (PARTITION BY user_id ORDER BY month) AS pm,
+        lead(month) OVER (PARTITION BY user_id ORDER BY month) AS nm
+      FROM um)
+SELECT month,
+       CAST(sum(CASE WHEN pm IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+       CAST(sum(CASE WHEN pm = month - 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_retained,
+       CAST(sum(CASE WHEN pm IS NOT NULL AND pm < month - 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+       CAST(sum(CASE WHEN nm IS NULL OR nm > month + 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_churning
+FROM w GROUP BY month
+"""
+
+
+def q_shard_skew(sf_dir: str):
+    """Shuffle-health introspection (is THE bucket device actually
+    balanced — the skew report that justifies every fib_bucket call
+    site in this suite): events hashed to 64 user buckets via
+    util.fib_bucket, reported as occupied buckets, max/min bucket
+    rows, the max bucket's share, and the max/mean imbalance ratio
+    (single divides). The ORACLE REPLAYS THE HASH: the golden-ratio
+    multiply runs as HUGEINT mod-2^64 arithmetic in SQL (the
+    hll_distinct_users device), so this query doubles as the pinned
+    cross-engine parity check for fib_bucket itself. SQL-checked."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sum_combine
+
+    NB = 64
+    ds = _read_split(sf_dir, "events", ["user_id"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        bv, bn = np.unique(fib_bucket(uid, NB), return_counts=True)
+        return pa.table({
+            "bucket": pa.array(bv, pa.int64()),
+            "partial": pa.array(bn.astype(np.int64), pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["bucket"], "partial", "n",
+    ).to_arrow_refs()))
+    n = t["n"].to_numpy(zero_copy_only=False)
+    total = int(n.sum())
+    mx, mn = int(n.max()), int(n.min())
+    return pa.table({
+        "n_buckets_occupied": pa.array([len(n)], pa.int64()),
+        "max_rows": pa.array([mx], pa.int64()),
+        "min_rows": pa.array([mn], pa.int64()),
+        "max_share": pa.array([float(mx) / float(total)],
+                              pa.float64()),
+        "imbalance": pa.array(
+            [float(mx) * float(len(n)) / float(total)], pa.float64()),
+    })
+
+
+SQL_SHARD_SKEW = """
+WITH h AS (SELECT CAST((CAST(user_id AS HUGEINT)
+                        * 11400714819323198485)
+                       % 18446744073709551616 AS UBIGINT) % 64
+               AS bucket
+      FROM events),
+g AS (SELECT bucket, count(*) AS n FROM h GROUP BY bucket),
+t AS (SELECT count(*) AS nb, CAST(sum(n) AS BIGINT) AS total,
+             CAST(max(n) AS BIGINT) AS mx, CAST(min(n) AS BIGINT)
+                 AS mn
+      FROM g)
+SELECT nb AS n_buckets_occupied, mx AS max_rows, mn AS min_rows,
+       CAST(mx AS DOUBLE) / CAST(total AS DOUBLE) AS max_share,
+       CAST(mx AS DOUBLE) * CAST(nb AS DOUBLE)
+           / CAST(total AS DOUBLE) AS imbalance
+FROM t
+"""
