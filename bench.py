@@ -349,6 +349,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("k_anonymity", Q.q_k_anonymity)
     timed("growth_accounting", Q.q_growth_accounting)
     timed("shard_skew", Q.q_shard_skew)
+    timed("linenumber_integrity", Q.q_linenumber_integrity)
+    timed("engagement_bands", Q.q_engagement_bands)
+    timed("price_index", Q.q_price_index)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

@@ -18215,3 +18215,270 @@ SELECT nb AS n_buckets_occupied, mx AS max_rows, mn AS min_rows,
            / CAST(total AS DOUBLE) AS imbalance
 FROM t
 """
+
+
+# -- round-5 wave 48: line integrity / engagement bands / price index -------
+
+def q_linenumber_integrity(sf_dir: str):
+    """Sequence-integrity audit within groups (are line numbers the
+    contiguous 1..n a writer is supposed to emit — the deeper check
+    behind uniqueness_audit's duplicate count): per order, classify
+    its linenumber multiset as OK (exactly 1..n), duplicated (any
+    repeat), or gapped (distinct but not 1..max=count). ONE
+    orderkey-bucket shuffle; per-order classification is a vectorized
+    segment scan (sum and max of a permutation of 1..n identify it:
+    distinct ∧ max == n ⇔ contiguous). 3-int funnel. SQL-checked."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sums_combine
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "lineitem",
+                     ["l_orderkey", "l_linenumber"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        ok_ = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        ln = b["l_linenumber"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(ok_, n_buckets), pa.int64()),
+            "ok": pa.array(ok_, pa.int64()),
+            "ln": pa.array(ln, pa.int64()),
+        })
+
+    def classify(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "one": pa.array([], pa.int64()),
+                "okc": pa.array([], pa.int64()),
+                "dup": pa.array([], pa.int64()),
+                "gap": pa.array([], pa.int64()),
+            })
+        ok_ = g["ok"].to_numpy(zero_copy_only=False)
+        ln = g["ln"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ln, ok_))
+        o_s, l_s = ok_[order], ln[order]
+        brk = np.zeros(len(o_s), np.bool_)
+        brk[0] = True
+        brk[1:] = o_s[1:] != o_s[:-1]
+        gid = np.cumsum(brk) - 1
+        n = np.bincount(gid).astype(np.int64)
+        dup_pair = np.zeros(len(o_s), np.bool_)
+        dup_pair[1:] = ~brk[1:] & (l_s[1:] == l_s[:-1])
+        has_dup = np.zeros(len(n), np.bool_)
+        has_dup[gid[dup_pair]] = True
+        mx = np.full(len(n), np.iinfo(np.int64).min)
+        np.maximum.at(mx, gid, l_s)
+        mn = np.full(len(n), np.iinfo(np.int64).max)
+        np.minimum.at(mn, gid, l_s)
+        contiguous = ~has_dup & (mn == 1) & (mx == n)
+        gapped = ~has_dup & ~contiguous
+        return pa.table({
+            "one": pa.array([1], pa.int64()),
+            "okc": pa.array([int(contiguous.sum())], pa.int64()),
+            "dup": pa.array([int(has_dup.sum())], pa.int64()),
+            "gap": pa.array([int(gapped.sum())], pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(classify,
+                                      batch_format="pyarrow"),
+        ["one"], ["okc", "dup", "gap"],
+        ["n_contiguous", "n_duplicated", "n_gapped"],
+    ).to_arrow_refs()))
+    return pa.table({
+        "n_orders": pa.array(
+            [int(t["n_contiguous"][0].as_py()
+                 + t["n_duplicated"][0].as_py()
+                 + t["n_gapped"][0].as_py())], pa.int64()),
+        "n_contiguous": t["n_contiguous"],
+        "n_duplicated": t["n_duplicated"],
+        "n_gapped": t["n_gapped"],
+    })
+
+
+SQL_LINENUMBER_INTEGRITY = """
+WITH g AS (SELECT l_orderkey, count(*) AS n,
+        count(DISTINCT l_linenumber) AS nd,
+        min(l_linenumber) AS mn, max(l_linenumber) AS mx
+      FROM lineitem GROUP BY 1),
+c AS (SELECT CASE WHEN nd < n THEN 'dup'
+                  WHEN mn = 1 AND mx = n THEN 'ok'
+                  ELSE 'gap' END AS cls
+      FROM g)
+SELECT count(*) AS n_orders,
+       CAST(coalesce(sum(CASE WHEN cls = 'ok' THEN 1 END), 0)
+            AS BIGINT) AS n_contiguous,
+       CAST(coalesce(sum(CASE WHEN cls = 'dup' THEN 1 END), 0)
+            AS BIGINT) AS n_duplicated,
+       CAST(coalesce(sum(CASE WHEN cls = 'gap' THEN 1 END), 0)
+            AS BIGINT) AS n_gapped
+FROM c
+"""
+
+
+def q_engagement_bands(sf_dir: str):
+    """Engagement-intensity bands (the 1-7-active-days-per-week
+    segmentation behind 'core/casual user' labels): over distinct
+    (user, week, day-of-week) activity, the user-week count per
+    active-day band. ONE user-bucket shuffle (a user's week set is
+    in-bucket), band-BOUNDED funnel. SQL-checked."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sum_combine
+
+    US_PER_DAY = 86_400_000_000
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "events", ["user_id", "ts"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        day = (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // US_PER_DAY)
+        if (day >= (1 << 20)).any() or (uid >= (1 << 42)).any():
+            raise ValueError("engagement_bands pack overflow")
+        packed = np.unique((uid << 20) | day)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(packed >> 20, n_buckets),
+                               pa.int64()),
+            "pk": pa.array(packed, pa.int64()),
+        })
+
+    def bands(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "active_days": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            })
+        pk = np.unique(g["pk"].to_numpy(zero_copy_only=False))
+        uid = pk >> 20
+        day = pk & ((1 << 20) - 1)
+        uw = (uid << 20) | (day // 7)
+        uv, uc = np.unique(uw, return_counts=True)
+        bv, bn = np.unique(uc, return_counts=True)
+        return pa.table({
+            "active_days": pa.array(bv.astype(np.int64), pa.int64()),
+            "partial": pa.array(bn.astype(np.int64), pa.int64()),
+        })
+
+    return pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(bands, batch_format="pyarrow"),
+        ["active_days"], "partial", "n_user_weeks",
+    ).to_arrow_refs()))
+
+
+SQL_ENGAGEMENT_BANDS = """
+WITH ud AS (SELECT DISTINCT user_id,
+        epoch_us(ts) // 86400000000 AS day
+      FROM events),
+uw AS (SELECT user_id, day // 7 AS week, count(*) AS active_days
+       FROM ud GROUP BY 1, 2)
+SELECT active_days, count(*) AS n_user_weeks
+FROM uw GROUP BY active_days
+"""
+
+
+def q_price_index(sf_dir: str):
+    """Laspeyres price index (the inflation readout: this month's
+    basket at base-month quantities vs the base month's cost): per
+    ship month, Σ_parts unit_m(p)·q₀(p) / Σ_parts unit₀(p)·q₀(p)
+    over parts traded in BOTH months, where unit(p, m) is the
+    ALL-INTEGER scaled unit price (Σcents·100) // Σqty and q₀ is the
+    base (earliest) month's quantity. (part, month) aggregates fold
+    under the DIMENSION contract; the index is one divide of two
+    exact int64 basket sums. SQL-checked."""
+    import ray
+
+    from ..util import grouped_sums_combine
+
+    US_PER_DAY = 86_400_000_000
+    ds = _read_split(sf_dir, "lineitem",
+                     ["l_partkey", "l_shipdate", "l_extendedprice",
+                      "l_quantity"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        mon = (b["l_shipdate"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // US_PER_DAY) // 30
+        cents = pc.round(pc.multiply(b["l_extendedprice"], 100.0)) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        qty = pc.round(b["l_quantity"]).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        if (mon >= (1 << 20)).any() or (pk >= (1 << 40)).any():
+            raise ValueError("price_index pack overflow")
+        key = (pk << 20) | mon
+        uk, kinv = np.unique(key, return_inverse=True)
+        cs = np.zeros(len(uk), np.int64)
+        qs = np.zeros(len(uk), np.int64)
+        np.add.at(cs, kinv, cents)
+        np.add.at(qs, kinv, qty)
+        return pa.table({
+            "key": pa.array(uk, pa.int64()),
+            "cs": pa.array(cs, pa.int64()),
+            "qs": pa.array(qs, pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["key"], ["cs", "qs"], ["cents", "qty"],
+    ).to_arrow_refs()))
+    key = t["key"].to_numpy(zero_copy_only=False)
+    cents = t["cents"].to_numpy(zero_copy_only=False)
+    qty = t["qty"].to_numpy(zero_copy_only=False)
+    part = key >> 20
+    mon = key & ((1 << 20) - 1)
+    unit = (cents * 100) // qty
+    m0 = int(mon.min())
+    base = mon == m0
+    bpart = part[base]
+    border = np.argsort(bpart)
+    bpart_s = bpart[border]
+    bunit = unit[base][border]
+    bqty = qty[base][border]
+    rows = []
+    for m in np.unique(mon):
+        if m == m0:
+            continue
+        mm = mon == m
+        pos = np.searchsorted(bpart_s, part[mm])
+        okm = (pos < len(bpart_s)) \
+            & (bpart_s[np.clip(pos, 0, len(bpart_s) - 1)]
+               == part[mm])
+        if not okm.any():
+            continue
+        num = int((unit[mm][okm]
+                   * bqty[pos[okm]]).sum())
+        den = int((bunit[pos[okm]] * bqty[pos[okm]]).sum())
+        rows.append((int(m), int(okm.sum()),
+                     float(num) / float(den)))
+    return pa.table({
+        "month": pa.array([r[0] for r in rows], pa.int64()),
+        "n_parts": pa.array([r[1] for r in rows], pa.int64()),
+        "laspeyres": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+SQL_PRICE_INDEX = """
+WITH pm AS (SELECT l_partkey AS part,
+        (epoch_us(l_shipdate) // 86400000000) // 30 AS month,
+        (CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))
+              AS BIGINT) * 100)
+            // CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                    AS BIGINT) AS unit,
+        CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+            AS qty
+      FROM lineitem GROUP BY 1, 2),
+b AS (SELECT part, unit AS unit0, qty AS qty0 FROM pm
+      WHERE month = (SELECT min(month) FROM pm)),
+j AS (SELECT pm.month, pm.unit, b.unit0, b.qty0
+      FROM pm JOIN b USING (part)
+      WHERE pm.month > (SELECT min(month) FROM pm))
+SELECT month, count(*) AS n_parts,
+       CAST(sum(unit * qty0) AS DOUBLE)
+           / CAST(sum(unit0 * qty0) AS DOUBLE) AS laspeyres
+FROM j GROUP BY month
+"""
