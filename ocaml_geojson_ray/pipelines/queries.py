@@ -18482,3 +18482,267 @@ SELECT month, count(*) AS n_parts,
            / CAST(sum(unit0 * qty0) AS DOUBLE) AS laspeyres
 FROM j GROUP BY month
 """
+
+
+def q_basket_twins(sf_dir: str):
+    """Multiset-equality basket dedup (the 'identical carts' audit —
+    exact_dedup's relational cousin where the dedup key is a GROUP's
+    content, not a row's): per order, the sorted multiset of item
+    brands is its signature; twin groups are orders with identical
+    signatures, reported as a group-size histogram. Physical shape:
+    part→brand is a DIMENSION broadcast (ids in brand-lex order, so
+    sorting ids == sorting strings); shuffle 1 co-locates an order's
+    rows on the ORDERKEY bucket and assembles each signature once
+    (C-level join per order segment); shuffle 2 re-buckets on the
+    SIGNATURE's md5-LE-64 (util.md5_le64 — identical multisets land
+    together no matter which order-bucket built them), grouping by
+    the FULL string so hash collisions cannot merge distinct baskets;
+    the funnel is size-histogram-BOUNDED. SQL-checked (string_agg
+    ORDER BY brand oracle)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..util import fib_bucket, grouped_sum_combine, md5_le64
+
+    pt = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_brand"])
+    pk = pt["p_partkey"].to_numpy(zero_copy_only=False)
+    brands, binv = np.unique(
+        np.asarray(pt["p_brand"].to_pylist(), dtype=object),
+        return_inverse=True)
+    order_ = np.argsort(pk)
+    dim_ref = ray.put((pk[order_], binv[order_].astype(np.int64)))
+    brand_list = [str(b) for b in brands]
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        spk, sbid = ray.get(dim_ref)
+        ok_ = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        bid = sbid[np.searchsorted(spk, b["l_partkey"]
+                                   .to_numpy(zero_copy_only=False))]
+        return pa.table({
+            "bucket": pa.array(fib_bucket(ok_, n_buckets), pa.int64()),
+            "ok": pa.array(ok_, pa.int64()),
+            "bid": pa.array(bid, pa.int64()),
+        })
+
+    def sigs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "bucket": pa.array([], pa.int64()),
+                "sig": pa.array([], pa.string()),
+            })
+        ok_ = g["ok"].to_numpy(zero_copy_only=False)
+        bid = g["bid"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((bid, ok_))
+        o_s, b_s = ok_[order], bid[order]
+        brk = np.flatnonzero(np.r_[True, o_s[1:] != o_s[:-1]])
+        ends = np.r_[brk[1:], len(o_s)]
+        out = [",".join(brand_list[i] for i in b_s[s:e])
+               for s, e in zip(brk, ends)]
+        # the md5 is already uniform — mod IS the bucket (the Python-
+        # level % also keeps the uint64 out of int64 fromiter range)
+        h = np.fromiter((md5_le64(s.encode()) % n_buckets
+                         for s in out), np.int64, len(out))
+        return pa.table({
+            "bucket": pa.array(h, pa.int64()),
+            "sig": pa.array(out, pa.string()),
+        })
+
+    def sizes(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "group_size": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            })
+        _, cnt = np.unique(
+            np.asarray(g["sig"].to_pylist(), dtype=object),
+            return_counts=True)
+        gv, gn = np.unique(cnt, return_counts=True)
+        return pa.table({
+            "group_size": pa.array(gv.astype(np.int64), pa.int64()),
+            "partial": pa.array(gn.astype(np.int64), pa.int64()),
+        })
+
+    return grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(sigs, batch_format="pyarrow")
+        .groupby("bucket").map_groups(sizes, batch_format="pyarrow"),
+        ["group_size"], "partial", "n_baskets",
+    )
+
+
+SQL_BASKET_TWINS = """
+WITH s AS (SELECT l.l_orderkey,
+        string_agg(p.p_brand, ',' ORDER BY p.p_brand) AS sig
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1),
+g AS (SELECT sig, count(*) AS gs FROM s GROUP BY 1)
+SELECT gs AS group_size, count(*) AS n_baskets FROM g GROUP BY 1
+"""
+
+
+def q_mannwhitney_u(sf_dir: str):
+    """Mann-Whitney U / rank-sum test (ks_statistic's effect-size
+    sibling — 'do URGENT orders run larger than LOW ones'): exact
+    2·U between the URGENT and LOW priority groups on price cents,
+    with tie-corrected average ranks, plus the AUC effect size
+    U/(n1·n2). All-integer device: per-block (cents → nA, nB) value
+    counts fold on the cents-grid funnel; on the sorted grid,
+    2·avgrank(v) = 2·|{x < v}| + t(v) + 1, so
+    2·R1 = Σ_v nA(v)·(2·less(v) + t(v) + 1) and
+    2·U = 2·R1 − n1·(n1+1) are exact int64 sums; AUC is ONE divide.
+    SQL-checked (rank()+tie-count window oracle)."""
+    import ray
+
+    from ..util import grouped_sums_combine
+
+    ds = _read_split_few(sf_dir, "orders",
+                         ["o_orderpriority", "o_totalprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        pr = np.asarray(b["o_orderpriority"].to_pylist(), dtype=object)
+        keep = (pr == "1-URGENT") | (pr == "5-LOW")
+        isa = (pr[keep] == "1-URGENT")
+        cents = np.floor(
+            b["o_totalprice"].to_numpy(zero_copy_only=False)[keep]
+            * 100 + 0.5).astype(np.int64)
+        uc, inv = np.unique(cents, return_inverse=True)
+        na = np.zeros(len(uc), np.int64)
+        nb = np.zeros(len(uc), np.int64)
+        np.add.at(na, inv[isa], 1)
+        np.add.at(nb, inv[~isa], 1)
+        return pa.table({
+            "c": pa.array(uc, pa.int64()),
+            "na": pa.array(na, pa.int64()),
+            "nb": pa.array(nb, pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["c"], ["na", "nb"], ["na", "nb"],
+    ).to_arrow_refs()))
+    c = t["c"].to_numpy(zero_copy_only=False)
+    order = np.argsort(c)
+    na = t["na"].to_numpy(zero_copy_only=False)[order]
+    nb = t["nb"].to_numpy(zero_copy_only=False)[order]
+    tot = na + nb
+    less = np.r_[0, np.cumsum(tot)[:-1]]
+    n1 = int(na.sum())
+    n2 = int(nb.sum())
+    r1x2 = int((na * (2 * less + tot + 1)).sum())
+    u2 = r1x2 - n1 * (n1 + 1)
+    return pa.table({
+        "n1": pa.array([n1], pa.int64()),
+        "n2": pa.array([n2], pa.int64()),
+        "u2": pa.array([u2], pa.int64()),
+        "auc": pa.array([float(u2) / float(2 * n1 * n2)],
+                        pa.float64()),
+    })
+
+
+SQL_MANNWHITNEY_U = """
+WITH v AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                      AS c,
+                  o_orderpriority = '1-URGENT' AS isa
+           FROM orders
+           WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+r AS (SELECT c, isa, rank() OVER (ORDER BY c) AS rmin,
+             count(*) OVER (PARTITION BY c) AS t
+      FROM v),
+s AS (SELECT CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n1,
+             CAST(sum(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n2,
+             CAST(sum(CASE WHEN isa THEN 2 * rmin + (t - 1) END)
+                  AS BIGINT) AS r1x2
+      FROM r)
+SELECT n1, n2, r1x2 - n1 * (n1 + 1) AS u2,
+       CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)
+           / CAST(2 * n1 * n2 AS DOUBLE) AS auc
+FROM s
+"""
+
+
+def q_dwell_times(sf_dir: str):
+    """Per-state dwell-time attribution (the 'time spent per screen'
+    readout behind engagement dashboards; lead_transitions tells you
+    WHERE users go next, this tells you HOW LONG they sat first):
+    for each event, the gap to the user's next event (any type) is
+    attributed to the CURRENT event's type; each type reports its
+    closed-interval count and total µs. ONE user-bucket shuffle
+    (util.fib_bucket — a user's timeline is complete in-bucket), a
+    vectorized lexsort/diff per bucket with (ts, event_id) as the
+    deterministic tie order, type-BOUNDED funnel. SQL-checked
+    (lead() window oracle)."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sums_combine
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "events",
+                     ["user_id", "ts", "event_type", "event_id"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(uid, n_buckets), pa.int64()),
+            "uid": pa.array(uid, pa.int64()),
+            "ts": b["ts"].cast(pa.int64()),
+            "eid": b["event_id"],
+            "typ": b["event_type"],
+        })
+
+    def dwell(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "n_intervals": pa.array([], pa.int64()),
+                "total_us": pa.array([], pa.int64()),
+            })
+        uid = g["uid"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        eid = g["eid"].to_numpy(zero_copy_only=False)
+        typ = np.asarray(g["typ"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, uid))
+        u_s, t_s = uid[order], ts[order]
+        closed = np.zeros(len(u_s), np.bool_)
+        closed[:-1] = u_s[1:] == u_s[:-1]
+        dur = np.zeros(len(u_s), np.int64)
+        dur[:-1] = np.where(closed[:-1], t_s[1:] - t_s[:-1], 0)
+        ut, tinv = np.unique(typ[order], return_inverse=True)
+        k = len(ut)
+        # int64 np.add.at, not float-weighted bincount: Σµs per type
+        # crosses 2^53 well below sf1
+        tot = np.zeros(k, np.int64)
+        np.add.at(tot, tinv, dur)
+        return pa.table({
+            "event_type": pa.array(list(ut), pa.string()),
+            "n_intervals": pa.array(np.bincount(
+                tinv, weights=closed.astype(np.float64),
+                minlength=k).astype(np.int64)),
+            "total_us": pa.array(tot),
+        })
+
+    return grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(dwell, batch_format="pyarrow"),
+        ["event_type"], ["n_intervals", "total_us"],
+        ["n_intervals", "total_us"],
+    )
+
+
+SQL_DWELL_TIMES = """
+WITH w AS (SELECT event_type,
+        lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id)
+            - epoch_us(ts) AS dur
+      FROM events)
+SELECT event_type, count(dur) AS n_intervals,
+       CAST(sum(dur) AS BIGINT) AS total_us
+FROM w WHERE dur IS NOT NULL GROUP BY 1
+"""
