@@ -352,6 +352,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("linenumber_integrity", Q.q_linenumber_integrity)
     timed("engagement_bands", Q.q_engagement_bands)
     timed("price_index", Q.q_price_index)
+    timed("basket_twins", Q.q_basket_twins)
+    timed("mannwhitney_u", Q.q_mannwhitney_u)
+    timed("dwell_times", Q.q_dwell_times)
+    timed("open_orders_daily", Q.q_open_orders_daily)
+    timed("revenue_proration", Q.q_revenue_proration)
+    timed("local_clustering", Q.q_local_clustering)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

@@ -18746,3 +18746,390 @@ SELECT event_type, count(dur) AS n_intervals,
        CAST(sum(dur) AS BIGINT) AS total_us
 FROM w WHERE dur IS NOT NULL GROUP BY 1
 """
+
+
+def q_open_orders_daily(sf_dir: str):
+    """Interval stabbing counts (the 'work in progress' operational
+    curve — how many orders are OPEN each calendar day; interval_
+    coverage measures the union's length, this measures per-day
+    CONCURRENCY): an order is open from its orderdate-day through its
+    last shipdate-day (header and lines meet via the co-bucket
+    two-table device, INNER: headerless lines and lineless headers
+    drop; the fixture's independent generator also yields d1 < d0
+    spans, which are closed-before-open and excluded). The engine
+    never materializes the day×order join: each order contributes
+    TWO deltas (+1 at d0, −1 at d1+1), the delta funnel is
+    day-BOUNDED, and the dense daily curve is one driver-side
+    cumsum over the [min d0, max d1] grid. SQL-checked against the
+    independent RANGE-JOIN derivation (d0 <= day <= d1)."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sum_combine
+
+    US_PER_DAY = 86_400_000_000
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nb = max(4, cpus // 4)
+    n_buckets = max(64, cpus * 8)
+    lines = split_read(f"{sf_dir}/lineitem.parquet",
+                       ["l_orderkey", "l_shipdate"], nb)
+    orders = split_read(f"{sf_dir}/orders.parquet",
+                        ["o_orderkey", "o_orderdate"], nb)
+
+    def pre_lines(b: pa.Table) -> pa.Table:
+        ok_ = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        day = (b["l_shipdate"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // US_PER_DAY)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(ok_, n_buckets), pa.int64()),
+            "ok": pa.array(ok_, pa.int64()),
+            "day": pa.array(day, pa.int64()),
+            "is_order": pa.array(np.zeros(len(ok_), bool)),
+        })
+
+    def pre_orders(b: pa.Table) -> pa.Table:
+        ok_ = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        day = (b["o_orderdate"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // US_PER_DAY)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(ok_, n_buckets), pa.int64()),
+            "ok": pa.array(ok_, pa.int64()),
+            "day": pa.array(day, pa.int64()),
+            "is_order": pa.array(np.ones(len(ok_), bool)),
+        })
+
+    def deltas(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "day": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            })
+        ok_ = g["ok"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        iso = g["is_order"].to_numpy(zero_copy_only=False)
+        lk, li = np.unique(ok_[~iso], return_inverse=True)
+        d1 = np.full(len(lk), np.iinfo(np.int64).min)
+        np.maximum.at(d1, li, day[~iso])
+        pos = np.searchsorted(lk, ok_[iso])
+        if len(lk) == 0:
+            return pa.table({
+                "day": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            })
+        pos_c = np.clip(pos, 0, len(lk) - 1)
+        has = lk[pos_c] == ok_[iso]
+        d0 = day[iso][has]
+        d1o = d1[pos_c][has]
+        keep = d1o >= d0
+        d0, d1o = d0[keep], d1o[keep]
+        dd = np.concatenate([d0, d1o + 1])
+        dv = np.concatenate([np.ones(len(d0), np.int64),
+                             np.full(len(d1o), -1, np.int64)])
+        ud, uinv = np.unique(dd, return_inverse=True)
+        s = np.zeros(len(ud), np.int64)
+        np.add.at(s, uinv, dv)
+        return pa.table({
+            "day": pa.array(ud, pa.int64()),
+            "partial": pa.array(s, pa.int64()),
+        })
+
+    tagged = lines.map_batches(pre_lines, batch_format="pyarrow") \
+        .union(orders.map_batches(pre_orders, batch_format="pyarrow"))
+    t = pa.concat_tables(ray.get(grouped_sum_combine(
+        tagged.groupby("bucket").map_groups(deltas,
+                                            batch_format="pyarrow"),
+        ["day"], "partial", "delta",
+    ).to_arrow_refs()))
+    dd = t["day"].to_numpy(zero_copy_only=False)
+    order = np.argsort(dd)
+    dd = dd[order]
+    cum = np.cumsum(t["delta"].to_numpy(zero_copy_only=False)[order])
+    # grid [min d0, max d1]: the largest delta day is max(d1)+1 (its
+    # -1 lands after the last open day), the smallest is a +1 at d0
+    grid = np.arange(dd[0], dd[-1])
+    pos = np.searchsorted(dd, grid, side="right")
+    return pa.table({
+        "day": pa.array(grid, pa.int64()),
+        "n_open": pa.array(cum[pos - 1], pa.int64()),
+    })
+
+
+SQL_OPEN_ORDERS_DAILY = """
+WITH b AS (SELECT o.o_orderkey,
+        epoch_us(o.o_orderdate) // 86400000000 AS d0,
+        max(epoch_us(l.l_shipdate) // 86400000000) AS d1
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+      HAVING max(epoch_us(l.l_shipdate) // 86400000000) >= d0),
+days AS (SELECT CAST(unnest(generate_series(mn, mx)) AS BIGINT)
+                    AS day
+         FROM (SELECT min(d0) AS mn, max(d1) AS mx FROM b))
+SELECT day, CAST(count(b.o_orderkey) AS BIGINT) AS n_open
+FROM days LEFT JOIN b ON b.d0 <= day AND day <= b.d1
+GROUP BY day
+"""
+
+
+def q_revenue_proration(sf_dir: str):
+    """Interval proration / revenue recognition (spread each order's
+    header total evenly across its open days — the accrual-accounting
+    explosion every finance pipeline runs): order cents split over
+    days d0..min(d1, d0+89) (90-day cap: the fixture's independent
+    generator yields multi-year spans whose uncapped explosion would
+    be Σspan ≈ 170·n_orders rows; capped it is ≤ 90·n_orders — the
+    documented bound that keeps the exploded stream o(input·90) at
+    any sf), integer remainder device: day i gets cents//n + (i<r).
+    Co-bucket header/lines join, per-bucket vectorized np.repeat/
+    arange explosion, per-bucket partial day sums → day-BOUNDED
+    funnel. SQL-checked (unnest(generate_series) oracle — the
+    column-arg-accepting form)."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sum_combine
+
+    US_PER_DAY = 86_400_000_000
+    CAP = 90
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nb = max(4, cpus // 4)
+    n_buckets = max(64, cpus * 8)
+    lines = split_read(f"{sf_dir}/lineitem.parquet",
+                       ["l_orderkey", "l_shipdate"], nb)
+    orders = split_read(f"{sf_dir}/orders.parquet",
+                        ["o_orderkey", "o_orderdate", "o_totalprice"],
+                        nb)
+
+    def pre_lines(b: pa.Table) -> pa.Table:
+        ok_ = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        day = (b["l_shipdate"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // US_PER_DAY)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(ok_, n_buckets), pa.int64()),
+            "ok": pa.array(ok_, pa.int64()),
+            "day": pa.array(day, pa.int64()),
+            "cents": pa.array(np.zeros(len(ok_), np.int64)),
+            "is_order": pa.array(np.zeros(len(ok_), bool)),
+        })
+
+    def pre_orders(b: pa.Table) -> pa.Table:
+        ok_ = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        day = (b["o_orderdate"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // US_PER_DAY)
+        cents = np.floor(
+            b["o_totalprice"].to_numpy(zero_copy_only=False)
+            * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(ok_, n_buckets), pa.int64()),
+            "ok": pa.array(ok_, pa.int64()),
+            "day": pa.array(day, pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+            "is_order": pa.array(np.ones(len(ok_), bool)),
+        })
+
+    def prorate(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "day": pa.array([], pa.int64()),
+            "partial": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        ok_ = g["ok"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        iso = g["is_order"].to_numpy(zero_copy_only=False)
+        lk, li = np.unique(ok_[~iso], return_inverse=True)
+        if len(lk) == 0:
+            return empty
+        d1 = np.full(len(lk), np.iinfo(np.int64).min)
+        np.maximum.at(d1, li, day[~iso])
+        pos = np.clip(np.searchsorted(lk, ok_[iso]), 0, len(lk) - 1)
+        has = lk[pos] == ok_[iso]
+        d0 = day[iso][has]
+        d1o = np.minimum(d1[pos][has], d0 + CAP - 1)
+        c = cents[iso][has]
+        keep = d1o >= d0
+        d0, d1o, c = d0[keep], d1o[keep], c[keep]
+        if len(d0) == 0:
+            return empty
+        n = d1o - d0 + 1
+        q, r = c // n, c % n
+        starts = np.r_[0, np.cumsum(n)[:-1]]
+        idx = np.arange(int(n.sum())) - np.repeat(starts, n)
+        dcol = np.repeat(d0, n) + idx
+        amt = np.repeat(q, n) + (idx < np.repeat(r, n))
+        ud, uinv = np.unique(dcol, return_inverse=True)
+        s = np.zeros(len(ud), np.int64)
+        np.add.at(s, uinv, amt)
+        return pa.table({
+            "day": pa.array(ud, pa.int64()),
+            "partial": pa.array(s, pa.int64()),
+        })
+
+    tagged = lines.map_batches(pre_lines, batch_format="pyarrow") \
+        .union(orders.map_batches(pre_orders, batch_format="pyarrow"))
+    return grouped_sum_combine(
+        tagged.groupby("bucket").map_groups(prorate,
+                                            batch_format="pyarrow"),
+        ["day"], "partial", "prorated_cents",
+    )
+
+
+SQL_REVENUE_PRORATION = """
+WITH b AS (SELECT o.o_orderkey,
+        epoch_us(o.o_orderdate) // 86400000000 AS d0,
+        least(max(epoch_us(l.l_shipdate) // 86400000000),
+              epoch_us(o.o_orderdate) // 86400000000 + 89) AS d1,
+        CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2, o.o_totalprice
+      HAVING least(max(epoch_us(l.l_shipdate) // 86400000000),
+                   epoch_us(o.o_orderdate) // 86400000000 + 89)
+             >= d0),
+x AS (SELECT d0 + i AS day,
+             cents // (d1 - d0 + 1)
+                 + CASE WHEN i < cents % (d1 - d0 + 1)
+                        THEN 1 ELSE 0 END AS amt
+      FROM (SELECT *, CAST(unnest(generate_series(0, d1 - d0))
+                           AS BIGINT) AS i
+            FROM b))
+SELECT day, CAST(sum(amt) AS BIGINT) AS prorated_cents
+FROM x GROUP BY day
+"""
+
+
+def q_local_clustering(sf_dir: str):
+    """Per-node local clustering coefficient (triangle_counts' node-
+    level refinement — 2T/(d·(d−1)), the 'how clique-ish is this
+    node's neighborhood' score): on the SAME bounded derived graph
+    (mod-_TRI_N edge derivation + planted triads), every node of
+    degree ≥ 2 reports its degree, triangle membership count, and
+    coefficient. Edge funnel and degrees as in triangle_counts; the
+    probe stage shards the node range, and a wedge hit at u credits
+    ALL THREE corners (u, y, z) into a node-BOUNDED (≤ _TRI_N)
+    per-shard partial that folds with one combine. The coefficient
+    is ONE divide of two exact int64s. SQL-checked (three-way
+    self-join oracle, triangles re-counted at every corner)."""
+    import ray
+    import ray.data as rd
+
+    from ..util import grouped_sum_combine
+
+    N = _TRI_N
+
+    ds = _read_split(sf_dir, "lineitem",
+                     ["l_orderkey", "l_linenumber", "l_partkey"])
+
+    def edge_partial(b: pa.Table) -> pa.Table:
+        ok_ = b["l_orderkey"].to_numpy()
+        ln = b["l_linenumber"].to_numpy().astype(np.int64)
+        pk = b["l_partkey"].to_numpy()
+        a = (ok_ * 7919 + ln * 104729) % N
+        bb = (ok_ * 104729 + pk * 7919) % N
+        t = (ok_[ln == 1] * 6151 + 13) % (N - 2)
+        alla = np.concatenate([a, t, t + 1, t])
+        allb = np.concatenate([bb, t + 1, t + 2, t + 2])
+        keep = alla != allb
+        u = np.minimum(alla[keep], allb[keep])
+        v = np.maximum(alla[keep], allb[keep])
+        return pa.table({
+            "key": pa.array(np.unique(u * N + v), pa.int64()),
+        })
+
+    def combine(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pa.array(
+                np.unique(b["key"].to_numpy(zero_copy_only=False)),
+                pa.int64()),
+        })
+
+    edges = pa.concat_tables(ray.get(
+        ds.map_batches(edge_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+        .to_arrow_refs()))
+    keys = edges["key"].to_numpy(zero_copy_only=False)
+    deg = np.bincount(keys // N, minlength=N) \
+        + np.bincount(keys % N, minlength=N)
+    keys_ref = ray.put(keys)
+
+    us = np.unique(keys // N)
+    shards = max(8, int(ray.cluster_resources().get("CPU", 4)))
+    u_tbl = pa.table({"u": pa.array(us, pa.int64())})
+
+    def tri_shard(b: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        my_us = b["u"].to_numpy(zero_copy_only=False)
+        starts = np.searchsorted(ks, my_us * N)
+        ends = np.searchsorted(ks, (my_us + 1) * N)
+        cnt = np.zeros(N, np.int64)
+        for u, s, e in zip(my_us, starts, ends):
+            nb = ks[s:e] % N
+            if len(nb) < 2:
+                continue
+            iy, iz = np.triu_indices(len(nb), k=1)
+            wk = nb[iy] * N + nb[iz]
+            pos = np.searchsorted(ks, wk)
+            pos[pos >= len(ks)] = 0
+            hit = ks[pos] == wk
+            nh = int(hit.sum())
+            if nh == 0:
+                continue
+            cnt[u] += nh
+            np.add.at(cnt, nb[iy][hit], 1)
+            np.add.at(cnt, nb[iz][hit], 1)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "node": pa.array(nz.astype(np.int64), pa.int64()),
+            "partial": pa.array(cnt[nz], pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sum_combine(
+        rd.from_arrow(u_tbl).repartition(shards)
+        .map_batches(tri_shard, batch_format="pyarrow"),
+        ["node"], "partial", "n_tri",
+    ).to_arrow_refs()))
+    tri = np.zeros(N, np.int64)
+    tri[t["node"].to_numpy(zero_copy_only=False)] = \
+        t["n_tri"].to_numpy(zero_copy_only=False)
+    nodes = np.flatnonzero(deg >= 2)
+    d = deg[nodes].astype(np.int64)
+    tr = tri[nodes]
+    return pa.table({
+        "node": pa.array(nodes.astype(np.int64), pa.int64()),
+        "degree": pa.array(d, pa.int64()),
+        "n_tri": pa.array(tr, pa.int64()),
+        "cc": pa.array(
+            (2.0 * tr).astype(np.float64) / (d * (d - 1)).astype(
+                np.float64), pa.float64()),
+    })
+
+
+SQL_LOCAL_CLUSTERING = f"""
+WITH raw AS (
+  SELECT (l_orderkey*7919 + l_linenumber*104729) % {_TRI_N} AS a,
+         (l_orderkey*104729 + l_partkey*7919) % {_TRI_N} AS b
+  FROM lineitem
+  UNION ALL SELECT t, t+1 FROM (SELECT (l_orderkey*6151 + 13)
+      % {_TRI_N - 2} AS t FROM lineitem WHERE l_linenumber = 1)
+  UNION ALL SELECT t+1, t+2 FROM (SELECT (l_orderkey*6151 + 13)
+      % {_TRI_N - 2} AS t FROM lineitem WHERE l_linenumber = 1)
+  UNION ALL SELECT t, t+2 FROM (SELECT (l_orderkey*6151 + 13)
+      % {_TRI_N - 2} AS t FROM lineitem WHERE l_linenumber = 1)),
+e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      FROM raw WHERE a <> b),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT u AS node FROM e
+              UNION ALL SELECT v AS node FROM e)
+        GROUP BY 1),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+pt AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+       FROM (SELECT a AS node FROM tri
+             UNION ALL SELECT b AS node FROM tri
+             UNION ALL SELECT c AS node FROM tri)
+       GROUP BY 1)
+SELECT d.node, d.degree, coalesce(pt.n_tri, 0) AS n_tri,
+       CAST(2 * coalesce(pt.n_tri, 0) AS DOUBLE)
+           / CAST(d.degree * (d.degree - 1) AS DOUBLE) AS cc
+FROM deg d LEFT JOIN pt USING (node)
+WHERE d.degree >= 2
+"""
