@@ -358,6 +358,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("open_orders_daily", Q.q_open_orders_daily)
     timed("revenue_proration", Q.q_revenue_proration)
     timed("local_clustering", Q.q_local_clustering)
+    timed("brand_triples", Q.q_brand_triples)
+    timed("seasonality_index", Q.q_seasonality_index)
+    timed("order_interarrival", Q.q_order_interarrival)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

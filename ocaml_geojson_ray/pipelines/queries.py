@@ -19133,3 +19133,295 @@ SELECT d.node, d.degree, coalesce(pt.n_tri, 0) AS n_tri,
 FROM deg d LEFT JOIN pt USING (node)
 WHERE d.degree >= 2
 """
+
+
+def q_brand_triples(sf_dir: str):
+    """Frequent 3-itemset mining (assoc_rules' next Apriori level —
+    pair support tells you 'also bought', triples feed bundle
+    recommendations): support count for every brand TRIPLE
+    (b1 < b2 < b3) co-occurring in an order's distinct brand set.
+    Same physical contract as assoc_rules: part→brand DIMENSION
+    broadcast (ids in brand-lex order), ONE orderkey-bucket shuffle,
+    and a triple funnel BOUNDED by C(|brands|, 3) — the emission is
+    fully vectorized by grouping same-size order segments into a
+    (n_seg, k) matrix and gathering a cached C(k, 3) index pattern
+    (no per-order Python). SQL-checked (three-way distinct-set
+    self-join oracle)."""
+    from itertools import combinations
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..util import fib_bucket, grouped_sum_combine
+
+    pt = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_brand"])
+    pk = pt["p_partkey"].to_numpy(zero_copy_only=False)
+    brands, binv = np.unique(
+        np.asarray(pt["p_brand"].to_pylist(), dtype=object),
+        return_inverse=True)
+    order_ = np.argsort(pk)
+    dim_ref = ray.put((pk[order_], binv[order_].astype(np.int64)))
+    if len(brands) >= 256:
+        raise ValueError("brand_triples id pack assumes < 256")
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        spk, sbid = ray.get(dim_ref)
+        ok_ = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        bid = sbid[np.searchsorted(spk, b["l_partkey"]
+                                   .to_numpy(zero_copy_only=False))]
+        packed = np.unique((ok_ << 8) | bid)
+        oks = packed >> 8
+        return pa.table({
+            "bucket": pa.array(fib_bucket(oks, n_buckets), pa.int64()),
+            "ok": pa.array(oks, pa.int64()),
+            "bid": pa.array(packed & 255, pa.int64()),
+        })
+
+    comb_cache: dict = {}
+
+    def triples(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "key": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            })
+        ok_ = g["ok"].to_numpy(zero_copy_only=False)
+        bid = g["bid"].to_numpy(zero_copy_only=False)
+        packed = np.unique((ok_ << 8) | bid)  # cross-block dedup
+        oks = packed >> 8
+        bids = packed & 255
+        brk = np.flatnonzero(np.r_[True, oks[1:] != oks[:-1]])
+        sizes = np.diff(np.r_[brk, len(oks)])
+        out = []
+        for k in np.unique(sizes):
+            if k < 3:
+                continue
+            idx3 = comb_cache.get(k)
+            if idx3 is None:
+                idx3 = np.array(
+                    list(combinations(range(int(k)), 3)), np.int64)
+                comb_cache[k] = idx3
+            seg_starts = brk[sizes == k]
+            # (n_seg, k) matrix of sorted brand ids, one row per order
+            mat = bids[seg_starts[:, None] + np.arange(int(k))]
+            tr = mat[:, idx3]  # (n_seg, ncomb, 3); ascending ids
+            out.append((tr[..., 0] << 16) | (tr[..., 1] << 8)
+                       | tr[..., 2])
+        if not out:
+            return pa.table({
+                "key": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            })
+        kv, kn = np.unique(np.concatenate([o.ravel() for o in out]),
+                           return_counts=True)
+        return pa.table({
+            "key": pa.array(kv, pa.int64()),
+            "partial": pa.array(kn.astype(np.int64), pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(triples, batch_format="pyarrow"),
+        ["key"], "partial", "n_orders",
+    ).to_arrow_refs()))
+    key = t["key"].to_numpy(zero_copy_only=False)
+    bl = [str(b) for b in brands]
+    return pa.table({
+        "b1": pa.array([bl[i] for i in key >> 16], pa.string()),
+        "b2": pa.array([bl[i] for i in (key >> 8) & 255], pa.string()),
+        "b3": pa.array([bl[i] for i in key & 255], pa.string()),
+        "n_orders": t["n_orders"],
+    })
+
+
+SQL_BRAND_TRIPLES = """
+WITH ob AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+t AS (SELECT a.b AS b1, b.b AS b2, c.b AS b3
+      FROM ob a JOIN ob b ON b.ok = a.ok AND b.b > a.b
+      JOIN ob c ON c.ok = a.ok AND c.b > b.b)
+SELECT b1, b2, b3, CAST(count(*) AS BIGINT) AS n_orders
+FROM t GROUP BY 1, 2, 3
+"""
+
+
+def q_seasonality_index(sf_dir: str):
+    """Calendar seasonality index (weekend_effect's month-of-year
+    sibling — 'is December really 2× an average month'): per calendar
+    month 1-12, exact revenue cents and the multiplicative index
+    12·month/total (1.0 = an average month). pyarrow.compute month()
+    mirrors DuckDB month() on timestamp[us]; partials fold on a
+    12-BOUNDED funnel; the index is ONE divide of exact int64s.
+    SQL-checked."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    ds = _read_split_few(sf_dir, "orders",
+                         ["o_orderdate", "o_totalprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        mon = pc.month(b["o_orderdate"]).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            b["o_totalprice"].to_numpy(zero_copy_only=False)
+            * 100 + 0.5).astype(np.int64)
+        um, inv = np.unique(mon, return_inverse=True)
+        s = np.zeros(len(um), np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({
+            "month": pa.array(um, pa.int64()),
+            "partial": pa.array(s, pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["month"], "partial", "revenue_cents",
+    ).to_arrow_refs()))
+    mc = t["revenue_cents"].to_numpy(zero_copy_only=False)
+    tot = int(mc.sum())
+    return pa.table({
+        "month": t["month"],
+        "revenue_cents": t["revenue_cents"],
+        "seasonal_index": pa.array(
+            [float(12 * int(c)) / float(tot) for c in mc],
+            pa.float64()),
+    })
+
+
+SQL_SEASONALITY_INDEX = """
+WITH m AS (SELECT month(o_orderdate) AS month,
+        CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS revenue_cents
+      FROM orders GROUP BY 1)
+SELECT month, revenue_cents,
+       CAST(12 * revenue_cents AS DOUBLE)
+           / CAST((SELECT sum(revenue_cents) FROM m) AS DOUBLE)
+           AS seasonal_index
+FROM m
+"""
+
+
+def q_order_interarrival(sf_dir: str):
+    """Inter-purchase time distribution by market segment (the
+    repeat-purchase cadence readout behind replenishment and churn
+    models; milestone_days ladders the k-th event, this measures the
+    GAP law): per customer, day gaps between consecutive orders
+    (sorted by day with orderkey as deterministic tie order — ties
+    give identical gap multisets either way), rolled up per segment
+    as count, exact-integer mean (one divide), and quantile_disc
+    median/p90 via the (segment, gap)-histogram funnel (gap domain
+    is calendar-BOUNDED, so no raw-row funnel at any sf). The
+    customer→segment map is a DIMENSION broadcast. SQL-checked
+    (lag window + quantile_disc oracle)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..util import fib_bucket, grouped_sum_combine
+
+    US_PER_DAY = 86_400_000_000
+    ct = pq.read_table(f"{sf_dir}/customer.parquet",
+                       columns=["c_custkey", "c_mktsegment"])
+    ck = ct["c_custkey"].to_numpy(zero_copy_only=False)
+    segs, sinv = np.unique(
+        np.asarray(ct["c_mktsegment"].to_pylist(), dtype=object),
+        return_inverse=True)
+    corder = np.argsort(ck)
+    dim_ref = ray.put((ck[corder], sinv[corder].astype(np.int64)))
+    seg_list = [str(s) for s in segs]
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "orders",
+                     ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        cu = b["o_custkey"].to_numpy(zero_copy_only=False)
+        day = (b["o_orderdate"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // US_PER_DAY)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(cu, n_buckets), pa.int64()),
+            "cust": pa.array(cu, pa.int64()),
+            "day": pa.array(day, pa.int64()),
+            "okey": b["o_orderkey"],
+        })
+
+    def gaps(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "seg": pa.array([], pa.int64()),
+                "gap": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            })
+        sck, ssid = ray.get(dim_ref)
+        cu = g["cust"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        okey = g["okey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, day, cu))
+        c_s, d_s = cu[order], day[order]
+        same = c_s[1:] == c_s[:-1]
+        gap = (d_s[1:] - d_s[:-1])[same]
+        segid = ssid[np.searchsorted(sck, c_s[1:][same])]
+        key = (segid << 32) | gap
+        uk, kn = np.unique(key, return_counts=True)
+        return pa.table({
+            "seg": pa.array(uk >> 32, pa.int64()),
+            "gap": pa.array(uk & ((1 << 32) - 1), pa.int64()),
+            "partial": pa.array(kn.astype(np.int64), pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(gaps, batch_format="pyarrow"),
+        ["seg", "gap"], "partial", "cnt",
+    ).to_arrow_refs()))
+    seg = t["seg"].to_numpy(zero_copy_only=False)
+    gap = t["gap"].to_numpy(zero_copy_only=False)
+    cnt = t["cnt"].to_numpy(zero_copy_only=False)
+    rows = []
+    for s in np.unique(seg):
+        m = seg == s
+        gs, cs = gap[m], cnt[m]
+        o = np.argsort(gs)
+        gs, cs = gs[o], cs[o]
+        cum = np.cumsum(cs)
+        n = int(cum[-1])
+
+        def at(q):
+            idx = max(0, int(np.ceil(q * n)) - 1)
+            return int(gs[np.searchsorted(cum, idx + 1)])
+
+        tot = int((gs * cs).sum())
+        rows.append((seg_list[int(s)], n, at(0.5), at(0.9),
+                     float(tot) / float(n)))
+    return pa.table({
+        "c_mktsegment": pa.array([r[0] for r in rows], pa.string()),
+        "n_gaps": pa.array([r[1] for r in rows], pa.int64()),
+        "median_gap": pa.array([r[2] for r in rows], pa.int64()),
+        "p90_gap": pa.array([r[3] for r in rows], pa.int64()),
+        "mean_gap": pa.array([r[4] for r in rows], pa.float64()),
+    })
+
+
+SQL_ORDER_INTERARRIVAL = """
+WITH o AS (SELECT o_custkey, o_orderkey,
+        epoch_us(o_orderdate) // 86400000000 AS day
+      FROM orders),
+g AS (SELECT o_custkey,
+        day - lag(day) OVER (PARTITION BY o_custkey
+                             ORDER BY day, o_orderkey) AS gap
+      FROM o),
+j AS (SELECT c.c_mktsegment, g.gap
+      FROM g JOIN customer c ON c.c_custkey = g.o_custkey
+      WHERE g.gap IS NOT NULL)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_gaps,
+       quantile_disc(gap, 0.5) AS median_gap,
+       quantile_disc(gap, 0.9) AS p90_gap,
+       CAST(sum(gap) AS DOUBLE) / count(*) AS mean_gap
+FROM j GROUP BY 1
+"""
