@@ -361,6 +361,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("brand_triples", Q.q_brand_triples)
     timed("seasonality_index", Q.q_seasonality_index)
     timed("order_interarrival", Q.q_order_interarrival)
+    timed("link_prediction_cn", Q.q_link_prediction_cn)
+    timed("diff_in_diff", Q.q_diff_in_diff)
+    timed("dim_variance_topk", Q.q_dim_variance_topk)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

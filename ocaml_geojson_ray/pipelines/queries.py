@@ -447,32 +447,16 @@ SELECT node, pr AS pr_rank FROM r4
 _TRI_N = 99991  # node domain (prime); planted triads use N-2
 
 
-def q_triangle_counts(sf_dir: str):
-    """Distributed triangle counting — graph analytics beyond the
-    fixpoint family (pagerank / CC / k-means): exact triangle count on
-    an undirected graph DERIVED deterministically from lineitem keys
-    (int ops only, SQL-mirrorable like the geo point derivations),
-    with one planted triad per order (``l_linenumber = 1`` rows emit
-    the three closing edges of (t, t+1, t+2)) so the answer is
-    non-zero at every sf. Physical shape: per-batch edge derivation →
-    per-batch np.unique partials packed as ``u * N + v`` (u < v) →
-    one combine task's global unique — the edge table is BOUNDED by
-    C(N, 2) through the mod-N derivation, the documented contract that
-    makes the funnel + broadcast o(corpus); the count stage shards
-    the NODE RANGE: each task rebuilds the oriented adjacency from
-    the broadcast sorted key array (u = key // N zero-decode), walks
-    its u-shard's neighbor lists, and probes every wedge pair
-    (y, z), y < z against the sorted keys with ONE searchsorted per
-    shard — a triangle (a < b < c) is counted exactly once, at
-    u = a. At node domains past broadcast reach, the documented
-    fallback is the two-round oriented wedge join (E ⋈ E on v, then
-    semi-join E on (u, w)) — the same probe as a shuffle instead of
-    a broadcast. SQL-checked (three-way self-join oracle)."""
+def _derived_edge_keys(sf_dir: str):
+    """The shared bounded derived graph: distinct undirected edges
+    (u < v) packed as u·N + v, SORTED — one distributed partial-unique
+    pass over lineitem plus one combine. The mod-N derivation bounds
+    the edge table by C(N, 2), the documented contract that makes the
+    funnel + downstream broadcast o(corpus). Consumers:
+    triangle_counts, local_clustering, k_core."""
     import ray
-    import ray.data as rd
 
     N = _TRI_N
-
     ds = _read_split(sf_dir, "lineitem",
                      ["l_orderkey", "l_linenumber", "l_partkey"])
 
@@ -506,7 +490,35 @@ def q_triangle_counts(sf_dir: str):
         # the WHOLE funneled block (the round-3 funnel gotcha)
         .map_batches(combine, batch_format="pyarrow", batch_size=None)
         .to_arrow_refs()))
-    keys = edges["key"].to_numpy(zero_copy_only=False)
+    return edges["key"].to_numpy(zero_copy_only=False)
+
+
+def q_triangle_counts(sf_dir: str):
+    """Distributed triangle counting — graph analytics beyond the
+    fixpoint family (pagerank / CC / k-means): exact triangle count on
+    an undirected graph DERIVED deterministically from lineitem keys
+    (int ops only, SQL-mirrorable like the geo point derivations),
+    with one planted triad per order (``l_linenumber = 1`` rows emit
+    the three closing edges of (t, t+1, t+2)) so the answer is
+    non-zero at every sf. Physical shape: per-batch edge derivation →
+    per-batch np.unique partials packed as ``u * N + v`` (u < v) →
+    one combine task's global unique — the edge table is BOUNDED by
+    C(N, 2) through the mod-N derivation, the documented contract that
+    makes the funnel + broadcast o(corpus); the count stage shards
+    the NODE RANGE: each task rebuilds the oriented adjacency from
+    the broadcast sorted key array (u = key // N zero-decode), walks
+    its u-shard's neighbor lists, and probes every wedge pair
+    (y, z), y < z against the sorted keys with ONE searchsorted per
+    shard — a triangle (a < b < c) is counted exactly once, at
+    u = a. At node domains past broadcast reach, the documented
+    fallback is the two-round oriented wedge join (E ⋈ E on v, then
+    semi-join E on (u, w)) — the same probe as a shuffle instead of
+    a broadcast. SQL-checked (three-way self-join oracle)."""
+    import ray
+    import ray.data as rd
+
+    N = _TRI_N
+    keys = _derived_edge_keys(sf_dir)
     n_edges = len(keys)
     n_nodes = len(np.unique(np.concatenate([keys // N, keys % N])))
     keys_ref = ray.put(keys)  # sorted by construction (unique)
@@ -19013,39 +19025,7 @@ def q_local_clustering(sf_dir: str):
     from ..util import grouped_sum_combine
 
     N = _TRI_N
-
-    ds = _read_split(sf_dir, "lineitem",
-                     ["l_orderkey", "l_linenumber", "l_partkey"])
-
-    def edge_partial(b: pa.Table) -> pa.Table:
-        ok_ = b["l_orderkey"].to_numpy()
-        ln = b["l_linenumber"].to_numpy().astype(np.int64)
-        pk = b["l_partkey"].to_numpy()
-        a = (ok_ * 7919 + ln * 104729) % N
-        bb = (ok_ * 104729 + pk * 7919) % N
-        t = (ok_[ln == 1] * 6151 + 13) % (N - 2)
-        alla = np.concatenate([a, t, t + 1, t])
-        allb = np.concatenate([bb, t + 1, t + 2, t + 2])
-        keep = alla != allb
-        u = np.minimum(alla[keep], allb[keep])
-        v = np.maximum(alla[keep], allb[keep])
-        return pa.table({
-            "key": pa.array(np.unique(u * N + v), pa.int64()),
-        })
-
-    def combine(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "key": pa.array(
-                np.unique(b["key"].to_numpy(zero_copy_only=False)),
-                pa.int64()),
-        })
-
-    edges = pa.concat_tables(ray.get(
-        ds.map_batches(edge_partial, batch_format="pyarrow")
-        .repartition(1)
-        .map_batches(combine, batch_format="pyarrow", batch_size=None)
-        .to_arrow_refs()))
-    keys = edges["key"].to_numpy(zero_copy_only=False)
+    keys = _derived_edge_keys(sf_dir)
     deg = np.bincount(keys // N, minlength=N) \
         + np.bincount(keys % N, minlength=N)
     keys_ref = ray.put(keys)
@@ -19424,4 +19404,356 @@ SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_gaps,
        quantile_disc(gap, 0.9) AS p90_gap,
        CAST(sum(gap) AS DOUBLE) / count(*) AS mean_gap
 FROM j GROUP BY 1
+"""
+
+
+def q_link_prediction_cn(sf_dir: str):
+    """Common-neighbors link prediction (the classic 'people you may
+    know' score — triangle_counts counts closed wedges, this RANKS
+    the open ones): the top-10 NON-adjacent node pairs by common-
+    neighbor count on the shared bounded derived graph, ties broken
+    (count DESC, n1, n2). Physical shape: node-sharded wedge
+    emission against the broadcast sorted adjacency (each shard
+    emits its middle-nodes' C(d, 2) pairs), pair-key partials →
+    ONE pair-bucket shuffle for exact counts (a pair's key lands in
+    exactly one bucket — NO single-task pair funnel, the pair table
+    is wedge-sized; per-bucket sum + adjacency anti-join via
+    searchsorted is globally complete) → driver merge of ≤
+    10·n_buckets candidates. SQL-checked (wedge self-join +
+    NOT EXISTS oracle)."""
+    import ray
+    import ray.data as rd
+
+    from ..util import fib_bucket
+
+    N = _TRI_N
+    keys = _derived_edge_keys(sf_dir)
+    keys_ref = ray.put(keys)
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    shards = max(8, cpus)
+    n_buckets = max(64, cpus * 8)
+
+    # middle nodes = every node; shard the node range like the
+    # triangle probe (adjacency needs BOTH directions per middle node)
+    mids = np.unique(np.concatenate([keys // N, keys % N]))
+    m_tbl = pa.table({"m": pa.array(mids, pa.int64())})
+
+    def wedges(b: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        uu, vv = ks // N, ks % N
+        # bidirectional adjacency sorted by source
+        src = np.concatenate([uu, vv])
+        dst = np.concatenate([vv, uu])
+        o = np.argsort(src, kind="stable")
+        src, dst = src[o], dst[o]
+        my = b["m"].to_numpy(zero_copy_only=False)
+        starts = np.searchsorted(src, my)
+        ends = np.searchsorted(src, my + 1)
+        pks = []
+        for s, e in zip(starts, ends):
+            nb = np.sort(dst[s:e])
+            if len(nb) < 2:
+                continue
+            iy, iz = np.triu_indices(len(nb), k=1)
+            pks.append(nb[iy] * N + nb[iz])
+        if not pks:
+            return pa.table({
+                "key": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            })
+        kv, kn = np.unique(np.concatenate(pks), return_counts=True)
+        return pa.table({
+            "key": pa.array(kv, pa.int64()),
+            "partial": pa.array(kn.astype(np.int64), pa.int64()),
+        })
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        k = b["key"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "bucket", pa.array(fib_bucket(k, n_buckets), pa.int64()))
+
+    def topk(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "key": pa.array([], pa.int64()),
+                "cn": pa.array([], pa.int64()),
+            })
+        ks = ray.get(keys_ref)
+        key = g["key"].to_numpy(zero_copy_only=False)
+        v = g["partial"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(key, return_inverse=True)
+        cn = np.zeros(len(uk), np.int64)
+        np.add.at(cn, inv, v)
+        pos = np.clip(np.searchsorted(ks, uk), 0, len(ks) - 1)
+        keep = ks[pos] != uk  # NON-adjacent pairs only
+        uk, cn = uk[keep], cn[keep]
+        if len(uk) == 0:
+            return pa.table({
+                "key": pa.array([], pa.int64()),
+                "cn": pa.array([], pa.int64()),
+            })
+        o = np.lexsort((uk, -cn))[:10]
+        return pa.table({
+            "key": pa.array(uk[o], pa.int64()),
+            "cn": pa.array(cn[o], pa.int64()),
+        })
+
+    cand = pa.concat_tables(ray.get(
+        rd.from_arrow(m_tbl).repartition(shards)
+        .map_batches(wedges, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket").map_groups(topk, batch_format="pyarrow")
+        .to_arrow_refs()))
+    key = cand["key"].to_numpy(zero_copy_only=False)
+    cn = cand["cn"].to_numpy(zero_copy_only=False)
+    o = np.lexsort((key, -cn))[:10]
+    key, cn = key[o], cn[o]
+    return pa.table({
+        "n1": pa.array(key // N, pa.int64()),
+        "n2": pa.array(key % N, pa.int64()),
+        "cn": pa.array(cn, pa.int64()),
+    })
+
+
+SQL_LINK_PREDICTION_CN = f"""
+WITH raw AS (
+  SELECT (l_orderkey*7919 + l_linenumber*104729) % {_TRI_N} AS a,
+         (l_orderkey*104729 + l_partkey*7919) % {_TRI_N} AS b
+  FROM lineitem
+  UNION ALL SELECT t, t+1 FROM (SELECT (l_orderkey*6151 + 13)
+      % {_TRI_N - 2} AS t FROM lineitem WHERE l_linenumber = 1)
+  UNION ALL SELECT t+1, t+2 FROM (SELECT (l_orderkey*6151 + 13)
+      % {_TRI_N - 2} AS t FROM lineitem WHERE l_linenumber = 1)
+  UNION ALL SELECT t, t+2 FROM (SELECT (l_orderkey*6151 + 13)
+      % {_TRI_N - 2} AS t FROM lineitem WHERE l_linenumber = 1)),
+e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      FROM raw WHERE a <> b),
+d AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+w AS (SELECT d1.u AS n1, d2.u AS n2, CAST(count(*) AS BIGINT) AS cn
+      FROM d d1 JOIN d d2 ON d1.v = d2.v AND d1.u < d2.u
+      GROUP BY 1, 2)
+SELECT n1, n2, cn FROM w
+WHERE NOT EXISTS (SELECT 1 FROM e
+                  WHERE e.u = w.n1 AND e.v = w.n2)
+ORDER BY cn DESC, n1, n2 LIMIT 10
+"""
+
+
+def q_diff_in_diff(sf_dir: str):
+    """Difference-in-differences (the causal-panel readout behind
+    every launch review — ab_experiment measures a level, this
+    measures a CHANGE OF CHANGE): purchase-value cents per event,
+    cells (pre/post × control/treatment) where treatment is the
+    deterministic md5(user_id) % 2 arm device and the pre/post split
+    is the calendar midpoint (mn+mx+1)//2 of the FULL events day
+    range. One streamed pass: per-batch (day, arm) partials fold on
+    a day-BOUNDED funnel; the split and the four cells resolve
+    driver-side; each mean is ONE divide and the DiD estimate
+    mirrors the SQL op order (post_t − pre_t) − (post_c − pre_c)
+    exactly. SQL-checked."""
+    import ray
+
+    from ..util import grouped_sums_combine, md5_le64
+
+    US_PER_DAY = 86_400_000_000
+    ds = _read_split(sf_dir, "events",
+                     ["user_id", "ts", "event_type", "value"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        day = (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // US_PER_DAY)
+        isp = pc.equal(b["event_type"], "purchase") \
+            .to_numpy(zero_copy_only=False)
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        uu = np.unique(uid)
+        arms = np.fromiter(
+            (md5_le64(str(int(u)).encode("ascii")) % 2 for u in uu),
+            np.int64, len(uu))
+        arm = arms[np.searchsorted(uu, uid)]
+        cents = np.round(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        cents = np.where(isp, cents, 0)
+        npur = isp.astype(np.int64)
+        key = (day << 1) | arm
+        uk, inv = np.unique(key, return_inverse=True)
+        n = np.zeros(len(uk), np.int64)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(n, inv, npur)
+        np.add.at(s, inv, cents)
+        return pa.table({
+            "key": pa.array(uk, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "s": pa.array(s, pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["key"], ["n", "s"], ["n", "s"],
+    ).to_arrow_refs()))
+    key = t["key"].to_numpy(zero_copy_only=False)
+    n = t["n"].to_numpy(zero_copy_only=False)
+    s = t["s"].to_numpy(zero_copy_only=False)
+    day = key >> 1
+    arm = key & 1
+    split = (int(day.min()) + int(day.max()) + 1) // 2
+    post = day >= split
+
+    def cell(p, a):
+        m = (post == p) & (arm == a)
+        return int(n[m].sum()), int(s[m].sum())
+
+    n_pre_c, s_pre_c = cell(False, 0)
+    n_post_c, s_post_c = cell(True, 0)
+    n_pre_t, s_pre_t = cell(False, 1)
+    n_post_t, s_post_t = cell(True, 1)
+    m_pre_c = float(s_pre_c) / float(n_pre_c)
+    m_post_c = float(s_post_c) / float(n_post_c)
+    m_pre_t = float(s_pre_t) / float(n_pre_t)
+    m_post_t = float(s_post_t) / float(n_post_t)
+    return pa.table({
+        "n_pre_ctrl": pa.array([n_pre_c], pa.int64()),
+        "n_post_ctrl": pa.array([n_post_c], pa.int64()),
+        "n_pre_treat": pa.array([n_pre_t], pa.int64()),
+        "n_post_treat": pa.array([n_post_t], pa.int64()),
+        "mean_pre_ctrl": pa.array([m_pre_c], pa.float64()),
+        "mean_post_ctrl": pa.array([m_post_c], pa.float64()),
+        "mean_pre_treat": pa.array([m_pre_t], pa.float64()),
+        "mean_post_treat": pa.array([m_post_t], pa.float64()),
+        "did": pa.array([(m_post_t - m_pre_t) - (m_post_c - m_pre_c)],
+                        pa.float64()),
+    })
+
+
+SQL_DIFF_IN_DIFF = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+arm AS (SELECT user_id,
+        CAST(CAST('0x' || substr(md5(user_id::VARCHAR),15,2)
+                       || substr(md5(user_id::VARCHAR),13,2)
+                       || substr(md5(user_id::VARCHAR),11,2)
+                       || substr(md5(user_id::VARCHAR),9,2)
+                       || substr(md5(user_id::VARCHAR),7,2)
+                       || substr(md5(user_id::VARCHAR),5,2)
+                       || substr(md5(user_id::VARCHAR),3,2)
+                       || substr(md5(user_id::VARCHAR),1,2)
+             AS UBIGINT) % 2 AS BIGINT) AS arm
+        FROM u),
+b AS (SELECT (min(epoch_us(ts) // 86400000000)
+              + max(epoch_us(ts) // 86400000000) + 1) // 2 AS split
+      FROM events),
+p AS (SELECT e.user_id,
+             CASE WHEN epoch_us(e.ts) // 86400000000 >= b.split
+                  THEN 1 ELSE 0 END AS post,
+             CAST(round(e.value * 100.0) AS BIGINT) AS cents
+      FROM events e CROSS JOIN b
+      WHERE e.event_type = 'purchase'),
+j AS (SELECT p.post, arm.arm, p.cents
+      FROM p JOIN arm ON arm.user_id = p.user_id),
+agg AS (SELECT
+    CAST(sum(CASE WHEN post=0 AND arm=0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_pre_ctrl,
+    CAST(sum(CASE WHEN post=1 AND arm=0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_post_ctrl,
+    CAST(sum(CASE WHEN post=0 AND arm=1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_pre_treat,
+    CAST(sum(CASE WHEN post=1 AND arm=1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_post_treat,
+    CAST(sum(CASE WHEN post=0 AND arm=0 THEN cents END) AS BIGINT)
+        AS s_pre_ctrl,
+    CAST(sum(CASE WHEN post=1 AND arm=0 THEN cents END) AS BIGINT)
+        AS s_post_ctrl,
+    CAST(sum(CASE WHEN post=0 AND arm=1 THEN cents END) AS BIGINT)
+        AS s_pre_treat,
+    CAST(sum(CASE WHEN post=1 AND arm=1 THEN cents END) AS BIGINT)
+        AS s_post_treat
+  FROM j)
+SELECT n_pre_ctrl, n_post_ctrl, n_pre_treat, n_post_treat,
+       CAST(s_pre_ctrl AS DOUBLE) / CAST(n_pre_ctrl AS DOUBLE)
+           AS mean_pre_ctrl,
+       CAST(s_post_ctrl AS DOUBLE) / CAST(n_post_ctrl AS DOUBLE)
+           AS mean_post_ctrl,
+       CAST(s_pre_treat AS DOUBLE) / CAST(n_pre_treat AS DOUBLE)
+           AS mean_pre_treat,
+       CAST(s_post_treat AS DOUBLE) / CAST(n_post_treat AS DOUBLE)
+           AS mean_post_treat,
+       (CAST(s_post_treat AS DOUBLE) / CAST(n_post_treat AS DOUBLE)
+        - CAST(s_pre_treat AS DOUBLE) / CAST(n_pre_treat AS DOUBLE))
+       - (CAST(s_post_ctrl AS DOUBLE) / CAST(n_post_ctrl AS DOUBLE)
+          - CAST(s_pre_ctrl AS DOUBLE) / CAST(n_pre_ctrl AS DOUBLE))
+           AS did
+FROM agg
+"""
+
+
+def q_dim_variance_topk(sf_dir: str):
+    """Per-dimension variance ranking of the embedding table (the
+    feature-selection profile — which vector dimensions carry
+    signal; embedding_norm_stats profiles per LABEL, this profiles
+    per DIMENSION): top-5 dimensions by component variance via the
+    pinned floor(x·1e6 + 0.5) quantization, all-integer. The
+    variance ORDER key n·Σq² − (Σq)² overflows int64 past ~sf0.02,
+    so the funnel carries exact int64 (Σq, Σq², n) per dimension
+    (d-BOUNDED, zero shuffles via util.vec_mat zero-copy rows) and
+    the ranking product is evaluated in PYTHON bigints driver-side —
+    the oracle mirrors it as HUGEINT. Ties break to the lower dim.
+    No floats anywhere. SQL-checked."""
+    import ray
+
+    from ..util import grouped_sums_combine, vec_mat
+
+    ds = _read_split_few(sf_dir, "embeddings", ["embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = vec_mat(b["embedding"])
+        q = np.floor(m * 1_000_000 + 0.5).astype(np.int64)
+        d = q.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
+            "n": pa.array(np.full(d, q.shape[0], np.int64)),
+            "sum_q": pa.array(q.sum(axis=0, dtype=np.int64)),
+            "sum_q2": pa.array((q * q).sum(axis=0, dtype=np.int64)),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["dim"], ["n", "sum_q", "sum_q2"], ["n", "sum_q", "sum_q2"],
+    ).to_arrow_refs()))
+    dim = t["dim"].to_numpy(zero_copy_only=False)
+    n = t["n"].to_numpy(zero_copy_only=False)
+    sq = t["sum_q"].to_numpy(zero_copy_only=False)
+    sq2 = t["sum_q2"].to_numpy(zero_copy_only=False)
+    # Python bigints: n·Σq² − Σq·Σq exceeds int64 at modest sf
+    keyed = sorted(
+        range(len(dim)),
+        key=lambda i: (-(int(n[i]) * int(sq2[i])
+                         - int(sq[i]) * int(sq[i])), int(dim[i])))
+    top = keyed[:5]
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+        "dim": pa.array([int(dim[i]) for i in top], pa.int64()),
+        "n_vecs": pa.array([int(n[i]) for i in top], pa.int64()),
+        "sum_q": pa.array([int(sq[i]) for i in top], pa.int64()),
+        "sum_q2": pa.array([int(sq2[i]) for i in top], pa.int64()),
+    })
+
+
+SQL_DIM_VARIANCE_TOPK = """
+WITH x AS (SELECT vec_id,
+        CAST(unnest(generate_series(1, len(embedding))) AS BIGINT)
+            AS i, embedding
+      FROM embeddings),
+q AS (SELECT i - 1 AS dim,
+        CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+             AS BIGINT) AS qx
+      FROM x),
+agg AS (SELECT dim, CAST(count(*) AS BIGINT) AS n_vecs,
+        CAST(sum(qx) AS BIGINT) AS sum_q,
+        CAST(sum(qx * qx) AS BIGINT) AS sum_q2
+      FROM q GROUP BY 1),
+r AS (SELECT *, row_number() OVER (
+        ORDER BY CAST(n_vecs AS HUGEINT) * sum_q2
+               - CAST(sum_q AS HUGEINT) * sum_q DESC, dim) AS rank
+      FROM agg)
+SELECT rank, dim, n_vecs, sum_q, sum_q2 FROM r
+WHERE rank <= 5 ORDER BY rank
 """
