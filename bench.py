@@ -364,6 +364,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("link_prediction_cn", Q.q_link_prediction_cn)
     timed("diff_in_diff", Q.q_diff_in_diff)
     timed("dim_variance_topk", Q.q_dim_variance_topk)
+    timed("emd_sources", Q.q_emd_sources)
+    timed("tukey_fences", Q.q_tukey_fences)
+    timed("price_realization", Q.q_price_realization)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

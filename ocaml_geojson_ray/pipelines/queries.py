@@ -19757,3 +19757,295 @@ r AS (SELECT *, row_number() OVER (
 SELECT rank, dim, n_vecs, sum_q, sum_q2 FROM r
 WHERE rank <= 5 ORDER BY rank
 """
+
+
+def q_emd_sources(sf_dir: str):
+    """Pairwise 1-D earth-mover's distance between sources' document-
+    length distributions (distribution SHIFT with magnitude — KS
+    gives the max ECDF gap, EMD integrates it, the metric behind
+    'how far did this source drift'): for every source pair a < b,
+    EMD·nA·nB as an EXACT integer — Σ_grid |cumA·nB − cumB·nA| ·
+    (next_x − x) on the shared sorted n_chars grid (the cross-
+    multiply clears both denominators; int64 headroom holds to
+    ~sf10's nA·nB·Σgap ≈ 2.5e16). One streamed pass folds the
+    (source, n_chars) histogram (grid-BOUNDED funnel); all C(S, 2)
+    pair curves resolve driver-side (sources are a bounded set — the
+    documented assumption). SQL-checked (correlated-cum + lead(gap)
+    oracle)."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    ds = _read_split_few(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"source": b["source"], "x": b["n_chars"]})
+        return t.group_by(["source", "x"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["source", "x", "partial"])
+
+    t = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "x"], "partial", "c",
+    ).to_arrow_refs()))
+    src = np.asarray(t["source"].to_pylist(), dtype=object)
+    x = t["x"].to_numpy(zero_copy_only=False)
+    c = t["c"].to_numpy(zero_copy_only=False)
+    grid = np.unique(x)
+    gap = np.diff(grid)  # weight of [x_i, x_{i+1}); last point drops
+    us = sorted(np.unique(src))
+    cums = {}
+    ns = {}
+    for s in us:
+        m = src == s
+        h = np.zeros(len(grid), np.int64)
+        h[np.searchsorted(grid, x[m])] = c[m]
+        cums[s] = np.cumsum(h)
+        ns[s] = int(h.sum())
+    rows = []
+    for i in range(len(us)):
+        for j in range(i + 1, len(us)):
+            a, b = us[i], us[j]
+            emd = int((np.abs(cums[a][:-1] * ns[b]
+                              - cums[b][:-1] * ns[a]) * gap).sum())
+            rows.append((a, b, emd))
+    return pa.table({
+        "src_a": pa.array([r[0] for r in rows], pa.string()),
+        "src_b": pa.array([r[1] for r in rows], pa.string()),
+        "emd_scaled": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+SQL_EMD_SOURCES = """
+WITH g AS (SELECT DISTINCT n_chars AS x FROM documents),
+gl AS (SELECT x, lead(x) OVER (ORDER BY x) - x AS gap FROM g),
+srcs AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+         FROM documents GROUP BY 1),
+cum AS (SELECT s.source, gl.x, gl.gap,
+        (SELECT CAST(coalesce(count(*), 0) AS BIGINT)
+         FROM documents d
+         WHERE d.source = s.source AND d.n_chars <= gl.x) AS cu
+      FROM srcs s CROSS JOIN gl WHERE gl.gap IS NOT NULL)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(sum(abs(a.cu * nb.n - b.cu * na.n) * a.gap) AS BIGINT)
+           AS emd_scaled
+FROM cum a
+JOIN cum b ON b.x = a.x AND a.source < b.source
+JOIN srcs na ON na.source = a.source
+JOIN srcs nb ON nb.source = b.source
+GROUP BY 1, 2
+"""
+
+
+def q_tukey_fences(sf_dir: str):
+    """Tukey box-plot outlier fences per brand (the THIRD classic
+    outlier gate next to zscore_outliers' 3σ and mad_outliers' MAD —
+    the one dashboards actually draw): per brand, exact Q1/Q3 of
+    line-item price cents (quantile_disc rule) and the count outside
+    [Q1 − 1.5·IQR, Q3 + 1.5·IQR], with the 1.5 kept INTEGER via the
+    doubled comparison 2c < 2·q1 − 3·iqr / 2c > 2·q3 + 3·iqr. Scale
+    plan: map-side (brand, cents) histogram partials → histogram-row
+    brand-bucket shuffle (per-brand state is its distinct-cents
+    histogram, NEVER the raw rows) → per-brand quantile pick + fence
+    counts off the same histogram. part→brand is a DIMENSION
+    broadcast. SQL-checked."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..util import fib_bucket
+
+    pt = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_brand"])
+    pk = pt["p_partkey"].to_numpy(zero_copy_only=False)
+    brands, binv = np.unique(
+        np.asarray(pt["p_brand"].to_pylist(), dtype=object),
+        return_inverse=True)
+    order_ = np.argsort(pk)
+    dim_ref = ray.put((pk[order_], binv[order_].astype(np.int64)))
+    brand_list = [str(b) for b in brands]
+    n_brands = len(brand_list)
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(8, min(n_brands, cpus))
+    ds = _read_split(sf_dir, "lineitem",
+                     ["l_partkey", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        spk, sbid = ray.get(dim_ref)
+        bid = sbid[np.searchsorted(spk, b["l_partkey"]
+                                   .to_numpy(zero_copy_only=False))]
+        cents = np.round(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * 100.0).astype(np.int64)
+        key = bid * (1 << 40) | cents
+        if (cents >= (1 << 40)).any() or (cents < 0).any():
+            raise ValueError("tukey_fences cents pack overflow")
+        uk, inv = np.unique(key, return_inverse=True)
+        n = np.zeros(len(uk), np.int64)
+        np.add.at(n, inv, 1)
+        bidu = uk >> 40
+        return pa.table({
+            "bucket": pa.array(fib_bucket(bidu, n_buckets), pa.int64()),
+            "bid": pa.array(bidu, pa.int64()),
+            "cents": pa.array(uk & ((1 << 40) - 1), pa.int64()),
+            "partial": pa.array(n, pa.int64()),
+        })
+
+    def fences(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "p_brand": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "q1": pa.array([], pa.int64()),
+                "q3": pa.array([], pa.int64()),
+                "n_low": pa.array([], pa.int64()),
+                "n_high": pa.array([], pa.int64()),
+            })
+        bid = g["bid"].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        cnt = g["partial"].to_numpy(zero_copy_only=False)
+        out = {k: [] for k in
+               ("p_brand", "n", "q1", "q3", "n_low", "n_high")}
+        for bi in np.unique(bid):
+            m = bid == bi
+            cs, cn = cents[m], cnt[m]
+            o = np.argsort(cs)
+            cs, cn = cs[o], cn[o]
+            # fold duplicate cents rows from different partials
+            brk = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+            cs = cs[brk]
+            cn = np.add.reduceat(cn, brk)
+            cum = np.cumsum(cn)
+            n = int(cum[-1])
+
+            def at(q):
+                idx = max(0, int(np.ceil(q * n)) - 1)
+                return int(cs[np.searchsorted(cum, idx + 1)])
+
+            q1, q3 = at(0.25), at(0.75)
+            iqr = q3 - q1
+            lo = (2 * cs < 2 * q1 - 3 * iqr)
+            hi = (2 * cs > 2 * q3 + 3 * iqr)
+            out["p_brand"].append(brand_list[int(bi)])
+            out["n"].append(n)
+            out["q1"].append(q1)
+            out["q3"].append(q3)
+            out["n_low"].append(int(cn[lo].sum()))
+            out["n_high"].append(int(cn[hi].sum()))
+        return pa.table({
+            "p_brand": pa.array(out["p_brand"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "q1": pa.array(out["q1"], pa.int64()),
+            "q3": pa.array(out["q3"], pa.int64()),
+            "n_low": pa.array(out["n_low"], pa.int64()),
+            "n_high": pa.array(out["n_high"], pa.int64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(fences, batch_format="pyarrow")
+
+
+SQL_TUKEY_FENCES = """
+WITH c AS (SELECT p.p_brand,
+        CAST(round(l.l_extendedprice * 100.0) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+q AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        quantile_disc(cents, 0.25) AS q1,
+        quantile_disc(cents, 0.75) AS q3
+      FROM c GROUP BY 1)
+SELECT q.p_brand, q.n, q.q1, q.q3,
+       CAST(coalesce(sum(CASE WHEN 2 * c.cents
+                < 2 * q.q1 - 3 * (q.q3 - q.q1) THEN 1 END), 0)
+            AS BIGINT) AS n_low,
+       CAST(coalesce(sum(CASE WHEN 2 * c.cents
+                > 2 * q.q3 + 3 * (q.q3 - q.q1) THEN 1 END), 0)
+            AS BIGINT) AS n_high
+FROM q JOIN c ON c.p_brand = q.p_brand
+GROUP BY 1, 2, 3, 4
+"""
+
+
+def q_price_realization(sf_dir: str):
+    """Catalog-vs-realized price audit per brand (the merchandising
+    'are we selling at list' readout): per brand, the catalog value
+    Σ retail_cents·qty of every unit moved vs the realized revenue
+    Σ extended_cents, and the realization ratio as ONE divide of the
+    two exact int64 sums. part→(brand, retail cents) is a DIMENSION
+    broadcast; one streamed lineitem pass with a brand-BOUNDED
+    funnel, zero shuffles. SQL-checked."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..util import grouped_sums_combine
+
+    pt = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_brand",
+                                "p_retailprice"])
+    pk = pt["p_partkey"].to_numpy(zero_copy_only=False)
+    rc = np.floor(pt["p_retailprice"].to_numpy(zero_copy_only=False)
+                  * 100 + 0.5).astype(np.int64)
+    brands, binv = np.unique(
+        np.asarray(pt["p_brand"].to_pylist(), dtype=object),
+        return_inverse=True)
+    order_ = np.argsort(pk)
+    dim_ref = ray.put((pk[order_], binv[order_].astype(np.int64),
+                       rc[order_]))
+    brand_list = [str(b) for b in brands]
+
+    ds = _read_split(sf_dir, "lineitem",
+                     ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        spk, sbid, src = ray.get(dim_ref)
+        pos = np.searchsorted(spk, b["l_partkey"]
+                              .to_numpy(zero_copy_only=False))
+        bid = sbid[pos]
+        retail = src[pos]
+        qty = np.round(b["l_quantity"]
+                       .to_numpy(zero_copy_only=False)).astype(np.int64)
+        ext = np.round(b["l_extendedprice"]
+                       .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        ub, inv = np.unique(bid, return_inverse=True)
+        cat = np.zeros(len(ub), np.int64)
+        real = np.zeros(len(ub), np.int64)
+        np.add.at(cat, inv, retail * qty)
+        np.add.at(real, inv, ext)
+        return pa.table({
+            "bid": pa.array(ub, pa.int64()),
+            "catalog_cents": pa.array(cat, pa.int64()),
+            "realized_cents": pa.array(real, pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["bid"], ["catalog_cents", "realized_cents"],
+        ["catalog_cents", "realized_cents"],
+    ).to_arrow_refs()))
+    bid = t["bid"].to_numpy(zero_copy_only=False)
+    cat = t["catalog_cents"].to_numpy(zero_copy_only=False)
+    real = t["realized_cents"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "p_brand": pa.array([brand_list[int(i)] for i in bid],
+                            pa.string()),
+        "catalog_cents": t["catalog_cents"],
+        "realized_cents": t["realized_cents"],
+        "realization": pa.array(
+            [float(r) / float(c) for r, c in zip(real, cat)],
+            pa.float64()),
+    })
+
+
+SQL_PRICE_REALIZATION = """
+WITH j AS (SELECT p.p_brand,
+        CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT)
+            * CAST(round(l.l_quantity) AS BIGINT) AS cat,
+        CAST(round(l.l_extendedprice * 100.0) AS BIGINT) AS ext
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)
+SELECT p_brand,
+       CAST(sum(cat) AS BIGINT) AS catalog_cents,
+       CAST(sum(ext) AS BIGINT) AS realized_cents,
+       CAST(sum(ext) AS DOUBLE) / CAST(sum(cat) AS DOUBLE)
+           AS realization
+FROM j GROUP BY 1
+"""
