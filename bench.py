@@ -367,6 +367,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("emd_sources", Q.q_emd_sources)
     timed("tukey_fences", Q.q_tukey_fences)
     timed("price_realization", Q.q_price_realization)
+    timed("cusum_alarm", Q.q_cusum_alarm)
+    timed("cvar_daily", Q.q_cvar_daily)
+    timed("business_day_shift", Q.q_business_day_shift)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

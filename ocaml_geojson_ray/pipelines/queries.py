@@ -20049,3 +20049,203 @@ SELECT p_brand,
            AS realization
 FROM j GROUP BY 1
 """
+
+
+def q_cusum_alarm(sf_dir: str):
+    """CUSUM sequential drift alarm (the ONLINE changepoint monitor —
+    changepoint_days scans for the single best split offline, CUSUM
+    carries tamper-evident state day by day): on the dense daily
+    event-count grid, S_t = max(0, S_{t−1} + x_t − k) with the
+    integer reference k = ⌈mean⌉ = (total + n_days − 1)//n_days and
+    alarm when S_t > h = 3k. All-integer recursion: the distributed
+    part is the calendar-BOUNDED daily-count funnel; the O(days)
+    state walk is driver-side (sequentially dependent by
+    definition). SQL-checked via a RECURSIVE CTE walking the same
+    recurrence (the linear-recursion oracle device — pagerank
+    unrolls fixed rounds, this recurses the data-length chain)."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    US_PER_DAY = 86_400_000_000
+    ds = _read_split_few(sf_dir, "events", ["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+             // US_PER_DAY)
+        ud, cnt = np.unique(d, return_counts=True)
+        return pa.table({
+            "day": pa.array(ud, pa.int64()),
+            "partial": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day"], "partial", "n",
+    ).to_arrow_refs()))
+    day = t["day"].to_numpy(zero_copy_only=False)
+    n = t["n"].to_numpy(zero_copy_only=False)
+    grid = np.arange(int(day.min()), int(day.max()) + 1)
+    x = np.zeros(len(grid), np.int64)
+    x[np.searchsorted(grid, day)] = n
+    total = int(x.sum())
+    k = (total + len(grid) - 1) // len(grid)
+    h = 3 * k
+    s = np.zeros(len(grid), np.int64)
+    acc = 0
+    for i in range(len(grid)):
+        acc = max(0, acc + int(x[i]) - k)
+        s[i] = acc
+    return pa.table({
+        "day": pa.array(grid, pa.int64()),
+        "n": pa.array(x, pa.int64()),
+        "s": pa.array(s, pa.int64()),
+        "alarm": pa.array((s > h).astype(np.int64), pa.int64()),
+    })
+
+
+SQL_CUSUM_ALARM = """
+WITH RECURSIVE
+raw AS (SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n
+        FROM events GROUP BY 1),
+b AS (SELECT min(day) AS mn, max(day) AS mx FROM raw),
+grid AS (SELECT CAST(unnest(generate_series(mn, mx)) AS BIGINT)
+             AS day FROM b),
+c AS (SELECT grid.day, CAST(coalesce(raw.n, 0) AS BIGINT) AS n
+      FROM grid LEFT JOIN raw ON raw.day = grid.day),
+p AS (SELECT CAST((sum(n) + count(*) - 1) // count(*) AS BIGINT)
+          AS k FROM c),
+r AS (SELECT c.day, c.n,
+             CAST(greatest(0, c.n - (SELECT k FROM p)) AS BIGINT)
+                 AS s
+      FROM c WHERE c.day = (SELECT mn FROM b)
+      UNION ALL
+      SELECT c.day, c.n,
+             CAST(greatest(0, r.s + c.n - (SELECT k FROM p))
+                  AS BIGINT) AS s
+      FROM r JOIN c ON c.day = r.day + 1)
+SELECT day, n, s,
+       CAST(s > 3 * (SELECT k FROM p) AS BIGINT) AS alarm
+FROM r
+"""
+
+
+def q_cvar_daily(sf_dir: str):
+    """Value-at-risk / expected shortfall of daily revenue (the tail
+    statistic treasury actually reports — revenue_drawdown tracks
+    the running peak, this quantifies the BAD-day tail): over daily
+    order-revenue cents, the 5% VaR (quantile_disc rule on the
+    day-BOUNDED funnel) and CVaR = exact-integer mean of the days at
+    or below it (ONE divide). SQL-checked."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    US_PER_DAY = 86_400_000_000
+    ds = _read_split_few(sf_dir, "orders",
+                         ["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = (b["o_orderdate"].cast(pa.int64())
+             .to_numpy(zero_copy_only=False) // US_PER_DAY)
+        cents = np.floor(
+            b["o_totalprice"].to_numpy(zero_copy_only=False)
+            * 100 + 0.5).astype(np.int64)
+        ud, inv = np.unique(d, return_inverse=True)
+        s = np.zeros(len(ud), np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({
+            "day": pa.array(ud, pa.int64()),
+            "partial": pa.array(s, pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day"], "partial", "rev",
+    ).to_arrow_refs()))
+    rev = np.sort(t["rev"].to_numpy(zero_copy_only=False))
+    n = len(rev)
+    var_c = int(rev[max(0, int(np.ceil(0.05 * n)) - 1)])
+    tail = rev[rev <= var_c]
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "n_tail": pa.array([len(tail)], pa.int64()),
+        "var_cents": pa.array([var_c], pa.int64()),
+        "cvar_cents": pa.array(
+            [float(int(tail.sum())) / float(len(tail))], pa.float64()),
+    })
+
+
+SQL_CVAR_DAILY = """
+WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS rev
+      FROM orders GROUP BY 1),
+v AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+             quantile_disc(rev, 0.05) AS var_cents
+      FROM d)
+SELECT v.n_days,
+       CAST((SELECT count(*) FROM d WHERE rev <= v.var_cents)
+            AS BIGINT) AS n_tail,
+       v.var_cents,
+       CAST((SELECT sum(rev) FROM d WHERE rev <= v.var_cents)
+            AS DOUBLE)
+           / CAST((SELECT count(*) FROM d WHERE rev <= v.var_cents)
+                  AS DOUBLE) AS cvar_cents
+FROM v
+"""
+
+
+def q_business_day_shift(sf_dir: str):
+    """Business-day normalization (the calendar roll-forward every
+    settlement pipeline applies — weekend bookings post on Monday):
+    order revenue re-attributed from the calendar day to the next
+    business day (Saturday +2, Sunday +1 via the integer
+    (epoch_day + 4) % 7 dow device, 0 = Sunday matching DuckDB
+    dayofweek), per-business-day totals on the day-BOUNDED funnel.
+    One streamed pass, zero shuffles. SQL-checked."""
+    import ray
+
+    from ..util import grouped_sums_combine
+
+    US_PER_DAY = 86_400_000_000
+    ds = _read_split_few(sf_dir, "orders",
+                         ["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = (b["o_orderdate"].cast(pa.int64())
+             .to_numpy(zero_copy_only=False) // US_PER_DAY)
+        dow = (d + 4) % 7
+        bd = d + np.where(dow == 6, 2, np.where(dow == 0, 1, 0))
+        cents = np.floor(
+            b["o_totalprice"].to_numpy(zero_copy_only=False)
+            * 100 + 0.5).astype(np.int64)
+        ud, inv = np.unique(bd, return_inverse=True)
+        s = np.zeros(len(ud), np.int64)
+        c = np.zeros(len(ud), np.int64)
+        np.add.at(s, inv, cents)
+        np.add.at(c, inv, 1)
+        return pa.table({
+            "bday": pa.array(ud, pa.int64()),
+            "n_orders": pa.array(c, pa.int64()),
+            "revenue_cents": pa.array(s, pa.int64()),
+        })
+
+    return grouped_sums_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["bday"], ["n_orders", "revenue_cents"],
+        ["n_orders", "revenue_cents"],
+    )
+
+
+SQL_BUSINESS_DAY_SHIFT = """
+WITH o AS (SELECT epoch_us(o_orderdate) // 86400000000
+               + CASE WHEN dayofweek(o_orderdate) = 6 THEN 2
+                      WHEN dayofweek(o_orderdate) = 0 THEN 1
+                      ELSE 0 END AS bday,
+        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders)
+SELECT bday, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM o GROUP BY 1
+"""
