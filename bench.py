@@ -370,6 +370,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("cusum_alarm", Q.q_cusum_alarm)
     timed("cvar_daily", Q.q_cvar_daily)
     timed("business_day_shift", Q.q_business_day_shift)
+    timed("price_volume_decomposition", Q.q_price_volume_decomposition)
+    timed("brand_loyalty", Q.q_brand_loyalty)
+    timed("multikey_er_clusters", Q.q_multikey_er_clusters)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

@@ -20249,3 +20249,379 @@ SELECT bday, CAST(count(*) AS BIGINT) AS n_orders,
        CAST(sum(cents) AS BIGINT) AS revenue_cents
 FROM o GROUP BY 1
 """
+
+
+def q_price_volume_decomposition(sf_dir: str):
+    """Price/volume bridge (the Oaxaca-style revenue-change
+    decomposition every quarterly review shows — price_index tracks a
+    basket level, this EXPLAINS a delta): lineitem ship-months split
+    at the calendar midpoint into period 0/1; per brand, exact int64
+    (q0, q1, r0, r1) fold under the DIMENSION contract, then
+    volume_effect = (q1−q0)·(r0/q0) at period-0 realized unit value
+    and price_effect = ΔR − volume_effect, mirrored op-for-op in
+    floats on both sides (products stay in doubles — the int64 cross
+    product q·r overflows past ~sf1). Brands missing from either
+    period drop. One streamed pass, brand-BOUNDED funnel, part→brand
+    broadcast. SQL-checked."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..util import grouped_sums_combine
+
+    US_PER_DAY = 86_400_000_000
+    pt = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_brand"])
+    pk = pt["p_partkey"].to_numpy(zero_copy_only=False)
+    brands, binv = np.unique(
+        np.asarray(pt["p_brand"].to_pylist(), dtype=object),
+        return_inverse=True)
+    order_ = np.argsort(pk)
+    dim_ref = ray.put((pk[order_], binv[order_].astype(np.int64)))
+    brand_list = [str(b) for b in brands]
+
+    ds = _read_split(sf_dir, "lineitem",
+                     ["l_partkey", "l_shipdate", "l_quantity",
+                      "l_extendedprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        spk, sbid = ray.get(dim_ref)
+        bid = sbid[np.searchsorted(spk, b["l_partkey"]
+                                   .to_numpy(zero_copy_only=False))]
+        mon = (b["l_shipdate"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // US_PER_DAY) // 30
+        qty = np.round(b["l_quantity"]
+                       .to_numpy(zero_copy_only=False)).astype(np.int64)
+        ext = np.round(b["l_extendedprice"]
+                       .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        # (brand, month) partials; the period split needs the GLOBAL
+        # month range, so the fold stays month-keyed
+        key = (bid << 20) | mon
+        if (mon >= (1 << 20)).any() or (mon < 0).any():
+            raise ValueError("price_volume pack overflow")
+        uk, inv = np.unique(key, return_inverse=True)
+        q = np.zeros(len(uk), np.int64)
+        r = np.zeros(len(uk), np.int64)
+        np.add.at(q, inv, qty)
+        np.add.at(r, inv, ext)
+        return pa.table({
+            "key": pa.array(uk, pa.int64()),
+            "q": pa.array(q, pa.int64()),
+            "r": pa.array(r, pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["key"], ["q", "r"], ["q", "r"],
+    ).to_arrow_refs()))
+    key = t["key"].to_numpy(zero_copy_only=False)
+    q = t["q"].to_numpy(zero_copy_only=False)
+    r = t["r"].to_numpy(zero_copy_only=False)
+    bid = key >> 20
+    mon = key & ((1 << 20) - 1)
+    split = (int(mon.min()) + int(mon.max()) + 1) // 2
+    p1 = mon >= split
+    rows = []
+    for bi in np.unique(bid):
+        m0 = (bid == bi) & ~p1
+        m1 = (bid == bi) & p1
+        q0, q1 = int(q[m0].sum()), int(q[m1].sum())
+        r0, r1 = int(r[m0].sum()), int(r[m1].sum())
+        if q0 == 0 or q1 == 0:
+            continue
+        vol = float(q1 - q0) * (float(r0) / float(q0))
+        rows.append((brand_list[int(bi)], q0, q1, r0, r1, vol,
+                     (float(r1) - float(r0)) - vol))
+    return pa.table({
+        "p_brand": pa.array([x[0] for x in rows], pa.string()),
+        "q0": pa.array([x[1] for x in rows], pa.int64()),
+        "q1": pa.array([x[2] for x in rows], pa.int64()),
+        "r0": pa.array([x[3] for x in rows], pa.int64()),
+        "r1": pa.array([x[4] for x in rows], pa.int64()),
+        "volume_effect": pa.array([x[5] for x in rows], pa.float64()),
+        "price_effect": pa.array([x[6] for x in rows], pa.float64()),
+    })
+
+
+SQL_PRICE_VOLUME_DECOMPOSITION = """
+WITH l AS (SELECT p.p_brand,
+        (epoch_us(l.l_shipdate) // 86400000000) // 30 AS mon,
+        CAST(round(l.l_quantity) AS BIGINT) AS qty,
+        CAST(round(l.l_extendedprice * 100.0) AS BIGINT) AS ext
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+b AS (SELECT (min(mon) + max(mon) + 1) // 2 AS split FROM l),
+agg AS (SELECT p_brand,
+        CAST(sum(CASE WHEN mon < b.split THEN qty ELSE 0 END)
+             AS BIGINT) AS q0,
+        CAST(sum(CASE WHEN mon >= b.split THEN qty ELSE 0 END)
+             AS BIGINT) AS q1,
+        CAST(sum(CASE WHEN mon < b.split THEN ext ELSE 0 END)
+             AS BIGINT) AS r0,
+        CAST(sum(CASE WHEN mon >= b.split THEN ext ELSE 0 END)
+             AS BIGINT) AS r1
+      FROM l CROSS JOIN b GROUP BY 1)
+SELECT p_brand, q0, q1, r0, r1,
+       CAST(q1 - q0 AS DOUBLE)
+           * (CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE))
+           AS volume_effect,
+       (CAST(r1 AS DOUBLE) - CAST(r0 AS DOUBLE))
+           - CAST(q1 - q0 AS DOUBLE)
+             * (CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE))
+           AS price_effect
+FROM agg WHERE q0 > 0 AND q1 > 0
+"""
+
+
+def q_brand_loyalty(sf_dir: str):
+    """Share-of-wallet concentration (the loyalty segmentation behind
+    'exclusive / repertoire buyer' labels): per customer, the share
+    of their line items in their single top brand (ties to the
+    lex-lower brand via the id order), binned as the integer decile
+    (10·top)//total (10 = fully exclusive), reported as a customer
+    histogram. Two bucket shuffles — orderkey co-bucket maps lines
+    to customers (header/lines two-table device), then a customer
+    bucket completes each customer's brand profile; the funnel is
+    bin-BOUNDED. part→brand broadcast. SQL-checked."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..util import fib_bucket, grouped_sum_combine
+
+    pt = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_brand"])
+    pk = pt["p_partkey"].to_numpy(zero_copy_only=False)
+    brands, binv = np.unique(
+        np.asarray(pt["p_brand"].to_pylist(), dtype=object),
+        return_inverse=True)
+    order_ = np.argsort(pk)
+    dim_ref = ray.put((pk[order_], binv[order_].astype(np.int64)))
+    if len(brands) >= 256:
+        raise ValueError("brand_loyalty id pack assumes < 256")
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nb = max(4, cpus // 4)
+    n_buckets = max(64, cpus * 8)
+    lines = split_read(f"{sf_dir}/lineitem.parquet",
+                       ["l_orderkey", "l_partkey"], nb)
+    orders = split_read(f"{sf_dir}/orders.parquet",
+                        ["o_orderkey", "o_custkey"], nb)
+
+    def pre_lines(b: pa.Table) -> pa.Table:
+        spk, sbid = ray.get(dim_ref)
+        ok_ = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        bid = sbid[np.searchsorted(spk, b["l_partkey"]
+                                   .to_numpy(zero_copy_only=False))]
+        return pa.table({
+            "bucket": pa.array(fib_bucket(ok_, n_buckets), pa.int64()),
+            "ok": pa.array(ok_, pa.int64()),
+            "val": pa.array(bid, pa.int64()),
+            "is_order": pa.array(np.zeros(len(ok_), bool)),
+        })
+
+    def pre_orders(b: pa.Table) -> pa.Table:
+        ok_ = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(ok_, n_buckets), pa.int64()),
+            "ok": pa.array(ok_, pa.int64()),
+            "val": b["o_custkey"].cast(pa.int64()),
+            "is_order": pa.array(np.ones(len(ok_), bool)),
+        })
+
+    def to_cust(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "bucket": pa.array([], pa.int64()),
+                "cb": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            })
+        ok_ = g["ok"].to_numpy(zero_copy_only=False)
+        val = g["val"].to_numpy(zero_copy_only=False)
+        iso = g["is_order"].to_numpy(zero_copy_only=False)
+        lk = ok_[iso]
+        lc = val[iso]
+        if len(lk) == 0:
+            return pa.table({
+                "bucket": pa.array([], pa.int64()),
+                "cb": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            })
+        o = np.argsort(lk)
+        lk, lc = lk[o], lc[o]
+        pos = np.clip(np.searchsorted(lk, ok_[~iso]), 0, len(lk) - 1)
+        hasm = lk[pos] == ok_[~iso]
+        cust = lc[pos][hasm]
+        bid = val[~iso][hasm]
+        cb = (cust << 8) | bid
+        uk, kn = np.unique(cb, return_counts=True)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(uk >> 8, n_buckets),
+                               pa.int64()),
+            "cb": pa.array(uk, pa.int64()),
+            "n": pa.array(kn.astype(np.int64), pa.int64()),
+        })
+
+    def deciles(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "share_decile": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            })
+        cb = g["cb"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        # fold split partials of the same (cust, brand) cell
+        uk, inv = np.unique(cb, return_inverse=True)
+        cnt = np.zeros(len(uk), np.int64)
+        np.add.at(cnt, inv, n)
+        cust = uk >> 8
+        uc, cinv = np.unique(cust, return_inverse=True)
+        top = np.zeros(len(uc), np.int64)
+        np.maximum.at(top, cinv, cnt)
+        tot = np.zeros(len(uc), np.int64)
+        np.add.at(tot, cinv, cnt)
+        dec = (top * 10) // tot
+        dv, dn = np.unique(dec, return_counts=True)
+        return pa.table({
+            "share_decile": pa.array(dv, pa.int64()),
+            "partial": pa.array(dn.astype(np.int64), pa.int64()),
+        })
+
+    tagged = lines.map_batches(pre_lines, batch_format="pyarrow") \
+        .union(orders.map_batches(pre_orders, batch_format="pyarrow"))
+    return grouped_sum_combine(
+        tagged.groupby("bucket").map_groups(to_cust,
+                                            batch_format="pyarrow")
+        .groupby("bucket").map_groups(deciles, batch_format="pyarrow"),
+        ["share_decile"], "partial", "n_customers",
+    )
+
+
+SQL_BRAND_LOYALTY = """
+WITH cb AS (SELECT o.o_custkey AS cust, p.p_brand,
+        CAST(count(*) AS BIGINT) AS n
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2),
+c AS (SELECT cust, CAST(max(n) AS BIGINT) AS top,
+        CAST(sum(n) AS BIGINT) AS tot
+      FROM cb GROUP BY 1)
+SELECT (top * 10) // tot AS share_decile,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM c GROUP BY 1
+"""
+
+
+def q_multikey_er_clusters(sf_dir: str):
+    """Multi-key entity resolution (the 'same account if email OR
+    device matches' clustering — dedup_clusters closes over ONE pair
+    generator, this unions TWO blocking keys): users link when they
+    share attribute A (uid//3) or the SPARSE attribute B (uid//7,
+    held only by uids with uid%97 < 5 — the derivation keeps
+    components local and small at every sf). Per-attribute groups
+    are BOUNDED (≤ 3 / ≤ 7 members), so one attr-bucket shuffle
+    emits star edges to each group's min member; the transitive
+    closure runs on stages/cc.py's adaptive hash-to-min plan; the
+    readout is the cluster-size histogram plus the singleton count.
+    SQL-checked (recursive-CTE reachability oracle)."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.cc import dedup_clusters
+    from ..util import fib_bucket
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "events", ["user_id"])
+
+    def attrs(b: pa.Table) -> pa.Table:
+        uid = np.unique(b["user_id"].to_numpy(zero_copy_only=False))
+        if len(uid) and (int(uid.max()) >= (1 << 20)
+                         or int(uid.min()) < 0):
+            raise ValueError("multikey_er uid pack overflow")
+        a = uid // 3
+        bm = (uid % 97) < 5
+        tagged_attr = np.concatenate([a << 1, ((uid[bm] // 7) << 1) | 1])
+        uids = np.concatenate([uid, uid[bm]])
+        return pa.table({
+            "bucket": pa.array(fib_bucket(tagged_attr, n_buckets),
+                               pa.int64()),
+            "attr": pa.array(tagged_attr, pa.int64()),
+            "uid": pa.array(uids, pa.int64()),
+        })
+
+    def star_edges(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "a_id": pa.array([], pa.int64()),
+                "b_id": pa.array([], pa.int64()),
+            })
+        attr = g["attr"].to_numpy(zero_copy_only=False)
+        uid = g["uid"].to_numpy(zero_copy_only=False)
+        pk = np.unique((attr << 20) | uid)  # uid < 2^20 by domain
+        at = pk >> 20
+        us = pk & ((1 << 20) - 1)
+        brk = np.flatnonzero(np.r_[True, at[1:] != at[:-1]])
+        gid = np.cumsum(np.r_[True, at[1:] != at[:-1]]) - 1
+        mins = us[brk][gid]
+        keep = us != mins
+        return pa.table({
+            "a_id": pa.array(mins[keep], pa.int64()),
+            "b_id": pa.array(us[keep], pa.int64()),
+        })
+
+    pairs = ds.map_batches(attrs, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(star_edges,
+                                      batch_format="pyarrow")
+    comp = pa.concat_tables(ray.get(
+        dedup_clusters(pairs).to_arrow_refs()))
+    # distinct users (for the singleton count): small driver fold of
+    # per-batch uniques
+    uu = np.unique(np.concatenate(
+        [c["uid"].to_numpy(zero_copy_only=False) for c in ray.get(
+            ds.map_batches(
+                lambda b: pa.table({"uid": pa.array(np.unique(
+                    b["user_id"].to_numpy(zero_copy_only=False)),
+                    pa.int64())}),
+                batch_format="pyarrow").to_arrow_refs())]))
+    cid = comp["cluster_id"].to_numpy(zero_copy_only=False)
+    doc = comp["doc_id"].to_numpy(zero_copy_only=False)
+    sz = comp["cluster_size"].to_numpy(zero_copy_only=False)
+    own = doc == cid
+    sv, sn = np.unique(sz[own], return_counts=True)
+    n_single = len(uu) - len(doc)
+    sizes = list(sv.astype(np.int64))
+    counts = list(sn.astype(np.int64))
+    if n_single > 0:
+        sizes = [np.int64(1)] + sizes
+        counts = [np.int64(n_single)] + counts
+    return pa.table({
+        "cluster_size": pa.array(sizes, pa.int64()),
+        "n_clusters": pa.array(counts, pa.int64()),
+    })
+
+
+SQL_MULTIKEY_ER_CLUSTERS = """
+WITH RECURSIVE u AS (SELECT DISTINCT user_id AS uid FROM events),
+ea AS (SELECT a.uid AS u, b.uid AS v FROM u a JOIN u b
+       ON a.uid // 3 = b.uid // 3 AND a.uid < b.uid),
+eb AS (SELECT a.uid AS u, b.uid AS v FROM u a JOIN u b
+       ON a.uid % 97 < 5 AND b.uid % 97 < 5
+          AND a.uid // 7 = b.uid // 7 AND a.uid < b.uid),
+e AS (SELECT u, v FROM ea UNION SELECT u, v FROM eb
+      UNION SELECT v, u FROM ea UNION SELECT v, u FROM eb),
+reach(src, node) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM e)
+    UNION
+    SELECT r.src, e.v FROM reach r JOIN e ON e.u = r.node),
+comp AS (SELECT src AS uid, min(node) AS cid FROM reach GROUP BY 1),
+sizes AS (SELECT cid, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM comp GROUP BY 1),
+hist AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         FROM sizes GROUP BY 1
+         UNION ALL
+         SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT)
+         FROM u WHERE uid NOT IN (SELECT uid FROM comp)
+         HAVING count(*) > 0)
+SELECT cluster_size, CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+FROM hist GROUP BY 1
+"""
