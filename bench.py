@@ -373,6 +373,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("price_volume_decomposition", Q.q_price_volume_decomposition)
     timed("brand_loyalty", Q.q_brand_loyalty)
     timed("multikey_er_clusters", Q.q_multikey_er_clusters)
+    timed("term_positions", Q.q_term_positions)
+    timed("vocab_growth", Q.q_vocab_growth)
+    timed("new_vs_returning_revenue", Q.q_new_vs_returning_revenue)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

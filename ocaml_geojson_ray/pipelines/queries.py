@@ -20625,3 +20625,268 @@ hist AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
 SELECT cluster_size, CAST(sum(n_clusters) AS BIGINT) AS n_clusters
 FROM hist GROUP BY 1
 """
+
+
+def q_term_positions(sf_dir: str):
+    """Term front-loading profile (WHERE in documents a term first
+    appears — the lead-burying signal behind extractive-summary and
+    keyword-position features; top_words counts occurrences, this
+    measures placement): per vocabulary term, the number of docs
+    containing it, the exact Σ of its FIRST 1-based token position,
+    and the mean as ONE divide. Tokens come from the shared
+    definitional `[ \\t\\n\\r\\f\\v]+` split (empty tokens dropped,
+    positions measured in the FILTERED list on both sides). One
+    streamed pass — per-batch dictionary-encode + lexsorted
+    first-occurrence scan, vocab-BOUNDED funnel. SQL-checked
+    (zipped double-unnest + min(pos) oracle)."""
+    import ray
+    import ray.data as rd
+
+    from ..util import grouped_sums_combine
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.cast(b["text"], pa.string()), pattern="[ \t\n\r\f\v]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens_raw = pc.list_value_length(toks) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = toks.values
+        keep = pc.and_(flat.is_valid(),
+                       pc.not_equal(flat, "")) \
+            .to_numpy(zero_copy_only=False)
+        docidx_all = np.repeat(np.arange(len(lens_raw)), lens_raw)
+        docidx = docidx_all[keep]
+        # 1-based position within the FILTERED token list of each doc
+        brk = np.flatnonzero(np.r_[True, docidx[1:] != docidx[:-1]])
+        seg = np.cumsum(np.r_[True, docidx[1:] != docidx[:-1]]) - 1
+        pos = np.arange(len(docidx)) \
+            - np.flatnonzero(np.r_[True, docidx[1:] != docidx[:-1]])[seg] + 1
+        enc = flat.filter(pa.array(keep)).dictionary_encode()
+        tid = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((pos, tid, docidx))
+        d_s, t_s, p_s = docidx[order], tid[order], pos[order]
+        first = np.r_[True, (d_s[1:] != d_s[:-1])
+                      | (t_s[1:] != t_s[:-1])]
+        ft, fp = t_s[first], p_s[first]
+        ut, inv = np.unique(ft, return_inverse=True)
+        nd = np.bincount(inv, minlength=len(ut)).astype(np.int64)
+        sp = np.zeros(len(ut), np.int64)
+        np.add.at(sp, inv, fp)
+        words = enc.dictionary.take(pa.array(ut, pa.int64()))
+        return pa.table({
+            "word": words,
+            "n_docs": pa.array(nd, pa.int64()),
+            "sum_first_pos": pa.array(sp, pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["word"], ["n_docs", "sum_first_pos"],
+        ["n_docs", "sum_first_pos"],
+    ).to_arrow_refs()))
+    nd = t["n_docs"].to_numpy(zero_copy_only=False)
+    sp = t["sum_first_pos"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "word": t["word"],
+        "n_docs": t["n_docs"],
+        "sum_first_pos": t["sum_first_pos"],
+        "mean_first_pos": pa.array(
+            [float(s) / float(n) for s, n in zip(sp, nd)],
+            pa.float64()),
+    })
+
+
+SQL_TERM_POSITIONS = r"""
+WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'),
+                    x -> x <> '') AS toks
+      FROM documents),
+x AS (SELECT doc_id, unnest(toks) AS word,
+        CAST(unnest(generate_series(1, len(toks))) AS BIGINT) AS pos
+      FROM t),
+f AS (SELECT doc_id, word, min(pos) AS p FROM x GROUP BY 1, 2)
+SELECT word, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p) AS BIGINT) AS sum_first_pos,
+       CAST(sum(p) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS mean_first_pos
+FROM f GROUP BY 1
+"""
+
+
+def q_vocab_growth(sf_dir: str):
+    """Heaps'-law vocabulary growth curve (how fast the corpus stops
+    teaching you new words — the readout behind 'is more data still
+    adding vocabulary'): at 10 evenly spaced doc_id thresholds
+    t_i = mn + ((mx−mn+1)·i)//10, the number of distinct terms whose
+    FIRST document (min doc_id) precedes t_i. Per-term min-doc
+    partials fold on the vocab-BOUNDED funnel (driver-side
+    np.minimum fold — grouped_sum_combine is sums-only); the probe
+    ladder is a 10-row readout. Same definitional tokenizer.
+    SQL-checked."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.cast(b["text"], pa.string()), pattern="[ \t\n\r\f\v]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({
+                "word": pa.array([], pa.string()),
+                "first_doc": pa.array([], pa.int64()),
+                "id_lo": pa.array([], pa.int64()),
+                "id_hi": pa.array([], pa.int64()),
+            })
+        lens = pc.list_value_length(toks) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = toks.values
+        keep = pc.and_(flat.is_valid(), pc.not_equal(flat, "")) \
+            .to_numpy(zero_copy_only=False)
+        docid = np.repeat(ids, lens)[keep]
+        enc = flat.filter(pa.array(keep)).dictionary_encode()
+        tid = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ut, inv = np.unique(tid, return_inverse=True)
+        mn = np.full(len(ut), np.iinfo(np.int64).max)
+        np.minimum.at(mn, inv, docid)
+        return pa.table({
+            "word": enc.dictionary.take(pa.array(ut, pa.int64())),
+            "first_doc": pa.array(mn, pa.int64()),
+            "id_lo": pa.array(np.full(len(ut), int(ids.min()),
+                                      np.int64)),
+            "id_hi": pa.array(np.full(len(ut), int(ids.max()),
+                                      np.int64)),
+        })
+
+    t = pa.concat_tables(ray.get(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_arrow_refs()))
+    words = np.asarray(t["word"].to_pylist(), dtype=object)
+    fd = t["first_doc"].to_numpy(zero_copy_only=False)
+    mn_id = int(t["id_lo"].to_numpy(zero_copy_only=False).min())
+    mx_id = int(t["id_hi"].to_numpy(zero_copy_only=False).max())
+    order = np.argsort(fd, kind="stable")
+    uw, uidx = np.unique(words[order], return_index=True)
+    first = fd[order][uidx]  # min first_doc per word (stable sort)
+    rows = []
+    for i in range(1, 11):
+        thr = mn_id + ((mx_id - mn_id + 1) * i) // 10
+        rows.append((i, thr, int((first < thr).sum())))
+    return pa.table({
+        "probe": pa.array([r[0] for r in rows], pa.int64()),
+        "thr": pa.array([r[1] for r in rows], pa.int64()),
+        "vocab_size": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+SQL_VOCAB_GROWTH = r"""
+WITH w AS (SELECT doc_id, unnest(
+        list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'),
+                    x -> x <> '')) AS word
+      FROM documents),
+f AS (SELECT word, min(doc_id) AS first_doc FROM w GROUP BY 1),
+b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+probes AS (SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT)
+               AS i),
+t AS (SELECT i, mn + ((mx - mn + 1) * i) // 10 AS thr
+      FROM probes CROSS JOIN b)
+SELECT t.i AS probe, t.thr,
+       CAST(count(f.word) AS BIGINT) AS vocab_size
+FROM t LEFT JOIN f ON f.first_doc < t.thr
+GROUP BY 1, 2
+"""
+
+
+def q_new_vs_returning_revenue(sf_dir: str):
+    """New-vs-returning revenue attribution (growth_accounting counts
+    HEADS, finance wants the DOLLARS split the same way): per order
+    month, revenue cents and order count split by whether the
+    customer is in their FIRST month (min order month) or returning.
+    ONE customer-bucket shuffle — a customer's whole order history
+    co-locates, so the first-month flag is a per-group vectorized
+    min — then a month-BOUNDED funnel. SQL-checked (window-min
+    oracle)."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sums_combine
+
+    US_PER_DAY = 86_400_000_000
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "orders",
+                     ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        cu = b["o_custkey"].to_numpy(zero_copy_only=False)
+        mon = (b["o_orderdate"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // US_PER_DAY) // 30
+        cents = np.floor(
+            b["o_totalprice"].to_numpy(zero_copy_only=False)
+            * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(cu, n_buckets), pa.int64()),
+            "cust": pa.array(cu, pa.int64()),
+            "mon": pa.array(mon, pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    def split(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "month": pa.array([], pa.int64()),
+                "is_new": pa.array([], pa.int64()),
+                "n_orders": pa.array([], pa.int64()),
+                "revenue_cents": pa.array([], pa.int64()),
+            })
+        cu = g["cust"].to_numpy(zero_copy_only=False)
+        mon = g["mon"].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        uc, inv = np.unique(cu, return_inverse=True)
+        fm = np.full(len(uc), np.iinfo(np.int64).max)
+        np.minimum.at(fm, inv, mon)
+        is_new = (mon == fm[inv]).astype(np.int64)
+        key = (mon << 1) | is_new
+        uk, kinv = np.unique(key, return_inverse=True)
+        n = np.zeros(len(uk), np.int64)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(n, kinv, 1)
+        np.add.at(s, kinv, cents)
+        return pa.table({
+            "month": pa.array(uk >> 1, pa.int64()),
+            "is_new": pa.array(uk & 1, pa.int64()),
+            "n_orders": pa.array(n, pa.int64()),
+            "revenue_cents": pa.array(s, pa.int64()),
+        })
+
+    return grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(split, batch_format="pyarrow"),
+        ["month", "is_new"], ["n_orders", "revenue_cents"],
+        ["n_orders", "revenue_cents"],
+    )
+
+
+SQL_NEW_VS_RETURNING_REVENUE = """
+WITH o AS (SELECT o_custkey,
+        (epoch_us(o_orderdate) // 86400000000) // 30 AS mon,
+        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+f AS (SELECT o_custkey, min(mon) AS fm FROM o GROUP BY 1)
+SELECT o.mon AS month,
+       CAST(CASE WHEN o.mon = f.fm THEN 1 ELSE 0 END AS BIGINT)
+           AS is_new,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(o.cents) AS BIGINT) AS revenue_cents
+FROM o JOIN f USING (o_custkey)
+GROUP BY 1, 2
+"""
