@@ -376,6 +376,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("term_positions", Q.q_term_positions)
     timed("vocab_growth", Q.q_vocab_growth)
     timed("new_vs_returning_revenue", Q.q_new_vs_returning_revenue)
+    timed("lag_features", Q.q_lag_features)
+    timed("supplier_spread", Q.q_supplier_spread)
+    timed("region_share", Q.q_region_share)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

@@ -20890,3 +20890,264 @@ SELECT o.mon AS month,
 FROM o JOIN f USING (o_custkey)
 GROUP BY 1, 2
 """
+
+
+def q_lag_features(sf_dir: str):
+    """Point-in-time lag-feature builder (the ML feature-engineering
+    export — one row PER ORDER carrying its customer's history:
+    sequence number, previous order's cents, day gap since it): the
+    row-level cousin of order_interarrival's aggregate. ONE
+    customer-bucket shuffle; per bucket a single lexsort
+    (cust, day, orderkey) and shifted views produce every feature
+    vectorized; first orders carry NULL prev/gap (both engines emit
+    real NULLs). Output is order-grain (a feature table, not a
+    rollup) — downstream training joins it by o_orderkey.
+    SQL-checked (lag + row_number oracle)."""
+    import ray
+
+    from ..util import fib_bucket
+
+    US_PER_DAY = 86_400_000_000
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "orders",
+                     ["o_orderkey", "o_custkey", "o_orderdate",
+                      "o_totalprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        cu = b["o_custkey"].to_numpy(zero_copy_only=False)
+        day = (b["o_orderdate"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // US_PER_DAY)
+        cents = np.floor(
+            b["o_totalprice"].to_numpy(zero_copy_only=False)
+            * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(cu, n_buckets), pa.int64()),
+            "cust": pa.array(cu, pa.int64()),
+            "day": pa.array(day, pa.int64()),
+            "okey": b["o_orderkey"],
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    def feats(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "o_orderkey": pa.array([], pa.int64()),
+                "seq_num": pa.array([], pa.int64()),
+                "prev_cents": pa.array([], pa.int64()),
+                "gap_days": pa.array([], pa.int64()),
+            })
+        cu = g["cust"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        ok_ = g["okey"].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok_, day, cu))
+        c_s, d_s, o_s, v_s = cu[order], day[order], ok_[order], \
+            cents[order]
+        same = np.r_[False, c_s[1:] == c_s[:-1]]
+        seq = np.arange(len(c_s)) \
+            - np.maximum.accumulate(
+                np.where(np.r_[True, c_s[1:] != c_s[:-1]],
+                         np.arange(len(c_s)), 0)) + 1
+        prev = np.r_[0, v_s[:-1]]
+        gap = np.r_[0, d_s[1:] - d_s[:-1]]
+        null64 = pa.scalar(None, pa.int64())
+        samea = pa.array(same)
+        return pa.table({
+            "o_orderkey": pa.array(o_s, pa.int64()),
+            "seq_num": pa.array(seq, pa.int64()),
+            "prev_cents": pc.if_else(
+                samea, pa.array(prev, pa.int64()), null64),
+            "gap_days": pc.if_else(
+                samea, pa.array(gap, pa.int64()), null64),
+        })
+
+    return ds.map_batches(pre, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(feats, batch_format="pyarrow")
+
+
+SQL_LAG_FEATURES = """
+WITH o AS (SELECT o_orderkey, o_custkey,
+        epoch_us(o_orderdate) // 86400000000 AS day,
+        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders)
+SELECT o_orderkey,
+       CAST(row_number() OVER w AS BIGINT) AS seq_num,
+       lag(cents) OVER w AS prev_cents,
+       day - lag(day) OVER w AS gap_days
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey)
+"""
+
+
+def q_supplier_spread(sf_dir: str):
+    """Order sourcing-spread audit (how many distinct suppliers and
+    parts one order touches — the fulfilment-complexity histogram
+    behind split-shipment cost models): the joint per-order
+    (distinct suppliers, distinct parts) profile folded to a
+    (n_suppliers, n_parts)-keyed order histogram. ONE orderkey-
+    bucket shuffle with cross-block pair dedup, size-BOUNDED funnel
+    (both counts ≤ the 7-line order cap). SQL-checked."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sum_combine
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "lineitem",
+                     ["l_orderkey", "l_suppkey", "l_partkey"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        ok_ = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(
+                np.concatenate([fib_bucket(ok_, n_buckets)] * 2),
+                pa.int64()),
+            "ok": pa.array(np.concatenate([ok_, ok_]), pa.int64()),
+            "kind": pa.array(
+                np.r_[np.zeros(len(ok_), np.int64),
+                      np.ones(len(ok_), np.int64)]),
+            "key": pa.array(np.concatenate([sk, pk]), pa.int64()),
+        })
+
+    def spread(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "n_suppliers": pa.array([], pa.int64()),
+                "n_parts": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            })
+        ok_ = g["ok"].to_numpy(zero_copy_only=False)
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        key = g["key"].to_numpy(zero_copy_only=False)
+        if (key >= (1 << 40)).any() or (ok_ >= (1 << 22)).any():
+            raise ValueError("supplier_spread pack overflow")
+        packed = np.unique(((ok_ << 1) | kind) * (1 << 40) | key)
+        okk = packed >> 41
+        knd = (packed >> 40) & 1
+        uo, inv = np.unique(okk, return_inverse=True)
+        ns = np.zeros(len(uo), np.int64)
+        np.add.at(ns, inv[knd == 0], 1)
+        nparts = np.zeros(len(uo), np.int64)
+        np.add.at(nparts, inv[knd == 1], 1)
+        jk = ns * 64 + nparts
+        uj, un = np.unique(jk, return_counts=True)
+        return pa.table({
+            "n_suppliers": pa.array(uj // 64, pa.int64()),
+            "n_parts": pa.array(uj % 64, pa.int64()),
+            "partial": pa.array(un.astype(np.int64), pa.int64()),
+        })
+
+    return grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(spread, batch_format="pyarrow"),
+        ["n_suppliers", "n_parts"], "partial", "n_orders",
+    )
+
+
+SQL_SUPPLIER_SPREAD = """
+WITH o AS (SELECT l_orderkey,
+        CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+        CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+      FROM lineitem GROUP BY 1)
+SELECT n_suppliers, n_parts, CAST(count(*) AS BIGINT) AS n_orders
+FROM o GROUP BY 1, 2
+"""
+
+
+def q_region_share(sf_dir: str):
+    """Hierarchical share readout (nation-within-region revenue mix —
+    revenue_per_nation reports levels, this reports the SHARE inside
+    each parent): per nation (via its customers' orders), exact
+    revenue cents, its region, and share = nation/region as ONE
+    divide of exact int64s. customer→nation→region is a TWO-LEVEL
+    DIMENSION broadcast (both dims are small by contract);
+    one streamed orders pass, nation-BOUNDED funnel. SQL-checked."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    ct = pq.read_table(f"{sf_dir}/customer.parquet",
+                       columns=["c_custkey", "c_nationkey"])
+    nt = pq.read_table(f"{sf_dir}/nation.parquet")
+    rt = pq.read_table(f"{sf_dir}/region.parquet")
+    ck = ct["c_custkey"].to_numpy(zero_copy_only=False)
+    cn = ct["c_nationkey"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    order_ = np.argsort(ck)
+    dim_ref = ray.put((ck[order_], cn[order_]))
+    nk = nt["n_nationkey"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    nname = np.asarray(nt["n_name"].to_pylist(), dtype=object)
+    nreg = nt["n_regionkey"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    rk = rt["r_regionkey"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    rname = np.asarray(rt["r_name"].to_pylist(), dtype=object)
+    no = np.argsort(nk)
+    ro = np.argsort(rk)
+
+    ds = _read_split_few(sf_dir, "orders",
+                         ["o_custkey", "o_totalprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        sck, scn = ray.get(dim_ref)
+        nat = scn[np.searchsorted(sck, b["o_custkey"]
+                                  .to_numpy(zero_copy_only=False))]
+        cents = np.floor(
+            b["o_totalprice"].to_numpy(zero_copy_only=False)
+            * 100 + 0.5).astype(np.int64)
+        un, inv = np.unique(nat, return_inverse=True)
+        s = np.zeros(len(un), np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({
+            "nat": pa.array(un, pa.int64()),
+            "partial": pa.array(s, pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["nat"], "partial", "nation_cents",
+    ).to_arrow_refs()))
+    nat = t["nat"].to_numpy(zero_copy_only=False)
+    nc = t["nation_cents"].to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(nk[no], nat)
+    regs = nreg[no][pos]
+    rc = {}
+    for r, c in zip(regs, nc):
+        rc[int(r)] = rc.get(int(r), 0) + int(c)
+    rpos = np.searchsorted(rk[ro], regs)
+    return pa.table({
+        "n_name": pa.array([str(nname[no][p]) for p in pos],
+                           pa.string()),
+        "r_name": pa.array([str(rname[ro][p]) for p in rpos],
+                           pa.string()),
+        "nation_cents": t["nation_cents"],
+        "region_cents": pa.array([rc[int(r)] for r in regs],
+                                 pa.int64()),
+        "share": pa.array(
+            [float(int(c)) / float(rc[int(r)])
+             for c, r in zip(nc, regs)], pa.float64()),
+    })
+
+
+SQL_REGION_SHARE = """
+WITH o AS (SELECT c.c_nationkey AS nat,
+        CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS nation_cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1),
+r AS (SELECT n.n_regionkey, CAST(sum(o.nation_cents) AS BIGINT)
+          AS region_cents
+      FROM o JOIN nation n ON n.n_nationkey = o.nat GROUP BY 1)
+SELECT n.n_name, rg.r_name, o.nation_cents, r.region_cents,
+       CAST(o.nation_cents AS DOUBLE)
+           / CAST(r.region_cents AS DOUBLE) AS share
+FROM o
+JOIN nation n ON n.n_nationkey = o.nat
+JOIN r ON r.n_regionkey = n.n_regionkey
+JOIN region rg ON rg.r_regionkey = n.n_regionkey
+"""
