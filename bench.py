@@ -379,6 +379,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("lag_features", Q.q_lag_features)
     timed("supplier_spread", Q.q_supplier_spread)
     timed("region_share", Q.q_region_share)
+    timed("order_lifecycle", Q.q_order_lifecycle)
+    timed("type_overlap_matrix", Q.q_type_overlap_matrix)
+    timed("threshold_sweep", Q.q_threshold_sweep)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

@@ -21151,3 +21151,245 @@ JOIN nation n ON n.n_nationkey = o.nat
 JOIN r ON r.n_regionkey = n.n_regionkey
 JOIN region rg ON rg.r_regionkey = n.n_regionkey
 """
+
+
+def q_order_lifecycle(sf_dir: str):
+    """Accumulating-snapshot fact build (the order-lifecycle table a
+    warehouse maintains milestone by milestone — placed, first
+    shipment, final shipment): one row PER ORDER with its order day,
+    first/last ship day, span, and line count. The co-bucket
+    two-table device (headers and lines meet in one orderkey
+    bucket); vectorized per-bucket min/max/count folds; INNER
+    semantics (lineless headers and headerless lines drop, matching
+    the join oracle). Order-grain output like lag_features — the
+    downstream is a fact table, not a rollup. SQL-checked."""
+    import ray
+
+    from ..util import fib_bucket
+
+    US_PER_DAY = 86_400_000_000
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nb = max(4, cpus // 4)
+    n_buckets = max(64, cpus * 8)
+    lines = split_read(f"{sf_dir}/lineitem.parquet",
+                       ["l_orderkey", "l_shipdate"], nb)
+    orders = split_read(f"{sf_dir}/orders.parquet",
+                        ["o_orderkey", "o_orderdate"], nb)
+
+    def pre_lines(b: pa.Table) -> pa.Table:
+        ok_ = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        day = (b["l_shipdate"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // US_PER_DAY)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(ok_, n_buckets), pa.int64()),
+            "ok": pa.array(ok_, pa.int64()),
+            "day": pa.array(day, pa.int64()),
+            "is_order": pa.array(np.zeros(len(ok_), bool)),
+        })
+
+    def pre_orders(b: pa.Table) -> pa.Table:
+        ok_ = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        day = (b["o_orderdate"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // US_PER_DAY)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(ok_, n_buckets), pa.int64()),
+            "ok": pa.array(ok_, pa.int64()),
+            "day": pa.array(day, pa.int64()),
+            "is_order": pa.array(np.ones(len(ok_), bool)),
+        })
+
+    def snap(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "o_orderkey": pa.array([], pa.int64()),
+            "order_day": pa.array([], pa.int64()),
+            "first_ship_day": pa.array([], pa.int64()),
+            "last_ship_day": pa.array([], pa.int64()),
+            "span_days": pa.array([], pa.int64()),
+            "n_lines": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        ok_ = g["ok"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        iso = g["is_order"].to_numpy(zero_copy_only=False)
+        lk, li = np.unique(ok_[~iso], return_inverse=True)
+        if len(lk) == 0:
+            return empty
+        fs = np.full(len(lk), np.iinfo(np.int64).max)
+        ls = np.full(len(lk), np.iinfo(np.int64).min)
+        nl = np.zeros(len(lk), np.int64)
+        np.minimum.at(fs, li, day[~iso])
+        np.maximum.at(ls, li, day[~iso])
+        np.add.at(nl, li, 1)
+        pos = np.clip(np.searchsorted(lk, ok_[iso]), 0, len(lk) - 1)
+        has = lk[pos] == ok_[iso]
+        okeys = ok_[iso][has]
+        od = day[iso][has]
+        p = pos[has]
+        return pa.table({
+            "o_orderkey": pa.array(okeys, pa.int64()),
+            "order_day": pa.array(od, pa.int64()),
+            "first_ship_day": pa.array(fs[p], pa.int64()),
+            "last_ship_day": pa.array(ls[p], pa.int64()),
+            "span_days": pa.array(ls[p] - fs[p], pa.int64()),
+            "n_lines": pa.array(nl[p], pa.int64()),
+        })
+
+    tagged = lines.map_batches(pre_lines, batch_format="pyarrow") \
+        .union(orders.map_batches(pre_orders, batch_format="pyarrow"))
+    return tagged.groupby("bucket").map_groups(
+        snap, batch_format="pyarrow")
+
+
+SQL_ORDER_LIFECYCLE = """
+SELECT o.o_orderkey,
+       epoch_us(o.o_orderdate) // 86400000000 AS order_day,
+       min(epoch_us(l.l_shipdate) // 86400000000) AS first_ship_day,
+       max(epoch_us(l.l_shipdate) // 86400000000) AS last_ship_day,
+       max(epoch_us(l.l_shipdate) // 86400000000)
+           - min(epoch_us(l.l_shipdate) // 86400000000) AS span_days,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+"""
+
+
+def q_type_overlap_matrix(sf_dir: str):
+    """Audience-overlap matrix (|users(A) ∩ users(B)| for every
+    event-type pair — the co-usage readout behind 'which features
+    share an audience'; dau_mau counts one set, this intersects
+    them all): computed WITHOUT a pairwise join — one user-bucket
+    shuffle ORs each user's bounded type BITMASK, the mask histogram
+    (≤ 2^|types|) funnels, and every pairwise intersection is a
+    popcount-filtered sum over mask cells driver-side. Zero-overlap
+    pairs drop on both sides. SQL-checked (distinct-pair self-join
+    oracle)."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sum_combine
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "events", ["user_id", "event_type"])
+
+    # bounded type vocabulary, id = lex rank (np.unique order): the
+    # documented contract that makes the bitmask fit int64
+    types_seen: dict = {}
+
+    def pre(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        typ = np.asarray(b["event_type"].to_pylist(), dtype=object)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(uid, n_buckets), pa.int64()),
+            "uid": pa.array(uid, pa.int64()),
+            "typ": pa.array(list(typ), pa.string()),
+        })
+
+    def masks(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "typ_key": pa.array([], pa.string()),
+                "mask_bits": pa.array([], pa.string()),
+                "partial": pa.array([], pa.int64()),
+            })
+        uid = g["uid"].to_numpy(zero_copy_only=False)
+        typ = np.asarray(g["typ"].to_pylist(), dtype=object)
+        ut, tinv = np.unique(typ, return_inverse=True)
+        if len(ut) > 60:
+            raise ValueError("type_overlap bitmask assumes ≤ 60 types")
+        uu, uinv = np.unique(uid, return_inverse=True)
+        mask = np.zeros(len(uu), np.int64)
+        np.bitwise_or.at(mask, uinv, np.int64(1) << tinv)
+        mv, mn = np.unique(mask, return_counts=True)
+        # local type list rides along so the combiner can re-map bit
+        # positions to the GLOBAL lex order (buckets may see subsets)
+        tkey = "\x00".join(str(t) for t in ut)
+        return pa.table({
+            "typ_key": pa.array([tkey] * len(mv), pa.string()),
+            "mask_bits": pa.array([str(int(m)) for m in mv],
+                                  pa.string()),
+            "partial": pa.array(mn.astype(np.int64), pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(masks, batch_format="pyarrow"),
+        ["typ_key", "mask_bits"], "partial", "n_users",
+    ).to_arrow_refs()))
+    # global remap: union the per-bucket vocabularies, lift each mask
+    tkeys = np.asarray(t["typ_key"].to_pylist(), dtype=object)
+    masks_s = np.asarray(t["mask_bits"].to_pylist(), dtype=object)
+    cnt = t["n_users"].to_numpy(zero_copy_only=False)
+    all_types = sorted({tt for k in np.unique(tkeys)
+                        for tt in str(k).split("\x00")})
+    tpos = {tt: i for i, tt in enumerate(all_types)}
+    agg: dict = {}
+    for k, m, c in zip(tkeys, masks_s, cnt):
+        local = str(k).split("\x00")
+        lm = int(m)
+        gm = 0
+        for i, tt in enumerate(local):
+            if lm & (1 << i):
+                gm |= 1 << tpos[tt]
+        agg[gm] = agg.get(gm, 0) + int(c)
+    rows = []
+    for i in range(len(all_types)):
+        for j in range(i + 1, len(all_types)):
+            both = sum(c for m, c in agg.items()
+                       if (m >> i) & 1 and (m >> j) & 1)
+            if both > 0:
+                rows.append((all_types[i], all_types[j], both))
+    return pa.table({
+        "type_a": pa.array([r[0] for r in rows], pa.string()),
+        "type_b": pa.array([r[1] for r in rows], pa.string()),
+        "n_common": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+SQL_TYPE_OVERLAP_MATRIX = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_common
+FROM ut a JOIN ut b ON b.user_id = a.user_id
+                   AND b.event_type > a.event_type
+GROUP BY 1, 2
+"""
+
+
+def q_threshold_sweep(sf_dir: str):
+    """Similarity-threshold tuning curve (how many near-dup pairs
+    each cut keeps — the sweep you run BEFORE freezing a dedup
+    policy): pair counts at τ ∈ {0.50, 0.60, 0.70, 0.80, 0.90} over
+    the exact-Jaccard-verified LSH pairs (threshold 0.5 base — the
+    pinned LSH == exact-inverted-index equality makes every higher
+    cut exact too). The pair set is o(corpus) by the LSH contract;
+    the 5-row ladder folds driver-side. Comparisons use tau =
+    tp/100.0 on BOTH sides (identical doubles). SQL-checked (gram
+    self-join + probe-ladder oracle)."""
+    import ray
+
+    pairs = pa.concat_tables([
+        t.select(["jaccard"]) for t in ray.get(
+            _neardup_pairs(sf_dir).to_arrow_refs()) if t.num_rows])
+    j = pairs["jaccard"].to_numpy(zero_copy_only=False) \
+        if pairs.num_rows else np.array([], np.float64)
+    rows = []
+    for tp in (50, 60, 70, 80, 90):
+        rows.append((tp, int((j >= tp / 100.0).sum())))
+    return pa.table({
+        "tau_pct": pa.array([r[0] for r in rows], pa.int64()),
+        "n_pairs": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
+SQL_THRESHOLD_SWEEP = _NGRAM_PAIRS_CTES + """
+, s AS (SELECT i.inter::DOUBLE
+            / (na.n_grams + nb.n_grams - i.inter) AS j
+        FROM i JOIN n na ON i.a_id = na.doc_id
+               JOIN n nb ON i.b_id = nb.doc_id),
+taus AS (SELECT CAST(unnest([50, 60, 70, 80, 90]) AS BIGINT) AS tp)
+SELECT tp AS tau_pct,
+       CAST((SELECT count(*) FROM s WHERE s.j >= tp / 100.0)
+            AS BIGINT) AS n_pairs
+FROM taus
+"""
