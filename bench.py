@@ -382,6 +382,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("order_lifecycle", Q.q_order_lifecycle)
     timed("type_overlap_matrix", Q.q_type_overlap_matrix)
     timed("threshold_sweep", Q.q_threshold_sweep)
+    timed("dup_distance", Q.q_dup_distance)
+    timed("discount_by_qty", Q.q_discount_by_qty)
+    timed("price_dispersion_parts", Q.q_price_dispersion_parts)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

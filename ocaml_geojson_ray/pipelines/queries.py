@@ -21393,3 +21393,256 @@ SELECT tp AS tau_pct,
             AS BIGINT) AS n_pairs
 FROM taus
 """
+
+
+def q_dup_distance(sf_dir: str):
+    """Duplicate-locality forensics (how FAR apart duplicates land in
+    ingestion order — tight gaps mean a stuttering producer, wide
+    gaps a cross-crawl copy; dup_cross_source says WHO duplicated,
+    this says WHEN): over exact-content groups (md5 of text), the
+    doc_id gaps between CONSECUTIVE duplicates, reported as group
+    count, gap count, quantile_disc median, and max. One md5-bucket
+    shuffle (a content group is complete in-bucket); the gap
+    multiset is o(corpus) by the planted-duplicate contract, so the
+    gap histogram funnels. SQL-checked (lag-over-group oracle)."""
+    import hashlib
+
+    import ray
+    import ray.data as rd
+
+    from ..util import grouped_sum_combine, md5_le64
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        h = np.fromiter(
+            (md5_le64(t.encode("utf-8")) % (1 << 62)
+             for t in b["text"].to_pylist()),
+            np.int64, len(ids))
+        return pa.table({
+            "bucket": pa.array(h % n_buckets, pa.int64()),
+            "h": pa.array(h, pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+        })
+
+    def gaps(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "gap": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            })
+        h = g["h"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        h_s, i_s = h[order], ids[order]
+        same = h_s[1:] == h_s[:-1]
+        gp = (i_s[1:] - i_s[:-1])[same]
+        # one synthetic -1 row per GROUP WITH DUPS for the group count
+        grp_first = same & np.r_[True, ~same[:-1]]
+        ng = int(grp_first.sum())
+        gv, gn = np.unique(gp, return_counts=True)
+        return pa.table({
+            "gap": pa.array(np.r_[np.array([-1], np.int64), gv],
+                            pa.int64()),
+            "partial": pa.array(
+                np.r_[np.array([ng], np.int64),
+                      gn.astype(np.int64)], pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(gaps, batch_format="pyarrow"),
+        ["gap"], "partial", "n",
+    ).to_arrow_refs()))
+    gap = t["gap"].to_numpy(zero_copy_only=False)
+    n = t["n"].to_numpy(zero_copy_only=False)
+    ng = int(n[gap == -1].sum()) if (gap == -1).any() else 0
+    m = gap >= 0
+    gv, gn = gap[m], n[m]
+    o = np.argsort(gv)
+    gv, gn = gv[o], gn[o]
+    cum = np.cumsum(gn)
+    tot = int(cum[-1]) if len(cum) else 0
+    if tot:
+        idx = max(0, int(np.ceil(0.5 * tot)) - 1)
+        med = int(gv[np.searchsorted(cum, idx + 1)])
+        mx = int(gv[-1])
+    else:
+        med = mx = 0
+    return pa.table({
+        "n_dup_groups": pa.array([ng], pa.int64()),
+        "n_gaps": pa.array([tot], pa.int64()),
+        "median_gap": pa.array([med], pa.int64()),
+        "max_gap": pa.array([mx], pa.int64()),
+    })
+
+
+SQL_DUP_DISTANCE = """
+WITH g AS (SELECT md5(text) AS h, doc_id FROM documents),
+l AS (SELECT h, doc_id - lag(doc_id) OVER (PARTITION BY h
+                                           ORDER BY doc_id) AS gap
+      FROM g),
+d AS (SELECT gap FROM l WHERE gap IS NOT NULL),
+grp AS (SELECT CAST(count(*) AS BIGINT) AS n_dup_groups
+        FROM (SELECT h FROM g GROUP BY h HAVING count(*) > 1))
+SELECT grp.n_dup_groups,
+       CAST((SELECT count(*) FROM d) AS BIGINT) AS n_gaps,
+       CAST(coalesce((SELECT quantile_disc(gap, 0.5) FROM d), 0)
+            AS BIGINT) AS median_gap,
+       CAST(coalesce((SELECT max(gap) FROM d), 0) AS BIGINT)
+           AS max_gap
+FROM grp
+"""
+
+
+def q_discount_by_qty(sf_dir: str):
+    """Quantity-discount curve (does buying more actually cost less
+    per unit — the pricing-policy audit): per integer quantity, line
+    count, exact Σ discount basis points, and the mean as ONE
+    divide. The qty grid is domain-BOUNDED; one streamed pass, zero
+    shuffles. SQL-checked."""
+    import ray
+
+    from ..util import grouped_sums_combine
+
+    ds = _read_split_few(sf_dir, "lineitem",
+                         ["l_quantity", "l_discount"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        qty = np.round(b["l_quantity"]
+                       .to_numpy(zero_copy_only=False)).astype(np.int64)
+        bps = np.round(b["l_discount"]
+                       .to_numpy(zero_copy_only=False) * 10000.0) \
+            .astype(np.int64)
+        uq, inv = np.unique(qty, return_inverse=True)
+        n = np.zeros(len(uq), np.int64)
+        s = np.zeros(len(uq), np.int64)
+        np.add.at(n, inv, 1)
+        np.add.at(s, inv, bps)
+        return pa.table({
+            "qty": pa.array(uq, pa.int64()),
+            "n_lines": pa.array(n, pa.int64()),
+            "sum_bps": pa.array(s, pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["qty"], ["n_lines", "sum_bps"], ["n_lines", "sum_bps"],
+    ).to_arrow_refs()))
+    n = t["n_lines"].to_numpy(zero_copy_only=False)
+    s = t["sum_bps"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "qty": t["qty"],
+        "n_lines": t["n_lines"],
+        "sum_bps": t["sum_bps"],
+        "mean_bps": pa.array(
+            [float(int(x)) / float(int(c)) for x, c in zip(s, n)],
+            pa.float64()),
+    })
+
+
+SQL_DISCOUNT_BY_QTY = """
+SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(round(l_discount * 10000.0) AS BIGINT))
+            AS BIGINT) AS sum_bps,
+       CAST(sum(CAST(round(l_discount * 10000.0) AS BIGINT))
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_bps
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_price_dispersion_parts(sf_dir: str):
+    """Within-part price-discrimination audit (same part, different
+    months, different realized unit prices — dispersion means the
+    list price is fiction): per part, the spread max−min of its
+    ALL-INTEGER monthly unit prices ((Σcents·100)//Σqty, the
+    price_index device), rolled into power-of-two spread bands
+    (band = bit_length(spread), 0 = constant price) with part counts
+    and exact Σspread per band. (part, month) partials fold under
+    the DIMENSION contract; bands are BOUNDED by int64 width.
+    SQL-checked."""
+    import ray
+
+    from ..util import grouped_sums_combine
+
+    US_PER_DAY = 86_400_000_000
+    ds = _read_split(sf_dir, "lineitem",
+                     ["l_partkey", "l_shipdate", "l_extendedprice",
+                      "l_quantity"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        mon = (b["l_shipdate"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // US_PER_DAY) // 30
+        cents = pc.round(pc.multiply(b["l_extendedprice"], 100.0)) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        qty = pc.round(b["l_quantity"]).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        if (mon >= (1 << 20)).any() or (pk >= (1 << 40)).any():
+            raise ValueError("price_dispersion pack overflow")
+        key = (pk << 20) | mon
+        uk, kinv = np.unique(key, return_inverse=True)
+        cs = np.zeros(len(uk), np.int64)
+        qs = np.zeros(len(uk), np.int64)
+        np.add.at(cs, kinv, cents)
+        np.add.at(qs, kinv, qty)
+        return pa.table({
+            "key": pa.array(uk, pa.int64()),
+            "cs": pa.array(cs, pa.int64()),
+            "qs": pa.array(qs, pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["key"], ["cs", "qs"], ["cents", "qty"],
+    ).to_arrow_refs()))
+    key = t["key"].to_numpy(zero_copy_only=False)
+    unit = (t["cents"].to_numpy(zero_copy_only=False) * 100) \
+        // t["qty"].to_numpy(zero_copy_only=False)
+    part = key >> 20
+    up, inv = np.unique(part, return_inverse=True)
+    mx = np.full(len(up), np.iinfo(np.int64).min)
+    mn = np.full(len(up), np.iinfo(np.int64).max)
+    np.maximum.at(mx, inv, unit)
+    np.minimum.at(mn, inv, unit)
+    spread = mx - mn
+    band = np.zeros(len(spread), np.int64)
+    nz = spread > 0
+    band[nz] = np.int64(64) - (spread[nz][:, None] >> np.arange(64)
+                               == 0).sum(axis=1)
+    bv, binv2 = np.unique(band, return_inverse=True)
+    n = np.zeros(len(bv), np.int64)
+    s = np.zeros(len(bv), np.int64)
+    np.add.at(n, binv2, 1)
+    np.add.at(s, binv2, spread)
+    return pa.table({
+        "band": pa.array(bv, pa.int64()),
+        "n_parts": pa.array(n, pa.int64()),
+        "sum_spread": pa.array(s, pa.int64()),
+    })
+
+
+SQL_PRICE_DISPERSION_PARTS = """
+WITH pm AS (SELECT l_partkey AS part,
+        (epoch_us(l_shipdate) // 86400000000) // 30 AS mon,
+        (CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))
+              AS BIGINT) * 100)
+            // CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                    AS BIGINT) AS unit
+      FROM lineitem GROUP BY 1, 2),
+p AS (SELECT part, max(unit) - min(unit) AS spread FROM pm
+      GROUP BY 1),
+b AS (SELECT spread,
+             CASE WHEN spread = 0 THEN 0
+                  ELSE length(ltrim(bin(spread), '0')) END AS band
+      FROM p)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(spread) AS BIGINT) AS sum_spread
+FROM b GROUP BY 1
+"""
