@@ -385,6 +385,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("dup_distance", Q.q_dup_distance)
     timed("discount_by_qty", Q.q_discount_by_qty)
     timed("price_dispersion_parts", Q.q_price_dispersion_parts)
+    timed("gmd_prices", Q.q_gmd_prices)
+    timed("best_window_revenue", Q.q_best_window_revenue)
+    timed("sorted_neighborhood_pairs", Q.q_sorted_neighborhood_pairs)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

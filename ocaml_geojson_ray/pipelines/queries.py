@@ -21646,3 +21646,407 @@ SELECT CAST(band AS BIGINT) AS band,
        CAST(sum(spread) AS BIGINT) AS sum_spread
 FROM b GROUP BY 1
 """
+
+
+# -- session wave: gmd_prices / best_window_revenue / sorted_neighborhood ---
+
+def q_gmd_prices(sf_dir: str):
+    """Per-brand Gini mean difference of line revenue (the exact
+    'how unequal are this brand's ticket sizes' statistic — GMD =
+    E|X−X'| — without ever forming a pair): Σ_{i<j}|x_i−x_j| over
+    cents is computed from ONE range-partitioned sort by
+    (brand, cents): each sorted block folds its rows to a per-brand
+    5-int summary (min, max, n, Σv, internal pair-sum via the
+    rank-weight identity Σ v_i·(#before i) − Σ prefix_before_i), and
+    the driver chains summaries with the associative cross-block
+    term C_prev·Σv_B − S_prev·n_B — the id_gaps fold shape, so at
+    cluster scale the merge tree-combines and the driver never sees
+    raw rows. Block order is (mn, mx): ranges are contiguous, so a
+    tie on mn forces the earlier block to be constant-valued, whose
+    cross terms are order-invariant (proof in comment). GMD is ONE
+    divide of exact ints: 2·Σ|diff| / (n·(n−1)). Part→brand is the
+    dimension broadcast. SQL-checked (row_number rank-weight
+    oracle, tie-invariant)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    pt = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_brand"])
+    pk = pt["p_partkey"].to_numpy(zero_copy_only=False)
+    brands, binv = np.unique(
+        np.asarray(pt["p_brand"].to_pylist(), dtype=object),
+        return_inverse=True)
+    order_ = np.argsort(pk)
+    dim_ref = ray.put((pk[order_], binv[order_].astype(np.int64)))
+
+    ds = _read_split_few(sf_dir, "lineitem",
+                         ["l_partkey", "l_extendedprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        spk, sbid = ray.get(dim_ref)
+        bid = sbid[np.searchsorted(
+            spk, b["l_partkey"].to_numpy(zero_copy_only=False))]
+        cents = pc.round(pc.multiply(b["l_extendedprice"], 100.0)) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bid": pa.array(bid, pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    def block_fold(b: pa.Table) -> pa.Table:
+        bid = b["bid"].to_numpy(zero_copy_only=False)
+        v = b["cents"].to_numpy(zero_copy_only=False)
+        ob, omn, omx, on, os_, onum = [], [], [], [], [], []
+        if len(bid):
+            starts = np.flatnonzero(np.r_[True, bid[1:] != bid[:-1]])
+            ends = np.r_[starts[1:], len(bid)]
+            for s0, e0 in zip(starts, ends):  # ≤ |brands| segments
+                seg = v[s0:e0]
+                n = int(e0 - s0)
+                idx = np.arange(n, dtype=np.int64)
+                csum = np.cumsum(seg, dtype=np.int64)
+                # Σ v_i·(#before i) − Σ (sum of values before i):
+                # int64-safe at block scale (v ≤ 1e7 cents, n ≤ 1e5
+                # per block ⇒ ≤ ~1e16 < 2^63)
+                num = int((seg * idx).sum()) - int((csum - seg).sum())
+                ob.append(int(bid[s0]))
+                omn.append(int(seg[0]))
+                omx.append(int(seg[-1]))
+                on.append(n)
+                os_.append(int(csum[-1]))
+                onum.append(num)
+        return pa.table({
+            "bid": pa.array(ob, pa.int64()),
+            "mn": pa.array(omn, pa.int64()),
+            "mx": pa.array(omx, pa.int64()),
+            "n": pa.array(on, pa.int64()),
+            "s": pa.array(os_, pa.int64()),
+            "num": pa.array(onum, pa.int64()),
+        })
+
+    parts = pa.concat_tables(ray.get(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .sort(["bid", "cents"])
+        .map_batches(block_fold, batch_format="pyarrow")
+        .to_arrow_refs()))
+    pb = parts["bid"].to_numpy(zero_copy_only=False)
+    pmn = parts["mn"].to_numpy(zero_copy_only=False)
+    pmx = parts["mx"].to_numpy(zero_copy_only=False)
+    pn = parts["n"].to_numpy(zero_copy_only=False)
+    ps = parts["s"].to_numpy(zero_copy_only=False)
+    pnum = parts["num"].to_numpy(zero_copy_only=False)
+    # (bid, mn, mx) order: contiguous ranges mean a tie on mn forces
+    # the earlier block constant at mn (its max ≤ next min), and
+    # constant-block cross terms commute — so this order is the
+    # true sorted order up to order-invariant ties
+    order2 = np.lexsort((pmx, pmn, pb))
+    out_b, out_n, out_num = [], [], []
+    cur = None
+    C = S = NUM = N_TOT = 0
+    for i in order2:
+        b_i = int(pb[i])
+        if b_i != cur:
+            if cur is not None and N_TOT >= 2:
+                out_b.append(cur)
+                out_n.append(N_TOT)
+                out_num.append(NUM)
+            cur, C, S, NUM, N_TOT = b_i, 0, 0, 0, 0
+        n_i, s_i = int(pn[i]), int(ps[i])
+        NUM += int(pnum[i]) + C * s_i - S * n_i  # exact Python ints
+        C += n_i
+        S += s_i
+        N_TOT += n_i
+    if cur is not None and N_TOT >= 2:
+        out_b.append(cur)
+        out_n.append(N_TOT)
+        out_num.append(NUM)
+    return pa.table({
+        "brand": pa.array([str(brands[b]) for b in out_b],
+                          pa.string()),
+        "n_lines": pa.array(out_n, pa.int64()),
+        "sum_abs_diff": pa.array(out_num, pa.int64()),
+        "gmd": pa.array(
+            [float(2 * m) / float(n * (n - 1))
+             for m, n in zip(out_num, out_n)], pa.float64()),
+    })
+
+
+SQL_GMD_PRICES = """
+WITH v AS (SELECT p_brand AS brand,
+        CAST(round(l_extendedprice * 100.0) AS BIGINT) AS cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+r AS (SELECT brand, cents,
+        row_number() OVER (PARTITION BY brand ORDER BY cents) AS rn,
+        count(*) OVER (PARTITION BY brand) AS n
+      FROM v)
+SELECT brand,
+       CAST(max(n) AS BIGINT) AS n_lines,
+       CAST(sum(cents * (2 * rn - n - 1)) AS BIGINT) AS sum_abs_diff,
+       CAST(2 * sum(cents * (2 * rn - n - 1)) AS DOUBLE)
+           / CAST(max(n) * (max(n) - 1) AS DOUBLE) AS gmd
+FROM r GROUP BY brand HAVING max(n) >= 2
+"""
+
+
+def q_best_window_revenue(sf_dir: str):
+    """Best contiguous revenue run (max-subarray/Kadane over the
+    demeaned daily series — 'which stretch of days most
+    over-performed the baseline'): daily cents ride the bounded
+    day-grid funnel (≤ ~2.5k days — the dense-grid family
+    contract), the driver demeans by the integer baseline
+    total//n_days and scans once. All-integer: cum sums, prefix
+    minima (virtual 0 prefix included), best = max(cum − pmin) with
+    EARLIEST-end then EARLIEST-start tie-breaks (np.argmax first
+    occurrence == ORDER BY score DESC, pos LIMIT 1). Contiguity is
+    day-RANK order over observed days. SQL-checked (window
+    cumsum/prefix-min oracle, same tie rules)."""
+    import ray
+
+    from ..util import grouped_sums_combine
+
+    US_PER_DAY = 86_400_000_000
+    ds = _read_split(sf_dir, "lineitem",
+                     ["l_shipdate", "l_extendedprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        day = b["l_shipdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False) // US_PER_DAY
+        cents = pc.round(pc.multiply(b["l_extendedprice"], 100.0)) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ud, inv = np.unique(day, return_inverse=True)
+        s = np.zeros(len(ud), np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({
+            "day": pa.array(ud, pa.int64()),
+            "cents": pa.array(s, pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["day"], ["cents"], ["cents"],
+    ).to_arrow_refs()))
+    day = t["day"].to_numpy(zero_copy_only=False)
+    cents = t["cents"].to_numpy(zero_copy_only=False)
+    order_ = np.argsort(day)
+    day, cents = day[order_], cents[order_]
+    nd = len(day)
+    tot = int(cents.sum())
+    base = tot // nd
+    net = cents - base
+    cum = np.cumsum(net, dtype=np.int64)
+    pmin = np.minimum.accumulate(np.r_[np.int64(0), cum])[:-1]
+    score = cum - pmin
+    endi = int(np.argmax(score))  # first occurrence = earliest end
+    best = int(score[endi])
+    pm = int(pmin[endi])
+    if pm == 0:
+        starti = 0  # virtual empty prefix is the earliest argmin
+    else:
+        starti = int(np.flatnonzero(cum[:endi] == pm)[0]) + 1
+    return pa.table({
+        "start_day": pa.array([int(day[starti])], pa.int64()),
+        "end_day": pa.array([int(day[endi])], pa.int64()),
+        "best_sum": pa.array([best], pa.int64()),
+        "n_days": pa.array([nd], pa.int64()),
+        "base_cents": pa.array([base], pa.int64()),
+    })
+
+
+SQL_BEST_WINDOW_REVENUE = """
+WITH daily AS (SELECT epoch_us(l_shipdate) // 86400000000 AS day,
+        CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))
+             AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1),
+t AS (SELECT CAST(sum(cents) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS nd FROM daily),
+n AS (SELECT day,
+        cents - (SELECT tot // nd FROM t) AS net,
+        row_number() OVER (ORDER BY day) AS pos
+      FROM daily),
+c AS (SELECT day, pos, sum(net) OVER (ORDER BY pos) AS cum FROM n),
+p AS (SELECT day, pos, cum,
+        coalesce(min(cum) OVER (ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          0) AS pmin
+      FROM c),
+e AS (SELECT day AS end_day, pos AS epos,
+        CAST(cum - pmin AS BIGINT) AS best_sum, pmin
+      FROM p ORDER BY (cum - pmin) DESC, pos ASC LIMIT 1),
+s AS (SELECT CASE WHEN e.pmin = 0 THEN 1
+        ELSE (SELECT min(pos) FROM c
+              WHERE c.pos < e.epos AND c.cum = e.pmin) + 1
+        END AS spos FROM e)
+SELECT sd.day AS start_day, e.end_day, e.best_sum,
+       t.nd AS n_days, CAST(t.tot // t.nd AS BIGINT) AS base_cents
+FROM e, t, s, c sd WHERE sd.pos = s.spos
+"""
+
+
+def q_sorted_neighborhood_pairs(sf_dir: str):
+    """Sorted-neighborhood blocking (the classic ER alternative to
+    key blocking — Hernández–Stolfo SNM: sort once, compare only a
+    sliding window): docs ranked by (canon-16-prefix, doc_id) —
+    canon is the normalized_dedup device (lower + [^a-z0-9]+ → ' '
+    + trim, so the key is pure ASCII and Ray/DuckDB sort orders
+    coincide) — and for each window offset 1..3 the pair tallies
+    (count, same-lang, same-key) are reported. Physical shape: ONE
+    range-partitioned sort; each sorted batch emits its internal
+    offset tallies plus only its first/last 3 rows (every
+    cross-batch pair at distance ≤ 3 has both ends in that edge
+    set), and the driver stitches seams by exact global position
+    (cumulative batch sizes) — o(blocks) driver bytes, never a
+    pairwise join. Self-check: internal + seam counts must equal
+    N − o for every offset. SQL-checked (row_number self-join
+    oracle)."""
+    import ray
+
+    W = 3
+    ds = _read_split_few(sf_dir, "documents",
+                         ["doc_id", "text", "lang"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        canon = pc.utf8_trim(
+            pc.replace_substring_regex(
+                pc.utf8_lower(b["text"]), "[^a-z0-9]+", " "),
+            " ")
+        key = pc.utf8_slice_codeunits(canon, 0, 16)
+        return pa.table({
+            "key": key,
+            "doc_id": b["doc_id"],
+            "lang": b["lang"],
+        })
+
+    def summarize(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return pa.table({
+                "first_did": pa.array([], pa.int64()),
+                "first_key": pa.array([], pa.string()),
+                "bn": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "key": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "sl1": pa.array([], pa.int64()),
+                "sl2": pa.array([], pa.int64()),
+                "sl3": pa.array([], pa.int64()),
+                "sk1": pa.array([], pa.int64()),
+                "sk2": pa.array([], pa.int64()),
+                "sk3": pa.array([], pa.int64()),
+            })
+        keys = np.asarray(b["key"].to_pylist(), dtype=object)
+        langs = np.asarray(b["lang"].to_pylist(), dtype=object)
+        dids = b["doc_id"].to_numpy(zero_copy_only=False)
+        sl = [int((langs[o:] == langs[:-o]).sum()) if n > o else 0
+              for o in (1, 2, 3)]
+        sk = [int((keys[o:] == keys[:-o]).sum()) if n > o else 0
+              for o in (1, 2, 3)]
+        pos = (np.arange(n, dtype=np.int64) if n <= 2 * W
+               else np.r_[np.arange(W), np.arange(n - W, n)]
+               .astype(np.int64))
+        m = len(pos)
+        return pa.table({
+            "first_did": pa.array([int(dids[0])] * m, pa.int64()),
+            "first_key": pa.array([str(keys[0])] * m, pa.string()),
+            "bn": pa.array([n] * m, pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "key": pa.array([str(keys[p]) for p in pos], pa.string()),
+            "lang": pa.array([str(langs[p]) for p in pos],
+                             pa.string()),
+            "sl1": pa.array([sl[0]] * m, pa.int64()),
+            "sl2": pa.array([sl[1]] * m, pa.int64()),
+            "sl3": pa.array([sl[2]] * m, pa.int64()),
+            "sk1": pa.array([sk[0]] * m, pa.int64()),
+            "sk2": pa.array([sk[1]] * m, pa.int64()),
+            "sk3": pa.array([sk[2]] * m, pa.int64()),
+        })
+
+    parts = pa.concat_tables(ray.get(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .sort(["key", "doc_id"])
+        .map_batches(summarize, batch_format="pyarrow")
+        .to_arrow_refs()))
+    if parts.num_rows == 0:
+        return pa.table({
+            "offset": pa.array([1, 2, 3], pa.int64()),
+            "n_pairs": pa.array([0, 0, 0], pa.int64()),
+            "n_same_lang": pa.array([0, 0, 0], pa.int64()),
+            "n_same_key": pa.array([0, 0, 0], pa.int64()),
+        })
+    fdid = parts["first_did"].to_numpy(zero_copy_only=False)
+    fkey = np.asarray(parts["first_key"].to_pylist(), dtype=object)
+    bn = parts["bn"].to_numpy(zero_copy_only=False)
+    pos = parts["pos"].to_numpy(zero_copy_only=False)
+    ekey = np.asarray(parts["key"].to_pylist(), dtype=object)
+    elang = np.asarray(parts["lang"].to_pylist(), dtype=object)
+    # batch identity = its first doc_id (globally unique); batch
+    # order = (first_key, first_did) — batch ranges are disjoint in
+    # (key, doc_id), so first rows are distinct and totally ordered
+    ub, uidx = np.unique(fdid, return_index=True)
+    border = uidx[np.lexsort((fdid[uidx], fkey[uidx]))]
+    goff: dict[int, int] = {}
+    acc = 0
+    sl_int = np.zeros(3, np.int64)
+    sk_int = np.zeros(3, np.int64)
+    pairs_int = np.zeros(3, np.int64)
+    for bi in border:
+        did0, n_b = int(fdid[bi]), int(bn[bi])
+        goff[did0] = acc
+        acc += n_b
+        for oi, o in enumerate((1, 2, 3)):
+            if n_b > o:
+                pairs_int[oi] += n_b - o
+        sl_int += np.array([parts[f"sl{o}"][bi].as_py()
+                            for o in (1, 2, 3)], np.int64)
+        sk_int += np.array([parts[f"sk{o}"][bi].as_py()
+                            for o in (1, 2, 3)], np.int64)
+    N = acc
+    gpos = np.array([goff[int(d)] for d in fdid], np.int64) + pos
+    gorder = np.argsort(gpos)
+    gpos_s = gpos[gorder]
+    key_s = ekey[gorder]
+    lang_s = elang[gorder]
+    bid_s = fdid[gorder]
+    n_pairs = [0, 0, 0]
+    n_sl = [0, 0, 0]
+    n_sk = [0, 0, 0]
+    for oi, o in enumerate((1, 2, 3)):
+        idx = np.searchsorted(gpos_s, gpos_s + o)
+        ok = idx < len(gpos_s)
+        src = np.flatnonzero(ok)
+        dst = idx[ok]
+        hit = (gpos_s[dst] == gpos_s[src] + o) \
+            & (bid_s[dst] != bid_s[src])  # seam pairs only
+        src, dst = src[hit], dst[hit]
+        cross = len(src)
+        n_pairs[oi] = int(pairs_int[oi]) + cross
+        _check(n_pairs[oi] == max(0, N - o),
+               f"SNM pair coverage at offset {o}")
+        n_sl[oi] = int(sl_int[oi]) + int(
+            (lang_s[src] == lang_s[dst]).sum())
+        n_sk[oi] = int(sk_int[oi]) + int(
+            (key_s[src] == key_s[dst]).sum())
+    return pa.table({
+        "offset": pa.array([1, 2, 3], pa.int64()),
+        "n_pairs": pa.array(n_pairs, pa.int64()),
+        "n_same_lang": pa.array(n_sl, pa.int64()),
+        "n_same_key": pa.array(n_sk, pa.int64()),
+    })
+
+
+SQL_SORTED_NEIGHBORHOOD_PAIRS = """
+WITH canon AS (SELECT doc_id, lang,
+        substr(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+                                   'g')), 1, 16) AS key
+      FROM documents),
+r AS (SELECT key, lang, doc_id,
+        row_number() OVER (ORDER BY key, doc_id) AS rn FROM canon),
+o AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS offset)
+SELECT o.offset AS offset,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_same_lang,
+       CAST(sum(CASE WHEN a.key = b.key THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_same_key
+FROM o CROSS JOIN r a JOIN r b ON b.rn = a.rn + o.offset
+GROUP BY 1
+"""
