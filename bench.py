@@ -388,6 +388,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("gmd_prices", Q.q_gmd_prices)
     timed("best_window_revenue", Q.q_best_window_revenue)
     timed("sorted_neighborhood_pairs", Q.q_sorted_neighborhood_pairs)
+    timed("degree_assortativity", Q.q_degree_assortativity)
+    timed("runs_test", Q.q_runs_test)
+    timed("stationary_types", Q.q_stationary_types)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

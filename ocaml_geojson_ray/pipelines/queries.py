@@ -22050,3 +22050,226 @@ SELECT o.offset AS offset,
 FROM o CROSS JOIN r a JOIN r b ON b.rn = a.rn + o.offset
 GROUP BY 1
 """
+
+
+# -- session wave: degree_assortativity / runs_test / stationary_types ------
+
+def q_degree_assortativity(sf_dir: str):
+    """Newman degree assortativity of the shared derived graph (do
+    hubs attach to hubs?): Pearson r over the ORDERED edge-endpoint
+    degree pairs — by symmetry both marginals coincide, so r =
+    (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²) with every sum an EXACT int64
+    over the bounded edge funnel (_derived_edge_keys — the
+    triangle_counts/local_clustering device; degrees by bincount on
+    the decoded endpoints). ONE float divide of two exact ints;
+    overflow guard raises where (Σx)² would leave int64 (the
+    return_rates lift discipline). SQL-checked (edge-CTE + degree
+    join oracle, identical closed form)."""
+    N = _TRI_N
+    keys = _derived_edge_keys(sf_dir)
+    u = keys // N
+    v = keys % N
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    deg = np.bincount(inv).astype(np.int64)
+    du = deg[inv[:len(u)]]
+    dv = deg[inv[len(u):]]
+    m = 2 * len(keys)
+    sx = int((du + dv).sum())
+    sxx = int((du * du).sum()) + int((dv * dv).sum())
+    sxy = 2 * int((du * dv).sum())
+    if sx * sx >= (1 << 62) or m * max(sxx, sxy) >= (1 << 62):
+        raise ValueError("assortativity moment overflow: widen")
+    r = float(m * sxy - sx * sx) / float(m * sxx - sx * sx)
+    return pa.table({
+        "m_pairs": pa.array([m], pa.int64()),
+        "sum_deg": pa.array([sx], pa.int64()),
+        "sum_deg2": pa.array([sxx], pa.int64()),
+        "sum_prod": pa.array([sxy], pa.int64()),
+        "assortativity": pa.array([r], pa.float64()),
+    })
+
+
+SQL_DEGREE_ASSORTATIVITY = f"""
+WITH raw AS (
+  SELECT (l_orderkey*7919 + l_linenumber*104729) % {_TRI_N} AS a,
+         (l_orderkey*104729 + l_partkey*7919) % {_TRI_N} AS b
+  FROM lineitem
+  UNION ALL SELECT t, t+1 FROM (SELECT (l_orderkey*6151 + 13) % {_TRI_N - 2}
+                                AS t FROM lineitem WHERE l_linenumber = 1)
+  UNION ALL SELECT t+1, t+2 FROM (SELECT (l_orderkey*6151 + 13) % {_TRI_N - 2}
+                                  AS t FROM lineitem WHERE l_linenumber = 1)
+  UNION ALL SELECT t, t+2 FROM (SELECT (l_orderkey*6151 + 13) % {_TRI_N - 2}
+                                AS t FROM lineitem WHERE l_linenumber = 1)
+),
+e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      FROM raw WHERE a <> b),
+deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM
+        (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+        GROUP BY x),
+j AS (SELECT du.d AS da, dv.d AS db
+      FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v),
+agg AS (SELECT CAST(2 * count(*) AS BIGINT) AS m,
+        CAST(sum(da + db) AS BIGINT) AS sx,
+        CAST(sum(da*da + db*db) AS BIGINT) AS sxx,
+        CAST(sum(2*da*db) AS BIGINT) AS sxy FROM j)
+SELECT m AS m_pairs, sx AS sum_deg, sxx AS sum_deg2,
+       sxy AS sum_prod,
+       CAST(m*sxy - sx*sx AS DOUBLE)
+           / CAST(m*sxx - sx*sx AS DOUBLE) AS assortativity
+FROM agg
+"""
+
+
+def q_runs_test(sf_dir: str):
+    """Wald–Wolfowitz runs test on daily revenue (is the
+    above/below-median day sequence random, or does revenue
+    streak?): daily cents ride the bounded day-grid funnel; the
+    threshold is the quantile_disc-rule median
+    (sorted[max(0, ceil(n/2) − 1)] — the pinned selection rule),
+    exact-median days are EXCLUDED both sides; runs count, n₁/n₂,
+    expected runs 1 + 2n₁n₂/n and z = (R − E)/√V with V =
+    2n₁n₂(2n₁n₂−n)/(n²(n−1)) — every numerator/denominator an exact
+    int64 product, ONE divide each, √ via libm (the hll ln-parity
+    rule: math.sqrt == DuckDB sqrt). SQL-checked (lag sign-change
+    oracle, op-for-op float expressions)."""
+    import math
+
+    import ray
+
+    from ..util import grouped_sums_combine
+
+    US_PER_DAY = 86_400_000_000
+    ds = _read_split(sf_dir, "lineitem",
+                     ["l_shipdate", "l_extendedprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        day = b["l_shipdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False) // US_PER_DAY
+        cents = pc.round(pc.multiply(b["l_extendedprice"], 100.0)) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ud, inv = np.unique(day, return_inverse=True)
+        s = np.zeros(len(ud), np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({
+            "day": pa.array(ud, pa.int64()),
+            "cents": pa.array(s, pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["day"], ["cents"], ["cents"],
+    ).to_arrow_refs()))
+    day = t["day"].to_numpy(zero_copy_only=False)
+    cents = t["cents"].to_numpy(zero_copy_only=False)
+    order_ = np.argsort(day)
+    cents = cents[order_]
+    nd = len(cents)
+    srt = np.sort(cents)
+    med = int(srt[max(0, -(-nd // 2) - 1)])  # ceil(nd/2) - 1
+    keep = cents != med
+    sgn = np.where(cents[keep] > med, 1, -1)
+    n1 = int((sgn == 1).sum())
+    n2 = int((sgn == -1).sum())
+    n = n1 + n2
+    runs = 1 + int((sgn[1:] != sgn[:-1]).sum()) if n else 0
+    e_runs = 1.0 + (float(2 * n1 * n2) / float(n))
+    var = float(2 * n1 * n2 * (2 * n1 * n2 - n)) \
+        / float(n * n * (n - 1))
+    z = (float(runs) - e_runs) / math.sqrt(var)
+    return pa.table({
+        "n_above": pa.array([n1], pa.int64()),
+        "n_below": pa.array([n2], pa.int64()),
+        "n_runs": pa.array([runs], pa.int64()),
+        "expected_runs": pa.array([e_runs], pa.float64()),
+        "z": pa.array([z], pa.float64()),
+    })
+
+
+SQL_RUNS_TEST = """
+WITH daily AS (SELECT epoch_us(l_shipdate) // 86400000000 AS day,
+        CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))
+             AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1),
+m AS (SELECT quantile_disc(cents, 0.5) AS med FROM daily),
+s AS (SELECT day, CASE WHEN cents > m.med THEN 1 ELSE -1 END AS sgn
+      FROM daily, m WHERE cents <> m.med),
+l AS (SELECT sgn, lag(sgn) OVER (ORDER BY day) AS p FROM s),
+agg AS (SELECT
+    CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(1 + sum(CASE WHEN p IS NOT NULL AND sgn <> p
+                 THEN 1 ELSE 0 END) AS BIGINT) AS r
+  FROM l)
+SELECT n1 AS n_above, n2 AS n_below, r AS n_runs,
+  1.0 + (CAST(2*n1*n2 AS DOUBLE) / CAST(n1+n2 AS DOUBLE))
+      AS expected_runs,
+  (CAST(r AS DOUBLE)
+     - (1.0 + (CAST(2*n1*n2 AS DOUBLE) / CAST(n1+n2 AS DOUBLE))))
+    / sqrt(CAST(2*n1*n2*(2*n1*n2 - (n1+n2)) AS DOUBLE)
+           / CAST((n1+n2)*(n1+n2)*(n1+n2-1) AS DOUBLE)) AS z
+FROM agg
+"""
+
+
+def q_stationary_types(sf_dir: str):
+    """Stationary distribution of the event-type Markov chain (where
+    does a user's session settle?): the transition-count matrix is
+    the lead_transitions DEVICE (user-key shuffle, per-group lexsort,
+    vectorized adjacent pairs — reused, not re-implemented), then
+    FOUR integer power-iteration rounds on the BOUNDED |types|²
+    matrix: π⁰ = SCALE//K, π^{k+1}[j] = Σᵢ (π^k[i]·c_ij) // rowsumᵢ —
+    the pagerank_parts all-int64 recurrence discipline (per-term
+    floor divide then sum, identical on both sides; overflow guard).
+    Precondition (raised): from-type and to-type domains coincide
+    (a dangling type would leak mass). SQL-checked (lead CTE + four
+    unrolled recurrence CTEs)."""
+    SCALE = 1_000_000_000
+    mat = q_lead_transitions(sf_dir).to_pandas()
+    frm = mat["from_type"].tolist()
+    to = mat["to_type"].tolist()
+    cnt = [int(x) for x in mat["n"].tolist()]
+    _check(set(frm) == set(to),
+           "stationary_types: from/to type domains differ")
+    types = sorted(set(frm))
+    rs: dict[str, int] = {}
+    for f, n in zip(frm, cnt):
+        rs[f] = rs.get(f, 0) + n
+    if max(cnt) > (1 << 62) // SCALE:
+        raise ValueError("stationary_types recurrence overflow")
+    pi = {ty: SCALE // len(types) for ty in types}
+    for _ in range(4):
+        new = {ty: 0 for ty in types}
+        for f, t2, n in zip(frm, to, cnt):
+            new[t2] += (pi[f] * n) // rs[f]
+        pi = new
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "pi_scaled": pa.array([pi[ty] for ty in types], pa.int64()),
+    })
+
+
+SQL_STATIONARY_TYPES = """
+WITH s AS (SELECT event_type AS f,
+        lead(event_type) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS t2
+      FROM events),
+c AS (SELECT f, t2, CAST(count(*) AS BIGINT) AS n FROM s
+      WHERE t2 IS NOT NULL GROUP BY 1, 2),
+r AS (SELECT f, CAST(sum(n) AS BIGINT) AS rs FROM c GROUP BY 1),
+p0 AS (SELECT f AS ty,
+         CAST(1000000000 // (SELECT count(*) FROM r) AS BIGINT)
+             AS pi FROM r),
+p1 AS (SELECT c.t2 AS ty, CAST(sum((p0.pi * c.n) // r.rs) AS BIGINT)
+           AS pi
+       FROM c JOIN p0 ON p0.ty = c.f JOIN r ON r.f = c.f GROUP BY 1),
+p2 AS (SELECT c.t2 AS ty, CAST(sum((p1.pi * c.n) // r.rs) AS BIGINT)
+           AS pi
+       FROM c JOIN p1 ON p1.ty = c.f JOIN r ON r.f = c.f GROUP BY 1),
+p3 AS (SELECT c.t2 AS ty, CAST(sum((p2.pi * c.n) // r.rs) AS BIGINT)
+           AS pi
+       FROM c JOIN p2 ON p2.ty = c.f JOIN r ON r.f = c.f GROUP BY 1),
+p4 AS (SELECT c.t2 AS ty, CAST(sum((p3.pi * c.n) // r.rs) AS BIGINT)
+           AS pi
+       FROM c JOIN p3 ON p3.ty = c.f JOIN r ON r.f = c.f GROUP BY 1)
+SELECT ty AS event_type, pi AS pi_scaled FROM p4
+"""
