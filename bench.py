@@ -391,6 +391,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("degree_assortativity", Q.q_degree_assortativity)
     timed("runs_test", Q.q_runs_test)
     timed("stationary_types", Q.q_stationary_types)
+    timed("pmi_collocations", Q.q_pmi_collocations)
+    timed("durbin_watson", Q.q_durbin_watson)
+    timed("kendall_tau_grid", Q.q_kendall_tau_grid)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

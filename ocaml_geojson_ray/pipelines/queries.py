@@ -22273,3 +22273,379 @@ p4 AS (SELECT c.t2 AS ty, CAST(sum((p3.pi * c.n) // r.rs) AS BIGINT)
        FROM c JOIN p3 ON p3.ty = c.f JOIN r ON r.f = c.f GROUP BY 1)
 SELECT ty AS event_type, pi AS pi_scaled FROM p4
 """
+
+
+# -- session wave: pmi_collocations / durbin_watson / kendall_tau_grid ------
+
+def q_pmi_collocations(sf_dir: str):
+    """Pointwise-mutual-information collocation mining (the classic
+    "strongly associated word pair" extractor a corpus-curation
+    pipeline runs to find boilerplate phrases): top-20 bigrams with
+    count >= 5 by PMI = ln(c2 * T^2 / (P * c1a * c1b)), tokens the
+    RE2-\\w ASCII device shared with bigram_next_word. Float parity:
+    the PMI is the fixed six-term left-associative chain
+    ``ln c2 + ln T + ln T - ln P - ln ca - ln cb`` evaluated with
+    scalar libm ln on BOTH sides (the hll ln-parity rule) over exact
+    integer counts (< 2^53, checked) — no float sum of data-dependent
+    length anywhere. Physical shape: pass 1 streams unigram counts +
+    the bigram total through the vocab-bounded funnel (keyness
+    device; a sentinel row carries the per-batch bigram count so no
+    second pass is paid); pass 2 is the bigram_next_word md5(w1)
+    shard shuffle — per-shard counts are complete, the min-support
+    gate and the top-20 run per shard against the ray.put unigram
+    broadcast (cached_get per process), and the driver merges only
+    shards x 20 candidate rows. Bigram-key cardinality never touches
+    a driver funnel. SQL-checked."""
+    import math
+
+    import ray
+
+    from ..stages.textstats import _ASCII_WORD_RE
+    from ..util import cached_get, md5_le64
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_shards = max(16, cpus * 2)
+    ds = _read_split_few(sf_dir, "documents", ["text"])
+
+    def uni_partial(b: pa.Table) -> pa.Table:
+        words = []
+        n_pairs = 0
+        for t in b["text"].to_pylist():
+            ws = _ASCII_WORD_RE.findall(t)
+            words.extend(ws)
+            if len(ws) > 1:
+                n_pairs += len(ws) - 1
+        if not words:
+            return pa.table({"w": pa.array(["\x00P"], pa.string()),
+                             "partial": pa.array([n_pairs], pa.int64())})
+        uw, cnt = np.unique(np.asarray(words, dtype=object),
+                            return_counts=True)
+        return pa.table({
+            "w": pa.array(list(uw) + ["\x00P"], pa.string()),
+            "partial": pa.array(np.r_[cnt.astype(np.int64), n_pairs],
+                                pa.int64()),
+        })
+
+    parts = pa.concat_tables(ray.get(
+        ds.map_batches(uni_partial, batch_format="pyarrow")
+        .to_arrow_refs()))
+    ws = np.asarray(parts["w"].to_pylist(), dtype=object)
+    ns = parts["partial"].to_numpy(zero_copy_only=False)
+    uw, inv = np.unique(ws, return_inverse=True)
+    tot = np.zeros(len(uw), np.int64)
+    np.add.at(tot, inv, ns)
+    c1: dict[str, int] = {}
+    P = 0
+    for w, n in zip(uw, tot):
+        if w == "\x00P":
+            P = int(n)
+        else:
+            c1[str(w)] = int(n)
+    T = sum(c1.values())
+    _check(P > 0, "pmi_collocations: no bigrams in corpus")
+    _check(T < (1 << 53) and P < (1 << 53),
+           "pmi_collocations: totals exceed exact-double range")
+    uni_ref = ray.put((c1, T, P))
+
+    def bg_partial(b: pa.Table) -> pa.Table:
+        pairs = []
+        for t in b["text"].to_pylist():
+            toks = _ASCII_WORD_RE.findall(t)
+            pairs.extend(f"{a}\x00{c}" for a, c in zip(toks, toks[1:]))
+        if not pairs:
+            return pa.table({
+                "bg": pa.array([], pa.string()),
+                "partial": pa.array([], pa.int64()),
+                "shard": pa.array([], pa.int64()),
+            })
+        up, cnt = np.unique(np.asarray(pairs, dtype=object),
+                            return_counts=True)
+        sh = np.fromiter(
+            (md5_le64(s.split("\x00", 1)[0].encode("utf-8"))
+             % n_shards for s in up),
+            np.int64, len(up))
+        return pa.table({
+            "bg": pa.array(list(up), pa.string()),
+            "partial": pa.array(cnt.astype(np.int64), pa.int64()),
+            "shard": pa.array(sh, pa.int64()),
+        })
+
+    def shard_top(g: pa.Table) -> pa.Table:
+        empty = pa.table({"w1": pa.array([], pa.string()),
+                          "w2": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "pmi": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        cmap, t_tot, p_tot = cached_get(uni_ref)
+        bg = np.asarray(g["bg"].to_pylist(), dtype=object)
+        pt = g["partial"].to_numpy(zero_copy_only=False)
+        ub, inv2 = np.unique(bg, return_inverse=True)
+        cnt = np.zeros(len(ub), np.int64)
+        np.add.at(cnt, inv2, pt)
+        keep = cnt >= 5
+        if not keep.any():
+            return empty
+        ln_t = math.log(t_tot)
+        ln_p = math.log(p_tot)
+        rows = []
+        for s, c2 in zip(ub[keep], cnt[keep]):
+            w1, w2 = s.split("\x00", 1)
+            # fixed left-assoc chain, scalar libm ln — the oracle
+            # writes the identical expression
+            pmi = (math.log(c2) + ln_t + ln_t - ln_p
+                   - math.log(cmap[w1]) - math.log(cmap[w2]))
+            rows.append((w1, w2, int(c2), pmi))
+        rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+        rows = rows[:20]
+        return pa.table({
+            "w1": pa.array([r[0] for r in rows], pa.string()),
+            "w2": pa.array([r[1] for r in rows], pa.string()),
+            "n": pa.array([r[2] for r in rows], pa.int64()),
+            "pmi": pa.array([r[3] for r in rows], pa.float64()),
+        })
+
+    res = pa.concat_tables(ray.get(
+        ds.map_batches(bg_partial, batch_format="pyarrow")
+        .groupby("shard").map_groups(shard_top, batch_format="pyarrow")
+        .to_arrow_refs()))
+    merged = sorted(res.to_pylist(),
+                    key=lambda r: (-r["pmi"], r["w1"], r["w2"]))[:20]
+    return pa.table({
+        "w1": pa.array([r["w1"] for r in merged], pa.string()),
+        "w2": pa.array([r["w2"] for r in merged], pa.string()),
+        "n": pa.array([r["n"] for r in merged], pa.int64()),
+        "pmi": pa.array([r["pmi"] for r in merged], pa.float64()),
+    })
+
+
+SQL_PMI_COLLOCATIONS = r"""
+WITH toks AS (SELECT regexp_extract_all(text, '\w+') AS ws
+              FROM documents),
+uni AS (SELECT unnest(ws) AS w FROM toks),
+c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM uni GROUP BY w),
+tt AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c1),
+z AS (SELECT unnest(list_zip(ws, ws[2:])) AS pr FROM toks),
+bp AS (SELECT pr[1] AS w1, pr[2] AS w2 FROM z WHERE pr[2] IS NOT NULL),
+c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM bp
+       GROUP BY 1, 2),
+pp AS (SELECT CAST(sum(n) AS BIGINT) AS p FROM c2),
+s AS (SELECT c2.w1, c2.w2, c2.n,
+        ln(CAST(c2.n AS DOUBLE)) + ln(CAST(tt.t AS DOUBLE))
+          + ln(CAST(tt.t AS DOUBLE)) - ln(CAST(pp.p AS DOUBLE))
+          - ln(CAST(a.n AS DOUBLE)) - ln(CAST(b.n AS DOUBLE)) AS pmi
+      FROM c2 CROSS JOIN tt CROSS JOIN pp
+      JOIN c1 a ON a.w = c2.w1 JOIN c1 b ON b.w = c2.w2
+      WHERE c2.n >= 5)
+SELECT w1, w2, n, pmi FROM s ORDER BY pmi DESC, w1, w2 LIMIT 20
+"""
+
+
+def q_durbin_watson(sf_dir: str):
+    """Durbin-Watson autocorrelation test on the daily-revenue OLS
+    residuals (does the trend model leave serially-correlated errors —
+    the regression-diagnostics companion to regression_trend): daily
+    cents ride the runs_test day-grid funnel, revenue is floor-divided
+    to EXACT integer thousand-dollar units, and the residual of the
+    y-on-time regression is carried as the common-denominator INTEGER
+    R_t = n*Su2*yk_t - Sy*Su2 - n*Suy*u_t over the centered regressor
+    u_t = 2t - (n-1) (so sum(u) = 0 and the intercept drops out of the
+    closed form). DW = sum((R_t - R_{t-1})^2) / sum(R_t^2) — the
+    (n*Su2)^2 denominators cancel, both sums are exact Python-int /
+    HUGEINT, and the single float is one divide of two
+    correctly-rounded int->double casts (the regression_trend
+    bit-equal precedent). Sums are presented mod 2^63 (table_checksum
+    device); an overflow guard raises before any HUGEINT-range
+    product could wrap on the SQL side. SQL-checked."""
+    import ray
+
+    from ..util import grouped_sums_combine
+
+    US_PER_DAY = 86_400_000_000
+    ds = _read_split(sf_dir, "lineitem",
+                     ["l_shipdate", "l_extendedprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        day = b["l_shipdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False) // US_PER_DAY
+        cents = pc.round(pc.multiply(b["l_extendedprice"], 100.0)) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ud, inv = np.unique(day, return_inverse=True)
+        s = np.zeros(len(ud), np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({
+            "day": pa.array(ud, pa.int64()),
+            "cents": pa.array(s, pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["day"], ["cents"], ["cents"],
+    ).to_arrow_refs()))
+    day = t["day"].to_numpy(zero_copy_only=False)
+    cents = t["cents"].to_numpy(zero_copy_only=False)
+    order_ = np.argsort(day)
+    yk = [int(c) // 100_000 for c in cents[order_]]
+    n = len(yk)
+    _check(n >= 3, "durbin_watson: need >= 3 days")
+    u = [2 * i - (n - 1) for i in range(n)]
+    sy = sum(yk)
+    su2 = sum(x * x for x in u)
+    suy = sum(a * b for a, b in zip(u, yk))
+    # HUGEINT guard: |R| <= n*su2*max|yk| + |sy|*su2 + n*|suy|*n;
+    # sum of R^2 over n terms must stay < 2^126
+    mx = max(max((abs(x) for x in yk), default=0), 1)
+    bound = n * su2 * mx + abs(sy) * su2 + n * abs(suy) * n
+    _check(n * bound * bound < (1 << 126),
+           "durbin_watson: residual moments exceed HUGEINT range")
+    rr = [n * su2 * y - sy * su2 - n * suy * uu
+          for y, uu in zip(yk, u)]
+    sse = sum(r * r for r in rr)
+    ssd = sum((a - b) ** 2 for a, b in zip(rr[1:], rr[:-1]))
+    _check(sse > 0, "durbin_watson: degenerate zero-residual fit")
+    dw = float(ssd) / float(sse)
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "sse_mod": pa.array([sse % (1 << 63)], pa.int64()),
+        "ssd_mod": pa.array([ssd % (1 << 63)], pa.int64()),
+        "dw": pa.array([dw], pa.float64()),
+    })
+
+
+SQL_DURBIN_WATSON = """
+WITH daily AS (SELECT epoch_us(l_shipdate) // 86400000000 AS day,
+        CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))
+             AS BIGINT) // 100000 AS yk
+      FROM lineitem GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+r AS (SELECT day, yk,
+        CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+      FROM daily),
+ru AS (SELECT r.day, CAST(r.yk AS HUGEINT) AS yk,
+              CAST(2 * r.rn - nn.n - 1 AS HUGEINT) AS u
+       FROM r CROSS JOIN nn),
+mm AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+              CAST(sum(yk) AS HUGEINT) AS sy,
+              sum(u * u) AS su2, sum(u * yk) AS suy FROM ru),
+res AS (SELECT ru.day,
+          mm.n * mm.su2 * ru.yk - mm.sy * mm.su2 - mm.n * mm.suy * ru.u
+              AS rr
+        FROM ru CROSS JOIN mm),
+lg AS (SELECT rr, lag(rr) OVER (ORDER BY day) AS p FROM res),
+agg AS (SELECT sum(rr * rr) AS sse,
+               sum(CASE WHEN p IS NULL THEN 0
+                   ELSE (rr - p) * (rr - p) END) AS ssd FROM lg)
+SELECT nn.n AS n_days,
+       CAST(agg.sse % 9223372036854775808 AS BIGINT) AS sse_mod,
+       CAST(agg.ssd % 9223372036854775808 AS BIGINT) AS ssd_mod,
+       CAST(agg.ssd AS DOUBLE) / CAST(agg.sse AS DOUBLE) AS dw
+FROM agg CROSS JOIN nn
+"""
+
+
+def q_kendall_tau_grid(sf_dir: str):
+    """Exact Kendall tau-b between order quantity and price band (the
+    rank-association statistic that, unlike Spearman, is defined
+    straight off a contingency table — the standard trick for exact
+    tau on big data, since both axes are range-bounded): quantity
+    (integral 1..50) x price band (cents // 500000) form a bounded 2D
+    grid; concordant/discordant pair counts come from 2D prefix sums
+    over the grid (each unordered pair attributed to its greater-q
+    cell, so every pair is counted exactly once), ties from the
+    marginals, all EXACT int64. tau_b = (C - D) / sqrt((n0-tx)*(n0-ty))
+    is one float expression over ints < 2^53 (exactly representable;
+    guarded). Physical shape: one streamed pass of per-batch packed-key
+    partials, the range-bounded grid (<= 50 x bands) through the
+    driver funnel (mad_outliers rule), prefix sums driver-side on the
+    ~1k-cell matrix. The O(G^2) oracle join is over grid CELLS, never
+    rows. SQL-checked."""
+    import math
+
+    import ray
+
+    ds = _read_split(sf_dir, "lineitem",
+                     ["l_quantity", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = b["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = pc.round(pc.multiply(b["l_extendedprice"], 100.0)) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        band = cents // 500_000
+        packed = q * 1024 + band
+        up, cnt = np.unique(packed, return_counts=True)
+        return pa.table({
+            "packed": pa.array(up, pa.int64()),
+            "partial": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    parts = pa.concat_tables(ray.get(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_arrow_refs()))
+    pk = parts["packed"].to_numpy(zero_copy_only=False)
+    pn = parts["partial"].to_numpy(zero_copy_only=False)
+    upk, inv = np.unique(pk, return_inverse=True)
+    tot = np.zeros(len(upk), np.int64)
+    np.add.at(tot, inv, pn)
+    qs = upk // 1024
+    bs = upk % 1024
+    uq = np.unique(qs)
+    ub = np.unique(bs)
+    grid = np.zeros((len(uq), len(ub)), np.int64)
+    grid[np.searchsorted(uq, qs), np.searchsorted(ub, bs)] = tot
+    n_rows = int(grid.sum())
+    _check(0 < n_rows < (1 << 26),  # n0 < 2^51 < 2^53: exact doubles
+           "kendall_tau_grid: row count outside exact-double guard")
+    # concordant: pairs in strictly-smaller q AND b, counted at the
+    # greater cell; discordant: strictly smaller q, strictly larger b
+    s_inc = grid.cumsum(0).cumsum(1)
+    less = np.zeros_like(grid)
+    less[1:, 1:] = s_inc[:-1, :-1]
+    n_c = int((grid * less).sum())
+    suf_b = grid[:, ::-1].cumsum(1)[:, ::-1]  # sum over l >= j
+    s_mixed = suf_b.cumsum(0)                 # sum over k <= i, l >= j
+    more = np.zeros_like(grid)
+    more[1:, :-1] = s_mixed[:-1, 1:]          # k < i, l > j
+    n_d = int((grid * more).sum())
+    rmar = grid.sum(1)
+    cmar = grid.sum(0)
+    tx = int((rmar * (rmar - 1) // 2).sum())
+    ty = int((cmar * (cmar - 1) // 2).sum())
+    n0 = n_rows * (n_rows - 1) // 2
+    tau = float(n_c - n_d) / math.sqrt(float(n0 - tx) * float(n0 - ty))
+    return pa.table({
+        "n_rows": pa.array([n_rows], pa.int64()),
+        "n_concordant": pa.array([n_c], pa.int64()),
+        "n_discordant": pa.array([n_d], pa.int64()),
+        "ties_x": pa.array([tx], pa.int64()),
+        "ties_y": pa.array([ty], pa.int64()),
+        "tau_b": pa.array([tau], pa.float64()),
+    })
+
+
+SQL_KENDALL_TAU_GRID = """
+WITH g AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+                  CAST(round(l_extendedprice * 100.0) AS BIGINT)
+                      // 500000 AS b,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nr FROM g),
+cc AS (SELECT CAST(coalesce(sum(a.n * c.n), 0) AS BIGINT) AS c
+       FROM g a JOIN g c ON c.q < a.q AND c.b < a.b),
+dd AS (SELECT CAST(coalesce(sum(a.n * c.n), 0) AS BIGINT) AS d
+       FROM g a JOIN g c ON c.q < a.q AND c.b > a.b),
+tx AS (SELECT CAST(coalesce(sum(rn * (rn - 1) // 2), 0) AS BIGINT)
+           AS t
+       FROM (SELECT CAST(sum(n) AS BIGINT) AS rn FROM g GROUP BY q)),
+ty AS (SELECT CAST(coalesce(sum(cn * (cn - 1) // 2), 0) AS BIGINT)
+           AS t
+       FROM (SELECT CAST(sum(n) AS BIGINT) AS cn FROM g GROUP BY b)),
+n0 AS (SELECT nr * (nr - 1) // 2 AS v FROM tot)
+SELECT tot.nr AS n_rows, cc.c AS n_concordant, dd.d AS n_discordant,
+       tx.t AS ties_x, ty.t AS ties_y,
+       CAST(cc.c - dd.d AS DOUBLE)
+         / sqrt(CAST(n0.v - tx.t AS DOUBLE)
+                * CAST(n0.v - ty.t AS DOUBLE)) AS tau_b
+FROM tot CROSS JOIN cc CROSS JOIN dd CROSS JOIN tx CROSS JOIN ty
+CROSS JOIN n0
+"""
