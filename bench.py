@@ -394,6 +394,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("pmi_collocations", Q.q_pmi_collocations)
     timed("durbin_watson", Q.q_durbin_watson)
     timed("kendall_tau_grid", Q.q_kendall_tau_grid)
+    timed("ewma_daily", Q.q_ewma_daily)
+    timed("queue_waits", Q.q_queue_waits)
+    timed("haar_energy", Q.q_haar_energy)
+    timed("fk_orphans", Q.q_fk_orphans)
+    timed("huffman_code_lengths", Q.q_huffman_code_lengths)
+    timed("k_core_brands", Q.q_k_core_brands)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),

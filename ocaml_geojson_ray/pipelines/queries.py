@@ -22649,3 +22649,705 @@ SELECT tot.nr AS n_rows, cc.c AS n_concordant, dd.d AS n_discordant,
 FROM tot CROSS JOIN cc CROSS JOIN dd CROSS JOIN tx CROSS JOIN ty
 CROSS JOIN n0
 """
+
+
+# -- session wave: ewma_daily / queue_waits / haar_energy -------------------
+
+def q_ewma_daily(sf_dir: str):
+    """Integer EWMA smoothing of daily order revenue (the IIR
+    low-pass filter dashboards draw as "the smoothed line" — CUSUM
+    alarms on drift, this CARRIES the smoothed level): on the dense
+    zero-filled daily revenue-cents grid, s_1 = x_1 and
+    s_t = (7*s_{t-1} + x_t) // 8 — the alpha = 1/8 exponential
+    smoother as an ALL-INTEGER recurrence (floor-divide state stays
+    exact under any replay; both operands nonnegative so numpy //
+    == DuckDB //). Distributed part: the calendar-bounded daily
+    funnel; the O(days) sequentially-dependent walk is driver-side
+    (cusum_alarm rule). SQL-checked via the recursive-CTE recurrence
+    oracle."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    US_PER_DAY = 86_400_000_000
+    ds = _read_split_few(sf_dir, "orders",
+                         ["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = (b["o_orderdate"].cast(pa.int64())
+             .to_numpy(zero_copy_only=False) // US_PER_DAY)
+        cents = np.floor(
+            b["o_totalprice"].to_numpy(zero_copy_only=False)
+            * 100 + 0.5).astype(np.int64)
+        ud, inv = np.unique(d, return_inverse=True)
+        s = np.zeros(len(ud), np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({
+            "day": pa.array(ud, pa.int64()),
+            "partial": pa.array(s, pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day"], "partial", "rev",
+    ).to_arrow_refs()))
+    day = t["day"].to_numpy(zero_copy_only=False)
+    rev = t["rev"].to_numpy(zero_copy_only=False)
+    grid = np.arange(int(day.min()), int(day.max()) + 1)
+    x = np.zeros(len(grid), np.int64)
+    x[np.searchsorted(grid, day)] = rev
+    _check(int(x.min()) >= 0, "ewma_daily: negative daily revenue")
+    s = np.zeros(len(grid), np.int64)
+    acc = int(x[0])
+    s[0] = acc
+    for i in range(1, len(grid)):
+        acc = (7 * acc + int(x[i])) // 8
+        s[i] = acc
+    return pa.table({
+        "day": pa.array(grid, pa.int64()),
+        "rev": pa.array(x, pa.int64()),
+        "ewma": pa.array(s, pa.int64()),
+    })
+
+
+SQL_EWMA_DAILY = """
+WITH RECURSIVE
+raw AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS rev
+      FROM orders GROUP BY 1),
+b AS (SELECT min(day) AS mn, max(day) AS mx FROM raw),
+grid AS (SELECT CAST(unnest(generate_series(mn, mx)) AS BIGINT)
+             AS day FROM b),
+c AS (SELECT grid.day, CAST(coalesce(raw.rev, 0) AS BIGINT) AS rev
+      FROM grid LEFT JOIN raw ON raw.day = grid.day),
+r AS (SELECT c.day, c.rev, c.rev AS s
+      FROM c WHERE c.day = (SELECT mn FROM b)
+      UNION ALL
+      SELECT c.day, c.rev,
+             CAST((7 * r.s + c.rev) // 8 AS BIGINT) AS s
+      FROM r JOIN c ON c.day = r.day + 1)
+SELECT day, rev, s AS ewma FROM r
+"""
+
+
+def q_queue_waits(sf_dir: str):
+    """Lindley queue-waiting recursion per user (the G/D/1 waiting
+    line: each event needs one hour of deterministic service, so a
+    burst of closely-spaced events queues up): W_1 = 0,
+    W_i = max(0, W_{i-1} + C - gap_i) with C = 3600 s in µs — solved
+    in CLOSED FORM as W_i = S_i - min_{j<=i} S_j over the per-user
+    drift cumsum S (the reflection identity that turns a clamped
+    recursion into cumsum + running-min, both vectorizable). All
+    int64. Physical shape: ONE fib_bucket user shuffle (user_paths
+    device), per-bucket lexsort, segmented cumsum via base
+    subtraction, segmented running MIN as the NEGATED monotone-offset
+    running max (the interval_coverage device — offsets separate
+    user segments; valid while users-per-bucket x drift-span < 2^63,
+    guarded), per-user max/sum via reduceat. Per-user results are
+    complete within a bucket. SQL-checked (window cumsum +
+    running-min oracle — no recursion needed on either side)."""
+    import ray
+
+    C_US = 3_600_000_000
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nb = max(4, cpus // 4)
+    ds = split_read(f"{sf_dir}/events.parquet",
+                    ["user_id", "ts", "event_id"], nb)
+    n_buckets = max(64, cpus * 8)
+
+    def pre(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(uid, n_buckets), pa.int64()),
+            "user_id": b["user_id"],
+            "t": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+        })
+
+    def lindley(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "max_wait_us": pa.array([], pa.int64()),
+            "total_wait_us": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, t, uid))
+        uid, t = uid[order], t[order]
+        n = len(uid)
+        uc = np.empty(n, bool)
+        uc[0] = True
+        uc[1:] = uid[1:] != uid[:-1]
+        drift = np.empty(n, np.int64)
+        drift[0] = 0
+        drift[1:] = C_US - (t[1:] - t[:-1])
+        drift[uc] = 0  # first event of each user: W = 0 seed
+        cs_g = np.cumsum(drift)
+        starts = np.flatnonzero(uc)
+        base = np.repeat(cs_g[starts] - drift[starts],
+                         np.diff(np.r_[starts, n]))
+        cs = cs_g - base  # per-user cumsum, S_1 = 0
+        # segmented running min = -(monotone-offset running max of -cs)
+        rel = cs - int(cs.min())
+        span = int(rel.max()) + 2
+        ucode = (np.cumsum(uc) - 1).astype(np.int64)
+        _check(int(ucode[-1] + 1) * span < (1 << 62),
+               "queue_waits: offset-trick range exceeded; raise "
+               "n_buckets")
+        cm = np.maximum.accumulate(-rel + ucode * span)
+        runmin = -(cm - ucode * span)
+        wait = rel - runmin
+        mx = np.maximum.reduceat(wait, starts).astype(np.int64)
+        tot = np.add.reduceat(wait, starts).astype(np.int64)
+        cnt = np.diff(np.r_[starts, n]).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "n_events": pa.array(cnt, pa.int64()),
+            "max_wait_us": pa.array(mx, pa.int64()),
+            "total_wait_us": pa.array(tot, pa.int64()),
+        })
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(lindley, batch_format="pyarrow")
+    )
+
+
+SQL_QUEUE_WAITS = """
+WITH e AS (SELECT user_id, ts, event_id,
+        CAST(epoch_us(ts) AS BIGINT) AS t,
+        lag(CAST(epoch_us(ts) AS BIGINT)) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS pt
+      FROM events),
+d AS (SELECT user_id, ts, event_id,
+        CASE WHEN pt IS NULL THEN 0
+             ELSE 3600000000 - (t - pt) END AS drift FROM e),
+s AS (SELECT user_id, ts, event_id,
+        sum(drift) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS cs FROM d),
+w AS (SELECT user_id,
+        cs - min(cs) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS wait FROM s)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(wait) AS BIGINT) AS max_wait_us,
+       CAST(sum(wait) AS BIGINT) AS total_wait_us
+FROM w GROUP BY user_id
+"""
+
+
+def q_haar_energy(sf_dir: str):
+    """Haar multiresolution energy decomposition of daily revenue
+    (which time scale carries the variance — day-to-day noise,
+    intra-week, or week-scale structure?): on the dense zero-filled
+    daily revenue-cents grid truncated to a multiple of 8, the
+    UNNORMALIZED Haar pyramid — d_j = pair difference, s_j = pair sum
+    — gives per-level detail energies E_level = sum(d^2) EXACTLY (no
+    sqrt(2) normalization anywhere, so the whole transform is
+    integer; the classic orthogonality bookkeeping can be done by
+    the reader since levels only differ by the known 2^level factor).
+    Coefficients fit int64 (|d| <= 8*max-day, guarded) but d^2 sums
+    do NOT at real revenue magnitudes, so energies are summed in
+    exact Python ints and PRESENTED mod 2^63 (the table_checksum /
+    pmi device; oracle squares in HUGEINT and applies the same mod).
+    Distributed part: the calendar-bounded daily funnel; the pyramid
+    is three vectorized reshape-folds driver-side. SQL-checked (three
+    chained i//2 GROUP BY CTEs — the pyramid IS a groupby ladder)."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    US_PER_DAY = 86_400_000_000
+    ds = _read_split_few(sf_dir, "orders",
+                         ["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = (b["o_orderdate"].cast(pa.int64())
+             .to_numpy(zero_copy_only=False) // US_PER_DAY)
+        cents = np.floor(
+            b["o_totalprice"].to_numpy(zero_copy_only=False)
+            * 100 + 0.5).astype(np.int64)
+        ud, inv = np.unique(d, return_inverse=True)
+        s = np.zeros(len(ud), np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({
+            "day": pa.array(ud, pa.int64()),
+            "partial": pa.array(s, pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day"], "partial", "rev",
+    ).to_arrow_refs()))
+    day = t["day"].to_numpy(zero_copy_only=False)
+    rev = t["rev"].to_numpy(zero_copy_only=False)
+    grid = np.arange(int(day.min()), int(day.max()) + 1)
+    x = np.zeros(len(grid), np.int64)
+    x[np.searchsorted(grid, day)] = rev
+    m = 8 * (len(x) // 8)
+    _check(m >= 8, "haar_energy: need >= 8 grid days")
+    cur = x[:m]
+    mx = int(np.abs(cur).max()) if m else 0
+    # coefficients themselves stay int64: |d|, |s| <= 8*mx at level 3
+    _check(8 * mx < (1 << 62), "haar_energy: coefficients exceed int64")
+    levels, n_pairs, energy = [], [], []
+    for lv in (1, 2, 3):
+        pairs = cur.reshape(-1, 2)
+        d = pairs[:, 0] - pairs[:, 1]
+        levels.append(lv)
+        n_pairs.append(len(d))
+        # d*d overflows int64 at real magnitudes: exact Python ints,
+        # presented mod 2^63 (matches the oracle's HUGEINT % device)
+        energy.append(sum(int(v) * int(v) for v in d) % (1 << 63))
+        cur = pairs[:, 0] + pairs[:, 1]
+    return pa.table({
+        "level": pa.array(levels, pa.int64()),
+        "n_pairs": pa.array(n_pairs, pa.int64()),
+        "energy": pa.array(energy, pa.int64()),
+    })
+
+
+SQL_HAAR_ENERGY = """
+WITH raw AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS rev
+      FROM orders GROUP BY 1),
+b AS (SELECT min(day) AS mn, max(day) AS mx FROM raw),
+grid AS (SELECT CAST(unnest(generate_series(mn, mx)) AS BIGINT)
+             AS day FROM b),
+c AS (SELECT grid.day - (SELECT mn FROM b) AS i,
+             CAST(coalesce(raw.rev, 0) AS BIGINT) AS v
+      FROM grid LEFT JOIN raw ON raw.day = grid.day),
+m AS (SELECT 8 * (count(*) // 8) AS m FROM c),
+l1 AS (SELECT i // 2 AS j,
+         CAST(sum(CASE WHEN i % 2 = 0 THEN v ELSE -v END)
+              AS BIGINT) AS d,
+         CAST(sum(v) AS BIGINT) AS s
+       FROM c WHERE i < (SELECT m FROM m) GROUP BY 1),
+l2 AS (SELECT j // 2 AS j,
+         CAST(sum(CASE WHEN j % 2 = 0 THEN s ELSE -s END)
+              AS BIGINT) AS d,
+         CAST(sum(s) AS BIGINT) AS s
+       FROM l1 GROUP BY 1),
+l3 AS (SELECT j // 2 AS j,
+         CAST(sum(CASE WHEN j % 2 = 0 THEN s ELSE -s END)
+              AS BIGINT) AS d,
+         CAST(sum(s) AS BIGINT) AS s
+       FROM l2 GROUP BY 1)
+SELECT CAST(1 AS BIGINT) AS level, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CAST(d AS HUGEINT) * CAST(d AS HUGEINT))
+            % 9223372036854775808 AS BIGINT) AS energy FROM l1
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(sum(CAST(d AS HUGEINT) * CAST(d AS HUGEINT))
+            % 9223372036854775808 AS BIGINT) FROM l2
+UNION ALL
+SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(sum(CAST(d AS HUGEINT) * CAST(d AS HUGEINT))
+            % 9223372036854775808 AS BIGINT) FROM l3
+"""
+
+
+# -- session wave: fk_orphans / huffman_code_lengths / k_core_brands --------
+
+def q_fk_orphans(sf_dir: str):
+    """Referential-integrity audit over the star schema's four FK
+    relations (the dbt-style relationship test, run as ONE job):
+    per relation, child row/key counts, ORPHAN child rows/keys (FK
+    points at no parent — broken ingestion), parent key count, and
+    CHILDLESS parents (coverage: e.g. orders with zero lineitems —
+    257 of them in the fixture, so the audit has real signal, not an
+    all-zeros row). Physical shape: each relation's child keys are
+    per-block pre-aggregated to (key, rowcount) and its parent keys
+    per-block deduped, all EIGHT streams union into ONE tagged
+    co-bucket shuffle (util.fib_bucket on the key, group key =
+    rel*n_buckets + bucket — the totals_audit two-table device: a
+    key's child copies and parent row meet in exactly one bucket),
+    per-bucket sorted-set membership, then a 4-key × 6-counter
+    funnel. The driver never sees a key. SQL-checked (LEFT JOIN
+    aggregate oracle per relation)."""
+    import ray
+
+    from ..util import grouped_sums_combine
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nb = max(4, cpus // 4)
+    n_buckets = max(64, cpus * 8)
+
+    RELS = [
+        ("lineitem.l_orderkey->orders.o_orderkey",
+         ("lineitem", "l_orderkey"), ("orders", "o_orderkey")),
+        ("orders.o_custkey->customer.c_custkey",
+         ("orders", "o_custkey"), ("customer", "c_custkey")),
+        ("lineitem.l_partkey->part.p_partkey",
+         ("lineitem", "l_partkey"), ("part", "p_partkey")),
+        ("lineitem.l_suppkey->supplier.s_suppkey",
+         ("lineitem", "l_suppkey"), ("supplier", "s_suppkey")),
+    ]
+
+    def mk_pre(rel_id: int, col: str, is_parent: bool):
+        def pre(b: pa.Table) -> pa.Table:
+            k = b[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if is_parent:
+                uk = np.unique(k)
+                cnt = np.zeros(len(uk), np.int64)
+            else:
+                uk, cnt_ = np.unique(k, return_counts=True)
+                cnt = cnt_.astype(np.int64)
+            gb = rel_id * n_buckets + fib_bucket(uk, n_buckets)
+            return pa.table({
+                "gb": pa.array(gb, pa.int64()),
+                "key": pa.array(uk, pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+                "is_parent": pa.array(
+                    np.full(len(uk), is_parent, bool)),
+            })
+        return pre
+
+    parts = []
+    for rid, (_, (ct, cc), (pt_, pc_)) in enumerate(RELS):
+        child = split_read(f"{sf_dir}/{ct}.parquet", [cc], nb)
+        parent = split_read(f"{sf_dir}/{pt_}.parquet", [pc_], nb)
+        parts.append(child.map_batches(
+            mk_pre(rid, cc, False), batch_format="pyarrow"))
+        parts.append(parent.map_batches(
+            mk_pre(rid, pc_, True), batch_format="pyarrow"))
+    ds = parts[0].union(*parts[1:])
+
+    ALIASES = ["n_child_rows", "n_child_keys", "n_orphan_rows",
+               "n_orphan_keys", "n_parent_keys",
+               "n_childless_parents"]
+
+    def audit(g: pa.Table) -> pa.Table:
+        empty = {"rel": pa.array([], pa.int64())}
+        for a in ALIASES:
+            empty[a] = pa.array([], pa.int64())
+        if g.num_rows == 0:
+            return pa.table(empty)
+        rel = int(g["gb"][0].as_py()) // n_buckets
+        key = g["key"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        isp = g["is_parent"].to_numpy(zero_copy_only=False)
+        # child copies of a key may arrive from several blocks
+        ck, ci = np.unique(key[~isp], return_inverse=True)
+        crows = np.zeros(len(ck), np.int64)
+        np.add.at(crows, ci, cnt[~isp])
+        pk = np.unique(key[isp])
+        pos = np.searchsorted(pk, ck)
+        if len(pk):
+            posc = np.clip(pos, 0, len(pk) - 1)
+            has_parent = pk[posc] == ck
+        else:
+            has_parent = np.zeros(len(ck), bool)
+        childless = ~np.isin(pk, ck, assume_unique=True)
+        vals = [int(crows.sum()), len(ck),
+                int(crows[~has_parent].sum()),
+                int((~has_parent).sum()),
+                len(pk), int(childless.sum())]
+        out = {"rel": pa.array([rel], pa.int64())}
+        for a, v in zip(ALIASES, vals):
+            out[a] = pa.array([v], pa.int64())
+        return pa.table(out)
+
+    tbl = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.groupby("gb").map_groups(audit, batch_format="pyarrow"),
+        ["rel"], ALIASES, ALIASES,
+    ).to_arrow_refs()))
+    rel_names = pa.array(
+        [RELS[int(r)][0] for r in tbl["rel"].to_pylist()], pa.string())
+    cols = {"relation": rel_names}
+    for a in ALIASES:
+        cols[a] = tbl[a]
+    return pa.table(cols)
+
+
+def _sql_fk_orphans() -> str:
+    rels = [
+        ("lineitem.l_orderkey->orders.o_orderkey",
+         "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders.o_custkey->customer.c_custkey",
+         "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_partkey->part.p_partkey",
+         "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier.s_suppkey",
+         "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ]
+    ctes, selects = [], []
+    for i, (name, ct, cc, pt_, pc_) in enumerate(rels):
+        ctes.append(f"""
+c{i} AS (SELECT {cc} AS k, count(*) AS c FROM {ct} GROUP BY 1),
+p{i} AS (SELECT DISTINCT {pc_} AS k FROM {pt_}),
+a{i} AS (SELECT CAST(sum(c.c) AS BIGINT) AS n_child_rows,
+        CAST(count(*) AS BIGINT) AS n_child_keys,
+        CAST(coalesce(sum(CASE WHEN p.k IS NULL THEN c.c END), 0)
+             AS BIGINT) AS n_orphan_rows,
+        CAST(coalesce(sum(CASE WHEN p.k IS NULL THEN 1 END), 0)
+             AS BIGINT) AS n_orphan_keys
+     FROM c{i} c LEFT JOIN p{i} p ON c.k = p.k),
+b{i} AS (SELECT CAST(count(*) AS BIGINT) AS n_parent_keys,
+        CAST(coalesce(sum(CASE WHEN c.k IS NULL THEN 1 END), 0)
+             AS BIGINT) AS n_childless_parents
+     FROM p{i} p LEFT JOIN c{i} c ON p.k = c.k)""")
+        selects.append(
+            f"SELECT '{name}' AS relation, a{i}.*, b{i}.* "
+            f"FROM a{i} CROSS JOIN b{i}")
+    return "WITH " + ",".join(ctes) + "\n" \
+        + "\nUNION ALL\n".join(selects)
+
+
+SQL_FK_ORPHANS = _sql_fk_orphans()
+
+
+def q_huffman_code_lengths(sf_dir: str):
+    """Optimal prefix-code planning for the event-type stream (the
+    compression question a log-storage layer asks: how many bits/type
+    does an entropy code spend?): Huffman's algorithm over the 5
+    event-type frequencies, every node a BITMASK over the
+    lexicographically-ordered type vocabulary, merges picking the two
+    smallest by the total order (weight, mask) — fully deterministic,
+    all-integer. A symbol's code length = number of merge steps whose
+    merged mask contains its bit (the classic tree-free Huffman
+    bookkeeping). Distributed part: the type-bounded count funnel;
+    the 4 merges are driver-side on 5 numbers. SQL-checked (4
+    unrolled merge-round CTEs with bit_or(mask) — the bloom_prefilter
+    bit_or device — and (w, mask) row_number ordering)."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    ds = _read_split_few(sf_dir, "events", ["event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": b["event_type"]}) \
+            .group_by(["event_type"]).aggregate([([], "count_all")])
+        return pa.table({
+            "event_type": t["event_type"],
+            "partial": t["count_all"].cast(pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], "partial", "n_events",
+    ).to_arrow_refs()))
+    types = np.asarray(t["event_type"].to_pylist(), dtype=object)
+    w = t["n_events"].to_numpy(zero_copy_only=False)
+    order = np.argsort(types)
+    types, w = types[order], w[order]
+    n = len(types)
+    _check(n == 5, "huffman_code_lengths: oracle unroll pinned to "
+           f"5 event types, got {n}")
+    nodes = [(int(w[i]), 1 << i) for i in range(n)]
+    merged_masks = []
+    while len(nodes) > 1:
+        nodes.sort(key=lambda x: (x[0], x[1]))
+        (w1, m1), (w2, m2) = nodes[0], nodes[1]
+        nodes = nodes[2:] + [(w1 + w2, m1 | m2)]
+        merged_masks.append(m1 | m2)
+    code_len = np.array(
+        [sum(1 for m in merged_masks if (m >> i) & 1)
+         for i in range(n)], np.int64)
+    return pa.table({
+        "event_type": pa.array(list(types), pa.string()),
+        "n_events": pa.array(w, pa.int64()),
+        "code_len": pa.array(code_len, pa.int64()),
+        "weighted_bits": pa.array(w * code_len, pa.int64()),
+    })
+
+
+def _sql_huffman() -> str:
+    ctes = ["""t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS w,
+       CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT)
+           AS i
+     FROM events GROUP BY 1),
+n0 AS (SELECT CAST(1 AS BIGINT) << i AS mask, w FROM t)"""]
+    for r in range(1, 5):
+        p = r - 1
+        ctes.append(f"""
+r{r} AS (SELECT mask, w,
+        row_number() OVER (ORDER BY w, mask) AS rn FROM n{p}),
+m{r} AS (SELECT CAST(bit_or(mask) AS BIGINT) AS mask,
+        CAST(sum(w) AS BIGINT) AS w FROM r{r} WHERE rn <= 2),
+n{r} AS (SELECT mask, w FROM r{r} WHERE rn > 2
+      UNION ALL SELECT mask, w FROM m{r})""")
+    lens = " + ".join(
+        f"(CASE WHEN ((SELECT mask FROM m{r}) >> t.i) & 1 = 1 "
+        f"THEN 1 ELSE 0 END)" for r in range(1, 5))
+    return "WITH " + ",".join(ctes) + f"""
+SELECT t.event_type, t.w AS n_events,
+       CAST({lens} AS BIGINT) AS code_len,
+       CAST(t.w * ({lens}) AS BIGINT) AS weighted_bits
+FROM t"""
+
+
+SQL_HUFFMAN_CODE_LENGTHS = _sql_huffman()
+
+
+def q_k_core_brands(sf_dir: str):
+    """k-core decomposition of the brand co-purchase graph (the
+    community-detection preprocessing that strips low-degree
+    periphery until every survivor has >= k neighbors — the standard
+    "dense part of the graph" extractor): nodes = brands, edges =
+    brand pairs whose order co-occurrence count is STRICTLY above
+    the median pair count (quantile_disc 0.5 selection rule —
+    sorted[ceil(0.5 n) - 1]), k = 11, iterative peel to fixpoint.
+    Output: (brand, init_degree, peel_round), peel_round 0 = core
+    member, r >= 1 = removed in round r. Physical shape: the
+    assoc_rules plan — part→brand DIMENSION broadcast, ONE orderkey
+    bucket shuffle, offset-k pair scan, bounded (a, b) funnel
+    (<= |brands|² pairs); the peel itself is driver-side on <= 25
+    nodes. Fixpoint within the oracle's 6 unrolled rounds is RAISED
+    on, not assumed (fixture converges in <= 3 at every sf).
+    SQL-checked (6 unrolled degree-filter rounds; membership CASE
+    ladder assigns peel rounds)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    K = 11
+    ROUNDS = 6
+
+    pt = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_brand"])
+    pk = pt["p_partkey"].to_numpy(zero_copy_only=False)
+    brands, binv = np.unique(
+        np.asarray(pt["p_brand"].to_pylist(), dtype=object),
+        return_inverse=True)
+    order_ = np.argsort(pk)
+    dim_ref = ray.put((pk[order_], binv[order_].astype(np.int64)))
+    n_brands = len(brands)
+    _check(n_brands < 256, "k_core_brands brand-id pack assumes < 256")
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        spk, sbid = ray.get(dim_ref)
+        ok_ = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        lpk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        bid = sbid[np.searchsorted(spk, lpk)]
+        packed = np.unique((ok_ << 8) | bid)
+        oks = packed >> 8
+        return pa.table({
+            "bucket": pa.array(fib_bucket(oks, n_buckets), pa.int64()),
+            "ok": pa.array(oks, pa.int64()),
+            "bid": pa.array(packed & 255, pa.int64()),
+        })
+
+    def pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "partial": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        ok_ = g["ok"].to_numpy(zero_copy_only=False)
+        bid = g["bid"].to_numpy(zero_copy_only=False)
+        packed = np.unique((ok_ << 8) | bid)
+        oks = packed >> 8
+        bids = packed & 255
+        pair_keys = []
+        k = 1
+        while True:
+            m = oks[k:] == oks[:-k]
+            if not m.any():
+                break
+            pair_keys.append((bids[:-k][m] << 8) | bids[k:][m])
+            k += 1
+        if not pair_keys:
+            return empty
+        pv, pn = np.unique(np.concatenate(pair_keys),
+                           return_counts=True)
+        return pa.table({
+            "a": pa.array(pv >> 8, pa.int64()),
+            "b": pa.array(pv & 255, pa.int64()),
+            "partial": pa.array(pn.astype(np.int64), pa.int64()),
+        })
+
+    tbl = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(pairs, batch_format="pyarrow"),
+        ["a", "b"], "partial", "n",
+    ).to_arrow_refs()))
+    a = tbl["a"].to_numpy(zero_copy_only=False)
+    b = tbl["b"].to_numpy(zero_copy_only=False)
+    n = tbl["n"].to_numpy(zero_copy_only=False)
+    _check(len(n) > 0, "k_core_brands: no co-purchase pairs")
+    s = np.sort(n)
+    thr = int(s[max(0, int(np.ceil(0.5 * len(s))) - 1)])
+    em = n > thr
+    ea, eb = a[em], b[em]
+    node_ids = np.unique(np.concatenate([ea, eb]))
+    deg0 = np.zeros(n_brands, np.int64)
+    np.add.at(deg0, ea, 1)
+    np.add.at(deg0, eb, 1)
+    alive = np.zeros(n_brands, bool)
+    alive[node_ids] = True
+    peel = np.zeros(n_brands, np.int64)
+    cea, ceb = ea, eb
+    for r in range(1, ROUNDS + 1):
+        deg = np.zeros(n_brands, np.int64)
+        np.add.at(deg, cea, 1)
+        np.add.at(deg, ceb, 1)
+        drop = alive & (deg < K)
+        if not drop.any():
+            break
+        peel[drop] = r
+        alive &= ~drop
+        keep = alive[cea] & alive[ceb]
+        cea, ceb = cea[keep], ceb[keep]
+    deg_f = np.zeros(n_brands, np.int64)
+    np.add.at(deg_f, cea, 1)
+    np.add.at(deg_f, ceb, 1)
+    _check(not (alive & (deg_f < K)).any(),
+           f"k_core_brands: no fixpoint within {ROUNDS} rounds; "
+           "raise the oracle unroll")
+    return pa.table({
+        "brand": pa.array([brands[i] for i in node_ids], pa.string()),
+        "init_degree": pa.array(deg0[node_ids], pa.int64()),
+        "peel_round": pa.array(peel[node_ids], pa.int64()),
+    })
+
+
+def _sql_k_core() -> str:
+    head = """ob AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+p AS MATERIALIZED (SELECT x.b AS a, y.b AS b, count(*) AS n
+      FROM ob x JOIN ob y ON x.ok = y.ok AND x.b < y.b
+      GROUP BY 1, 2),
+e0 AS MATERIALIZED (SELECT a, b FROM p
+       WHERE n > (SELECT quantile_disc(n, 0.5) FROM p)),
+d0 AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+        (SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0)
+       GROUP BY 1)"""
+    ctes = [head]
+    prev_e = "e0"
+    for r in range(1, 7):
+        src_d = "d0" if r == 1 else f"dd{r - 1}"
+        ctes.append(f"""
+v{r} AS MATERIALIZED (SELECT v FROM {src_d} WHERE d >= 11),
+e{r} AS MATERIALIZED (SELECT a, b FROM {prev_e}
+      WHERE a IN (SELECT v FROM v{r})
+        AND b IN (SELECT v FROM v{r})),
+dd{r} AS MATERIALIZED (
+      SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+        (SELECT a AS v FROM e{r} UNION ALL SELECT b AS v FROM e{r})
+       GROUP BY 1)""")
+        prev_e = f"e{r}"
+    lad = " ".join(
+        f"WHEN d0.v NOT IN (SELECT v FROM v{r}) THEN {r}"
+        for r in range(1, 7))
+    return "WITH " + ",".join(ctes) + f"""
+SELECT d0.v AS brand, d0.d AS init_degree,
+       CAST(CASE {lad} ELSE 0 END AS BIGINT) AS peel_round
+FROM d0"""
+
+
+SQL_K_CORE_BRANDS = _sql_k_core()
