@@ -23351,3 +23351,226 @@ FROM d0"""
 
 
 SQL_K_CORE_BRANDS = _sql_k_core()
+
+
+# -- session wave: turning_points_test / ordinal_patterns / rich_club -------
+
+def _orders_daily_grid(sf_dir: str):
+    """Shared device: the dense zero-filled daily order-revenue-cents
+    grid (the ewma_daily / haar_energy / cusum funnel, factored):
+    distributed calendar-bounded (day, cents) partial-sum funnel via
+    util.grouped_sum_combine, then the driver densifies onto
+    [min_day, max_day] — bounded by the calendar, o(corpus). Returns
+    (grid_days:int64[], cents:int64[])."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    US_PER_DAY = 86_400_000_000
+    ds = _read_split_few(sf_dir, "orders",
+                         ["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = (b["o_orderdate"].cast(pa.int64())
+             .to_numpy(zero_copy_only=False) // US_PER_DAY)
+        cents = np.floor(
+            b["o_totalprice"].to_numpy(zero_copy_only=False)
+            * 100 + 0.5).astype(np.int64)
+        ud, inv = np.unique(d, return_inverse=True)
+        s = np.zeros(len(ud), np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({
+            "day": pa.array(ud, pa.int64()),
+            "partial": pa.array(s, pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day"], "partial", "rev",
+    ).to_arrow_refs()))
+    day = t["day"].to_numpy(zero_copy_only=False)
+    rev = t["rev"].to_numpy(zero_copy_only=False)
+    grid = np.arange(int(day.min()), int(day.max()) + 1)
+    x = np.zeros(len(grid), np.int64)
+    x[np.searchsorted(grid, day)] = rev
+    return grid, x
+
+
+# The oracle-side twin of _orders_daily_grid: c(i, v) = dense daily
+# cents, i = 0-based grid index.
+_SQL_DAILY_GRID = """
+raw AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS rev
+      FROM orders GROUP BY 1),
+b AS (SELECT min(day) AS mn, max(day) AS mx FROM raw),
+grid AS (SELECT CAST(unnest(generate_series(mn, mx)) AS BIGINT)
+             AS day FROM b),
+c AS (SELECT grid.day - (SELECT mn FROM b) AS i,
+             CAST(coalesce(raw.rev, 0) AS BIGINT) AS v
+      FROM grid LEFT JOIN raw ON raw.day = grid.day)"""
+
+
+def q_turning_points_test(sf_dir: str):
+    """Turning-points randomness test on daily revenue (the
+    runs_test's sibling diagnostic: a random i.i.d. sequence has
+    E[T] = 2(n−2)/3 local extrema — too few means trending, too many
+    means oscillating): on the dense zero-filled daily grid, T counts
+    interior days that are a STRICT local max or min (ties with
+    either neighbor don't count — the determinate tie rule both
+    engines state identically). Var[T] = (16n − 29)/90 and
+    z = (T − E)/√V — each numerator/denominator an exact int64, ONE
+    divide each, √ via libm (the runs_test float discipline).
+    Distributed part: the calendar-bounded daily funnel
+    (_orders_daily_grid); the scan is one vectorized triple-compare.
+    SQL-checked (lag/lead oracle, op-for-op float expressions)."""
+    import math
+
+    grid, x = _orders_daily_grid(sf_dir)
+    n = len(grid)
+    _check(n >= 3, "turning_points_test: need >= 3 grid days")
+    a, m, c = x[:-2], x[1:-1], x[2:]
+    t_cnt = int((((a < m) & (m > c)) | ((a > m) & (m < c))).sum())
+    e = float(2 * (n - 2)) / 3.0
+    z = (float(t_cnt) - e) / math.sqrt(float(16 * n - 29) / 90.0)
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "n_turning": pa.array([t_cnt], pa.int64()),
+        "expected_turning": pa.array([e], pa.float64()),
+        "z": pa.array([z], pa.float64()),
+    })
+
+
+SQL_TURNING_POINTS_TEST = f"""
+WITH {_SQL_DAILY_GRID},
+w AS (SELECT lag(v) OVER (ORDER BY i) AS a, v AS m,
+             lead(v) OVER (ORDER BY i) AS c2 FROM c),
+agg AS (SELECT
+    CAST((SELECT count(*) FROM c) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN (a < m AND m > c2) OR (a > m AND m < c2)
+             THEN 1 ELSE 0 END) AS BIGINT) AS t
+  FROM w WHERE a IS NOT NULL AND c2 IS NOT NULL)
+SELECT n AS n_days, t AS n_turning,
+  CAST(2*(n-2) AS DOUBLE) / 3.0 AS expected_turning,
+  (CAST(t AS DOUBLE) - CAST(2*(n-2) AS DOUBLE) / 3.0)
+    / sqrt(CAST(16*n - 29 AS DOUBLE) / 90.0) AS z
+FROM agg
+"""
+
+
+def q_ordinal_patterns(sf_dir: str):
+    """Ordinal-pattern (sign-motif) distribution of daily revenue —
+    the permutation-entropy preprocessing: every interior day's
+    window (x_{{t−1}}, x_t, x_{{t+1}}) is classified by the sign pair
+    (sign(x_t − x_{{t−1}}), sign(x_{{t+1}} − x_t)) ∈ {{−1,0,1}}² — 9
+    motif classes (up-up = trend, up-down = peak, ...), ALL-INTEGER
+    including the floor-divide share in basis points (both operands
+    nonnegative, numpy // == DuckDB //). Distributed part: the
+    calendar-bounded daily funnel (_orders_daily_grid); the motif
+    scan is two vectorized sign-diffs. SQL-checked (lag/lead + CASE
+    sign oracle)."""
+    grid, x = _orders_daily_grid(sf_dir)
+    n = len(grid)
+    _check(n >= 3, "ordinal_patterns: need >= 3 grid days")
+    s = np.sign(np.diff(x)).astype(np.int64)
+    d1, d2 = s[:-1], s[1:]
+    code = (d1 + 1) * 3 + (d2 + 1)
+    cnt = np.bincount(code, minlength=9).astype(np.int64)
+    total = n - 2
+    keep = np.flatnonzero(cnt)
+    codes = keep.astype(np.int64)
+    return pa.table({
+        "d1": pa.array(codes // 3 - 1, pa.int64()),
+        "d2": pa.array(codes % 3 - 1, pa.int64()),
+        "n_windows": pa.array(cnt[keep], pa.int64()),
+        "share_bp": pa.array(10000 * cnt[keep] // total, pa.int64()),
+    })
+
+
+SQL_ORDINAL_PATTERNS = f"""
+WITH {_SQL_DAILY_GRID},
+w AS (SELECT lag(v) OVER (ORDER BY i) AS a, v AS m,
+             lead(v) OVER (ORDER BY i) AS c2 FROM c),
+s AS (SELECT CAST(CASE WHEN m > a THEN 1 WHEN m < a THEN -1
+                  ELSE 0 END AS BIGINT) AS d1,
+             CAST(CASE WHEN c2 > m THEN 1 WHEN c2 < m THEN -1
+                  ELSE 0 END AS BIGINT) AS d2
+      FROM w WHERE a IS NOT NULL AND c2 IS NOT NULL)
+SELECT d1, d2, CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(10000 * count(*) // (SELECT count(*) FROM s)
+            AS BIGINT) AS share_bp
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_rich_club(sf_dir: str):
+    """Rich-club coefficient ladder of the derived graph (do
+    high-degree nodes preferentially link to each other? — the
+    hub-interconnection diagnostic that complements assortativity's
+    single global number): for each probe degree k, N_k = nodes with
+    degree > k, E_k = edges with BOTH endpoints' degree > k, and
+    φ(k) = 2·E_k / (N_k·(N_k−1)) — the density of the subgraph
+    induced by the >k club. Counts are exact int64 over the bounded
+    edge funnel (_derived_edge_keys — the triangle_counts /
+    assortativity device; degrees by bincount); φ is ONE float
+    divide of two exact ints. Probe ladder k ∈ {{0,1,2,3,4,6,8,12,16}}
+    (the activity_ccdf fixed-ladder rule), rows kept while N_k ≥ 2.
+    SQL-checked (edge-CTE + degree join + per-k correlated-count
+    oracle)."""
+    N = _TRI_N
+    keys = _derived_edge_keys(sf_dir)
+    u = keys // N
+    v = keys % N
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    deg = np.bincount(inv).astype(np.int64)
+    du = deg[inv[:len(u)]]
+    dv = deg[inv[len(u):]]
+    ks, nks, eks, phis = [], [], [], []
+    for k in (0, 1, 2, 3, 4, 6, 8, 12, 16):
+        nk = int((deg > k).sum())
+        if nk < 2:
+            continue
+        ek = int(((du > k) & (dv > k)).sum())
+        ks.append(k)
+        nks.append(nk)
+        eks.append(ek)
+        phis.append(float(2 * ek) / float(nk * (nk - 1)))
+    return pa.table({
+        "k": pa.array(ks, pa.int64()),
+        "n_nodes_gt": pa.array(nks, pa.int64()),
+        "n_edges_gt": pa.array(eks, pa.int64()),
+        "phi": pa.array(phis, pa.float64()),
+    })
+
+
+SQL_RICH_CLUB = f"""
+WITH raw AS (
+  SELECT (l_orderkey*7919 + l_linenumber*104729) % {_TRI_N} AS a,
+         (l_orderkey*104729 + l_partkey*7919) % {_TRI_N} AS b
+  FROM lineitem
+  UNION ALL SELECT t, t+1 FROM (SELECT (l_orderkey*6151 + 13) % {_TRI_N - 2}
+                                AS t FROM lineitem WHERE l_linenumber = 1)
+  UNION ALL SELECT t+1, t+2 FROM (SELECT (l_orderkey*6151 + 13) % {_TRI_N - 2}
+                                  AS t FROM lineitem WHERE l_linenumber = 1)
+  UNION ALL SELECT t, t+2 FROM (SELECT (l_orderkey*6151 + 13) % {_TRI_N - 2}
+                                AS t FROM lineitem WHERE l_linenumber = 1)
+),
+e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      FROM raw WHERE a <> b),
+deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM
+        (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+        GROUP BY x),
+ed AS (SELECT du.d AS da, dv.d AS db
+       FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v),
+kk AS (SELECT CAST(unnest([0,1,2,3,4,6,8,12,16]) AS BIGINT) AS k),
+r AS (SELECT k,
+        (SELECT CAST(count(*) AS BIGINT) FROM deg WHERE d > kk.k)
+            AS n_nodes_gt,
+        (SELECT CAST(count(*) AS BIGINT) FROM ed
+          WHERE da > kk.k AND db > kk.k) AS n_edges_gt
+      FROM kk)
+SELECT k, n_nodes_gt, n_edges_gt,
+       CAST(2 * n_edges_gt AS DOUBLE)
+         / CAST(n_nodes_gt * (n_nodes_gt - 1) AS DOUBLE) AS phi
+FROM r WHERE n_nodes_gt >= 2
+"""
