@@ -23574,3 +23574,313 @@ SELECT k, n_nodes_gt, n_edges_gt,
          / CAST(n_nodes_gt * (n_nodes_gt - 1) AS DOUBLE) AS phi
 FROM r WHERE n_nodes_gt >= 2
 """
+
+
+# -- session wave: cohens_kappa / wilson_lower_bound / eigencentrality ------
+
+def q_cohens_kappa(sf_dir: str):
+    """Cohen's kappa for the language classifier (chance-corrected
+    agreement — the number a labeling review quotes INSTEAD of raw
+    accuracy when the class mix is skewed): over the
+    labeled-lang × predicted-lang confusion matrix (the
+    langid_confusion DEVICE, reused not re-implemented), kappa =
+    (p_o − p_e)/(1 − p_e) algebraically cleared to ONE float divide
+    of two exact int64s: (N·Σdiag − Σ_k row_k·col_k) /
+    (N² − Σ_k row_k·col_k). The matrix is profile-bounded so the
+    cross-multiply is driver math on a tiny table; overflow needs
+    N² ≥ 2⁶² (guarded). SQL-checked (confusion-CTE + marginal join
+    oracle, identical closed form)."""
+    cm = q_langid_confusion(sf_dir)
+    lang = np.asarray(cm["lang"].to_pylist(), dtype=object)
+    pred = np.asarray(cm["lang_pred"].to_pylist(), dtype=object)
+    n = cm["n_docs"].to_numpy(zero_copy_only=False)
+    total = int(n.sum())
+    _check(total > 0, "cohens_kappa: empty confusion matrix")
+    _check(total < (1 << 31), "cohens_kappa: N^2 overflow; widen")
+    agree = int(n[lang == pred].sum())
+    classes = sorted(set(lang) | set(pred))
+    row = {c: 0 for c in classes}
+    col = {c: 0 for c in classes}
+    for lg, pd_, nn in zip(lang, pred, n):
+        row[lg] += int(nn)
+        col[pd_] += int(nn)
+    s = sum(row[c] * col[c] for c in classes)
+    kappa = float(total * agree - s) / float(total * total - s)
+    return pa.table({
+        "n_docs": pa.array([total], pa.int64()),
+        "n_agree": pa.array([agree], pa.int64()),
+        "sum_rowcol": pa.array([s], pa.int64()),
+        "kappa": pa.array([kappa], pa.float64()),
+    })
+
+
+def _sql_cohens_kappa() -> str:
+    return f"""
+WITH cm AS ({_sql_langid_confusion()}),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+          CAST(coalesce(sum(CASE WHEN lang = lang_pred
+                            THEN n_docs END), 0) AS BIGINT) AS agree
+        FROM cm),
+rows_ AS (SELECT lang AS c, CAST(sum(n_docs) AS BIGINT) AS r
+          FROM cm GROUP BY 1),
+cols_ AS (SELECT lang_pred AS c, CAST(sum(n_docs) AS BIGINT) AS cl
+          FROM cm GROUP BY 1),
+s AS (SELECT CAST(sum(rows_.r * cols_.cl) AS BIGINT) AS s
+      FROM rows_ JOIN cols_ ON rows_.c = cols_.c)
+SELECT tot.n AS n_docs, tot.agree AS n_agree, s.s AS sum_rowcol,
+       CAST(tot.n * tot.agree - s.s AS DOUBLE)
+         / CAST(tot.n * tot.n - s.s AS DOUBLE) AS kappa
+FROM tot CROSS JOIN s
+"""
+
+
+def q_wilson_lower_bound(sf_dir: str):
+    """Wilson-score lower bound per brand return rate (the ranking
+    statistic that fixes 'sort by rate' flukes — a 1/1 returner must
+    NOT outrank a 40/200 one): per brand (dimension broadcast +
+    brand-bounded funnel — the return_rates device), the z = 1.96
+    Wilson interval's lower endpoint, written as the IDENTICAL
+    op-for-op float expression on both sides (divides, one libm
+    sqrt; z² is spelled 1.96*1.96 in BOTH engines so each computes
+    the same IEEE product rather than trusting a decimal literal to
+    round the same way). SQL-checked."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..util import grouped_sums_combine
+
+    pt = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_brand"])
+    pk = pt["p_partkey"].to_numpy(zero_copy_only=False)
+    brands, binv = np.unique(
+        np.asarray(pt["p_brand"].to_pylist(), dtype=object),
+        return_inverse=True)
+    order_ = np.argsort(pk)
+    dim_ref = ray.put((pk[order_], binv[order_].astype(np.int64)))
+
+    ds = _read_split(sf_dir, "lineitem",
+                     ["l_partkey", "l_returnflag"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        spk, sbid = ray.get(dim_ref)
+        bid = sbid[np.searchsorted(
+            spk, b["l_partkey"].to_numpy(zero_copy_only=False))]
+        isr = pc.equal(b["l_returnflag"], "R") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(bid, minlength=len(brands)).astype(np.int64)
+        ret = np.zeros(len(brands), np.int64)
+        np.add.at(ret, bid, isr)
+        keep = cnt > 0
+        return pa.table({
+            "bid": pa.array(np.flatnonzero(keep), pa.int64()),
+            "cnt": pa.array(cnt[keep], pa.int64()),
+            "ret": pa.array(ret[keep], pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["bid"], ["cnt", "ret"], ["n_lines", "n_returned"],
+    ).to_arrow_refs()))
+    bid = t["bid"].to_numpy(zero_copy_only=False)
+    n = t["n_lines"].to_numpy(zero_copy_only=False)
+    r = t["n_returned"].to_numpy(zero_copy_only=False)
+    nf = n.astype(np.float64)
+    ph = r.astype(np.float64) / nf
+    lb = (ph + (1.96 * 1.96) / (2.0 * nf)
+          - 1.96 * np.sqrt((ph * (1.0 - ph)
+                            + (1.96 * 1.96) / (4.0 * nf)) / nf)) \
+        / (1.0 + (1.96 * 1.96) / nf)
+    return pa.table({
+        "brand": pa.array(brands[bid], pa.string()),
+        "n_lines": t["n_lines"],
+        "n_returned": t["n_returned"],
+        "wilson_lb": pa.array(lb, pa.float64()),
+    })
+
+
+SQL_WILSON_LOWER_BOUND = """
+WITH c AS (SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+             AS BIGINT) AS r
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1),
+f AS (SELECT brand, n, r, CAST(n AS DOUBLE) AS nf,
+             CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS ph FROM c)
+SELECT brand, n AS n_lines, r AS n_returned,
+  (ph + (1.96*1.96)/(2.0*nf)
+     - 1.96*sqrt((ph*(1.0-ph) + (1.96*1.96)/(4.0*nf))/nf))
+    / (1.0 + (1.96*1.96)/nf) AS wilson_lb
+FROM f
+"""
+
+
+def q_eigencentrality_brands(sf_dir: str):
+    """Eigenvector-centrality power steps on the brand co-purchase
+    matrix (which brands sit at the CENTER of shared customer bases —
+    the undirected-graph sibling of pagerank's directed recurrence):
+    W_jk = customers who bought BOTH j and k (diagonal = a brand's
+    customer count), a₁ = diag(W), a₂ = W·a₁, a₃ = W·a₂ — two
+    unnormalized integer power steps, exact int64 end-to-end
+    (growth bound |brands|²·max(W)²·max(a₁) guarded; normalization
+    is the reader's one scalar divide, so the oracle needs no float
+    at all). Physical shape: co-bucket orderkey shuffle joins
+    lineitem brands to order custkeys (trending_brands device), a
+    SECOND fib_bucket custkey shuffle collects each customer's
+    distinct brand set and explodes bounded |brands|² pairs
+    (cooccur device), one (j,k) funnel; the 25×25 matmul is driver
+    math. SQL-checked (self-join W CTE + two matrix-vector CTEs)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nb = max(4, cpus // 4)
+    n_buckets = max(64, cpus * 8)
+
+    pt = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_brand"])
+    pk = pt["p_partkey"].to_numpy(zero_copy_only=False)
+    brands, binv = np.unique(
+        np.asarray(pt["p_brand"].to_pylist(), dtype=object),
+        return_inverse=True)
+    _check(len(brands) < 256, "eigencentrality brand pack < 256")
+    order_p = np.argsort(pk)
+    dim_ref = ray.put((pk[order_p], binv[order_p].astype(np.int64)))
+    nbr = len(brands)
+
+    lines = split_read(f"{sf_dir}/lineitem.parquet",
+                       ["l_orderkey", "l_partkey"], nb)
+    orders = split_read(f"{sf_dir}/orders.parquet",
+                        ["o_orderkey", "o_custkey"], nb)
+
+    def pre_lines(b: pa.Table) -> pa.Table:
+        spk, sbid = ray.get(dim_ref)
+        okv = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        lpk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        bid = sbid[np.searchsorted(spk, lpk)]
+        packed = np.unique((okv << 8) | bid)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(packed >> 8, n_buckets),
+                               pa.int64()),
+            "ok": pa.array(packed >> 8, pa.int64()),
+            "bid": pa.array(packed & 255, pa.int64()),
+            "cust": pa.array(np.full(len(packed), -1, np.int64),
+                             pa.int64()),
+        })
+
+    def pre_orders(b: pa.Table) -> pa.Table:
+        okv = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        cust = b["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(okv, n_buckets), pa.int64()),
+            "ok": pa.array(okv, pa.int64()),
+            "bid": pa.array(np.full(len(okv), -1, np.int64),
+                            pa.int64()),
+            "cust": pa.array(cust, pa.int64()),
+        })
+
+    def cust_brand(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "cbucket": pa.array([], pa.int64()),
+            "cust": pa.array([], pa.int64()),
+            "bid": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        ok_ = g["ok"].to_numpy(zero_copy_only=False)
+        bid = g["bid"].to_numpy(zero_copy_only=False)
+        cust = g["cust"].to_numpy(zero_copy_only=False)
+        iso = bid == -1
+        sok, scust = ok_[iso], cust[iso]
+        o = np.argsort(sok)
+        sok, scust = sok[o], scust[o]
+        lok, lbid = ok_[~iso], bid[~iso]
+        lcust = scust[np.searchsorted(sok, lok)]
+        packed = np.unique((lcust << 8) | lbid)
+        cu = packed >> 8
+        return pa.table({
+            "cbucket": pa.array(fib_bucket(cu, n_buckets), pa.int64()),
+            "cust": pa.array(cu, pa.int64()),
+            "bid": pa.array(packed & 255, pa.int64()),
+        })
+
+    def pair_counts(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "j": pa.array([], pa.int64()),
+            "k": pa.array([], pa.int64()),
+            "partial": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        cust = g["cust"].to_numpy(zero_copy_only=False)
+        bid = g["bid"].to_numpy(zero_copy_only=False)
+        packed = np.unique((cust << 8) | bid)
+        cu, bi = packed >> 8, packed & 255
+        # all ordered pairs (j, k) within each customer's set,
+        # diagonal included: offset-k scan over the sorted segments
+        w = np.zeros((nbr, nbr), np.int64)
+        np.add.at(w, (bi, bi), 1)
+        k = 1
+        while True:
+            m = cu[k:] == cu[:-k]
+            if not m.any():
+                break
+            np.add.at(w, (bi[:-k][m], bi[k:][m]), 1)
+            np.add.at(w, (bi[k:][m], bi[:-k][m]), 1)
+            k += 1
+        jj, kk = np.nonzero(w)
+        return pa.table({
+            "j": pa.array(jj.astype(np.int64), pa.int64()),
+            "k": pa.array(kk.astype(np.int64), pa.int64()),
+            "partial": pa.array(w[jj, kk], pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sum_combine(
+        lines.map_batches(pre_lines, batch_format="pyarrow")
+        .union(orders.map_batches(pre_orders, batch_format="pyarrow"))
+        .groupby("bucket").map_groups(cust_brand,
+                                      batch_format="pyarrow")
+        .groupby("cbucket").map_groups(pair_counts,
+                                       batch_format="pyarrow"),
+        ["j", "k"], "partial", "w",
+    ).to_arrow_refs()))
+    jj = t["j"].to_numpy(zero_copy_only=False)
+    kk = t["k"].to_numpy(zero_copy_only=False)
+    wv = t["w"].to_numpy(zero_copy_only=False)
+    w = np.zeros((nbr, nbr), np.int64)
+    w[jj, kk] = wv
+    a1 = np.diag(w).copy()
+    # exact Python-int matmuls with an int64 presentation guard
+    wl = w.tolist()
+    a2 = [sum(wl[j][k] * int(a1[k]) for k in range(nbr))
+          for j in range(nbr)]
+    a3 = [sum(wl[j][k] * a2[k] for k in range(nbr))
+          for j in range(nbr)]
+    _check(max(a3) < (1 << 63),
+           "eigencentrality_brands: power step exceeds int64; "
+           "rescale before presenting")
+    keep = np.flatnonzero(a1 > 0)
+    return pa.table({
+        "brand": pa.array(brands[keep], pa.string()),
+        "n_customers": pa.array(a1[keep], pa.int64()),
+        "eig2": pa.array([a2[i] for i in keep], pa.int64()),
+        "eig3": pa.array([a3[i] for i in keep], pa.int64()),
+    })
+
+
+SQL_EIGENCENTRALITY_BRANDS = """
+WITH cb AS (SELECT DISTINCT o_custkey AS c, p_brand AS b
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN part ON p_partkey = l_partkey),
+w AS (SELECT x.b AS j, y.b AS k, CAST(count(*) AS BIGINT) AS w
+      FROM cb x JOIN cb y ON x.c = y.c GROUP BY 1, 2),
+a1 AS (SELECT j, w AS a FROM w WHERE j = k),
+a2 AS (SELECT w.j, CAST(sum(w.w * a1.a) AS BIGINT) AS a
+       FROM w JOIN a1 ON a1.j = w.k GROUP BY 1),
+a3 AS (SELECT w.j, CAST(sum(w.w * a2.a) AS BIGINT) AS a
+       FROM w JOIN a2 ON a2.j = w.k GROUP BY 1)
+SELECT a1.j AS brand, a1.a AS n_customers,
+       a2.a AS eig2, a3.a AS eig3
+FROM a1 JOIN a2 ON a2.j = a1.j JOIN a3 ON a3.j = a1.j
+"""
