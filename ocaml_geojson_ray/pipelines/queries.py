@@ -23186,30 +23186,16 @@ FROM t"""
 SQL_HUFFMAN_CODE_LENGTHS = _sql_huffman()
 
 
-def q_k_core_brands(sf_dir: str):
-    """k-core decomposition of the brand co-purchase graph (the
-    community-detection preprocessing that strips low-degree
-    periphery until every survivor has >= k neighbors — the standard
-    "dense part of the graph" extractor): nodes = brands, edges =
-    brand pairs whose order co-occurrence count is STRICTLY above
-    the median pair count (quantile_disc 0.5 selection rule —
-    sorted[ceil(0.5 n) - 1]), k = 11, iterative peel to fixpoint.
-    Output: (brand, init_degree, peel_round), peel_round 0 = core
-    member, r >= 1 = removed in round r. Physical shape: the
-    assoc_rules plan — part→brand DIMENSION broadcast, ONE orderkey
-    bucket shuffle, offset-k pair scan, bounded (a, b) funnel
-    (<= |brands|² pairs); the peel itself is driver-side on <= 25
-    nodes. Fixpoint within the oracle's 6 unrolled rounds is RAISED
-    on, not assumed (fixture converges in <= 3 at every sf).
-    SQL-checked (6 unrolled degree-filter rounds; membership CASE
-    ladder assigns peel rounds)."""
+def _brand_pair_counts(sf_dir: str):
+    """The brand co-purchase pair funnel (shared by k_core_brands
+    and bellman_ford_brands): part→brand DIMENSION broadcast, ONE
+    orderkey fib_bucket shuffle, offset-k pair scan per bucket,
+    bounded (a, b) funnel (≤ |brands|² keys). Returns
+    (brands:str[], a:int64[], b:int64[], n:int64[]) with a < b."""
     import pyarrow.parquet as pq
     import ray
 
     from ..util import grouped_sum_combine
-
-    K = 11
-    ROUNDS = 6
 
     pt = pq.read_table(f"{sf_dir}/part.parquet",
                        columns=["p_partkey", "p_brand"])
@@ -23219,8 +23205,7 @@ def q_k_core_brands(sf_dir: str):
         return_inverse=True)
     order_ = np.argsort(pk)
     dim_ref = ray.put((pk[order_], binv[order_].astype(np.int64)))
-    n_brands = len(brands)
-    _check(n_brands < 256, "k_core_brands brand-id pack assumes < 256")
+    _check(len(brands) < 256, "brand-id pack assumes < 256")
 
     cpus = int(ray.cluster_resources().get("CPU", 4))
     n_buckets = max(64, cpus * 8)
@@ -23275,9 +23260,34 @@ def q_k_core_brands(sf_dir: str):
         .groupby("bucket").map_groups(pairs, batch_format="pyarrow"),
         ["a", "b"], "partial", "n",
     ).to_arrow_refs()))
-    a = tbl["a"].to_numpy(zero_copy_only=False)
-    b = tbl["b"].to_numpy(zero_copy_only=False)
-    n = tbl["n"].to_numpy(zero_copy_only=False)
+    return (brands,
+            tbl["a"].to_numpy(zero_copy_only=False),
+            tbl["b"].to_numpy(zero_copy_only=False),
+            tbl["n"].to_numpy(zero_copy_only=False))
+
+
+def q_k_core_brands(sf_dir: str):
+    """k-core decomposition of the brand co-purchase graph (the
+    community-detection preprocessing that strips low-degree
+    periphery until every survivor has >= k neighbors — the standard
+    "dense part of the graph" extractor): nodes = brands, edges =
+    brand pairs whose order co-occurrence count is STRICTLY above
+    the median pair count (quantile_disc 0.5 selection rule —
+    sorted[ceil(0.5 n) - 1]), k = 11, iterative peel to fixpoint.
+    Output: (brand, init_degree, peel_round), peel_round 0 = core
+    member, r >= 1 = removed in round r. Physical shape: the
+    assoc_rules plan — part→brand DIMENSION broadcast, ONE orderkey
+    bucket shuffle, offset-k pair scan, bounded (a, b) funnel
+    (<= |brands|² pairs); the peel itself is driver-side on <= 25
+    nodes. Fixpoint within the oracle's 6 unrolled rounds is RAISED
+    on, not assumed (fixture converges in <= 3 at every sf).
+    SQL-checked (6 unrolled degree-filter rounds; membership CASE
+    ladder assigns peel rounds)."""
+    K = 11
+    ROUNDS = 6
+
+    brands, a, b, n = _brand_pair_counts(sf_dir)
+    n_brands = len(brands)
     _check(len(n) > 0, "k_core_brands: no co-purchase pairs")
     s = np.sort(n)
     thr = int(s[max(0, int(np.ceil(0.5 * len(s))) - 1)])
@@ -23884,3 +23894,242 @@ SELECT a1.j AS brand, a1.a AS n_customers,
        a2.a AS eig2, a3.a AS eig3
 FROM a1 JOIN a2 ON a2.j = a1.j JOIN a3 ON a3.j = a1.j
 """
+
+
+# -- session wave: rescaled_range / delta_bits_audit / bellman_ford ---------
+
+def q_rescaled_range_daily(sf_dir: str):
+    """Rescaled-range (Hurst R/S) numerators of daily revenue — the
+    long-memory diagnostic (does revenue wander like a random walk,
+    or does it mean-revert / trend?): the dense daily cents grid is
+    cut into complete blocks of w ∈ {8, 16, 32, 64} days; per block
+    the classic cumulative-deviation range R is computed EXACTLY by
+    clearing the mean's denominator — D_i = w·cumsum_i − (i+1)·S
+    (S = block sum), so R·w = max(D) − min(D) is pure int64 (0 is in
+    the D set at i = w−1, matching the textbook anchored range).
+    Per w: block count, Σ(R·w), and the mean range as ONE float
+    divide (the /w de-scale folded into the same divide). The S-side
+    normalisation (std) is deliberately left to the reader — R alone
+    is the integer-checkable half. Distributed part: the
+    calendar-bounded daily funnel (_orders_daily_grid); the pyramid
+    is four vectorized reshape scans. SQL-checked (per-w window
+    cumsum CTEs, unrolled)."""
+    grid, x = _orders_daily_grid(sf_dir)
+    n = len(grid)
+    _check(int(np.abs(x).max()) < (1 << 56) // 64,
+           "rescaled_range_daily: w*x exceeds int64")
+    ws, nbs, sums, means = [], [], [], []
+    for w in (8, 16, 32, 64):
+        nb = n // w
+        if nb == 0:
+            continue
+        blk = x[:nb * w].reshape(nb, w)
+        s = blk.sum(axis=1, dtype=np.int64)
+        cum = np.cumsum(blk, axis=1, dtype=np.int64)
+        d = w * cum - np.arange(1, w + 1, dtype=np.int64) * s[:, None]
+        r = d.max(axis=1) - d.min(axis=1)
+        tot = int(r.sum())
+        ws.append(w)
+        nbs.append(nb)
+        sums.append(tot)
+        means.append(float(tot) / float(nb * w))
+    return pa.table({
+        "w": pa.array(ws, pa.int64()),
+        "n_blocks": pa.array(nbs, pa.int64()),
+        "sum_rw": pa.array(sums, pa.int64()),
+        "mean_r": pa.array(means, pa.float64()),
+    })
+
+
+def _sql_rescaled_range() -> str:
+    parts = []
+    for w in (8, 16, 32, 64):
+        parts.append(f"""
+SELECT CAST({w} AS BIGINT) AS w,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(r) AS BIGINT) AS sum_rw,
+       CAST(sum(r) AS DOUBLE) / CAST(count(*) * {w} AS DOUBLE)
+           AS mean_r
+FROM (SELECT blk, max(d) - min(d) AS r FROM (
+        SELECT i // {w} AS blk,
+               {w} * sum(v) OVER (PARTITION BY i // {w}
+                                  ORDER BY i) -
+               (i % {w} + 1) * sum(v) OVER (PARTITION BY i // {w})
+                   AS d
+        FROM c WHERE i < {w} * ((SELECT count(*) FROM c) // {w}))
+      GROUP BY blk)
+HAVING count(*) > 0""")
+    return ("WITH " + _SQL_DAILY_GRID + "\n"
+            + "\nUNION ALL\n".join(parts))
+
+
+SQL_RESCALED_RANGE_DAILY = _sql_rescaled_range()
+
+
+def q_delta_bits_audit(sf_dir: str):
+    """Delta-encoding planning audit (the question a columnar log
+    store asks before picking an encoding: how many bits does each
+    per-user timestamp delta actually need?): per user, events in
+    (ts, event_id) order yield consecutive gaps; each gap's minimal
+    bit width is length(bin(gap)) — 0 for a zero gap — and the
+    output is the (bit_width → n_gaps, total bits) histogram. Width
+    via np.frexp's exact exponent (== bin-string length for ints;
+    valid below 2⁵³, guarded). Physical shape: ONE fib_bucket user
+    shuffle (user_paths device), per-bucket lexsort + vectorized
+    diffs, width-BOUNDED (≤ 64 keys) funnel. SQL-checked
+    (lag + length(bin(gap)) oracle)."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nb = max(4, cpus // 4)
+    n_buckets = max(64, cpus * 8)
+    ds = split_read(f"{sf_dir}/events.parquet",
+                    ["user_id", "ts", "event_id"], nb)
+
+    def pre(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(uid, n_buckets), pa.int64()),
+            "user_id": b["user_id"],
+            "t": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+        })
+
+    def widths(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "bit_width": pa.array([], pa.int64()),
+            "partial": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, t, uid))
+        uid, t = uid[order], t[order]
+        same = uid[1:] == uid[:-1]
+        gap = (t[1:] - t[:-1])[same]
+        if len(gap) == 0:
+            return empty
+        _check(int(gap.max()) < (1 << 53),
+               "delta_bits_audit: frexp width needs gap < 2^53")
+        w = np.frexp(gap.astype(np.float64))[1].astype(np.int64)
+        w[gap == 0] = 0
+        uw, cn = np.unique(w, return_counts=True)
+        return pa.table({
+            "bit_width": pa.array(uw, pa.int64()),
+            "partial": pa.array(cn.astype(np.int64), pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(widths, batch_format="pyarrow"),
+        ["bit_width"], "partial", "n_gaps",
+    ).to_arrow_refs()))
+    bw = t["bit_width"].to_numpy(zero_copy_only=False)
+    ng = t["n_gaps"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "bit_width": pa.array(bw, pa.int64()),
+        "n_gaps": pa.array(ng, pa.int64()),
+        "gap_bits": pa.array(bw * ng, pa.int64()),
+    })
+
+
+SQL_DELTA_BITS_AUDIT = """
+WITH e AS (SELECT user_id,
+        CAST(epoch_us(ts) AS BIGINT)
+          - lag(CAST(epoch_us(ts) AS BIGINT)) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events),
+w AS (SELECT CASE WHEN gap = 0 THEN 0
+             ELSE CAST(length(bin(gap)) AS BIGINT) END AS bit_width
+      FROM e WHERE gap IS NOT NULL)
+SELECT bit_width, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(bit_width * count(*) AS BIGINT) AS gap_bits
+FROM w GROUP BY 1
+"""
+
+
+def q_bellman_ford_brands(sf_dir: str):
+    """Single-source shortest paths on the weighted brand
+    co-purchase graph (Bellman–Ford — the bounded-round relaxation
+    that, unlike Dijkstra, IS expressible as a dataflow of joins,
+    which is why distributed engines use it): edges = brand pairs
+    with co-count STRICTLY above the median (the k_core edge rule,
+    same quantile_disc selection), integer weight 1_000_000 // n
+    (inverse-frequency distance — popular pairings are short hops),
+    source = lexicographically smallest endpoint. Six relaxation
+    rounds, all int64; convergence within the oracle's unroll is
+    RAISED on, not assumed. Unreachable brands are omitted (both
+    sides). Physical shape: the _brand_pair_counts funnel
+    (k_core device, shared); the ≤ |brands|-node relaxation is
+    driver math. SQL-checked (6 unrolled min-relax CTEs)."""
+    ROUNDS = 6
+    brands, a, b, n = _brand_pair_counts(sf_dir)
+    _check(len(n) > 0, "bellman_ford_brands: no co-purchase pairs")
+    s = np.sort(n)
+    thr = int(s[max(0, int(np.ceil(0.5 * len(s))) - 1)])
+    em = n > thr
+    ea, eb, en = a[em], b[em], n[em]
+    _check(em.any(), "bellman_ford_brands: empty edge set")
+    wgt = 1_000_000 // en
+    nodes = np.unique(np.concatenate([ea, eb]))
+    src = int(nodes.min())
+    INF = np.int64(1) << 60
+    nbr = len(brands)
+    dist = np.full(nbr, INF, np.int64)
+    dist[src] = 0
+    u2 = np.concatenate([ea, eb])
+    v2 = np.concatenate([eb, ea])
+    w2 = np.concatenate([wgt, wgt])
+    for r in range(ROUNDS):
+        cand = dist[u2] + w2
+        new = dist.copy()
+        np.minimum.at(new, v2, cand)
+        if (new == dist).all():
+            dist = new
+            break
+        dist = new
+    cand = dist[u2] + w2
+    final = dist.copy()
+    np.minimum.at(final, v2, cand)
+    _check((final == dist).all(),
+           f"bellman_ford_brands: no fixpoint in {ROUNDS} rounds; "
+           "raise the oracle unroll")
+    keep = np.flatnonzero(dist < INF)
+    return pa.table({
+        "brand": pa.array(brands[keep], pa.string()),
+        "dist": pa.array(dist[keep], pa.int64()),
+    })
+
+
+def _sql_bellman_ford() -> str:
+    head = """ob AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+p AS MATERIALIZED (SELECT x.b AS a, y.b AS b, count(*) AS n
+      FROM ob x JOIN ob y ON x.ok = y.ok AND x.b < y.b
+      GROUP BY 1, 2),
+e0 AS MATERIALIZED (SELECT a, b, CAST(1000000 // n AS BIGINT) AS w
+       FROM p WHERE n > (SELECT quantile_disc(n, 0.5) FROM p)),
+e AS MATERIALIZED (SELECT a, b, w FROM e0
+     UNION ALL SELECT b, a, w FROM e0),
+src AS (SELECT min(a) AS s FROM e),
+d0 AS (SELECT (SELECT s FROM src) AS v, CAST(0 AS BIGINT) AS d)"""
+    ctes = [head]
+    for r in range(1, 7):
+        p = r - 1
+        ctes.append(f"""
+d{r} AS MATERIALIZED (SELECT v, CAST(min(d) AS BIGINT) AS d FROM (
+        SELECT v, d FROM d{p}
+        UNION ALL
+        SELECT e.b AS v, d{p}.d + e.w AS d
+        FROM d{p} JOIN e ON e.a = d{p}.v)
+      GROUP BY v)""")
+    return "WITH " + ",".join(ctes) + """
+SELECT v AS brand, d AS dist FROM d6"""
+
+
+SQL_BELLMAN_FORD_BRANDS = _sql_bellman_ford()
