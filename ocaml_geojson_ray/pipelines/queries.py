@@ -24133,3 +24133,331 @@ SELECT v AS brand, d AS dist FROM d6"""
 
 
 SQL_BELLMAN_FORD_BRANDS = _sql_bellman_ford()
+
+
+# -- session wave: digit_run_stats / abc_xyz_matrix / linear_attribution ----
+
+def q_digit_run_stats(sf_dir: str):
+    """Digit-run profile of the event payload column (the PII /
+    boilerplate smell a curation pass screens raw text fields for:
+    long numeric runs mean IDs, phone numbers, or table dumps —
+    exercised here on events.props, the fixture's digit-bearing
+    text column; documents.text is digit-free): per (event_type,
+    run length), the count of maximal ASCII-digit runs. Fully
+    Arrow-vectorized: replace_substring_regex('[^0-9]+' → ' ') +
+    split + flatten + utf8_length — no Python row loop; the
+    (type × length) key space is length-BOUNDED (guarded < 4096)
+    so counts ride one funnel. SQL-checked (regexp_extract_all +
+    unnest oracle — RE2 digit-run semantics agree byte-for-byte on
+    ASCII [0-9])."""
+    import ray
+
+    from ..util import grouped_sum_combine
+
+    ds = _read_split_few(sf_dir, "events", ["event_type", "props"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        langs, linv = np.unique(
+            np.asarray(b["event_type"].to_pylist(), dtype=object),
+            return_inverse=True)
+        cleaned = pc.replace_substring_regex(
+            b["props"], pattern="[^0-9]+", replacement=" ")
+        lists = pc.split_pattern(cleaned, pattern=" ")
+        nrow = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lists)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lidx = np.repeat(linv.astype(np.int64), nrow)
+        keep = lens > 0
+        lens, lidx = lens[keep], lidx[keep]
+        _check(len(lens) == 0 or int(lens.max()) < 4096,
+               "digit_run_stats: run length pack bound")
+        key, cnt = np.unique(lidx * 4096 + lens, return_counts=True)
+        return pa.table({
+            "event_type": pa.array([langs[i] for i in key // 4096],
+                                   pa.string()),
+            "run_len": pa.array(key % 4096, pa.int64()),
+            "partial": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    return pa.concat_tables(ray.get(grouped_sum_combine(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["event_type", "run_len"], "partial", "n_runs",
+    ).to_arrow_refs()))
+
+
+SQL_DIGIT_RUN_STATS = """
+WITH r AS (SELECT event_type,
+        unnest(regexp_extract_all(props, '[0-9]+')) AS run
+      FROM events)
+SELECT event_type, CAST(length(run) AS BIGINT) AS run_len,
+       CAST(count(*) AS BIGINT) AS n_runs
+FROM r GROUP BY 1, 2
+"""
+
+
+def q_abc_xyz_matrix(sf_dir: str):
+    """ABC-XYZ inventory matrix (the 2D catalog segmentation planners
+    actually use — value bands × demand-variability bands): ABC by
+    revenue-cents Pareto cutoffs (the abc_classification integer
+    cross-multiply discipline: cum·5 ≤ total·4, cum·20 ≤ total·19 on
+    the (rev DESC, part) order), XYZ by the squared coefficient of
+    variation of 30-day-bucket demand INCLUDING empty buckets —
+    CV² = (M·Σq² − S²)/S² evaluated as pure integer cross-multiplies:
+    X ⇔ 4(M·Σq² − S²) ≤ S², Y ⇔ (M·Σq² − S²) ≤ S² (CV ≤ 0.5 / ≤ 1.0),
+    Z else — zero float compares anywhere. ONE read feeds ONE
+    (part × month)-bounded funnel carrying qty and revenue together;
+    the classification walk is driver math on the dimension.
+    SQL-checked (window cumsum + moment CTE oracle)."""
+    import ray
+
+    from ..util import grouped_sums_combine
+
+    US_PER_DAY = 86_400_000_000
+    ds = _read_split(sf_dir, "lineitem",
+                     ["l_partkey", "l_shipdate", "l_quantity",
+                      "l_extendedprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        m = (b["l_shipdate"].cast(pa.int64())
+             .to_numpy(zero_copy_only=False) // US_PER_DAY) // 30
+        q = pc.round(b["l_quantity"]).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        rev = pc.round(pc.multiply(b["l_extendedprice"], 100.0)) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        key = pk * (1 << 20) + m
+        _check(int(m.max()) < (1 << 20), "abc_xyz month pack bound")
+        uk, inv = np.unique(key, return_inverse=True)
+        qs = np.zeros(len(uk), np.int64)
+        rs = np.zeros(len(uk), np.int64)
+        np.add.at(qs, inv, q)
+        np.add.at(rs, inv, rev)
+        return pa.table({
+            "part": pa.array(uk >> 20, pa.int64()),
+            "m": pa.array(uk & ((1 << 20) - 1), pa.int64()),
+            "q": pa.array(qs, pa.int64()),
+            "rev": pa.array(rs, pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["part", "m"], ["q", "rev"], ["q", "rev"],
+    ).to_arrow_refs()))
+    part = t["part"].to_numpy(zero_copy_only=False)
+    m = t["m"].to_numpy(zero_copy_only=False)
+    q = t["q"].to_numpy(zero_copy_only=False)
+    rev = t["rev"].to_numpy(zero_copy_only=False)
+    mm = int(m.max()) - int(m.min()) + 1
+    up, inv = np.unique(part, return_inverse=True)
+    s = np.zeros(len(up), np.int64)
+    ss = np.zeros(len(up), np.int64)
+    r = np.zeros(len(up), np.int64)
+    np.add.at(s, inv, q)
+    np.add.at(ss, inv, q * q)
+    np.add.at(r, inv, rev)
+    _check(int(s.max()) < (1 << 30) and mm * int(ss.max()) < (1 << 62),
+           "abc_xyz moment overflow: widen")
+    dev = mm * ss - s * s
+    xyz = np.where(dev <= 3 * (s * s), "X",
+                   np.where(dev <= 4 * (s * s), "Y", "Z"))
+    order = np.lexsort((up, -r))
+    total = int(r.sum())
+    _check(total < (1 << 57), "abc_xyz cutoff product overflow")
+    cum = np.cumsum(r[order])
+    abc_s = np.where(cum * 5 <= total * 4, "A",
+                     np.where(cum * 20 <= total * 19, "B", "C"))
+    abc = np.empty(len(up), dtype=object)
+    abc[order] = abc_s
+    cells, cnts = np.unique(
+        np.char.add(abc.astype(str), xyz.astype(str)),
+        return_counts=True)
+    return pa.table({
+        "abc": pa.array([c[0] for c in cells], pa.string()),
+        "xyz": pa.array([c[1] for c in cells], pa.string()),
+        "n_parts": pa.array(cnts.astype(np.int64), pa.int64()),
+    })
+
+
+SQL_ABC_XYZ_MATRIX = """
+WITH g AS (SELECT l_partkey AS part,
+        (epoch_us(l_shipdate) // 86400000000) // 30 AS m,
+        CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q,
+        CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))
+             AS BIGINT) AS rev
+      FROM lineitem GROUP BY 1, 2),
+span AS (SELECT max(m) - min(m) + 1 AS mm FROM g),
+x AS (SELECT part, CAST(sum(q) AS BIGINT) AS s,
+             CAST(sum(q*q) AS BIGINT) AS ss,
+             CAST(sum(rev) AS BIGINT) AS rev
+      FROM g GROUP BY 1),
+t AS (SELECT CAST(sum(rev) AS BIGINT) AS total FROM x),
+w AS (SELECT part, s, ss, rev,
+        CAST(sum(rev) OVER (ORDER BY rev DESC, part
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS cum
+      FROM x),
+cls AS (SELECT
+    CASE WHEN cum * 5 <= t.total * 4 THEN 'A'
+         WHEN cum * 20 <= t.total * 19 THEN 'B'
+         ELSE 'C' END AS abc,
+    CASE WHEN (span.mm * ss - s * s) <= 3 * (s * s) THEN 'X'
+         WHEN (span.mm * ss - s * s) <= 4 * (s * s) THEN 'Y'
+         ELSE 'Z' END AS xyz
+  FROM w CROSS JOIN t CROSS JOIN span)
+SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts
+FROM cls GROUP BY 1, 2
+"""
+
+
+def q_linear_attribution(sf_dir: str):
+    """Linear (equal-split) revenue attribution (the multi-touch
+    model that complements first_touch_attribution's winner-takes-
+    all): each purchase's cents split EQUALLY across the distinct
+    event types the same user emitted in the 24 h before it
+    (t−24h ≤ e < t); the integer remainder cents % n goes to the
+    lexicographically FIRST present type (deterministic, exactly
+    reconstructible in SQL via min(type)); purchases with an empty
+    window attribute to '(none)'. All integer (purchase values are
+    positive — guarded — so // and % agree across engines).
+    Physical shape: ONE fib_bucket user shuffle; per bucket,
+    per-type presence is TWO searchsorteds over packed
+    user-rank·2⁵¹+ts keys per type (the purchase_context device,
+    |types|-bounded) — no pairwise join; the type-keyed funnel also
+    carries a '__total__' reconciliation row and the driver RAISES
+    unless attributed + unattributed == total purchase cents.
+    SQL-checked (window join + min-type remainder oracle)."""
+    import ray
+
+    from ..util import fib_bucket, grouped_sums_combine
+
+    WIN_US = 86_400_000_000
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_buckets = max(64, cpus * 8)
+    ds = _read_split(sf_dir, "events",
+                     ["user_id", "ts", "event_type", "value"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(fib_bucket(uid, n_buckets), pa.int64()),
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_type": b["event_type"],
+            "value": b["value"],
+        })
+
+    def attribute(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "attribution_type": pa.array([], pa.string()),
+            "cents": pa.array([], pa.int64()),
+            "n_touches": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        tys = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        val = g["value"].to_numpy(zero_copy_only=False)
+        vocab, tid = np.unique(tys, return_inverse=True)
+        uu = np.unique(uid)
+        rank = np.searchsorted(uu, uid)
+        SPAN = np.int64(1) << 51
+        _check(int(ts.max()) < SPAN, "linear_attribution ts pack")
+        key = rank * SPAN + ts
+        order = np.argsort(key, kind="stable")
+        key_s, tid_s = key[order], tid[order]
+        isp = tys == "purchase"
+        pk = key[isp]
+        cents = np.floor(val[isp] * 100 + 0.5).astype(np.int64)
+        _check(len(cents) == 0 or int(cents.min()) > 0,
+               "linear_attribution: nonpositive purchase cents "
+               "break // parity")
+        T = len(vocab)
+        pres = np.zeros((T, len(pk)), bool)
+        for tix in range(T):
+            kt = key_s[tid_s == tix]
+            lo = np.searchsorted(kt, pk - WIN_US)
+            hi = np.searchsorted(kt, pk)
+            pres[tix] = lo < hi
+        n = pres.sum(axis=0).astype(np.int64)
+        has = n > 0
+        share = np.where(has, cents // np.maximum(n, 1), 0)
+        rem = np.where(has, cents % np.maximum(n, 1), 0)
+        first = pres.argmax(axis=0)
+        tcents = np.zeros(T, np.int64)
+        ttouch = np.zeros(T, np.int64)
+        for tix in range(T):
+            m = pres[tix] & has
+            tcents[tix] = int(share[m].sum())
+            ttouch[tix] = int(m.sum())
+        np.add.at(tcents, first[has], rem[has])
+        names = list(vocab)
+        out_c = list(tcents)
+        out_t = list(ttouch)
+        none_m = ~has
+        if none_m.any():
+            names.append("(none)")
+            out_c.append(int(cents[none_m].sum()))
+            out_t.append(int(none_m.sum()))
+        names.append("__total__")
+        out_c.append(int(cents.sum()))
+        out_t.append(int(len(cents)))
+        keep = [i for i in range(len(names)) if out_t[i] > 0
+                or names[i] == "__total__"]
+        return pa.table({
+            "attribution_type": pa.array(
+                [names[i] for i in keep], pa.string()),
+            "cents": pa.array([out_c[i] for i in keep], pa.int64()),
+            "n_touches": pa.array([out_t[i] for i in keep],
+                                  pa.int64()),
+        })
+
+    t = pa.concat_tables(ray.get(grouped_sums_combine(
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bucket").map_groups(attribute,
+                                      batch_format="pyarrow"),
+        ["attribution_type"], ["cents", "n_touches"],
+        ["cents", "n_touches"],
+    ).to_arrow_refs()))
+    names = np.asarray(t["attribution_type"].to_pylist(), dtype=object)
+    cents = t["cents"].to_numpy(zero_copy_only=False)
+    tm = names == "__total__"
+    _check(tm.any(), "linear_attribution: missing total row")
+    _check(int(cents[tm].sum()) == int(cents[~tm].sum()),
+           "linear_attribution: attribution does not reconcile")
+    keep = ~tm
+    return pa.table({
+        "attribution_type": pa.array(list(names[keep]), pa.string()),
+        "cents": t["cents"].filter(pa.array(keep)),
+        "n_touches": t["n_touches"].filter(pa.array(keep)),
+    })
+
+
+SQL_LINEAR_ATTRIBUTION = """
+WITH pur AS (SELECT event_id, user_id,
+        CAST(epoch_us(ts) AS BIGINT) AS t,
+        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+pres AS (SELECT DISTINCT p.event_id, o.event_type AS ty
+      FROM pur p JOIN events o ON o.user_id = p.user_id
+        AND epoch_us(o.ts) >= p.t - 86400000000
+        AND epoch_us(o.ts) < p.t),
+agg AS (SELECT event_id, CAST(count(*) AS BIGINT) AS n,
+          min(ty) AS first_ty
+        FROM pres GROUP BY 1),
+attr AS (
+  SELECT pres.ty AS attribution_type,
+         p.cents // agg.n
+           + CASE WHEN pres.ty = agg.first_ty
+             THEN p.cents % agg.n ELSE 0 END AS c
+  FROM pres JOIN agg ON agg.event_id = pres.event_id
+  JOIN pur p ON p.event_id = pres.event_id
+  UNION ALL
+  SELECT '(none)', p.cents FROM pur p
+  WHERE p.event_id NOT IN (SELECT event_id FROM agg))
+SELECT attribution_type, CAST(sum(c) AS BIGINT) AS cents,
+       CAST(count(*) AS BIGINT) AS n_touches
+FROM attr GROUP BY 1
+"""
