@@ -400,6 +400,42 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("fk_orphans", Q.q_fk_orphans)
     timed("huffman_code_lengths", Q.q_huffman_code_lengths)
     timed("k_core_brands", Q.q_k_core_brands)
+    timed("turning_points_test", Q.q_turning_points_test)
+    timed("ordinal_patterns", Q.q_ordinal_patterns)
+    timed("rich_club", Q.q_rich_club)
+    timed("cohens_kappa", Q.q_cohens_kappa)
+    timed("wilson_lower_bound", Q.q_wilson_lower_bound)
+    timed("eigencentrality_brands", Q.q_eigencentrality_brands)
+    timed("rescaled_range_daily", Q.q_rescaled_range_daily)
+    timed("delta_bits_audit", Q.q_delta_bits_audit)
+    timed("bellman_ford_brands", Q.q_bellman_ford_brands)
+    timed("digit_run_stats", Q.q_digit_run_stats)
+    timed("abc_xyz_matrix", Q.q_abc_xyz_matrix)
+    timed("linear_attribution", Q.q_linear_attribution)
+    timed("max_concurrency_users", Q.q_max_concurrency_users)
+    timed("holt_trend", Q.q_holt_trend)
+    timed("anova_dow", Q.q_anova_dow)
+    timed("burstiness_classes", Q.q_burstiness_classes)
+    timed("letter_freq_by_lang", Q.q_letter_freq_by_lang)
+    timed("funnel_path_counts", Q.q_funnel_path_counts)
+    timed("zipf_fit", Q.q_zipf_fit)
+    timed("simpson_concentration", Q.q_simpson_concentration)
+    timed("capture_recapture_users", Q.q_capture_recapture_users)
+    timed("bucket_collision_audit", Q.q_bucket_collision_audit)
+    timed("graph_diameter_sweep", Q.q_graph_diameter_sweep)
+    timed("sentence_length_hist", Q.q_sentence_length_hist)
+    timed("embedding_dim_moments", Q.q_embedding_dim_moments)
+    timed("l_diversity_audit", Q.q_l_diversity_audit)
+    timed("wilcoxon_weekend", Q.q_wilcoxon_weekend)
+    timed("markov_entropy_rate", Q.q_markov_entropy_rate)
+    timed("type_covisitation", Q.q_type_covisitation)
+    timed("line_inversions", Q.q_line_inversions)
+    timed("two_hop_reach_brands", Q.q_two_hop_reach_brands)
+    timed("nonascii_stats", Q.q_nonascii_stats)
+    timed("quadrant_counts", Q.q_quadrant_counts)
+    timed("abc_migration", Q.q_abc_migration)
+    timed("giant_component_brands", Q.q_giant_component_brands)
+    timed("nchars_integrity", Q.q_nchars_integrity)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
