@@ -436,6 +436,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("abc_migration", Q.q_abc_migration)
     timed("giant_component_brands", Q.q_giant_component_brands)
     timed("nchars_integrity", Q.q_nchars_integrity)
+    timed("p_chart_weeks", Q.q_p_chart_weeks)
+    timed("rate_shift_halves", Q.q_rate_shift_halves)
+    timed("part_introduction_curve", Q.q_part_introduction_curve)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
