@@ -439,6 +439,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("p_chart_weeks", Q.q_p_chart_weeks)
     timed("rate_shift_halves", Q.q_rate_shift_halves)
     timed("part_introduction_curve", Q.q_part_introduction_curve)
+    timed("mood_median_test", Q.q_mood_median_test)
+    timed("cronbach_alpha_embeddings", Q.q_cronbach_alpha_embeddings)
+    timed("freshness_audit", Q.q_freshness_audit)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
