@@ -442,6 +442,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("mood_median_test", Q.q_mood_median_test)
     timed("cronbach_alpha_embeddings", Q.q_cronbach_alpha_embeddings)
     timed("freshness_audit", Q.q_freshness_audit)
+    timed("mcc_by_lang", Q.q_mcc_by_lang)
+    timed("grubbs_daily", Q.q_grubbs_daily)
+    timed("tail_ratio_types", Q.q_tail_ratio_types)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
