@@ -445,6 +445,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("mcc_by_lang", Q.q_mcc_by_lang)
     timed("grubbs_daily", Q.q_grubbs_daily)
     timed("tail_ratio_types", Q.q_tail_ratio_types)
+    timed("first_day_share", Q.q_first_day_share)
+    timed("precedence_matrix", Q.q_precedence_matrix)
+    timed("zero_inflation_types", Q.q_zero_inflation_types)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
