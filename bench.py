@@ -448,6 +448,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("first_day_share", Q.q_first_day_share)
     timed("precedence_matrix", Q.q_precedence_matrix)
     timed("zero_inflation_types", Q.q_zero_inflation_types)
+    timed("heaps_fit", Q.q_heaps_fit)
+    timed("dup_rate_by_length", Q.q_dup_rate_by_length)
+    timed("zero_revenue_runs", Q.q_zero_revenue_runs)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
