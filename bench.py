@@ -451,6 +451,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("heaps_fit", Q.q_heaps_fit)
     timed("dup_rate_by_length", Q.q_dup_rate_by_length)
     timed("zero_revenue_runs", Q.q_zero_revenue_runs)
+    timed("chow_test_daily", Q.q_chow_test_daily)
+    timed("mi_type_dow", Q.q_mi_type_dow)
+    timed("forecast_accuracy", Q.q_forecast_accuracy)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
