@@ -454,6 +454,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("chow_test_daily", Q.q_chow_test_daily)
     timed("mi_type_dow", Q.q_mi_type_dow)
     timed("forecast_accuracy", Q.q_forecast_accuracy)
+    timed("segment_priority_lift", Q.q_segment_priority_lift)
+    timed("first_value_ltv_matrix", Q.q_first_value_ltv_matrix)
+    timed("priority_runs", Q.q_priority_runs)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
