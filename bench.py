@@ -457,6 +457,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("segment_priority_lift", Q.q_segment_priority_lift)
     timed("first_value_ltv_matrix", Q.q_first_value_ltv_matrix)
     timed("priority_runs", Q.q_priority_runs)
+    timed("quantization_residual_hist", Q.q_quantization_residual_hist)
+    timed("stopword_mass_curve", Q.q_stopword_mass_curve)
+    timed("df_band_histogram", Q.q_df_band_histogram)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
