@@ -460,6 +460,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("quantization_residual_hist", Q.q_quantization_residual_hist)
     timed("stopword_mass_curve", Q.q_stopword_mass_curve)
     timed("df_band_histogram", Q.q_df_band_histogram)
+    timed("lang_mixing_histogram", Q.q_lang_mixing_histogram)
+    timed("props_value_regression", Q.q_props_value_regression)
+    timed("max_order_share_bands", Q.q_max_order_share_bands)
+    timed("yule_k_by_lang", Q.q_yule_k_by_lang)
+    timed("trade_matrix", Q.q_trade_matrix)
+    timed("kruskal_wallis_qty", Q.q_kruskal_wallis_qty)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
