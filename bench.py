@@ -466,6 +466,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("yule_k_by_lang", Q.q_yule_k_by_lang)
     timed("trade_matrix", Q.q_trade_matrix)
     timed("kruskal_wallis_qty", Q.q_kruskal_wallis_qty)
+    timed("quality_dup_calibration", Q.q_quality_dup_calibration)
+    timed("neyman_allocation", Q.q_neyman_allocation)
+    timed("compaction_plan", Q.q_compaction_plan)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
