@@ -469,6 +469,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("quality_dup_calibration", Q.q_quality_dup_calibration)
     timed("neyman_allocation", Q.q_neyman_allocation)
     timed("compaction_plan", Q.q_compaction_plan)
+    timed("rp_norm_preservation", Q.q_rp_norm_preservation)
+    timed("token_bucket_drops", Q.q_token_bucket_drops)
+    timed("interarrival_exp_fit", Q.q_interarrival_exp_fit)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
