@@ -472,6 +472,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("rp_norm_preservation", Q.q_rp_norm_preservation)
     timed("token_bucket_drops", Q.q_token_bucket_drops)
     timed("interarrival_exp_fit", Q.q_interarrival_exp_fit)
+    timed("seasonal_decompose_daily", Q.q_seasonal_decompose_daily)
+    timed("knee_point_ltv", Q.q_knee_point_ltv)
+    timed("lttb_downsample", Q.q_lttb_downsample)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
