@@ -475,6 +475,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("seasonal_decompose_daily", Q.q_seasonal_decompose_daily)
     timed("knee_point_ltv", Q.q_knee_point_ltv)
     timed("lttb_downsample", Q.q_lttb_downsample)
+    timed("mann_kendall_trend", Q.q_mann_kendall_trend)
+    timed("periodogram_power", Q.q_periodogram_power)
+    timed("pca_topvec", Q.q_pca_topvec)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
