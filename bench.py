@@ -478,6 +478,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("mann_kendall_trend", Q.q_mann_kendall_trend)
     timed("periodogram_power", Q.q_periodogram_power)
     timed("pca_topvec", Q.q_pca_topvec)
+    timed("lis_weekly", Q.q_lis_weekly)
+    timed("valley_capacity", Q.q_valley_capacity)
+    timed("next_higher_day", Q.q_next_higher_day)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
