@@ -481,6 +481,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("lis_weekly", Q.q_lis_weekly)
     timed("valley_capacity", Q.q_valley_capacity)
     timed("next_higher_day", Q.q_next_higher_day)
+    timed("ndcg_weekly_brands", Q.q_ndcg_weekly_brands)
+    timed("encoding_stats", Q.q_encoding_stats)
+    timed("luhn_audit", Q.q_luhn_audit)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
