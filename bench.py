@@ -484,6 +484,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("ndcg_weekly_brands", Q.q_ndcg_weekly_brands)
     timed("encoding_stats", Q.q_encoding_stats)
     timed("luhn_audit", Q.q_luhn_audit)
+    timed("gumbel_monthly_max", Q.q_gumbel_monthly_max)
+    timed("circular_hour_stats", Q.q_circular_hour_stats)
+    timed("procurement_auction", Q.q_procurement_auction)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
