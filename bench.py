@@ -487,6 +487,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("gumbel_monthly_max", Q.q_gumbel_monthly_max)
     timed("circular_hour_stats", Q.q_circular_hour_stats)
     timed("procurement_auction", Q.q_procurement_auction)
+    timed("trigram_branching", Q.q_trigram_branching)
+    timed("sax_words", Q.q_sax_words)
+    timed("hodges_lehmann_rate", Q.q_hodges_lehmann_rate)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
