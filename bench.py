@@ -490,6 +490,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("trigram_branching", Q.q_trigram_branching)
     timed("sax_words", Q.q_sax_words)
     timed("hodges_lehmann_rate", Q.q_hodges_lehmann_rate)
+    timed("ljung_box_daily", Q.q_ljung_box_daily)
+    timed("lang_term_cosine", Q.q_lang_term_cosine)
+    timed("median_polish_dow_week", Q.q_median_polish_dow_week)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
