@@ -493,6 +493,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("ljung_box_daily", Q.q_ljung_box_daily)
     timed("lang_term_cosine", Q.q_lang_term_cosine)
     timed("median_polish_dow_week", Q.q_median_polish_dow_week)
+    timed("cramers_v_type_dow", Q.q_cramers_v_type_dow)
+    timed("term_burstiness", Q.q_term_burstiness)
+    timed("gershgorin_brands", Q.q_gershgorin_brands)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
