@@ -496,6 +496,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("cramers_v_type_dow", Q.q_cramers_v_type_dow)
     timed("term_burstiness", Q.q_term_burstiness)
     timed("gershgorin_brands", Q.q_gershgorin_brands)
+    timed("cuped_adjustment", Q.q_cuped_adjustment)
+    timed("modularity_brands", Q.q_modularity_brands)
+    timed("binary_segmentation_daily", Q.q_binary_segmentation_daily)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
