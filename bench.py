@@ -499,6 +499,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("cuped_adjustment", Q.q_cuped_adjustment)
     timed("modularity_brands", Q.q_modularity_brands)
     timed("binary_segmentation_daily", Q.q_binary_segmentation_daily)
+    timed("good_turing_terms", Q.q_good_turing_terms)
+    timed("hill_tail_users", Q.q_hill_tail_users)
+    timed("welch_t_weekend", Q.q_welch_t_weekend)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
