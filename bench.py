@@ -502,6 +502,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("good_turing_terms", Q.q_good_turing_terms)
     timed("hill_tail_users", Q.q_hill_tail_users)
     timed("welch_t_weekend", Q.q_welch_t_weekend)
+    timed("seasonal_hw_daily", Q.q_seasonal_hw_daily)
+    timed("negbin_fit_users", Q.q_negbin_fit_users)
+    timed("kpss_eta_daily", Q.q_kpss_eta_daily)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
