@@ -505,6 +505,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("seasonal_hw_daily", Q.q_seasonal_hw_daily)
     timed("negbin_fit_users", Q.q_negbin_fit_users)
     timed("kpss_eta_daily", Q.q_kpss_eta_daily)
+    timed("component_sweep_brands", Q.q_component_sweep_brands)
+    timed("rsi_daily", Q.q_rsi_daily)
+    timed("hellinger_hour_terms", Q.q_hellinger_hour_terms)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
