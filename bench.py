@@ -508,6 +508,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("component_sweep_brands", Q.q_component_sweep_brands)
     timed("rsi_daily", Q.q_rsi_daily)
     timed("hellinger_hour_terms", Q.q_hellinger_hour_terms)
+    timed("pietra_rate", Q.q_pietra_rate)
+    timed("length_bias_wait", Q.q_length_bias_wait)
+    timed("embedding_dim_corr", Q.q_embedding_dim_corr)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
