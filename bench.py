@@ -511,6 +511,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("pietra_rate", Q.q_pietra_rate)
     timed("length_bias_wait", Q.q_length_bias_wait)
     timed("embedding_dim_corr", Q.q_embedding_dim_corr)
+    timed("gini_split_dow", Q.q_gini_split_dow)
+    timed("skipgram_type_pairs", Q.q_skipgram_type_pairs)
+    timed("harmonic_centrality_brands", Q.q_harmonic_centrality_brands)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
