@@ -514,6 +514,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("gini_split_dow", Q.q_gini_split_dow)
     timed("skipgram_type_pairs", Q.q_skipgram_type_pairs)
     timed("harmonic_centrality_brands", Q.q_harmonic_centrality_brands)
+    timed("source_bit_profile", Q.q_source_bit_profile)
+    timed("pareto_qq_users", Q.q_pareto_qq_users)
+    timed("split_half_reliability", Q.q_split_half_reliability)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
