@@ -517,6 +517,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("source_bit_profile", Q.q_source_bit_profile)
     timed("pareto_qq_users", Q.q_pareto_qq_users)
     timed("split_half_reliability", Q.q_split_half_reliability)
+    timed("shift_share_nations", Q.q_shift_share_nations)
+    timed("odds_ratio_weekend_purchase", Q.q_odds_ratio_weekend_purchase)
+    timed("term_doc_lift", Q.q_term_doc_lift)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
