@@ -520,6 +520,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("shift_share_nations", Q.q_shift_share_nations)
     timed("odds_ratio_weekend_purchase", Q.q_odds_ratio_weekend_purchase)
     timed("term_doc_lift", Q.q_term_doc_lift)
+    timed("nation_dow_cosine", Q.q_nation_dow_cosine)
+    timed("rbo_weekly_brands", Q.q_rbo_weekly_brands)
+    timed("theil_u2_seasonal", Q.q_theil_u2_seasonal)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
