@@ -523,6 +523,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("nation_dow_cosine", Q.q_nation_dow_cosine)
     timed("rbo_weekly_brands", Q.q_rbo_weekly_brands)
     timed("theil_u2_seasonal", Q.q_theil_u2_seasonal)
+    timed("ess_daily", Q.q_ess_daily)
+    timed("qte_weekend", Q.q_qte_weekend)
+    timed("mantel_haenszel_or", Q.q_mantel_haenszel_or)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
