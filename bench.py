@@ -526,6 +526,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("ess_daily", Q.q_ess_daily)
     timed("qte_weekend", Q.q_qte_weekend)
     timed("mantel_haenszel_or", Q.q_mantel_haenszel_or)
+    timed("coverage_time_nations", Q.q_coverage_time_nations)
+    timed("pooling_benefit_nations", Q.q_pooling_benefit_nations)
+    timed("bullwhip_ratio", Q.q_bullwhip_ratio)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
