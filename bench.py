@@ -529,6 +529,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("coverage_time_nations", Q.q_coverage_time_nations)
     timed("pooling_benefit_nations", Q.q_pooling_benefit_nations)
     timed("bullwhip_ratio", Q.q_bullwhip_ratio)
+    timed("newsvendor_nations", Q.q_newsvendor_nations)
+    timed("vocab_turnover_halves", Q.q_vocab_turnover_halves)
+    timed("lindley_waits", Q.q_lindley_waits)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
