@@ -532,6 +532,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("newsvendor_nations", Q.q_newsvendor_nations)
     timed("vocab_turnover_halves", Q.q_vocab_turnover_halves)
     timed("lindley_waits", Q.q_lindley_waits)
+    timed("cronbach_alpha_dow", Q.q_cronbach_alpha_dow)
+    timed("underwater_duration", Q.q_underwater_duration)
+    timed("ltv_decile_persistence", Q.q_ltv_decile_persistence)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
