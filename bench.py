@@ -535,6 +535,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("cronbach_alpha_dow", Q.q_cronbach_alpha_dow)
     timed("underwater_duration", Q.q_underwater_duration)
     timed("ltv_decile_persistence", Q.q_ltv_decile_persistence)
+    timed("vocab_containment_sources", Q.q_vocab_containment_sources)
+    timed("km_curve_users", Q.q_km_curve_users)
+    timed("newey_west_daily", Q.q_newey_west_daily)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
