@@ -538,6 +538,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("vocab_containment_sources", Q.q_vocab_containment_sources)
     timed("km_curve_users", Q.q_km_curve_users)
     timed("newey_west_daily", Q.q_newey_west_daily)
+    timed("variance_changepoint_daily", Q.q_variance_changepoint_daily)
+    timed("leader_reigns", Q.q_leader_reigns)
+    timed("subsample_stability", Q.q_subsample_stability)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
