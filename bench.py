@@ -541,6 +541,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("variance_changepoint_daily", Q.q_variance_changepoint_daily)
     timed("leader_reigns", Q.q_leader_reigns)
     timed("subsample_stability", Q.q_subsample_stability)
+    timed("bowley_skew_rate", Q.q_bowley_skew_rate)
+    timed("xmr_chart_daily", Q.q_xmr_chart_daily)
+    timed("theil_l_nations", Q.q_theil_l_nations)
     timed("pages_tile_topk", lambda d: densest_tiles(
         parsed_features(pages).map_batches(lambda b: b.filter(b["ok"]),
                                            batch_format="pyarrow"),
